@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory/configurator for the graft engine.
+  *
+  * Scale notes (designed for a multi-executor cluster even though tests run
+  * local[32]):
+  *  - AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+  *    replaces hand-tuned partition counts at 100 TB.
+  *  - shuffle.partitions is only the pre-AQE ceiling; on a real cluster set it
+  *    to ~2-3x total cores and let AQE coalesce.
+  *  - session timezone pinned UTC so timestamp semantics are deployment-independent.
+  */
+object GraftSession {
+
+  /** Apply engine defaults to any builder (used by Verify, Bench, tests). */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int = 32): SparkSession.Builder =
+    b.config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
+      // read the raw int64 and convert in Td (truncate ns→us like DuckDB).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for tests / ad-hoc runs. */
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = configure(
+      SparkSession.builder().master(s"local[$cores]").appName(appName),
+      shufflePartitions = math.min(cores, 32)
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** One observation of a station's net inventory change within a time bucket.
+  * `bucket` is epoch seconds of the bucket start (grouping key). */
+final case class StationDelta(
+    bucket: Long, station: String, delta: Long, lat: Double, lon: Double)
+
+/** One inferred origin→destination flow. */
+final case class Flow(o: String, d: String, flow: Long)
+
+/** Greedy OD-flow estimation — the one operator Catalyst cannot express
+  * relationally (reference `/root/reference/src/bike_analyzer/od_inference.py:19-77`).
+  *
+  * Semantics (pinned for oracle parity):
+  *  - rows within a bucket are processed in ascending station-id (string)
+  *    order — the reference's pandas groupby emits groups key-sorted;
+  *  - departures: delta < 0 with supply -delta; arrivals: delta > 0; 0 dropped;
+  *  - loop: pick departure with the LARGEST remaining count (first wins on
+  *    ties), match to its NEAREST arrival by haversine (strictly-less
+  *    comparison, first wins), emit min(supply, demand), decrement both.
+  *
+  * Spark shape: `groupByKey(bucket).flatMapGroups` — parallel across buckets,
+  * sequential within (n stations per bucket is small; the reference network
+  * is 88). At scale the shuffle key is the bucket, so skew only occurs if one
+  * bucket dominates — salting is unnecessary because bucket count grows with
+  * data span. NOT a join, NOT a UDAF, no driver-side collect.
+  */
+object OdInference {
+
+  /** Pure per-bucket matcher; exposed for property tests. */
+  def greedyMatch(rows: Seq[StationDelta]): Seq[Flow] = {
+    final class Node(val station: String, var count: Long, val lat: Double, val lon: Double)
+    val sorted = rows.sortBy(_.station)
+    val departs = ArrayBuffer.empty[Node]
+    val arrives = ArrayBuffer.empty[Node]
+    sorted.foreach { r =>
+      if (r.delta < 0) departs += new Node(r.station, -r.delta, r.lat, r.lon)
+      else if (r.delta > 0) arrives += new Node(r.station, r.delta, r.lat, r.lon)
+    }
+    val out = ArrayBuffer.empty[Flow]
+    while (departs.nonEmpty && arrives.nonEmpty) {
+      var di = 0
+      var i = 1
+      while (i < departs.length) { // strictly-greater keeps first-wins ties
+        if (departs(i).count > departs(di).count) di = i
+        i += 1
+      }
+      val dep = departs(di)
+      var ai = 0
+      var bestDist = Double.MaxValue
+      i = 0
+      while (i < arrives.length) { // strictly-less keeps first-wins ties
+        val a = arrives(i)
+        val dist = GeoOps.haversineMeters(dep.lat, dep.lon, a.lat, a.lon)
+        if (dist < bestDist) { bestDist = dist; ai = i }
+        i += 1
+      }
+      val arr = arrives(ai)
+      val flow = math.min(dep.count, arr.count)
+      out += Flow(dep.station, arr.station, flow)
+      dep.count -= flow
+      arr.count -= flow
+      if (arr.count == 0L) arrives.remove(ai)
+      if (dep.count == 0L) departs.remove(di)
+    }
+    out.toSeq
+  }
+
+  /** Distributed flow inference: deltas → per-bucket greedy match → OD rollup.
+    * Output columns: o, d, flow (total over all buckets). */
+  def inferFlows(deltas: Dataset[StationDelta]): DataFrame = {
+    val spark = deltas.sparkSession
+    import spark.implicits._
+    deltas
+      .groupByKey(_.bucket)
+      .flatMapGroups((_: Long, it: Iterator[StationDelta]) => greedyMatch(it.toSeq).iterator)
+      .groupBy("o", "d")
+      .agg(sum("flow").as("flow"))
+  }
+}

@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Td
+import graft.ops.{Det, OdInference, StationDelta, TimeOps}
+
+/** The reference's declared query surface — the four KPI queries
+  * (`/root/reference/sql/queries.sql:3-59`), the three dashboard pipelines
+  * (`streamlit_app.py:184-201, 236-248, 271-274`) and OD inference
+  * (`od_inference.py:46-77`) — instantiated over the driver's testdata via a
+  * deterministic bike-shaped mapping:
+  *
+  *   stations  := supplier  (station_id = s_suppkey,
+  *                           capacity = s_suppkey % 40 + 10,
+  *                           lat/lon derived arithmetically)
+  *   status    := events    (station_id = user_id % |supplier|,
+  *                           num_bikes_available = event_id % 30,
+  *                           scraped_at = ts)
+  *
+  * Both sides of the oracle compute the identical mapping, so these queries
+  * hash-check the real KPI semantics (latest-snapshot join, occupancy top-k,
+  * hourly profile, weather-style temporal join) on driver data.
+  */
+object BikeShapeQueries {
+
+  /** DuckDB CTEs for the bike-shaped mapping (twin of stations()/status()). */
+  private val mappingSql: String =
+    s"""st AS (SELECT s_suppkey AS station_id, s_name AS name, s_nationkey,
+       |  CAST(s_suppkey % 40 + 10 AS INT) AS capacity,
+       |  -30.0 - CAST(s_suppkey % 100 AS DOUBLE) * 0.01 AS lat,
+       |  -51.2 - CAST(s_suppkey % 73 AS DOUBLE) * 0.013 AS lon
+       |  FROM supplier),
+       |ss AS (SELECT user_id % (SELECT count(*) FROM supplier) AS station_id,
+       |  ts, event_id, CAST(event_id % 30 AS INT) AS bikes, value,
+       |  ${O.hourTrunc("ts")} AS h
+       |  FROM events)""".stripMargin
+
+  private[graft] def stations(s: SparkSession, dir: String): DataFrame =
+    Td.table(s, dir, "supplier").select(
+      col("s_suppkey").as("station_id"),
+      col("s_name").as("name"),
+      col("s_nationkey"),
+      ((col("s_suppkey") % 40) + 10).cast("int").as("capacity"),
+      (lit(-30.0) - (col("s_suppkey") % 100).cast("double") * lit(0.01)).as("lat"),
+      (lit(-51.2) - (col("s_suppkey") % 73).cast("double") * lit(0.013)).as("lon"))
+
+  private[graft] def status(s: SparkSession, dir: String): DataFrame = {
+    val nStations = Td.table(s, dir, "supplier").count()
+    Td.table(s, dir, "events").select(
+      (col("user_id") % nStations).as("station_id"),
+      col("ts"), col("event_id"),
+      (col("event_id") % 30).cast("int").as("bikes"),
+      col("value"),
+      date_trunc("hour", col("ts")).as("h"))
+  }
+
+  private def q(name: String, oracle: String)(
+      f: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, f, Some(oracle))
+
+  def entries: Seq[QueryDef] = Seq(
+
+    // ── Q1: network summary at the latest snapshot (queries.sql:3-14).
+    //    Scalar-CTE max → broadcast; dim join → broadcast; exact distinct. ──
+    q("bq1_network_summary",
+      s"""WITH $mappingSql,
+         |m AS (SELECT max(h) AS h FROM ss)
+         |SELECT count(DISTINCT ss.station_id) AS estacoes,
+         |  CAST(sum(coalesce(st.capacity, 0)) AS BIGINT) AS capacidade_total,
+         |  CAST(sum(ss.bikes) AS BIGINT) AS bikes_disp,
+         |  CAST(sum(greatest(st.capacity - ss.bikes, 0)) AS BIGINT) AS docks_disp
+         |FROM ss JOIN m ON ss.h = m.h
+         |JOIN st ON st.station_id = ss.station_id""".stripMargin) { (s, dir) =>
+      val ss = status(s, dir)
+      val st = stations(s, dir)
+      val last = ss.agg(max(col("h")).as("h"))
+      ss.join(broadcast(last), "h")
+        .join(broadcast(st), "station_id")
+        .agg(
+          countDistinct(col("station_id")).as("estacoes"),
+          sum(coalesce(col("capacity"), lit(0))).as("capacidade_total"),
+          sum(col("bikes")).as("bikes_disp"),
+          sum(greatest(col("capacity") - col("bikes"), lit(0))).as("docks_disp"))
+    },
+
+    // ── Q2: top-10 occupancy (queries.sql:16-31): latest observation per
+    //    station, pct = ROUND(100*bikes/NULLIF(cap,0),1), capacity>0,
+    //    ORDER BY pct DESC LIMIT 10 (station_id tie-break pins the set). ──
+    q("bq2_top10_occupancy",
+      s"""WITH $mappingSql,
+         |last AS (SELECT station_id, bikes FROM (
+         |  SELECT station_id, bikes,
+         |    row_number() OVER (PARTITION BY station_id ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM ss) WHERE rn = 1)
+         |SELECT st.station_id, st.name, st.capacity, last.bikes,
+         |  round(100.0 * last.bikes / nullif(st.capacity, 0), 1) AS ocupacao_pct
+         |FROM last JOIN st ON st.station_id = last.station_id
+         |WHERE st.capacity IS NOT NULL AND st.capacity > 0
+         |ORDER BY ocupacao_pct DESC, st.station_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val latest = TimeOps.lastPerGroup(status(s, dir),
+          Seq("station_id"), Seq(col("ts"), col("event_id")))
+        .select("station_id", "bikes")
+      latest.join(broadcast(stations(s, dir)), "station_id")
+        .filter(col("capacity").isNotNull && col("capacity") > 0)
+        .select(col("station_id"), col("name"), col("capacity"), col("bikes"),
+          round(lit(100.0) * col("bikes") / nullif(col("capacity"), lit(0)), 1)
+            .as("ocupacao_pct"))
+        .orderBy(col("ocupacao_pct").desc, col("station_id"))
+        .limit(10)
+    },
+
+    // ── Q3: hourly availability profile (queries.sql:33-42): USING join,
+    //    STRFTIME('%H') string hour, AVG, group by station+name+hour. ──
+    q("bq3_hourly_profile",
+      s"""WITH $mappingSql
+         |SELECT st.station_id, st.name, strftime(CAST(ss.ts AS TIMESTAMP), '%H') AS hora,
+         |  ${O.iavg("ss.bikes")} AS media_bikes
+         |FROM ss JOIN st ON st.station_id = ss.station_id
+         |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      status(s, dir)
+        .join(broadcast(stations(s, dir)), "station_id")
+        .groupBy(col("station_id"), col("name"), TimeOps.hourOfDay(col("ts")).as("hora"))
+        .agg(Det.iavg(col("bikes")).as("media_bikes"))
+    },
+
+    // ── Q4: weather-correlation temporal join (queries.sql:44-59), quirk Q1
+    //    canonicalized: both sides keyed on date_trunc('hour') timestamps
+    //    instead of the reference's mismatched string formats. ──
+    q("bq4_weather_hour_join",
+      s"""WITH $mappingSql,
+         |sh AS (SELECT h, ${O.iavg("bikes")} AS bikes_med FROM ss GROUP BY 1),
+         |wh AS (SELECT h, ${O.qavg("value", 2)} AS temperature FROM ss GROUP BY 1)
+         |SELECT ${O.iso("wh.h")} AS hora, wh.temperature, sh.bikes_med
+         |FROM wh JOIN sh ON sh.h = wh.h""".stripMargin) { (s, dir) =>
+      val ss = status(s, dir)
+      val statusHour = ss.groupBy("h").agg(Det.iavg(col("bikes")).as("bikes_med"))
+      val weatherHour = ss.groupBy("h").agg(Det.qavg(col("value"), 2).as("temperature"))
+      weatherHour.join(statusHour, "h")
+        .select(Det.iso(col("h")).as("hora"), col("temperature"), col("bikes_med"))
+    },
+
+    // ── Dashboard: activity by region (streamlit_app.py:184-201):
+    //    lag-diff → sum(abs(delta)) per station → dim joins → group → top-20. ──
+    q("bact_activity_by_region",
+      s"""WITH $mappingSql,
+         |d AS (SELECT station_id,
+         |  coalesce(bikes - lag(bikes) OVER (PARTITION BY station_id ORDER BY ts, event_id), 0)
+         |    AS delta FROM ss),
+         |act AS (SELECT station_id, CAST(sum(abs(delta)) AS BIGINT) AS activity
+         |  FROM d GROUP BY 1),
+         |geo AS (SELECT n_nationkey, r_name FROM nation
+         |  JOIN region ON n_regionkey = r_regionkey)
+         |SELECT r_name, CAST(sum(act.activity) AS BIGINT) AS total_activity
+         |FROM act JOIN st ON st.station_id = act.station_id
+         |JOIN geo ON st.s_nationkey = geo.n_nationkey
+         |GROUP BY 1 ORDER BY total_activity DESC, r_name LIMIT 20""".stripMargin) { (s, dir) =>
+      val deltas = TimeOps.lagDiff(status(s, dir),
+        Seq("station_id"), Seq(col("ts"), col("event_id")), "bikes")
+      val act = deltas.groupBy("station_id").agg(sum(abs(col("delta"))).as("activity"))
+      val geo = Td.table(s, dir, "nation")
+        .join(broadcast(Td.table(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "r_name")
+      act.join(broadcast(stations(s, dir)), "station_id")
+        .join(broadcast(geo), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("r_name")
+        .agg(sum(col("activity")).as("total_activity"))
+        .orderBy(col("total_activity").desc, col("r_name"))
+        .limit(20)
+    },
+
+    // ── Dashboard: avg-bikes hotspot (streamlit_app.py:271-274):
+    //    per-station mean left-joined onto the dim, null-filled. ──
+    q("bavg_bikes_hotspot",
+      s"""WITH $mappingSql,
+         |a AS (SELECT station_id, ${O.iavg("bikes")} AS avg_bikes FROM ss GROUP BY 1)
+         |SELECT st.station_id, st.name, coalesce(a.avg_bikes, 0.0) AS avg_bikes
+         |FROM st LEFT JOIN a ON st.station_id = a.station_id""".stripMargin) { (s, dir) =>
+      val avg = status(s, dir).groupBy("station_id").agg(Det.iavg(col("bikes")).as("avg_bikes"))
+      stations(s, dir)
+        .join(avg, Seq("station_id"), "left")
+        .na.fill(Map("avg_bikes" -> 0.0))
+        .select("station_id", "name", "avg_bikes")
+    },
+
+    // ── §2.7: greedy OD flow inference (od_inference.py:46-77). Not
+    //    SQL-expressible (stateful greedy loop) → driver rows-only check;
+    //    exact semantics are pinned by OdInferenceSpec property tests. ──
+    QueryDef("bod_flows_greedy", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ss = status(s, dir)
+        .withColumn("bucket", TimeOps.bucketFloor(col("ts"), 60))
+      val lastPerBucket = TimeOps.lastPerGroup(ss,
+        Seq("station_id", "bucket"), Seq(col("ts"), col("event_id")))
+      val deltas = TimeOps.lagDiff(lastPerBucket,
+        Seq("station_id"), Seq(col("bucket")), "bikes")
+      val st = stations(s, dir).select("station_id", "lat", "lon")
+      val input: Dataset[StationDelta] = deltas
+        .join(broadcast(st), "station_id")
+        .select(
+          unix_timestamp(col("bucket")).as("bucket"),
+          col("station_id").cast("string").as("station"),
+          col("delta").cast("long").as("delta"),
+          col("lat"), col("lon"))
+        .as[StationDelta]
+      OdInference.inferFlows(input)
+        .orderBy(col("flow").desc, col("o"), col("d"))
+        .limit(200)
+    }, None)
+  )
+}

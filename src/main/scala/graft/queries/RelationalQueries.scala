@@ -1,0 +1,398 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Td
+import graft.ops.{Det, TimeOps, Upsert}
+
+/** The relational operator inventory (SURVEY.md §2.2–2.6, §2.8, §2.9)
+  * re-expressed over the driver's testdata tables, each with a DuckDB oracle.
+  *
+  * Scale notes are attached per query; the general rules:
+  *  - filters/projections sit directly on the parquet scan (pushdown+pruning),
+  *  - dim-side joins are explicitly broadcast,
+  *  - aggregations rely on Catalyst partial/final hash agg (map-side combine),
+  *  - top-k always plans as TakeOrderedAndProject (no global sort),
+  *  - window functions shuffle once on their partition keys.
+  */
+object RelationalQueries {
+
+  private def q(name: String, oracle: String)(
+      f: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, f, Some(oracle))
+
+  def entries: Seq[QueryDef] = Seq(
+
+    // ── P1/P2: projection + not-null filter (reference utils.py:22-32) ──
+    q("p1_projection_notnull",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "customer")
+        .filter(col("c_acctbal").isNotNull && col("c_mktsegment").isNotNull)
+        .select("c_custkey", "c_name", "c_acctbal")
+    },
+
+    // ── P3/S7: dynamic time-range predicate, pushed to the scan
+    //    (reference utils.py:38-48) ──
+    q("p3_time_range_scan",
+      s"""SELECT l_orderkey, l_linenumber, l_quantity,
+         |  ${O.isoDay("l_shipdate")} AS ship_day
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "lineitem")
+        .filter(TimeOps.timeRange(col("l_shipdate"), Some("1996-01-01"), Some("1997-01-01")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          Det.isoDay(col("l_shipdate")).as("ship_day"))
+    },
+
+    // ── P4: positive-measure filter (reference queries.sql:29) ──
+    q("p4_positive_filter",
+      """SELECT p_partkey, p_name, p_size, p_retailprice FROM part
+        |WHERE p_size IS NOT NULL AND p_size > 0 AND p_retailprice > 950.0""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "part")
+        .filter(col("p_size").isNotNull && col("p_size") > 0 && col("p_retailprice") > 950.0)
+        .select("p_partkey", "p_name", "p_size", "p_retailprice")
+    },
+
+    // ── P5: sign routing (reference od_inference.py:66-70) ──
+    q("p5_sign_routing",
+      """SELECT event_type,
+        |  CASE WHEN value < 100.0 THEN 'low' ELSE 'high' END AS band,
+        |  count(*) AS n
+        |FROM events WHERE value <> 100.0 GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "events")
+        .filter(col("value") =!= 100.0)
+        .withColumn("band", when(col("value") < 100.0, "low").otherwise("high"))
+        .groupBy("event_type", "band")
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // ── P6: known-key semi-join filter (reference od_inference.py:63-64) ──
+    q("p6_semi_join_filter",
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val li = Td.table(s, dir, "lineitem")
+      val keys = Td.table(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      li.join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // ── P7/A10: existence/count probes (reference streamlit_app.py:41-47) ──
+    q("p7_count_probes",
+      """SELECT 'orders' AS tbl, count(*) AS n FROM orders
+        |UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        |UNION ALL SELECT 'customer', count(*) FROM customer""".stripMargin) { (s, dir) =>
+      Seq("orders", "lineitem", "customer")
+        .map(t => Td.table(s, dir, t).agg(count(lit(1)).as("n")).select(lit(t).as("tbl"), col("n")))
+        .reduce(_ unionByName _)
+    },
+
+    // ── J1/A2: scalar-CTE latest-snapshot join (reference queries.sql:4-14).
+    //    The 1-row aggregate is broadcast; no shuffle of the fact side. ──
+    q("j1_latest_snapshot_join",
+      s"""WITH e AS (SELECT ${O.hourTrunc("ts")} AS h, user_id, value FROM events),
+         |m AS (SELECT max(h) AS h FROM e)
+         |SELECT ${O.iso("e.h")} AS snapshot_hour, count(*) AS n_events,
+         |  count(DISTINCT user_id) AS n_users,
+         |  ${O.qsumd("value", 2)} AS sum_value
+         |FROM e JOIN m ON e.h = m.h GROUP BY e.h""".stripMargin) { (s, dir) =>
+      val e = Td.table(s, dir, "events").withColumn("h", date_trunc("hour", col("ts")))
+      val last = e.agg(max(col("h")).as("h"))
+      e.join(broadcast(last), "h")
+        .groupBy("h")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          Det.qsumd(col("value"), 2).as("sum_value"))
+        .select(Det.iso(col("h")).as("snapshot_hour"),
+          col("n_events"), col("n_users"), col("sum_value"))
+    },
+
+    // ── J2: fact→dim equi-join, dim broadcast (reference queries.sql:14) ──
+    q("j2_fact_dim_broadcast",
+      """SELECT s_name, count(*) AS n, sum(l_quantity) AS total_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "lineitem")
+        .join(broadcast(Td.table(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("total_qty"))
+    },
+
+    // ── J3: USING join (reference queries.sql:40) ──
+    q("j3_using_join",
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         |  ${O.qsumd("o_totalprice", 2)} AS segment_value
+         |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "orders")
+        .withColumnRenamed("o_custkey", "c_custkey")
+        .join(broadcast(Td.table(s, dir, "customer")), Seq("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), Det.qsumd(col("o_totalprice"), 2).as("segment_value"))
+    },
+
+    // ── J4/A4/F2: temporal hour join of two hourly aggregates
+    //    (reference queries.sql:44-59; quirk Q1 canonicalized to date_trunc) ──
+    q("j4_temporal_hour_join",
+      s"""WITH e AS (SELECT ${O.hourTrunc("ts")} AS h, event_type, value FROM events),
+         |a AS (SELECT h, count(*) AS n_events FROM e GROUP BY 1),
+         |p AS (SELECT h, ${O.qsumd("value", 2)} AS purchase_value FROM e
+         |      WHERE event_type = 'purchase' GROUP BY 1)
+         |SELECT ${O.iso("a.h")} AS hour_ts, a.n_events,
+         |  coalesce(p.purchase_value, 0.0) AS purchase_value
+         |FROM a LEFT JOIN p ON a.h = p.h""".stripMargin) { (s, dir) =>
+      val e = Td.table(s, dir, "events").withColumn("h", date_trunc("hour", col("ts")))
+      val all = e.groupBy("h").agg(count(lit(1)).as("n_events"))
+      val pur = e.filter(col("event_type") === "purchase")
+        .groupBy("h").agg(Det.qsumd(col("value"), 2).as("purchase_value"))
+      all.join(pur, Seq("h"), "left")
+        .na.fill(Map("purchase_value" -> 0.0))
+        .select(Det.iso(col("h")).as("hour_ts"), col("n_events"), col("purchase_value"))
+    },
+
+    // ── J5/F16: left join + na.fill (reference streamlit_app.py:190) ──
+    q("j5_left_join_fill",
+      """SELECT c_custkey, c_name, coalesce(o.n, 0) AS n_orders
+        |FROM customer LEFT JOIN
+        |  (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) o
+        |ON c_custkey = o.o_custkey""".stripMargin) { (s, dir) =>
+      val perCust = Td.table(s, dir, "orders").groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      Td.table(s, dir, "customer")
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .na.fill(Map("n" -> 0L))
+        .select(col("c_custkey"), col("c_name"), col("n").as("n_orders"))
+    },
+
+    // ── J8: double dim-lookup join chain (reference streamlit_app.py:241-248);
+    //    both dims broadcast, fact never shuffles. ──
+    q("j8_double_lookup_join",
+      """SELECT s_suppkey, s_name, n_name, r_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "supplier")
+        .join(broadcast(Td.table(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Td.table(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+    },
+
+    // ── A1/F5: global multi-measure agg w/ exact countDistinct
+    //    (reference queries.sql:7-14) ──
+    q("a1_global_summary",
+      s"""SELECT count(DISTINCT o_custkey) AS n_custs, count(*) AS n_orders,
+         |  ${O.qsumd("coalesce(o_totalprice, 0)", 2)} AS total_value,
+         |  max(o_totalprice) AS max_value
+         |FROM orders""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "orders").agg(
+        countDistinct(col("o_custkey")).as("n_custs"),
+        count(lit(1)).as("n_orders"),
+        Det.qsumd(coalesce(col("o_totalprice"), lit(0)), 2).as("total_value"),
+        max(col("o_totalprice")).as("max_value"))
+    },
+
+    // ── A2: global MIN/MAX timestamp bounds (reference utils.py:54-62) ──
+    q("a2_global_time_bounds",
+      s"""SELECT ${O.isoDay("min(o_orderdate)")} AS first_day,
+         |  ${O.isoDay("max(o_orderdate)")} AS last_day,
+         |  ${O.iso("min(ts)")} AS first_event, ${O.iso("max(ts)")} AS last_event
+         |FROM orders, events""".stripMargin) { (s, dir) =>
+      val o = Td.table(s, dir, "orders")
+        .agg(Det.isoDay(min(col("o_orderdate"))).as("first_day"),
+          Det.isoDay(max(col("o_orderdate"))).as("last_day"))
+      val e = Td.table(s, dir, "events")
+        .agg(Det.iso(min(col("ts"))).as("first_event"),
+          Det.iso(max(col("ts"))).as("last_event"))
+      o.crossJoin(e)
+    },
+
+    // ── A3/F1/O2: hour-of-day profile, string hour, multi-key output
+    //    (reference queries.sql:33-42) ──
+    q("a3_hour_profile",
+      s"""SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%H') AS hh,
+         |  count(*) AS n, ${O.qavg("value", 2)} AS avg_value
+         |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "events")
+        .groupBy(col("event_type"), TimeOps.hourOfDay(col("ts")).as("hh"))
+        .agg(count(lit(1)).as("n"), Det.qavg(col("value"), 2).as("avg_value"))
+    },
+
+    // ── A5: per-key mean (reference streamlit_app.py:273) ──
+    q("a5_per_key_mean",
+      s"""SELECT user_id, count(*) AS n, ${O.qavg("value", 2)} AS avg_value
+         |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), Det.qavg(col("value"), 2).as("avg_value"))
+    },
+
+    // ── A6/W1/F15/F17: sum-of-abs-deltas activity
+    //    (reference streamlit_app.py:184-188). One shuffle on user_id serves
+    //    both the window and the aggregation (same key). ──
+    q("a6_abs_delta_activity",
+      s"""WITH d AS (
+         |  SELECT user_id,
+         |    coalesce(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0)
+         |      AS delta
+         |  FROM events)
+         |SELECT user_id, ${O.qsumd("abs(delta)", 2)} AS activity
+         |FROM d GROUP BY 1""".stripMargin) { (s, dir) =>
+      val d = TimeOps.lagDiff(Td.table(s, dir, "events"),
+        Seq("user_id"), Seq(col("ts"), col("event_id")), "value")
+      d.groupBy("user_id").agg(Det.qsumd(abs(col("delta")), 2).as("activity"))
+    },
+
+    // ── A7/W2/F9: last-per-bucket dedup (reference od_inference.py:51-52) ──
+    q("a7_last_per_bucket",
+      s"""SELECT user_id, ${O.isoDay("day")} AS day, event_type, event_id AS last_event_id
+         |FROM (
+         |  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type, event_id,
+         |    row_number() OVER (
+         |      PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+         |      ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events) WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val e = Td.table(s, dir, "events").withColumn("day", date_trunc("day", col("ts")))
+      TimeOps.lastPerGroup(e, Seq("user_id", "day"), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), Det.isoDay(col("day")).as("day"),
+          col("event_type"), col("event_id").as("last_event_id"))
+    },
+
+    // ── A8: edge-weight rollup (reference od_inference.py:76) ──
+    q("a8_edge_rollup",
+      """SELECT l_suppkey AS o, l_returnflag AS d, count(*) AS n,
+        |  sum(l_quantity) AS total_qty
+        |FROM lineitem GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("o"), col("l_returnflag").as("d"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("total_qty"))
+    },
+
+    // ── A9/J6: dim-grouped rollup (reference streamlit_app.py:200-201) ──
+    q("a9_dim_group_sum",
+      s"""SELECT n_name, count(*) AS n_cust, ${O.qsumd("c_acctbal", 2)} AS total_bal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "customer")
+        .join(broadcast(Td.table(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"), Det.qsumd(col("c_acctbal"), 2).as("total_bal"))
+    },
+
+    // ── W1: raw per-partition lag-diff (reference od_inference.py:51-53) ──
+    q("w1_lag_diff",
+      """SELECT event_id, user_id,
+        |  coalesce(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0)
+        |    AS delta
+        |FROM events""".stripMargin) { (s, dir) =>
+      TimeOps.lagDiff(Td.table(s, dir, "events"),
+          Seq("user_id"), Seq(col("ts"), col("event_id")), "value")
+        .select("event_id", "user_id", "delta")
+    },
+
+    // ── O1: top-k (reference queries.sql:30-31); plans as
+    //    TakeOrderedAndProject — per-partition heaps, no global sort. ──
+    q("o1_topk",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // ── O2/O3: multi-key sort (reference queries.sql:42) ──
+    q("o2_multikey_sort",
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+        |ORDER BY c_mktsegment, c_name""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        .orderBy("c_mktsegment", "c_name")
+    },
+
+    // ── O4/O5: parameterized top-N over a rollup
+    //    (reference streamlit_app.py:236-248) ──
+    q("o4_topn_flows",
+      """SELECT l_suppkey AS o, l_returnflag AS d, sum(l_quantity) AS total_qty
+        |FROM lineitem GROUP BY 1, 2
+        |ORDER BY total_qty DESC, o, d LIMIT 25""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("o"), col("l_returnflag").as("d"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .orderBy(col("total_qty").desc, col("o"), col("d"))
+        .limit(25)
+    },
+
+    // ── F1/F2/F8/F9/F11: datetime scalar pack ──
+    q("f_datetime_pack",
+      s"""SELECT event_id,
+         |  strftime(CAST(ts AS TIMESTAMP), '%H') AS hh,
+         |  ${O.iso(O.hourTrunc("ts"))} AS hour_ts,
+         |  ${O.iso(O.bucketFloor("ts", 10))} AS bucket10,
+         |  ${O.isoDay("ts")} AS day
+         |FROM events""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "events").select(
+        col("event_id"),
+        TimeOps.hourOfDay(col("ts")).as("hh"),
+        Det.iso(date_trunc("hour", col("ts"))).as("hour_ts"),
+        Det.iso(TimeOps.bucketFloor(col("ts"), 10)).as("bucket10"),
+        Det.isoDay(col("ts")).as("day"))
+    },
+
+    // ── F3/F4/F5/F6/F14/F15/F17: math scalar pack ──
+    q("f_math_pack",
+      """SELECT l_orderkey, l_linenumber,
+        |  round(100.0 * l_discount, 1) AS disc_pct,
+        |  coalesce(nullif(l_tax, 0.0), -1.0) AS tax_or_default,
+        |  CAST(floor(abs(l_quantity - 25.0)) AS INT) AS absq,
+        |  least(greatest(l_quantity, 10.0), 40.0) AS clipped,
+        |  100.0 * l_extendedprice / l_quantity AS unit_price_x100
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(lit(100.0) * col("l_discount"), 1).as("disc_pct"),
+        coalesce(nullif(col("l_tax"), lit(0.0)), lit(-1.0)).as("tax_or_default"),
+        floor(abs(col("l_quantity") - 25.0)).cast("int").as("absq"),
+        least(greatest(col("l_quantity"), lit(10.0)), lit(40.0)).as("clipped"),
+        (lit(100.0) * col("l_extendedprice") / col("l_quantity")).as("unit_price_x100"))
+    },
+
+    // ── F13/F18: string/array scalar pack (array_join, coalesce chain) ──
+    q("f_string_array_pack",
+      """SELECT doc_id,
+        |  array_to_string(list_slice(string_split(text, ' '), 1, 5), ',') AS first5,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  coalesce(nullif(lang, ''), source) AS lang_or_src,
+        |  upper(substr(text, 1, 10)) AS head10
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "documents").select(
+        col("doc_id"),
+        array_join(slice(split(col("text"), " ", -1), 1, 5), ",").as("first5"),
+        size(split(col("text"), " ", -1)).as("n_tokens"),
+        coalesce(nullif(col("lang"), lit("")), col("source")).as("lang_or_src"),
+        upper(substring(col("text"), 1, 10)).as("head10"))
+    },
+
+    // ── F12: JSON round-trip (from_json with explicit schema + to_json) ──
+    q("f_json_roundtrip",
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k,
+        |  '{"k":' || regexp_extract(props, '"k": ([0-9]+)', 1) || '}' AS j_str
+        |FROM events""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "events")
+        .withColumn("j", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .select(col("event_id"), col("j.k").as("k"),
+          to_json(struct(col("j.k").as("k"))).as("j_str"))
+    },
+
+    // ── §2.9: MERGE-style upsert (union + window-dedup), oracle expressed as
+    //    the equivalent key-precedence UNION (reference etl_gbfs.py:74-95) ──
+    q("m1_upsert_merge",
+      """SELECT o_orderkey, o_totalprice * 2 AS price FROM orders WHERE o_orderkey % 10 >= 5
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice AS price FROM orders WHERE o_orderkey % 10 < 5""".stripMargin) { (s, dir) =>
+      val o = Td.table(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice").as("price"))
+      val old = o.filter(col("o_orderkey") % 10 < 8)
+      val fresh = o.filter(col("o_orderkey") % 10 >= 5).withColumn("price", col("price") * 2)
+      Upsert.merge(old, fresh, Seq("o_orderkey"))
+    }
+  )
+}
