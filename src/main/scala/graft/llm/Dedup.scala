@@ -1,0 +1,156 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data curation: exact,
+  * n-gram-Jaccard, MinHash+LSH, and SimHash. All are pure DataFrame
+  * pipelines — no collects, no UDFs in the hot path — so each scales by
+  * shuffle-key choice:
+  *
+  *  - exact: one hash shuffle on the content digest;
+  *  - n-gram Jaccard: shuffle on shingle (AQE skew-split handles hot
+  *    shingles; at 100 TB additionally cap document frequency per shingle);
+  *  - MinHash+LSH: shuffle on (band, bandHash) — candidate volume is
+  *    controlled by band geometry, never all-pairs;
+  *  - SimHash: shuffle on (band, bandBits) with pigeonhole completeness for
+  *    hamming <= bands-1.
+  */
+object Dedup {
+
+  // ── exact ────────────────────────────────────────────────────────────────
+
+  /** Exact dedup: survivor = min id per content digest. */
+  def exactSurvivors(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
+
+  // ── n-gram Jaccard ───────────────────────────────────────────────────────
+
+  /** (id, shingle) exploded table, distinct per doc. */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("shingle"))
+
+  /** Exact all-intersecting-pairs Jaccard >= minJ via shingle self-join.
+    * This is the confirm/baseline path; candidate *generation* at scale is
+    * LSH (below). Output: d1 < d2, jaccard (double). */
+  def jaccardPairs(shingles: DataFrame, minJ: Double): DataFrame = {
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = shingles.as("a")
+    val b = shingles.as("b")
+    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_inter"))
+    withJaccard(inter, sizes).filter(col("jaccard") >= minJ)
+  }
+
+  /** Attach jaccard = inter / (|d1| + |d2| - inter) to a (d1, d2, n_inter)
+    * pair table. Sizes side is broadcast when small. */
+  private def withJaccard(pairs: DataFrame, sizes: DataFrame): DataFrame =
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n1") + col("n2") - col("n_inter")).cast("double"))
+      .select("d1", "d2", "n_inter", "jaccard")
+
+  // ── MinHash + banded LSH ─────────────────────────────────────────────────
+
+  /** MinHash signature per doc: numHashes independent min-hashes, each
+    * min over xxhash64(seed_i, shingle). One pass over the exploded shingle
+    * table; all hashes codegen'd. */
+  def minhashSignature(shingles: DataFrame, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
+    shingles.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Banded-LSH candidate pairs from a minhash signature table:
+    * bands of `rowsPerBand` hashes each; docs agreeing on all hashes of any
+    * band become a candidate pair. Shuffle key is (band, bandHash) — the
+    * classic sub-quadratic path. Probability a pair with Jaccard s is
+    * emitted: 1 - (1 - s^r)^b; with r=4, b=32 recall at s>=0.9 is
+    * 1 - 3e-15 (effectively exhaustive for true near-dups). */
+  def lshCandidates(sigs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bandCols = (0 until numBands).map { bnd =>
+      val hashes = (0 until rowsPerBand).map(r => col(s"mh${bnd * rowsPerBand + r}"))
+      xxhash64(lit(bnd) +: hashes: _*)
+    }
+    val banded = sigs.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** Full MinHash near-dup pipeline: shingle → sign → LSH candidates →
+    * exact-Jaccard confirm (computed only for candidate pairs — the
+    * all-pairs join never happens). */
+  def minhashNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, rowsPerBand: Int, minJ: Double): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, shingleN).persist()
+    val cand = lshCandidates(minhashSignature(sh, numHashes), numHashes, rowsPerBand)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.toDF("d1", "s1")
+    val b = sh.toDF("d2b", "s2")
+    val inter = cand.join(a, "d1")
+      .join(b, col("d2") === col("d2b") && col("s1") === col("s2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_inter"))
+    withJaccard(inter, sizes).filter(col("jaccard") >= minJ)
+  }
+
+  // ── SimHash ──────────────────────────────────────────────────────────────
+
+  /** Cross-engine 60-bit token hash: first 15 hex chars of md5, base-16
+    * decoded. Identical in DuckDB as CAST('0x' || substr(md5(t),1,15) AS
+    * BIGINT) — used instead of xxhash64 wherever the oracle must reproduce
+    * the value. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 32-bit SimHash over the document's token multiset: bit i is set iff
+    * the count of tokens with bit i set exceeds the count without
+    * (strict majority; ties → 0). */
+  def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(TextOps.tokens(col(textCol))).as("tok"))
+    val h = md5Hash60(col("tok"))
+    val bitSums = (0 until 32).map(i =>
+      sum(when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i"))
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 32).map(i =>
+        when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxDist, via byte-band
+    * blocking: 4 bands of 8 bits; any pair within hamming <= 3 shares at
+    * least one full band (pigeonhole), so candidate generation is complete —
+    * the blocked join is an optimization, not an approximation. */
+  def simhashNearDups(sims: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist <= 3, "4-band blocking is only complete for hamming <= 3")
+    val banded = sims.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(bnd =>
+        shiftright(col("simhash"), bnd * 8).bitwiseAND(lit(0xFFL))): _*))
+        .as(Seq("band", "band_bits")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.band_bits") === col("b.band_bits") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

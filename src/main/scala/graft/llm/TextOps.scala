@@ -1,0 +1,83 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data curation: tokenization,
+  * n-gram shingling, quality stats, language ID, fingerprinting.
+  *
+  * Everything here is built-in column composition (no UDFs) so the whole
+  * tier stays inside whole-stage codegen — at 100 TB these run in the scan
+  * stage, fused with the parquet reader.
+  *
+  * Cross-engine determinism: where a query is oracle-checked, the DuckDB
+  * twin SQL is generated beside it in [[graft.queries.LlmQueries]]; both
+  * sides use the same tokenizer contract (split on `\s+`, drop empties).
+  */
+object TextOps {
+
+  /** Whitespace tokenizer (drops empty tokens from leading/trailing space). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** BPE-ish subword count: word tokens plus punctuation marks counted as
+    * separate tokens (a cheap proxy for byte-pair token counts; real BPE
+    * needs a vocab file, which is model-specific, not engine work).
+    * Implemented as space-out-punctuation then split — lookahead-free so the
+    * DuckDB oracle (RE2) runs the identical algorithm. */
+  def bpeishTokens(text: Column): Column =
+    filter(split(regexp_replace(text, "([.,!?;:])", " $1 "), "\\s+"), t => t =!= "")
+
+  /** Distinct n-token shingles, reference-DuckDB-compatible shape:
+    * positions 1..max(len-(n-1), 1), each shingle up to n tokens joined by a
+    * single space (shorter at the tail / for short docs). */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** Canonical document fingerprint: md5 of the whitespace-normalized,
+    * lower-cased text. Identical in any engine with md5. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Number of tokens from `toks` found in `words` (multiset count). */
+  def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+
+  /** Stopword lists per language for the n-gram/stopword lang-ID heuristic.
+    * Tiny on purpose: a real deployment swaps in a bigger lexicon; the
+    * engine mechanics (score per language, deterministic argmax) are what
+    * we pin here. */
+  val StopwordLists: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "dans"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht"),
+    "zh" -> Seq("的", "是", "在", "了", "我"))
+
+  /** Deterministic argmax language: first language (in StopwordLists order)
+    * whose score is >= all later ones. Ties resolve to the earlier entry;
+    * all-zero scores resolve to the first list ("en"), matching the oracle's
+    * CASE chain. */
+  def langId(toks: Column): Column = {
+    val scores = StopwordLists.map { case (lang, words) => lang -> countIn(toks, words) }
+    scores.init.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((lang, score), i), elseCol) =>
+        val laterMax = scores.drop(i + 1).map(_._2).reduce((a, b) => greatest(a, b))
+        when(score >= laterMax, lang).otherwise(elseCol)
+    }
+  }
+
+  /** Heuristic quality score in [0,1]: rewards length (up to 100 tokens),
+    * lexical diversity, and near-average word length. Pure double
+    * arithmetic, identical order in the oracle twin. */
+  def qualityScore(toks: Column, text: Column): Column = {
+    val nTok = size(toks).cast("double")
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    val diversity = size(array_distinct(toks)).cast("double") / nTok
+    val avgLen = (length(text).cast("double") + lit(1.0)) / nTok - lit(1.0)
+    val lenQ = least(avgLen / lit(8.0), lit(1.0))
+    lit(0.4) * lenScore + lit(0.3) * diversity + lit(0.3) * lenQ
+  }
+}

@@ -35,7 +35,10 @@ object OdInference {
   /** Pure per-bucket matcher; exposed for property tests. */
   def greedyMatch(rows: Seq[StationDelta]): Seq[Flow] = {
     final class Node(val station: String, var count: Long, val lat: Double, val lon: Double)
-    val sorted = rows.sortBy(_.station)
+    // Station order pins reference parity (unique stations per bucket after
+    // W2 dedup); the remaining fields make the sort total so the matcher is
+    // permutation-deterministic even on degenerate duplicate-station input.
+    val sorted = rows.sortBy(r => (r.station, r.delta, r.lat, r.lon))
     val departs = ArrayBuffer.empty[Node]
     val arrives = ArrayBuffer.empty[Node]
     sorted.foreach { r =>

@@ -1,8 +1,229 @@
 package graft.queries
 
-/** LLM-training-data pipeline operators (dedup, similarity search, text
-  * analysis, multimodal plumbing) over documents/embeddings. Filled by
-  * graft.llm; see Dedup, Similarity, TextStats. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Td
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+
+/** LLM-training-data pipeline operators over the driver's documents /
+  * embeddings tables: deduplication (exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash, embedding-cosine), similarity search (brute-force + LSH ANN),
+  * text analysis (token counts, quality, language-ID, fingerprints), and
+  * multimodal binary-column plumbing.
+  *
+  * Oracle strategy: every deterministic pipeline carries a DuckDB twin.
+  * Floating-point similarity is computed over integer-quantized vectors so
+  * both engines produce bit-identical doubles (see [[graft.llm.Similarity]]).
+  * The MinHash query's oracle is the exact all-pairs Jaccard at the same
+  * threshold — valid because the band geometry (r=4, b=32) has miss
+  * probability ~1e-15 at the observed near-dup similarity (>=0.9), i.e. the
+  * approximate path is exhaustive on real near-dups; the exact-confirm
+  * filter removes all false positives. The LSH ANN query is not
+  * SQL-expressible at equal semantics → rows-only check + recall-floor spec.
+  */
 object LlmQueries {
-  def entries: Seq[QueryDef] = Seq.empty
+
+  /** DuckDB twins of TextOps.tokens / TextOps.shingles(n=3). */
+  private val toksCte =
+    """toks AS (SELECT doc_id, lang, source, text,
+      |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents)""".stripMargin
+  private val shinglesCte =
+    """sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |  FROM toks, UNNEST(range(1, greatest(len(t)-2, 1) + 1)) AS u(i))""".stripMargin
+
+  /** DuckDB all-pairs exact token-3-gram Jaccard at `minJ` — the oracle for
+    * both the exact pipeline and the MinHash+LSH pipeline. */
+  private def jaccardOracle(minJ: Double): String =
+    s"""WITH $toksCte,
+       |$shinglesCte,
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT * FROM (
+       |  SELECT d1, d2, n_inter,
+       |    CAST(n_inter AS DOUBLE) / CAST(x.n_sh + y.n_sh - n_inter AS DOUBLE) AS jaccard
+       |  FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id)
+       |WHERE jaccard >= $minJ""".stripMargin
+
+  /** DuckDB twin of Dedup.simhash32 (generated bit expressions). */
+  private val simhashCtes: String = {
+    val bitSums = (0 until 32)
+      .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(", ")
+    val simExpr = (0 until 32)
+      .map(i => s"(CASE WHEN b$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+       |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) AS h FROM tok),
+       |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY 1),
+       |sim AS (SELECT doc_id, $simExpr AS simhash FROM bits)""".stripMargin
+  }
+
+  /** DuckDB quantized-embedding CTEs (twin of Similarity.quantize):
+    * per-component rows + per-vector squared norms. */
+  private val quantCtes =
+    """qc AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
+      |  FROM embeddings),
+      |nrm AS (SELECT vec_id, sum(x*x) AS nn FROM qc GROUP BY 1)""".stripMargin
+
+  private def q(name: String, oracle: String)(
+      f: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, f, Some(oracle))
+
+  def entries: Seq[QueryDef] = Seq(
+
+    // ── exact dedup: survivor per content hash ──
+    q("ld1_exact_dedup",
+      """SELECT md5(text) AS content_hash, min(doc_id) AS survivor_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      Dedup.exactSurvivors(Td.table(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // ── exact n-gram Jaccard near-dup pairs (baseline/confirm path) ──
+    q("ld2_jaccard_pairs", jaccardOracle(0.8)) { (s, dir) =>
+      Dedup.jaccardPairs(
+        Dedup.shingleTable(Td.table(s, dir, "documents"), "doc_id", "text", 3), 0.8)
+    },
+
+    // ── MinHash + banded LSH near-dup (the 100 TB path); oracle = exact
+    //    all-pairs at the same threshold (recall ~1, see object scaladoc) ──
+    q("ld3_minhash_lsh_neardup", jaccardOracle(0.8)) { (s, dir) =>
+      Dedup.minhashNearDups(Td.table(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 128, rowsPerBand = 4, minJ = 0.8)
+    },
+
+    // ── SimHash near-dup pairs, hamming <= 3 (byte-band blocking is
+    //    pigeonhole-complete, so this is exact, not approximate) ──
+    q("ld4_simhash_neardup",
+      s"""WITH $toksCte,
+         |$simhashCtes
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin) { (s, dir) =>
+      Dedup.simhashNearDups(
+        Dedup.simhash32(Td.table(s, dir, "documents"), "doc_id", "text"), 3)
+    },
+
+    // ── embedding-cosine near-dup pairs (exact confirm path) ──
+    q("ld5_embed_neardup",
+      s"""WITH $quantCtes,
+         |dot AS (SELECT a.vec_id AS d1, b.vec_id AS d2, sum(a.x * b.x) AS dp
+         |  FROM qc a JOIN qc b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+         |SELECT * FROM (
+         |  SELECT d1, d2,
+         |    CAST(dp AS DOUBLE) / (sqrt(CAST(x.nn AS DOUBLE)) * sqrt(CAST(y.nn AS DOUBLE)))
+         |      AS cosine
+         |  FROM dot JOIN nrm x ON d1 = x.vec_id JOIN nrm y ON d2 = y.vec_id)
+         |WHERE cosine >= 0.45""".stripMargin) { (s, dir) =>
+      Similarity.embeddingNearDups(Td.table(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+    },
+
+    // ── brute-force cosine top-10 ANN (queries = vec_id % 40 = 0) ──
+    q("ls1_ann_topk",
+      s"""WITH $quantCtes,
+         |dot AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    sum(a.x * b.x) AS dp
+         |  FROM qc a JOIN qc b ON a.i = b.i AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 40 = 0 GROUP BY 1, 2),
+         |sims AS (SELECT query_id, neighbor_id,
+         |    CAST(dp AS DOUBLE) / (sqrt(CAST(x.nn AS DOUBLE)) * sqrt(CAST(y.nn AS DOUBLE)))
+         |      AS cosine
+         |  FROM dot JOIN nrm x ON query_id = x.vec_id JOIN nrm y ON neighbor_id = y.vec_id)
+         |SELECT * FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+         |  FROM sims)
+         |WHERE rank <= 10""".stripMargin) { (s, dir) =>
+      val vecs = Td.table(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        vecs.filter(col("vec_id") % 40 === 0), vecs, "vec_id", "embedding", 10)
+    },
+
+    // ── LSH-bucketed ANN (the scale path). Bucket-dependent candidate set
+    //    is not SQL-expressible at equal semantics → rows-only check here;
+    //    SimilaritySpec pins a recall floor vs ls1's brute force. ──
+    QueryDef("ls2_ann_lsh", (s: SparkSession, dir: String) => {
+      val vecs = Td.table(s, dir, "embeddings")
+      Similarity.lshTopK(
+        vecs.filter(col("vec_id") % 40 === 0), vecs, "vec_id", "embedding", 10)
+    }, None),
+
+    // ── text stats: token counts (plain + BPE-ish), quality score ──
+    q("lt1_text_stats",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INT)
+        |    AS n_tokens,
+        |  CAST(len(list_filter(string_split_regex(
+        |      regexp_replace(text, '([.,!?;:])', ' \1 ', 'g'), '\s+'), x -> x <> '')) AS INT)
+        |    AS n_bpeish,
+        |  CAST(length(text) AS INT) AS n_chars_obs,
+        |  0.4 * least(CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE) / 100.0, 1.0)
+        |    + 0.3 * (CAST(len(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS DOUBLE)
+        |             / CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE))
+        |    + 0.3 * least(((CAST(length(text) AS DOUBLE) + 1.0)
+        |             / CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE) - 1.0) / 8.0, 1.0)
+        |    AS quality
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      Td.table(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(TextOps.bpeishTokens(col("text"))).as("n_bpeish"),
+        length(col("text")).as("n_chars_obs"),
+        TextOps.qualityScore(toks, col("text")).as("quality"))
+    },
+
+    // ── language ID: stopword-score argmax (deterministic CASE chain).
+    //    The oracle applies the identical heuristic — this checks the
+    //    pipeline; the testdata's lang labels are synthetic word-salad, so
+    //    agreement with the label column is not the contract. ──
+    q("lt2_lang_id", {
+      val scoreSql = TextOps.StopwordLists.map { case (lang, words) =>
+        val inList = words.map(w => s"'$w'").mkString(", ")
+        lang -> s"len(list_filter(t, x -> x IN ($inList)))"
+      }
+      val caseChain = scoreSql.init.zipWithIndex.map { case ((lang, score), i) =>
+        val later = scoreSql.drop(i + 1).map(_._2)
+        val laterMax = if (later.size == 1) later.head else s"greatest(${later.mkString(", ")})"
+        s"WHEN $score >= $laterMax THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH $toksCte
+         |SELECT doc_id, lang,
+         |  (CASE $caseChain ELSE '${scoreSql.last._1}' END) AS lang_pred
+         |FROM toks""".stripMargin
+    }) { (s, dir) =>
+      Td.table(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred"))
+    },
+
+    // ── document fingerprint (md5 of normalized text) ──
+    q("lt3_fingerprint",
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    },
+
+    // ── multimodal plumbing: binary payload + partition-batched (stub)
+    //    feature extraction; oracle recomputes the deterministic fake
+    //    features from first principles (all-ASCII corpus ⇒ byte = char) ──
+    q("lm1_multimodal_features",
+      """SELECT doc_id AS item_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  CAST(list_sum(list_transform(string_split(text, ''), x -> ord(x))) % 9973 AS BIGINT)
+        |    AS checksum_mod,
+        |  CAST(ord(substr(text, 1, 1)) AS INT) AS first_byte
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.binarize(Td.table(s, dir, "documents"), "doc_id", "text"))
+    }
+  )
 }

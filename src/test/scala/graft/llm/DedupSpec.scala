@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+    (4L, "completely different text with other words entirely here now"),
+    (5L, "another unrelated document about spark query engines")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per identical content") {
+    val got = Dedup.exactSurvivors(corpus, "doc_id", "text")
+      .select("survivor_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)))
+    assert(got.size == 4) // 1&2 collapse, 3,4,5 unique
+  }
+
+  test("jaccardPairs finds the near-dup pair and skips unrelated docs") {
+    val pairs = Dedup.jaccardPairs(Dedup.shingleTable(corpus, "doc_id", "text", 3), 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash+LSH pipeline finds the same >=0.5 pairs as the exact path") {
+    val exact = Dedup.jaccardPairs(Dedup.shingleTable(corpus, "doc_id", "text", 3), 0.5)
+      .select("d1", "d2", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.minhashNearDups(corpus, "doc_id", "text",
+        shingleN = 3, numHashes = 128, rowsPerBand = 4, minJ = 0.5)
+      .select("d1", "d2", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs hash identically; near-dups are close, far docs far") {
+    val sims = Dedup.simhash32(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sims(1L) == sims(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sims(a) ^ sims(b))
+    assert(ham(1L, 3L) < ham(1L, 4L))
+  }
+
+  test("simhashNearDups blocked join finds all pairs within hamming 3") {
+    val sims = Dedup.simhash32(corpus, "doc_id", "text")
+    val viaBlocks = Dedup.simhashNearDups(sims, 3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    // brute-force reference over the tiny corpus
+    val m = sims.as[(Long, Long)].collect()
+    val brute = (for {
+      (a, ha) <- m; (b, hb) <- m if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(viaBlocks == brute)
+    assert(brute.contains((1L, 2L)))
+  }
+
+  test("md5Hash60 matches the documented DuckDB expression semantics") {
+    // first 15 hex chars of md5('hello') = 5d41402abc4b2a7 -> 419982666956583591
+    val got = Seq("hello").toDF("s").select(Dedup.md5Hash60(col("s"))).as[Long].head()
+    assert(got == 419982666956583591L)
+  }
+}

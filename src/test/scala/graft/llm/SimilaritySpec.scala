@@ -1,0 +1,58 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("qcosine: identical vectors -> 1.0, orthogonal -> 0.0, opposite -> -1.0") {
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 3.0f)),
+      (Array(1.0f, 1.0f), Array(-1.0f, -1.0f))
+    ).toDF("a", "b")
+    val got = df.select(
+        Similarity.qcosine(Similarity.quantize(col("a")), Similarity.quantize(col("b"))))
+      .as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(got(1) == 0.0)
+    assert(math.abs(got(2) + 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k ranked neighbors per query, best first") {
+    val vecs = graft.Td.table(spark, Sf0001, "embeddings")
+    val topk = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") % 100 === 0), vecs, "vec_id", "embedding", 5)
+    val rows = topk.select("query_id", "rank", "cosine")
+      .as[(Long, Int, Double)].collect()
+    val perQuery = rows.groupBy(_._1)
+    assert(perQuery.values.forall(_.length == 5))
+    perQuery.values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).toSeq.sorted.reverse)
+    }
+  }
+
+  test("LSH ANN achieves recall@10 >= 0.7 vs brute force on sf0.001 embeddings") {
+    val vecs = graft.Td.table(spark, Sf0001, "embeddings")
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+    val brute = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(queries, vecs, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.7, s"recall@10 = $recall")
+  }
+
+  test("planeSign is deterministic and roughly balanced") {
+    val signs = for (t <- 0 until 4; p <- 0 until 8; d <- 0 until 64)
+      yield Similarity.planeSign(t, p, d)
+    assert(signs == (for (t <- 0 until 4; p <- 0 until 8; d <- 0 until 64)
+      yield Similarity.planeSign(t, p, d)))
+    val pos = signs.count(_ > 0).toDouble / signs.size
+    assert(pos > 0.4 && pos < 0.6, s"positive fraction $pos")
+  }
+}

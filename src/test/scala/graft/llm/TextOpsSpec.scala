@@ -1,0 +1,56 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("tokens splits on whitespace runs and drops empties") {
+    val got = Seq("  the  quick\tfox ").toDF("t")
+      .select(TextOps.tokens(col("t"))).as[Seq[String]].head()
+    assert(got == Seq("the", "quick", "fox"))
+  }
+
+  test("bpeishTokens separates punctuation into its own tokens") {
+    val got = Seq("hello, world! ok").toDF("t")
+      .select(TextOps.bpeishTokens(col("t"))).as[Seq[String]].head()
+    assert(got == Seq("hello", ",", "world", "!", "ok"))
+  }
+
+  test("shingles: 3-gram windows, distinct, short-doc degenerates to whole doc") {
+    val got = Seq("a b c d").toDF("t")
+      .select(TextOps.shingles(TextOps.tokens(col("t")), 3)).as[Seq[String]].head()
+    assert(got == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(TextOps.shingles(TextOps.tokens(col("t")), 3)).as[Seq[String]].head()
+    assert(short == Seq("a b"))
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val fps = Seq("The  Quick Fox", "the quick fox", "the quick  fox ")
+      .toDF("t").select(TextOps.fingerprint(col("t"))).as[String].collect()
+    assert(fps.distinct.length == 1)
+  }
+
+  test("langId picks the language with most stopword hits; en wins ties") {
+    val cases = Seq(
+      "the cat is on the mat" -> "en",
+      "el gato de la casa y que" -> "es",
+      "le chat et les chiens des rues" -> "fr",
+      "der hund und die katze ist ein" -> "de",
+      "xyzzy plugh foobar" -> "en") // no hits anywhere -> tie -> first list
+    val got = cases.map(_._1).toDF("t")
+      .select(TextOps.langId(TextOps.tokens(col("t")))).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("qualityScore is in [0,1] over the sf0.001 corpus") {
+    val q = graft.Td.table(spark, Sf0001, "documents")
+      .select(TextOps.qualityScore(TextOps.tokens(col("text")), col("text")))
+      .as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.ops
+
+import scala.util.Random
+
+import graft.SparkSpec
+
+/** Properties of the greedy OD matcher (SURVEY.md §2.7/§2.13 Q4): flow
+  * conservation, termination, non-negativity, and the pinned first-wins
+  * tie-breaking that oracle parity with the reference depends on.
+  * Property loops use a fixed seed — deterministic, replayable. */
+class OdInferenceSpec extends SparkSpec {
+
+  private def delta(st: String, d: Long, lat: Double = 0, lon: Double = 0) =
+    StationDelta(0L, st, d, lat, lon)
+
+  private def randomCases(n: Int): Seq[List[StationDelta]] = {
+    val rnd = new Random(42)
+    Seq.fill(n)(List.fill(12)(delta(
+      (rnd.nextInt(20) + 1).toString,
+      rnd.nextLong(61) - 30,
+      -31.0 + rnd.nextDouble() * 2,
+      -52.0 + rnd.nextDouble() * 2)))
+  }
+
+  test("flows conserved: total = min(supply, demand), all flows positive") {
+    randomCases(200).foreach { rows =>
+      val flows = OdInference.greedyMatch(rows)
+      val supply = rows.filter(_.delta < 0).map(-_.delta).sum
+      val demand = rows.filter(_.delta > 0).map(_.delta).sum
+      assert(flows.forall(_.flow > 0))
+      assert(flows.map(_.flow).sum == math.min(supply, demand))
+    }
+  }
+
+  test("per-station outflow bounded by its supply") {
+    randomCases(200).foreach { rows =>
+      val flows = OdInference.greedyMatch(rows)
+      val supply = rows.filter(_.delta < 0)
+        .groupBy(_.station).map { case (k, v) => k -> v.map(-_.delta).sum }
+      flows.groupBy(_.o).map { case (k, v) => k -> v.map(_.flow).sum }
+        .foreach { case (st, f) => assert(f <= supply(st)) }
+    }
+  }
+
+  test("deterministic under input permutation (internal station sort pins order)") {
+    randomCases(100).foreach { rows =>
+      assert(OdInference.greedyMatch(rows) == OdInference.greedyMatch(rows.reverse))
+    }
+  }
+
+  test("largest-supply departure first; ties break first-wins in station order") {
+    // equal supplies: station '1' (first in sorted order) goes first;
+    // equidistant arrivals: '3' (first in order) wins.
+    val rows = Seq(
+      delta("2", -5, lat = 0, lon = 0),
+      delta("1", -5, lat = 0, lon = 0),
+      delta("3", 4, lat = 1, lon = 0),
+      delta("4", 6, lat = -1, lon = 0)) // same distance from (0,0) as '3'
+    val flows = OdInference.greedyMatch(rows)
+    assert(flows.head == Flow("1", "3", 4))
+  }
+
+  test("distributed pipeline equals per-bucket local matcher") {
+    import spark.implicits._
+    val rows = Seq(
+      StationDelta(0L, "a", -3, 0, 0), StationDelta(0L, "b", 3, 1, 1),
+      StationDelta(60L, "a", 5, 0, 0), StationDelta(60L, "c", -2, 2, 2))
+    val got = OdInference.inferFlows(rows.toDS())
+      .as[(String, String, Long)].collect().toSet
+    val want = (OdInference.greedyMatch(rows.filter(_.bucket == 0L)) ++
+        OdInference.greedyMatch(rows.filter(_.bucket == 60L)))
+      .groupBy(f => (f.o, f.d)).map { case ((o, d), fs) => (o, d, fs.map(_.flow).sum) }.toSet
+    assert(got == want)
+  }
+}

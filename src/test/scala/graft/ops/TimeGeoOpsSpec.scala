@@ -1,0 +1,55 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TimeGeoOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("bucketFloor floors to n-minute boundaries") {
+    val df = Seq(ts("2025-01-01 10:07:59"), ts("2025-01-01 10:10:00"))
+      .toDF("t").select(TimeOps.bucketFloor(col("t"), 10).as("b"))
+    assert(df.as[Timestamp].collect().toSeq ==
+      Seq(ts("2025-01-01 10:00:00"), ts("2025-01-01 10:10:00")))
+  }
+
+  test("lagDiff: first row per partition is 0, others are consecutive diffs") {
+    val df = Seq(("s1", 1, 10.0), ("s1", 2, 13.0), ("s1", 3, 11.0), ("s2", 1, 5.0))
+      .toDF("st", "seq", "v")
+    val got = TimeOps.lagDiff(df, Seq("st"), Seq(col("seq")), "v")
+      .select("st", "seq", "delta").as[(String, Int, Double)].collect().toSet
+    assert(got == Set(("s1", 1, 0.0), ("s1", 2, 3.0), ("s1", 3, -2.0), ("s2", 1, 0.0)))
+  }
+
+  test("lastPerGroup keeps exactly the max-order row per key") {
+    val df = Seq(("a", 1, "x"), ("a", 3, "y"), ("a", 2, "z"), ("b", 9, "w"))
+      .toDF("k", "ord", "v")
+    val got = TimeOps.lastPerGroup(df, Seq("k"), Seq(col("ord")))
+      .select("k", "v").as[(String, String)].collect().toSet
+    assert(got == Set(("a", "y"), ("b", "w")))
+  }
+
+  test("timeRange composes optional bounds; absent bounds filter nothing") {
+    val df = Seq(ts("2025-01-01 00:00:00"), ts("2025-06-01 00:00:00")).toDF("t")
+    assert(df.filter(TimeOps.timeRange(col("t"), None, None)).count() == 2)
+    assert(df.filter(TimeOps.timeRange(col("t"), Some("2025-03-01"), None)).count() == 1)
+    assert(df.filter(TimeOps.timeRange(col("t"), None, Some("2025-03-01"))).count() == 1)
+  }
+
+  test("haversine column expression agrees with the scalar twin; known value") {
+    // Porto Alegre city center to airport ~ 6.4 km; scalar twin is ground truth
+    val d = GeoOps.haversineMeters(-30.0331, -51.23, -29.9939, -51.1711)
+    assert(d > 6000 && d < 8000)
+    val viaCol = Seq((-30.0331, -51.23, -29.9939, -51.1711))
+      .toDF("la1", "lo1", "la2", "lo2")
+      .select(GeoOps.haversineMeters(col("la1"), col("lo1"), col("la2"), col("lo2")))
+      .as[Double].head()
+    assert(math.abs(viaCol - d) < 1e-6)
+  }
+}
