@@ -158,14 +158,15 @@ object BikeShapeQueries {
          |GROUP BY 1 ORDER BY total_activity DESC, r_name LIMIT 20""".stripMargin) { (s, dir) =>
       val deltas = TimeOps.lagDiff(status(s, dir),
         Seq("station_id"), Seq(col("ts"), col("event_id")), "bikes")
-      val act = deltas.groupBy("station_id").agg(sum(abs(col("delta"))).as("activity"))
+      val act = deltas.groupBy("station_id")
+        .agg(sum(abs(col("delta"))).cast("long").as("activity"))
       val geo = Td.table(s, dir, "nation")
         .join(broadcast(Td.table(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .select("n_nationkey", "r_name")
       act.join(broadcast(stations(s, dir)), "station_id")
         .join(broadcast(geo), col("s_nationkey") === col("n_nationkey"))
         .groupBy("r_name")
-        .agg(sum(col("activity")).as("total_activity"))
+        .agg(sum(col("activity")).cast("long").as("total_activity"))
         .orderBy(col("total_activity").desc, col("r_name"))
         .limit(20)
     },
