@@ -23,6 +23,20 @@ object Bench {
         case c => c.toString
       } + "\""
 
+    // Untimed warmup: pay JVM/codegen/parquet-reader startup once here so
+    // the alphabetically-first timed query doesn't absorb it. entry() is the
+    // Q1-shape query on sf0.001 (scan + broadcast join + agg); the range
+    // round-trip warms shuffle + window machinery.
+    try {
+      SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      spark.range(100000).withColumn("g", col("id") % 100)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("g").orderBy(col("id").desc)))
+        .groupBy("g").agg(sum("rn")).write.mode("overwrite").format("noop").save()
+    } catch { case _: Throwable => () }
+
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val t0 = System.nanoTime()

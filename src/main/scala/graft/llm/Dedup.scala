@@ -27,19 +27,25 @@ object Dedup {
 
   // ── n-gram Jaccard ───────────────────────────────────────────────────────
 
-  /** (id, shingle) exploded table, distinct per doc. */
+  /** (id, shingle) exploded table, distinct per doc. Tokens are materialized
+    * in their own projection first: composing `shingles(tokens(text), n)`
+    * inline would splice the tokenizer into the transform lambda, where it
+    * re-runs per shingle position — O(tokens²) regex splits per document. */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("shingle"))
+    docs.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), explode(TextOps.shingles(col("__toks"), n)).as("shingle"))
 
   /** Exact all-intersecting-pairs Jaccard >= minJ via shingle self-join.
     * This is the confirm/baseline path; candidate *generation* at scale is
     * LSH (below). Output: d1 < d2, jaccard (double). */
   def jaccardPairs(shingles: DataFrame, minJ: Double): DataFrame = {
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = shingles.as("a")
-    val b = shingles.as("b")
-    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
+    // Equality on a 64-bit hash shuffles and compares far cheaper than on
+    // n-gram strings; xxhash64 collisions (~pairs/2^64) are negligible.
+    val hashed = shingles.select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+    val a = hashed.as("a")
+    val b = hashed.as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("n_inter"))
@@ -100,8 +106,11 @@ object Dedup {
     val sh = shingleTable(docs, idCol, textCol, shingleN).persist()
     val cand = lshCandidates(minhashSignature(sh, numHashes), numHashes, rowsPerBand)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.toDF("d1", "s1")
-    val b = sh.toDF("d2b", "s2")
+    // 64-bit-hashed shingles for the confirm join (same rationale as in
+    // jaccardPairs: long equality beats string equality on the shuffle).
+    val hashed = sh.select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+    val a = hashed.toDF("d1", "s1")
+    val b = hashed.toDF("d2b", "s2")
     val inter = cand.join(a, "d1")
       .join(b, col("d2") === col("d2b") && col("s1") === col("s2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("n_inter"))

@@ -18,35 +18,66 @@ import org.apache.spark.sql.functions._
   * reduction order cannot change the result, and DuckDB reproduces it
   * bit-for-bit (IEEE sqrt + division of identical integers).
   */
+/** Primitive-array kernels for quantized vectors (executor-side hot loops). */
+object Qv {
+  def dot(x: Array[Long], y: Array[Long]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < x.length) { s += x(i) * y(i); i += 1 }
+    s
+  }
+}
+
 object Similarity {
 
   /** Integer quantization of a float-array embedding (scale 1000). */
   def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * lit(1000.0)).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors (higher-order
+    * function form — arbitrary dims, interpreted per element). */
   def qdot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Exact integer dot product for fixed-width vectors: an unrolled
+    * getItem-product sum. Unlike the HOF form this is a flat expression
+    * tree that stays inside whole-stage codegen — on an all-pairs join it
+    * is the difference between interpreted and compiled inner loops. */
+  def qdotFixed(a: Column, b: Column, dims: Int): Column =
+    (0 until dims).map(i => a.getItem(i) * b.getItem(i)).reduce(_ + _)
 
   /** Cosine similarity from quantized vectors (double, deterministic). */
   def qcosine(a: Column, b: Column): Column =
     qdot(a, b).cast("double") /
       (sqrt(qdot(a, a).cast("double")) * sqrt(qdot(b, b).cast("double")))
 
+  /** Per-row L2 norm of a quantized vector, hoisted out of pair loops so
+    * each pair computes ONE dot product instead of three. */
+  private def qnorm(e: Column, dims: Int): Column =
+    sqrt(qdotFixed(e, e, dims).cast("double"))
+
+  /** Pair cosine from precomputed norms; same expression shape as the
+    * DuckDB oracle (`dp / (sqrt(nn1) * sqrt(nn2))`), so bit-identical. */
+  private def pairCosine(a: Column, b: Column, na: Column, nb: Column, dims: Int): Column =
+    qdotFixed(a, b, dims).cast("double") / (na * nb)
+
   /** Brute-force cosine top-k: every query row (small side, broadcast) vs
     * the full corpus, ranked per query. The corpus side never shuffles for
     * the join; the only shuffle is the per-query window (key = query id). */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
-      k: Int): DataFrame = {
+      k: Int, dims: Int = 64): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      quantize(col(embCol)).as("q_emb")))
+      quantize(col(embCol)).as("q_emb"))
+      .withColumn("q_nrm", qnorm(col("q_emb"), dims)))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       quantize(col(embCol)).as("c_emb"))
+      .withColumn("c_nrm", qnorm(col("c_emb"), dims))
     val scored = c.crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        qcosine(col("q_emb"), col("c_emb")).as("cosine"))
+        pairCosine(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm"), dims)
+          .as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -80,7 +111,8 @@ object Similarity {
     def withBuckets(df: DataFrame, id: String): DataFrame = {
       val codes = (0 until tables).map(t => bucketCode(col(embCol), t, bits, dims))
       df.select(col(idCol).as(id) +: quantize(col(embCol)).as(s"emb_$id") +: codes: _*)
-        .select(col(id), col(s"emb_$id"),
+        .withColumn(s"nrm_$id", qnorm(col(s"emb_$id"), dims))
+        .select(col(id), col(s"emb_$id"), col(s"nrm_$id"),
           posexplode(array((0 until tables).map(t => col(s"bucket$t")): _*))
             .as(Seq("tbl", "code")))
     }
@@ -88,12 +120,14 @@ object Similarity {
     val c = withBuckets(corpus, "neighbor_id")
     val cand = q.join(c, Seq("tbl", "code"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "emb_query_id", "neighbor_id", "emb_neighbor_id")
+      .select("query_id", "emb_query_id", "nrm_query_id",
+        "neighbor_id", "emb_neighbor_id", "nrm_neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     cand.select(col("query_id"), col("neighbor_id"),
-        qcosine(col("emb_query_id"), col("emb_neighbor_id")).as("cosine"))
+        pairCosine(col("emb_query_id"), col("emb_neighbor_id"),
+          col("nrm_query_id"), col("nrm_neighbor_id"), dims).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -102,11 +136,33 @@ object Similarity {
     * the candidate set comes from lshTopK's bucketing instead of the
     * self-join). Output d1 < d2 with cosine >= minCos. */
   def embeddingNearDups(
-      vecs: DataFrame, idCol: String, embCol: String, minCos: Double): DataFrame = {
-    val a = vecs.select(col(idCol).as("d1"), quantize(col(embCol)).as("e1"))
-    val b = vecs.select(col(idCol).as("d2"), quantize(col(embCol)).as("e2"))
-    a.crossJoin(b).filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), qcosine(col("e1"), col("e2")).as("cosine"))
-      .filter(col("cosine") >= minCos)
+      vecs: DataFrame, idCol: String, embCol: String, minCos: Double,
+      dims: Int = 64): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    // Exact all-pairs is inherently O(n^2) in pair count, so the operator's
+    // scale contract is "one side fits in executor memory" (beyond that,
+    // candidates must come from the LSH path). Under that contract the fast
+    // shape is a broadcast of the quantized corpus + a raw-JVM inner loop
+    // per partition: exact integer dot products (order-independent) and the
+    // same `dp / (sqrt(nn1) * sqrt(nn2))` IEEE expression as the oracle —
+    // versus a BroadcastNestedLoopJoin evaluating an interpreted
+    // per-element expression for every pair.
+    val quantized = vecs
+      .select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("e"))
+      .as[(Long, Array[Long])]
+    val corpus = quantized.collect().sortBy(_._1)
+      .map { case (id, e) => (id, e, math.sqrt(Qv.dot(e, e).toDouble)) }
+    val bcast = spark.sparkContext.broadcast(corpus)
+    quantized.mapPartitions { iter =>
+      val all = bcast.value
+      iter.flatMap { case (id1, e1) =>
+        val n1 = math.sqrt(Qv.dot(e1, e1).toDouble)
+        all.iterator.filter(_._1 > id1).flatMap { case (id2, e2, n2) =>
+          val cos = Qv.dot(e1, e2).toDouble / (n1 * n2)
+          if (cos >= minCos) Some((id1, id2, cos)) else None
+        }
+      }
+    }.toDF("d1", "d2", "cosine")
   }
 }
