@@ -117,6 +117,56 @@ object Dedup {
     withJaccard(inter, sizes).filter(col("jaccard") >= minJ)
   }
 
+  // ── cluster survivors ────────────────────────────────────────────────────
+
+  /** Connected components over a near-dup pair graph (d1, d2 edges):
+    * survivor = min doc id per component; output (doc_id, survivor_id) for
+    * every doc appearing in at least one pair.
+    *
+    * Distributed min-label propagation: each iteration every node takes the
+    * min of its own label and its neighbors' labels — converges in
+    * O(component diameter) rounds (near-dup clusters are small, so a handful).
+    * The driver loop only checks a scalar convergence metric per round; the
+    * data never leaves the executors. At 100 TB this is the standard
+    * large-graph CC shape (label propagation over edge joins).
+    */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): Long = {
+      val row = df.agg(sum("lbl")).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
+    var converged = false
+    var iter = 0
+    var prevSum = labelSum(labels)
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2")).agg(min("lbl").as("nlbl"))
+      // localCheckpoint truncates the lineage: without it each round's plan
+      // embeds the whole previous round's plan and the tree grows
+      // exponentially (on a cluster, use checkpoint() with a reliable dir
+      // for lineage truncation plus fault tolerance).
+      val next = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("lbl").as("survivor_id"))
+  }
+
   // ── SimHash ──────────────────────────────────────────────────────────────
 
   /** Cross-engine 60-bit token hash: first 15 hex chars of md5, base-16

@@ -132,6 +132,42 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer assigns every vector to
+    * one of 2^cellBits cells (cell id = packed signs of the first cellBits
+    * components); queries probe their own cell plus all Hamming-1 neighbor
+    * cells, and exact cosine runs only within probed cells. The corpus is
+    * bucketed ONCE (at 100 TB: partitioned/persisted by cell), and each
+    * query touches cellBits+1 of 2^cellBits cells — the inverted-file
+    * trade-off, complementary to the multi-table LSH path (lshTopK).
+    * Recall floor vs brute force is pinned by SimilaritySpec. */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, cellBits: Int = 4, dims: Int = 64): DataFrame = {
+    def cellOf(emb: Column): Column =
+      (0 until cellBits).map { b =>
+        when(emb.getItem(b) > 0, lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        quantize(col(embCol)).as("c_emb"))
+      .withColumn("c_nrm", qnorm(col("c_emb"), dims))
+      .withColumn("cell", cellOf(col("c_emb")))
+    val probes = (cell: Column) =>
+      array(cell +: (0 until cellBits).map(b => cell.bitwiseXOR(lit(1 << b))): _*)
+    val q = queries.select(col(idCol).as("query_id"),
+        quantize(col(embCol)).as("q_emb"))
+      .withColumn("q_nrm", qnorm(col("q_emb"), dims))
+      .withColumn("cell", explode(probes(cellOf(col("q_emb")))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pairCosine(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm"), dims)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact all-pairs cosine near-dup (the confirm/baseline path; at scale
     * the candidate set comes from lshTopK's bucketing instead of the
     * self-join). Output d1 < d2 with cosine >= minCos. */

@@ -185,6 +185,33 @@ object BikeShapeQueries {
         .select("station_id", "name", "avg_bikes")
     },
 
+    // ── F7: haversine distance as a registered query — nearest stations to
+    //    a fixed point, radius-filtered (reference utils.py:12-19 +
+    //    streamlit_app.py's coord lookups). Both engines evaluate the exact
+    //    same IEEE expression sequence (radians → sin/cos → pow → asin), so
+    //    the doubles agree bit-for-bit; rounded to mm for output stability. ──
+    q("bgeo_nearest",
+      s"""WITH $mappingSql
+         |SELECT station_id, name,
+         |  round(2.0 * 6371000.0 * asin(sqrt(
+         |    pow(sin(radians(lat - (-30.5)) / 2), 2) +
+         |    cos(radians(-30.5)) * cos(radians(lat)) *
+         |    pow(sin(radians(lon - (-51.6)) / 2), 2))), 3) AS dist_m
+         |FROM st
+         |WHERE 2.0 * 6371000.0 * asin(sqrt(
+         |    pow(sin(radians(lat - (-30.5)) / 2), 2) +
+         |    cos(radians(-30.5)) * cos(radians(lat)) *
+         |    pow(sin(radians(lon - (-51.6)) / 2), 2))) < 40000.0
+         |ORDER BY dist_m, station_id LIMIT 25""".stripMargin) { (s, dir) =>
+      val dist = graft.ops.GeoOps.haversineMeters(
+        lit(-30.5), lit(-51.6), col("lat"), col("lon"))
+      stations(s, dir)
+        .filter(dist < 40000.0)
+        .select(col("station_id"), col("name"), round(dist, 3).as("dist_m"))
+        .orderBy(col("dist_m"), col("station_id"))
+        .limit(25)
+    },
+
     // ── §2.7: greedy OD flow inference (od_inference.py:46-77). Not
     //    SQL-expressible (stateful greedy loop) → driver rows-only check;
     //    exact semantics are pinned by OdInferenceSpec property tests. ──

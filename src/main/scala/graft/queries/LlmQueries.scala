@@ -33,19 +33,26 @@ object LlmQueries {
     """sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
       |  FROM toks, UNNEST(range(1, greatest(len(t)-2, 1) + 1)) AS u(i))""".stripMargin
 
-  /** DuckDB all-pairs exact token-3-gram Jaccard at `minJ` — the oracle for
-    * both the exact pipeline and the MinHash+LSH pipeline. */
-  private def jaccardOracle(minJ: Double): String =
-    s"""WITH $toksCte,
+  /** CTE chain ending in `jac` = exact all-pairs token-3-gram Jaccard pairs
+    * at `minJ` (d1 < d2). Shared by the Jaccard/MinHash oracles and the
+    * cluster-survivor oracle. */
+  private def jacCtes(minJ: Double): String =
+    s"""$toksCte,
        |$shinglesCte,
        |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-       |SELECT * FROM (
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |jac AS (SELECT * FROM (
        |  SELECT d1, d2, n_inter,
        |    CAST(n_inter AS DOUBLE) / CAST(x.n_sh + y.n_sh - n_inter AS DOUBLE) AS jaccard
        |  FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id)
-       |WHERE jaccard >= $minJ""".stripMargin
+       |WHERE jaccard >= $minJ)""".stripMargin
+
+  /** DuckDB all-pairs exact token-3-gram Jaccard at `minJ` — the oracle for
+    * both the exact pipeline and the MinHash+LSH pipeline. */
+  private def jaccardOracle(minJ: Double): String =
+    s"""WITH ${jacCtes(minJ)}
+       |SELECT d1, d2, n_inter, jaccard FROM jac""".stripMargin
 
   /** DuckDB twin of Dedup.simhash32 (generated bit expressions). */
   private val simhashCtes: String = {
@@ -94,6 +101,23 @@ object LlmQueries {
     q("ld3_minhash_lsh_neardup", jaccardOracle(0.8)) { (s, dir) =>
       Dedup.minhashNearDups(Td.table(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, numHashes = 128, rowsPerBand = 4, minJ = 0.8)
+    },
+
+    // ── near-dup cluster survivors: connected components over the jaccard
+    //    pair graph, survivor = min doc id per component. Spark side is
+    //    distributed min-label propagation; DuckDB oracle is the recursive
+    //    transitive closure of the same edge set. ──
+    q("ld6_dedup_clusters",
+      s"""WITH RECURSIVE ${jacCtes(0.8)},
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM jac
+         |  UNION SELECT d2, d1 FROM jac),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+         |SELECT id AS doc_id, min(r) AS survivor_id FROM reach GROUP BY 1""".stripMargin) { (s, dir) =>
+      Dedup.dedupClusters(Dedup.jaccardPairs(
+        Dedup.shingleTable(Td.table(s, dir, "documents"), "doc_id", "text", 3), 0.8))
     },
 
     // ── SimHash near-dup pairs, hamming <= 3 (byte-band blocking is
@@ -153,6 +177,29 @@ object LlmQueries {
       Similarity.lshTopK(
         vecs.filter(col("vec_id") % 40 === 0), vecs, "vec_id", "embedding", 10)
     }, None),
+
+    // ── IVF-style cell-probed ANN (second scale path beside LSH). Probed
+    //    candidate set is bucket-dependent → rows-only check here; the
+    //    recall floor vs ls1's brute force is pinned by SimilaritySpec. ──
+    QueryDef("ls3_ann_ivf", (s: SparkSession, dir: String) => {
+      val vecs = Td.table(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        vecs.filter(col("vec_id") % 40 === 0), vecs, "vec_id", "embedding", 10)
+    }, None),
+
+    // ── corpus n-gram document-frequency top-k (text analysis) ──
+    q("lt4_ngram_topk",
+      s"""WITH $toksCte,
+         |bg AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS s
+         |  FROM toks, UNNEST(range(1, greatest(len(t)-1, 1) + 1)) AS u(i))
+         |SELECT s AS ngram, count(*) AS df FROM bg GROUP BY 1
+         |ORDER BY df DESC, ngram LIMIT 25""".stripMargin) { (s, dir) =>
+      Dedup.shingleTable(Td.table(s, dir, "documents"), "doc_id", "text", 2)
+        .groupBy(col("shingle").as("ngram"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("ngram"))
+        .limit(25)
+    },
 
     // ── text stats: token counts (plain + BPE-ish), quality score ──
     q("lt1_text_stats",

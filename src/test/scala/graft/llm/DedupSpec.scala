@@ -66,4 +66,24 @@ class DedupSpec extends SparkSpec {
     val got = Seq("hello").toDF("s").select(Dedup.md5Hash60(col("s"))).as[Long].head()
     assert(got == 419982666956583591L)
   }
+
+  test("dedupClusters: min-label propagation finds transitive components") {
+    // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,7}; pair table never
+    // links 4 or 8 (absent docs get no row).
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 7L)).toDF("d1", "d2")
+    val got = Dedup.dedupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 7L -> 5L))
+  }
+
+  test("dedupClusters converges on a long chain (diameter > 1 iteration)") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val got = Dedup.dedupClusters(chain).as[(Long, Long)].collect().toMap
+    assert(got.size == 12 && got.values.forall(_ == 1L))
+  }
+
+  test("dedupClusters on empty pair table is empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(Dedup.dedupClusters(empty).count() == 0)
+  }
 }

@@ -47,6 +47,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"recall@10 = $recall")
   }
 
+  test("IVF ANN achieves recall@10 >= 0.5 vs brute force on sf0.001 embeddings") {
+    val vecs = graft.Td.table(spark, Sf0001, "embeddings")
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+    val brute = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, vecs, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@10 = $recall")
+  }
+
   test("planeSign is deterministic and roughly balanced") {
     val signs = for (t <- 0 until 4; p <- 0 until 8; d <- 0 until 64)
       yield Similarity.planeSign(t, p, d)
