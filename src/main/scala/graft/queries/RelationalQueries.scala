@@ -321,6 +321,61 @@ object RelationalQueries {
         .limit(25)
     },
 
+    // ── rollup (grouping-set hierarchy) — beyond the reference's surface
+    //    (SURVEY §2.4 notes none exist there); Catalyst expands to a single
+    //    Expand + hash agg, one shuffle. ──
+    q("a12_rollup",
+      s"""SELECT r_name, n_name, count(*) AS n_cust,
+         |  ${O.qsumd("c_acctbal", 2)} AS total_bal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "customer").as("c")
+        .join(broadcast(Td.table(s, dir, "nation").as("n")),
+          col("c.c_nationkey") === col("n.n_nationkey"))
+        .join(broadcast(Td.table(s, dir, "region").as("r")),
+          col("n.n_regionkey") === col("r.r_regionkey"))
+        .select(col("r.r_name").as("r_name"), col("n.n_name").as("n_name"),
+          col("c.c_acctbal").as("c_acctbal"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), Det.qsumd(col("c_acctbal"), 2).as("total_bal"))
+    },
+
+    // ── set operations (UNION/INTERSECT/EXCEPT) — free from Spark SQL,
+    //    registered for breadth (SURVEY §2.6 note). ──
+    q("s1_set_ops",
+      """WITH big AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000),
+        |urgent AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT 'union' AS op, count(*) AS n FROM (SELECT DISTINCT k FROM (SELECT k FROM big UNION SELECT k FROM urgent))
+        |UNION ALL
+        |SELECT 'intersect', count(*) FROM (SELECT k FROM big INTERSECT SELECT k FROM urgent)
+        |UNION ALL
+        |SELECT 'except', count(*) FROM (SELECT k FROM big EXCEPT SELECT k FROM urgent)""".stripMargin) { (s, dir) =>
+      val o = Td.table(s, dir, "orders")
+      val big = o.filter(col("o_totalprice") > 200000).select(col("o_custkey").as("k"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("k"))
+      Seq(
+        "union" -> big.union(urgent).distinct(),
+        "intersect" -> big.intersect(urgent),
+        "except" -> big.except(urgent)
+      ).map { case (op, df) =>
+        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+      }.reduce(_ unionByName _)
+    },
+
+    // ── approx_count_distinct (HLL++) — the 100 TB path beside A1's exact
+    //    distinct: no Expand, constant memory per group. Sketch values are
+    //    engine-specific → rows-only driver check; the <2% relative-error
+    //    bound vs exact is pinned in RelationalOpsSpec. ──
+    QueryDef("a11_approx_distinct", (s: SparkSession, dir: String) => {
+      Td.table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+          count(lit(1)).as("n_rows"))
+    }, None),
+
     // ── F1/F2/F8/F9/F11: datetime scalar pack ──
     q("f_datetime_pack",
       s"""SELECT event_id,
