@@ -16,7 +16,8 @@ object GraftSession {
 
   /** Apply engine defaults to any builder (used by Verify, Bench, tests). */
   def configure(b: SparkSession.Builder, shufflePartitions: Int = 32): SparkSession.Builder =
-    b.config("spark.sql.session.timeZone", "UTC")
+    b.config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -33,6 +33,41 @@ object Multimodal {
         md5(col(textCol)).as("digest"),
         lit("text/plain").as("mime")).as("meta"))
 
+  /** One sampled frame's stub features (real pipeline: decoded/resized
+    * frame tensor; here byte statistics so the oracle can verify). */
+  final case class FrameFeatures(
+      item_id: Long, frame_idx: Int, n_bytes: Int, checksum_mod: Long)
+
+  /** Frame sampling over a binary payload (the video/audio "take every k-th
+    * frame" shape): split the payload into fixed-size byte frames, keep
+    * every `stride`-th, and feature-extract each kept frame with the same
+    * partition-batched stub kernel as [[extractFeatures]]. The frame split
+    * is declarative (`substring` on binary stays in the scan stage); only
+    * the per-frame decode exits codegen, exactly where a real codec would. */
+  def sampleFrames(binarized: DataFrame, frameSize: Int, stride: Int): DataFrame = {
+    val spark = binarized.sparkSession
+    import spark.implicits._
+    val nFrames = greatest(
+      ceil(col("meta.n_bytes").cast("double") / frameSize).cast("int"), lit(1))
+    binarized
+      .select(col("item_id").cast("long").as("item_id"), col("payload"), nFrames.as("nf"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("nf") - 1, lit(stride))))
+      .select(col("item_id"), col("frame_idx"),
+        expr(s"substring(payload, frame_idx * $frameSize + 1, $frameSize)").as("frame"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { iter =>
+        // per-partition codec init would happen here (stubbed)
+        iter.map { case (id, idx, bytes) =>
+          var sum = 0L
+          var i = 0
+          while (i < bytes.length) { sum += (bytes(i) & 0xFF); i += 1 }
+          FrameFeatures(id, idx, bytes.length, sum % 9973L)
+        }
+      }
+      .toDF()
+  }
+
   /** STUB decode/feature-extract: a real implementation would initialize a
     * codec/model once per partition and decode each payload; here the
     * "features" are deterministic byte statistics so the driver's oracle can

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation helpers (SURVEY scale notes: "skewed keys → salting or
+  * AQE skew-join"). AQE's skew-join splitting handles join-side skew and
+  * partial hash agg absorbs skew for algebraic aggregates; the cases that
+  * still need explicit two-phase treatment at 100 TB are DISTINCT-style
+  * aggregations and windows, where one hot key's rows must land in one
+  * partition unless spread first.
+  */
+object Salt {
+
+  /** Exact per-key distinct count that never concentrates a hot key:
+    * phase 1 dedups on (key, value) — the shuffle spreads a hot key across
+    * partitions by value — phase 2 counts the dedup'd rows per key.
+    * Equivalent to groupBy(key).agg(countDistinct(value)) with skew
+    * resistance. */
+  def distinctCount(df: DataFrame, keys: Seq[String], valueCol: String,
+      out: String = "n_distinct"): DataFrame =
+    df.select((keys :+ valueCol).map(col): _*)
+      .filter(col(valueCol).isNotNull)
+      .distinct()
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as(out))
+
+  /** Generic two-phase salted aggregation for algebraic measures: rows are
+    * spread over `buckets` deterministic salt buckets (hash of the whole
+    * row modulo buckets — no RNG, replayable), partially aggregated on
+    * (key, salt), then combined per key. `partial` and `combine` must form
+    * a semigroup (sum/sum, count/sum, min/min, max/max...). */
+  def saltedAgg(
+      df: DataFrame, keys: Seq[String], buckets: Int,
+      partial: Seq[(Column, String)], combine: Seq[(String => Column, String)]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col): _*), lit(buckets)))
+    val phase1 = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partial.head._1.as(partial.head._2),
+        partial.tail.map { case (c, n) => c.as(n) }: _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(combine.head._1(combine.head._2).as(combine.head._2),
+        combine.tail.map { case (f, n) => f(n).as(n) }: _*)
+  }
+
+  /** Salted sum+count (the common case). */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
+      buckets: Int = 16): DataFrame =
+    saltedAgg(df, keys, buckets,
+      partial = Seq(sum(col(valueCol)) -> "sum_value", count(lit(1)) -> "n"),
+      combine = Seq(((n: String) => sum(col(n))) -> "sum_value",
+        ((n: String) => sum(col(n))) -> "n"))
+}

@@ -271,6 +271,24 @@ object LlmQueries {
         |FROM documents""".stripMargin) { (s, dir) =>
       Multimodal.extractFeatures(
         Multimodal.binarize(Td.table(s, dir, "documents"), "doc_id", "text"))
+    },
+
+    // ── multimodal frame sampling: every 2nd 64-byte frame of the payload,
+    //    stub features per kept frame (all-ASCII corpus ⇒ byte = char, so
+    //    the oracle recomputes via substr/ord from first principles) ──
+    q("lm2_frame_sample",
+      """WITH nf AS (SELECT doc_id, text,
+        |  greatest(CAST(ceil(length(text) / 64.0) AS INT), 1) AS n FROM documents),
+        |fr AS (SELECT doc_id, text, unnest(range(0, n, 2)) AS frame_idx FROM nf)
+        |SELECT doc_id AS item_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(length(substr(text, frame_idx * 64 + 1, 64)) AS INT) AS n_bytes,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    string_split(substr(text, frame_idx * 64 + 1, 64), ''), x -> ord(x))), 0) % 9973
+        |    AS BIGINT) AS checksum_mod
+        |FROM fr""".stripMargin) { (s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.binarize(Td.table(s, dir, "documents"), "doc_id", "text"),
+        frameSize = 64, stride = 2)
     }
   )
 }

@@ -44,6 +44,33 @@ class StreamingSpec extends SparkSpec {
     assert(s.sameElements(b) && s.length == 9)
   }
 
+  test("stateful stream deltas equal batch lag-diff on the same snapshots") {
+    val dir = Fixtures.tempDir("stream3")
+    val snaps = snapshots(dir)
+    val landing = dir.resolve("landing").toString
+    snaps.foreach(_.coalesce(1).write.mode("append").json(landing))
+
+    val out = dir.resolve("deltas").toString
+    val q = DeltaStream.start(spark, landing, out, dir.resolve("ckpt3").toString)
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(out)
+      .select("station_id", "scraped_at", "delta")
+      .as[(String, Timestamp, Int)].collect().sorted
+
+    val batchAll = snaps.reduce(_ unionByName _)
+    val batch = graft.ops.TimeOps.lagDiff(batchAll,
+        Seq("station_id"), Seq(org.apache.spark.sql.functions.col("scraped_at")),
+        "num_bikes_available")
+      .selectExpr("station_id", "scraped_at", "CAST(delta AS INT) AS delta")
+      .as[(String, Timestamp, Int)].collect().sorted
+
+    assert(streamed.sameElements(batch) && streamed.length == 9)
+    // first observation per station must be delta 0 (quirk Q3)
+    val firsts = streamed.groupBy(_._1).values.map(_.minBy(_._2.getTime))
+    assert(firsts.forall(_._3 == 0))
+  }
+
   test("watermark dedup drops duplicate (station, scraped_at) rows in-stream") {
     val dir = Fixtures.tempDir("stream2")
     val snaps = snapshots(dir)
