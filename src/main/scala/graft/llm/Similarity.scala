@@ -28,6 +28,37 @@ object Qv {
   }
 }
 
+/** Elementwise vector-sum `Aggregator` (SURVEY §2.11's reserved extension
+  * tier: centroid aggregates). One buffer per group holding the running
+  * component sums — a single-pass, map-side-combined vector aggregation,
+  * versus the dims-many `sum(getItem(i))` columns the relational encoding
+  * needs. Register with `functions.udaf(VecSumAgg)`. Exact (integer sums
+  * over quantized components), so centroids are reduction-order-independent. */
+object VecSumAgg extends org.apache.spark.sql.expressions.Aggregator[Array[Long], Array[Long], Array[Long]] {
+  import org.apache.spark.sql.Encoder
+  import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+
+  override def zero: Array[Long] = Array.empty[Long]
+
+  private def add(a: Array[Long], b: Array[Long]): Array[Long] =
+    if (a.isEmpty) b
+    else if (b.isEmpty) a
+    else {
+      require(a.length == b.length,
+        s"vector length mismatch: ${a.length} vs ${b.length}")
+      val out = new Array[Long](a.length)
+      var i = 0
+      while (i < a.length) { out(i) = a(i) + b(i); i += 1 }
+      out
+    }
+
+  override def reduce(buf: Array[Long], in: Array[Long]): Array[Long] = add(buf, in)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = add(a, b)
+  override def finish(buf: Array[Long]): Array[Long] = buf
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}
+
 object Similarity {
 
   /** Integer quantization of a float-array embedding (scale 1000). */
@@ -108,28 +139,54 @@ object Similarity {
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
       k: Int, tables: Int = 16, bits: Int = 4, dims: Int = 64): DataFrame = {
+    // Bucket tables carry IDS ONLY: candidate generation and dedup shuffle
+    // narrow (id, tbl, code) rows, never the 64-element vectors. Embeddings
+    // re-attach afterwards — the query side broadcast, the corpus side a
+    // key join (at 100 TB the corpus embedding table is the big side; it
+    // shuffles once on its own id, not once per bucket match).
     def withBuckets(df: DataFrame, id: String): DataFrame = {
       val codes = (0 until tables).map(t => bucketCode(col(embCol), t, bits, dims))
-      df.select(col(idCol).as(id) +: quantize(col(embCol)).as(s"emb_$id") +: codes: _*)
-        .withColumn(s"nrm_$id", qnorm(col(s"emb_$id"), dims))
-        .select(col(id), col(s"emb_$id"), col(s"nrm_$id"),
+      df.select(col(idCol).as(id) +: codes: _*)
+        .select(col(id),
           posexplode(array((0 until tables).map(t => col(s"bucket$t")): _*))
             .as(Seq("tbl", "code")))
     }
-    val q = withBuckets(queries, "query_id")
-    val c = withBuckets(corpus, "neighbor_id")
-    val cand = q.join(c, Seq("tbl", "code"))
+    def embTable(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), quantize(col(embCol)).as(s"emb_$id"))
+        .withColumn(s"nrm_$id", qnorm(col(s"emb_$id"), dims))
+    val cand = withBuckets(queries, "query_id")
+      .join(withBuckets(corpus, "neighbor_id"), Seq("tbl", "code"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "emb_query_id", "nrm_query_id",
-        "neighbor_id", "emb_neighbor_id", "nrm_neighbor_id")
-      .dropDuplicates("query_id", "neighbor_id")
+      .select("query_id", "neighbor_id")
+      .distinct()
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    cand.select(col("query_id"), col("neighbor_id"),
+    cand
+      .join(broadcast(embTable(queries, "query_id")), "query_id")
+      .join(embTable(corpus, "neighbor_id"), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
         pairCosine(col("emb_query_id"), col("emb_neighbor_id"),
           col("nrm_query_id"), col("nrm_neighbor_id"), dims).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Per-label centroids of quantized embeddings via the one-pass
+    * [[VecSumAgg]] aggregator, emitted as exploded (label, dim, mean) rows
+    * (component mean = exact integer sum / count — deterministic in any
+    * reduction order). The training-data use: per-cluster/per-source
+    * centroids feed IVF cell assignment and drift monitoring. */
+  def labelCentroids(
+      vecs: DataFrame, labelCol: String, embCol: String): DataFrame = {
+    val vecsum = udaf(VecSumAgg)
+    vecs
+      .select(col(labelCol).as("label"), quantize(col(embCol)).as("q"))
+      .groupBy("label")
+      .agg(vecsum(col("q")).as("sums"), count(lit(1)).as("n"))
+      .select(col("label"), col("n"),
+        posexplode(col("sums")).as(Seq("dim", "s")))
+      .select(col("label"), col("dim"),
+        (col("s").cast("double") / col("n")).as("mean_q"))
   }
 
   /** IVF-style ANN: a deterministic coarse quantizer assigns every vector to

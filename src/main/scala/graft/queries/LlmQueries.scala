@@ -201,6 +201,18 @@ object LlmQueries {
         .limit(25)
     },
 
+    // ── per-label embedding centroids via the one-pass vector-sum
+    //    Aggregator (exact quantized sums ⇒ deterministic means) ──
+    q("ls4_label_centroids",
+      """WITH qc AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+        |  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
+        |  FROM embeddings)
+        |SELECT label, CAST(dim AS INT) AS dim,
+        |  CAST(sum(x) AS DOUBLE) / count(*) AS mean_q
+        |FROM qc GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Similarity.labelCentroids(Td.table(s, dir, "embeddings"), "label", "embedding")
+    },
+
     // ── text stats: token counts (plain + BPE-ish), quality score ──
     q("lt1_text_stats",
       """SELECT doc_id,
