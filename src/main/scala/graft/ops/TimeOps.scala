@@ -51,4 +51,24 @@ object TimeOps {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(_.desc): _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Gap-based sessionization: rows of one `key` whose consecutive `ts`
+    * gaps stay under `gapMinutes` share a session. Two windows over the
+    * SAME partitioning (key): lag to flag session starts, running sum to
+    * number them — Catalyst plans a single shuffle on the key, both windows
+    * evaluated in one local sort pass. Session id = `<key>#<n>` (stable,
+    * join-friendly). */
+  def sessionize(
+      df: DataFrame, key: String, tsCol: String, gapMinutes: Int,
+      orderTieBreak: Seq[Column] = Seq.empty): DataFrame = {
+    val order = col(tsCol) +: orderTieBreak
+    val w = Window.partitionBy(col(key)).orderBy(order: _*)
+    val gap = unix_timestamp(col(tsCol)) - unix_timestamp(lag(col(tsCol), 1).over(w))
+    df.withColumn("__new_session",
+        when(gap.isNull || gap > gapMinutes * 60L, 1L).otherwise(0L))
+      .withColumn("session_n",
+        sum(col("__new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("session_id", concat(col(key), lit("#"), col("session_n")))
+      .drop("__new_session")
+  }
 }

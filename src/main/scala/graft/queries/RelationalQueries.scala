@@ -376,6 +376,52 @@ object RelationalQueries {
           count(lit(1)).as("n_rows"))
     }, None),
 
+    // ── gap-based sessionization (event-pipeline staple): 30-min idle gap
+    //    splits a user's stream; per-session row/value rollup. One shuffle
+    //    on user_id serves the lag flag, the running count, and the
+    //    session aggregation. ──
+    q("e1_sessionize",
+      s"""WITH flags AS (
+         |  SELECT user_id, ts, event_id, value,
+         |    CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+         |           - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800
+         |         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         |  SELECT user_id, value,
+         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS session_n
+         |  FROM flags)
+         |SELECT user_id || '#' || CAST(session_n AS VARCHAR) AS session_id,
+         |  count(*) AS n_events, ${O.qsumd("value", 2)} AS session_value
+         |FROM sess GROUP BY 1""".stripMargin) { (s, dir) =>
+      TimeOps.sessionize(Td.table(s, dir, "events"),
+          "user_id", "ts", gapMinutes = 30, orderTieBreak = Seq(col("event_id")))
+        .groupBy("session_id")
+        .agg(count(lit(1)).as("n_events"),
+          Det.qsumd(col("value"), 2).as("session_value"))
+    },
+
+    // ── engine SQL surface over the registered catalog (S12 + §3.2): the
+    //    same plan authored as spark.sql text instead of DataFrame calls ──
+    q("sql1_pricing_summary",
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  sum(l_quantity) AS sum_qty,
+         |  ${O.qsumd("l_extendedprice * (1.0 - l_discount)", 2)} AS disc_price
+         |FROM lineitem
+         |WHERE l_shipdate < TIMESTAMP '1998-09-01'
+         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Td.registerAll(s, dir)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  sum(l_quantity) AS sum_qty,
+          |  CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 1E2 + 0.5) AS BIGINT)) AS DOUBLE) / 1E2
+          |    AS disc_price
+          |FROM lineitem
+          |WHERE l_shipdate < TIMESTAMP '1998-09-01'
+          |GROUP BY 1, 2""".stripMargin)
+    },
+
     // ── F1/F2/F8/F9/F11: datetime scalar pack ──
     q("f_datetime_pack",
       s"""SELECT event_id,

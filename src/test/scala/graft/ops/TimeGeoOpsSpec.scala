@@ -35,6 +35,22 @@ class TimeGeoOpsSpec extends SparkSpec {
     assert(got == Set(("a", "y"), ("b", "w")))
   }
 
+  test("sessionize splits on gaps > threshold, numbers sessions per key") {
+    import spark.implicits._
+    val df = Seq(
+      ("u1", "2025-09-04 10:00:00", 1),
+      ("u1", "2025-09-04 10:10:00", 2), // same session (10 min gap)
+      ("u1", "2025-09-04 11:30:00", 3), // new session (80 min gap)
+      ("u2", "2025-09-04 10:00:00", 4)  // separate key
+    ).toDF("user_id", "ts_s", "event_id")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp(col("ts_s")))
+    val got = TimeOps.sessionize(df, "user_id", "ts", 30, Seq(col("event_id")))
+      .select("event_id", "session_id").as[(Int, String)].collect().toMap
+    assert(got(1) == "u1#1" && got(2) == "u1#1")
+    assert(got(3) == "u1#2")
+    assert(got(4) == "u2#1")
+  }
+
   test("timeRange composes optional bounds; absent bounds filter nothing") {
     val df = Seq(ts("2025-01-01 00:00:00"), ts("2025-06-01 00:00:00")).toDF("t")
     assert(df.filter(TimeOps.timeRange(col("t"), None, None)).count() == 2)
