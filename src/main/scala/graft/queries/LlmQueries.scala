@@ -262,6 +262,26 @@ object LlmQueries {
         TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred"))
     },
 
+    // ── deterministic hash-split sampling (reproducible train/val/test
+    //    splits): bucket = md5-hash(text) mod 100, split by bucket range.
+    //    Engine-independent (md5), so the exact same rows land in the same
+    //    split on any engine, any cluster size, any run. ──
+    q("lt5_hash_split",
+      """WITH b AS (SELECT doc_id, lang,
+        |  CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, count(DISTINCT lang) AS n_langs
+        |FROM b GROUP BY 1""".stripMargin) { (s, dir) =>
+      val bucket = pmod(Dedup.md5Hash60(col("text")), lit(100L))
+      Td.table(s, dir, "documents")
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("lang")).as("n_langs"))
+    },
+
     // ── document fingerprint (md5 of normalized text) ──
     q("lt3_fingerprint",
       """SELECT doc_id,
