@@ -124,7 +124,10 @@ object Similarity {
   }
 
   /** Bucket code for one LSH table: `bits` sign-random projections packed
-    * into an int. Built-in expressions only (aggregate over zip_with). */
+    * into an int. Built-in expressions only (aggregate over zip_with); an
+    * unrolled ±getItem variant was tried and is ~10x SLOWER end-to-end —
+    * tables × bits × dims ≈ 4096 expression nodes per row overwhelm
+    * analysis/codegen, while the HOF loop stays compact. */
   private def bucketCode(emb: Column, table: Int, bits: Int, dims: Int): Column =
     (0 until bits).map { p =>
       val weights = array((0 until dims).map(d => lit(planeSign(table, p, d))): _*)

@@ -1,0 +1,30 @@
+package graft
+
+import graft.sources.Fixtures
+
+/** Smoke test of the CLI subcommand surface (reference cli.py:11-43) over
+  * fixture payloads: init-db → ingest-stations → ingest-status ×2 →
+  * ingest-weather → kpi q1..q4 all run to completion against one store. */
+class CliSpec extends SparkSpec {
+
+  test("full CLI ingest + KPI cycle runs against a fixture store") {
+    val dir = Fixtures.tempDir("cli")
+    val root = dir.toString + "/db"
+    val si = Fixtures.write(dir, "si.json", Fixtures.stationInfo)
+    val s1 = Fixtures.write(dir, "s1.json", Fixtures.stationStatus(5, 3, 0))
+    val s2 = Fixtures.write(dir, "s2.json", Fixtures.stationStatus(7, 2, 1))
+    val om = Fixtures.write(dir, "om.json", Fixtures.openMeteo)
+
+    Cli.run(spark, List("ingest-stations", root, si))
+    Cli.run(spark, List("ingest-status", root, s1, "2025-09-04T10:10:00Z"))
+    Cli.run(spark, List("ingest-status", root, s2, "2025-09-04T11:10:00Z"))
+    Cli.run(spark, List("ingest-weather", root, om))
+    Cli.run(spark, List("init-db", root))
+    Seq("q1", "q2", "q3", "q4").foreach(q => Cli.run(spark, List("kpi", root, q)))
+
+    val store = new graft.sources.Store(spark, root)
+    assert(store.stations.count() == 3)
+    assert(store.status.count() == 6)
+    assert(spark.table("station_status").count() == 6) // init-db registered views
+  }
+}
