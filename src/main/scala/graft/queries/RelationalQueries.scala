@@ -288,6 +288,38 @@ object RelationalQueries {
         .select("event_id", "user_id", "delta")
     },
 
+    // ── W3: explicit-frame moving average (beyond reference parity —
+    //    SURVEY §2.5 notes no frames exist there). The frame sum runs over
+    //    quantized integers so both engines' accumulation strategies (Spark
+    //    running sum vs DuckDB segment tree) produce identical doubles. ──
+    q("w3_moving_avg",
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(floor(value * 1E2 + 0.5) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) / 1E2
+        |  / count(*) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving_avg
+        |FROM events""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      Td.table(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        (sum(floor(col("value") * 100.0 + 0.5)).over(w).cast("double") / 100.0 /
+          count(lit(1)).over(w)).as("moving_avg"))
+    },
+
+    // ── P8: anti-join (left_anti — customers with no orders) ──
+    q("p8_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "customer")
+        .join(Td.table(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    },
+
     // ── O1: top-k (reference queries.sql:30-31); plans as
     //    TakeOrderedAndProject — per-partition heaps, no global sort. ──
     q("o1_topk",

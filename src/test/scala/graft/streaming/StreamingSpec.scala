@@ -71,6 +71,49 @@ class StreamingSpec extends SparkSpec {
     assert(firsts.forall(_._3 == 0))
   }
 
+  test("watermarked tumbling-window agg equals the batch hourly rollup") {
+    import org.apache.spark.sql.functions._
+    val dir = Fixtures.tempDir("stream4")
+    val snaps = snapshots(dir)
+    val landing = dir.resolve("landing").toString
+    snaps.foreach(_.coalesce(1).write.mode("append").json(landing))
+
+    val out = dir.resolve("winagg").toString
+    val stream = spark.readStream
+      .schema(graft.sources.Schemas.stationStatus)
+      .option("maxFilesPerTrigger", 1)
+      .json(landing)
+      .withWatermark("scraped_at", "0 seconds")
+      .groupBy(window(col("scraped_at"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum("num_bikes_available").as("bikes"))
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out): Unit
+      }
+      .option("checkpointLocation", dir.resolve("ckpt4").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(out)
+      .select(col("window.start").cast("string"), col("n"), col("bikes"))
+      .as[(String, Long, Long)].collect().toSet
+    val batch = snaps.reduce(_ unionByName _)
+      .groupBy(window(col("scraped_at"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum("num_bikes_available").as("bikes"))
+      .select(col("window.start").cast("string"), col("n"), col("bikes"))
+      .as[(String, Long, Long)].collect().toSet
+    // append mode emits only windows the watermark has closed: batch k
+    // uses the watermark from batch k-1's data, so with per-file triggers
+    // the 10:00 window (closed by snapshot 2's 11:10 stamp) flushes during
+    // batch 3; later windows stay open when the query drains. Every
+    // emitted window must carry exactly its batch value.
+    assert(streamed.contains(("2025-09-04 10:00:00", 3L, 8L)),
+      s"streamed=$streamed")
+    assert(streamed.subsetOf(batch), s"streamed=$streamed batch=$batch")
+  }
+
   test("watermark dedup drops duplicate (station, scraped_at) rows in-stream") {
     val dir = Fixtures.tempDir("stream2")
     val snaps = snapshots(dir)
