@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Oracle replay of the REFERENCE OD algorithm (SURVEY §5.5 / §7.4 "matcher
+  * parity"): `src/test/resources/odgolden/flows.json` is the output of
+  * running `/root/reference/src/bike_analyzer/od_inference.py:infer_flows`
+  * itself (pandas) over the bundled fixture at fixture-prep time. The
+  * fixture deliberately exercises every §2.13-Q4 tie-break: last-per-bucket
+  * dedup (two observations in one bucket), an equal-supply departure tie,
+  * and a geometrically equidistant arrival pair whose winner is decided by
+  * the exact IEEE rounding of the longitude differences — the engine must
+  * reproduce the reference's floating-point behavior, not just its
+  * geometry. */
+class OdGoldenSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val res = "src/test/resources/odgolden"
+
+  test("distributed pipeline reproduces the reference implementation's flows") {
+    val statusSchema = StructType(Seq(
+      StructField("station_id", StringType),
+      StructField("scraped_at", TimestampType),
+      StructField("num_bikes_available", IntegerType)))
+    val stationSchema = StructType(Seq(
+      StructField("station_id", StringType),
+      StructField("lat", DoubleType),
+      StructField("lon", DoubleType)))
+    val status = spark.read.schema(statusSchema).json(s"$res/status.jsonl")
+    val stations = spark.read.schema(stationSchema).json(s"$res/stations.jsonl")
+
+    val bucketed = status.withColumn("bucket", TimeOps.bucketFloor(col("scraped_at"), 10))
+    val lastPerBucket = TimeOps.lastPerGroup(bucketed,
+      Seq("station_id", "bucket"), Seq(col("scraped_at")))
+    val deltas = TimeOps.lagDiff(lastPerBucket,
+      Seq("station_id"), Seq(col("bucket")), "num_bikes_available")
+    val input: Dataset[StationDelta] = deltas
+      .join(broadcast(stations), "station_id")
+      .select(
+        unix_timestamp(col("bucket")).as("bucket"),
+        col("station_id").as("station"),
+        col("delta").cast("long").as("delta"),
+        col("lat"), col("lon"))
+      .as[StationDelta]
+
+    val got = OdInference.inferFlows(input)
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2))
+
+    val golden = Seq( // reference infer_flows output, incl. the FP tie st0->st5
+      ("st0", "st4", 2L), ("st0", "st5", 2L), ("st1", "st3", 3L), ("st2", "st4", 2L))
+    assert(got.toSeq == golden)
+  }
+}
