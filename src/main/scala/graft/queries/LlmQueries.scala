@@ -291,6 +291,38 @@ object LlmQueries {
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
     },
 
+    // ── composite curation filter — the end-to-end "keep clean documents"
+    //    pipeline every training-data run starts with: length window +
+    //    quality floor + exact-dup removal (keep the min-id survivor),
+    //    all in one pass + one dedup shuffle. ──
+    q("lt6_curation_filter",
+      """WITH toks2 AS (SELECT doc_id, lang, source, text,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INT) AS n_tok,
+        |  0.4 * least(CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE) / 100.0, 1.0)
+        |    + 0.3 * (CAST(len(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS DOUBLE)
+        |             / CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE))
+        |    + 0.3 * least(((CAST(length(text) AS DOUBLE) + 1.0)
+        |             / CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE) - 1.0) / 8.0, 1.0)
+        |    AS q
+        |  FROM documents),
+        |kept AS (SELECT * FROM toks2 WHERE n_tok BETWEEN 10 AND 5000 AND q >= 0.5),
+        |surv AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM kept GROUP BY 1)
+        |SELECT k.doc_id, k.lang, k.n_tok,
+        |  floor(k.q * 1E6 + 0.5) / 1E6 AS quality
+        |FROM kept k JOIN surv s ON md5(k.text) = s.h AND k.doc_id = s.keep_id""".stripMargin) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      val scored = Td.table(s, dir, "documents")
+        .withColumn("n_tok", size(toks))
+        .withColumn("q", TextOps.qualityScore(toks, col("text")))
+        .filter(col("n_tok").between(10, 5000) && col("q") >= 0.5)
+      val surv = scored.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      scored.join(surv,
+          md5(col("text")) === col("h") && col("doc_id") === col("keep_id"))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          (floor(col("q") * 1e6 + 0.5) / 1e6).as("quality"))
+    },
+
     // ── multimodal plumbing: binary payload + partition-batched (stub)
     //    feature extraction; oracle recomputes the deterministic fake
     //    features from first principles (all-ASCII corpus ⇒ byte = char) ──
