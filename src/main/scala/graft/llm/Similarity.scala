@@ -98,17 +98,31 @@ object Similarity {
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
       k: Int, dims: Int = 64): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      quantize(col(embCol)).as("q_emb"))
-      .withColumn("q_nrm", qnorm(col("q_emb"), dims)))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      quantize(col(embCol)).as("c_emb"))
-      .withColumn("c_nrm", qnorm(col("c_emb"), dims))
-    val scored = c.crossJoin(q)
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        pairCosine(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm"), dims)
-          .as("cosine"))
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // Query side (small by contract) broadcasts as a plain array; scoring
+    // is the same raw-JVM kernel as embeddingNearDups — exact integer dots
+    // and the oracle's `dp / (sqrt(nn_q) * sqrt(nn_c))` IEEE sequence. The
+    // corpus streams partition-wise (never shuffles for the scoring); the
+    // only shuffle is the per-query top-k window.
+    val qArr = queries
+      .select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("e"))
+      .as[(Long, Array[Long])].collect().sortBy(_._1)
+      .map { case (id, e) => (id, e, math.sqrt(Qv.dot(e, e).toDouble)) }
+    val bcast = spark.sparkContext.broadcast(qArr)
+    val scored = corpus
+      .select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("e"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { iter =>
+        val qs = bcast.value
+        iter.flatMap { case (cid, ce) =>
+          val cn = math.sqrt(Qv.dot(ce, ce).toDouble)
+          qs.iterator.filter(_._1 != cid).map { case (qid, qe, qn) =>
+            (qid, cid, Qv.dot(qe, ce).toDouble / (qn * cn))
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
