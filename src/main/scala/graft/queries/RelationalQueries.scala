@@ -408,6 +408,22 @@ object RelationalQueries {
           count(lit(1)).as("n_rows"))
     }, None),
 
+    // ── pivot (wide per-key event-type counts) — Catalyst rewrites the
+    //    explicit value list into one pass of conditional aggregates,
+    //    exactly the oracle's CASE-sum formulation. ──
+    q("a13_pivot",
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("view", "click", "purchase"))
+        .count()
+        .na.fill(0L, Seq("view", "click", "purchase"))
+    },
+
     // ── gap-based sessionization (event-pipeline staple): 30-min idle gap
     //    splits a user's stream; per-session row/value rollup. One shuffle
     //    on user_id serves the lag flag, the running count, and the
