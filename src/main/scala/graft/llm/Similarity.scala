@@ -61,6 +61,13 @@ object VecSumAgg extends org.apache.spark.sql.expressions.Aggregator[Array[Long]
 
 object Similarity {
 
+  /** Row ceiling for the driver-collected broadcast sides (query side of
+    * [[bruteForceTopK]], corpus of [[embeddingNearDups]]). 64-dim quantized
+    * vectors are ~0.6 KB each on the heap, so 1M rows ≈ 0.6 GB — past that
+    * the operator fails fast and directs callers to the LSH/IVF paths
+    * instead of silently OOMing the driver. */
+  private[llm] val MaxBroadcastRows = 1000000
+
   /** Integer quantization of a float-array embedding (scale 1000). */
   def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * lit(1000.0)).cast("long"))
@@ -105,10 +112,16 @@ object Similarity {
     // and the oracle's `dp / (sqrt(nn_q) * sqrt(nn_c))` IEEE sequence. The
     // corpus streams partition-wise (never shuffles for the scoring); the
     // only shuffle is the per-query top-k window.
-    val qArr = queries
+    val qRows = queries
       .select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("e"))
-      .as[(Long, Array[Long])].collect().sortBy(_._1)
-      .map { case (id, e) => (id, e, math.sqrt(Qv.dot(e, e).toDouble)) }
+      .as[(Long, Array[Long])].limit(MaxBroadcastRows + 1).collect()
+    require(qRows.length <= MaxBroadcastRows,
+      s"bruteForceTopK query side exceeds $MaxBroadcastRows rows; " +
+        "use lshTopK/ivfTopK (bucketed candidate generation) instead")
+    val qArr = qRows.sortBy(_._1).map { case (id, e) =>
+      require(e.length == dims, s"query vector length ${e.length} != dims $dims")
+      (id, e, math.sqrt(Qv.dot(e, e).toDouble))
+    }
     val bcast = spark.sparkContext.broadcast(qArr)
     val scored = corpus
       .select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("e"))
@@ -116,6 +129,7 @@ object Similarity {
       .mapPartitions { iter =>
         val qs = bcast.value
         iter.flatMap { case (cid, ce) =>
+          require(ce.length == dims, s"corpus vector length ${ce.length} != dims $dims")
           val cn = math.sqrt(Qv.dot(ce, ce).toDouble)
           qs.iterator.filter(_._1 != cid).map { case (qid, qe, qn) =>
             (qid, cid, Qv.dot(qe, ce).toDouble / (qn * cn))
@@ -137,56 +151,169 @@ object Similarity {
     if ((h & 1L) == 0L) 1.0 else -1.0
   }
 
-  /** Bucket code for one LSH table: `bits` sign-random projections packed
-    * into an int. Built-in expressions only (aggregate over zip_with); an
-    * unrolled ±getItem variant was tried and is ~10x SLOWER end-to-end —
-    * tables × bits × dims ≈ 4096 expression nodes per row overwhelm
-    * analysis/codegen, while the HOF loop stays compact. */
-  private def bucketCode(emb: Column, table: Int, bits: Int, dims: Int): Column =
-    (0 until bits).map { p =>
-      val weights = array((0 until dims).map(d => lit(planeSign(table, p, d))): _*)
-      when(aggregate(zip_with(emb, weights, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x) > 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _).as(s"bucket$table")
+  /** Sparse-projection membership: dim `dim` participates in plane
+    * (table, plane) iff this returns true; expected fraction of
+    * participating dims is 1/invDensity (Li et al.'s very-sparse random
+    * projections — cuts code-computation cost by the same factor while
+    * preserving the sign-hash's locality sensitivity). Deterministic, and
+    * independent of [[planeSign]] (different mix constants). */
+  private[llm] def planeKeeps(table: Int, plane: Int, dim: Int, invDensity: Int): Boolean = {
+    if (invDensity <= 1) return true
+    var h = table * 0xC2B2AE35L + plane * 0x9E3779B9L + dim * 0x85EBCA6BL + 0x165667B1L
+    h ^= (h >>> 33); h *= 0x9E3779B97F4A7C15L; h ^= (h >>> 29)
+    java.lang.Long.remainderUnsigned(h, invDensity.toLong) == 0L
+  }
+
+  /** One-pass LSH prep kernel: quantized vector, L2 norm, and ALL `tables`
+    * bucket codes per row in a single `mapPartitions` (tables × bits sign
+    * projections; plane signs from [[planeSign]], summed in component order
+    * so codes match the previous expression formulation bit-for-bit).
+    *
+    * A per-table HOF-expression formulation (`aggregate(zip_with(...))` per
+    * plane) was the first implementation and was the bench's slowest query:
+    * tables × bits interpreted array passes per row per side. The kernel
+    * does the same tables × bits × dims multiply-adds in one tight JVM loop
+    * — this is the legitimate `mapPartitions` case (amortized per-partition
+    * setup, no per-element expression interpretation).
+    *
+    * Output columns: (`id`, `e` quantized, `nrm`, `codes` one int per table). */
+  private def lshPrep(
+      df: DataFrame, idCol: String, embCol: String,
+      tables: Int, bits: Int, dims: Int, invDensity: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Per plane: packed participating-dim indices + their signs (sparse
+    // projection — expected dims/invDensity entries per plane).
+    val planeDims: Array[Array[Int]] = Array.tabulate(tables * bits) { tp =>
+      (0 until dims).filter(d => planeKeeps(tp / bits, tp % bits, d, invDensity)).toArray
+    }
+    val planeSgns: Array[Array[Double]] = Array.tabulate(tables * bits) { tp =>
+      planeDims(tp).map(d => planeSign(tp / bits, tp % bits, d))
+    }
+    df.select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("e"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { iter =>
+        iter.map { case (id, e) =>
+          require(e.length == dims, s"vector length ${e.length} != dims $dims")
+          val nrm = math.sqrt(Qv.dot(e, e).toDouble)
+          val codes = new Array[Int](tables)
+          var t = 0
+          while (t < tables) {
+            var code = 0
+            var p = 0
+            while (p < bits) {
+              val ds = planeDims(t * bits + p)
+              val ws = planeSgns(t * bits + p)
+              var s = 0.0
+              var j = 0
+              while (j < ds.length) { s += e(ds(j)).toDouble * ws(j); j += 1 }
+              if (s > 0) code |= 1 << p
+              p += 1
+            }
+            codes(t) = code
+            t += 1
+          }
+          (id, e, nrm, codes)
+        }
+      }
+      .toDF("id", "e", "nrm", "codes")
+  }
+
+  /** Reusable LSH index over a corpus: one kernel pass producing
+    * (id, e, nrm, codes). Callers running many query batches should
+    * `persist()` this (or at 100 TB write it `bucketBy(id)` via the
+    * `sources.Store` bucketed layout) so the corpus codes are paid once —
+    * the index never needs recomputation until the corpus changes. */
+  def lshIndex(
+      corpus: DataFrame, idCol: String, embCol: String,
+      tables: Int = 16, bits: Int = 4, dims: Int = 64,
+      invDensity: Int = 8): DataFrame =
+    lshPrep(corpus, idCol, embCol, tables, bits, dims, invDensity)
 
   /** Multi-table LSH ANN: candidates = corpus rows sharing any of
     * `tables` bucket codes with the query, then exact cosine top-k within
     * candidates. Recall is tunable by (tables, bits); the recall floor vs
-    * brute force is pinned by SimilaritySpec. */
-  def lshTopK(
-      queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
-      k: Int, tables: Int = 16, bits: Int = 4, dims: Int = 64): DataFrame = {
-    // Bucket tables carry IDS ONLY: candidate generation and dedup shuffle
-    // narrow (id, tbl, code) rows, never the 64-element vectors. Embeddings
-    // re-attach afterwards — the query side broadcast, the corpus side a
-    // key join (at 100 TB the corpus embedding table is the big side; it
-    // shuffles once on its own id, not once per bucket match).
-    def withBuckets(df: DataFrame, id: String): DataFrame = {
-      val codes = (0 until tables).map(t => bucketCode(col(embCol), t, bits, dims))
-      df.select(col(idCol).as(id) +: codes: _*)
-        .select(col(id),
-          posexplode(array((0 until tables).map(t => col(s"bucket$t")): _*))
-            .as(Seq("tbl", "code")))
-    }
-    def embTable(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id), quantize(col(embCol)).as(s"emb_$id"))
-        .withColumn(s"nrm_$id", qnorm(col(s"emb_$id"), dims))
-    val cand = withBuckets(queries, "query_id")
-      .join(withBuckets(corpus, "neighbor_id"), Seq("tbl", "code"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id")
-      .distinct()
+    * brute force is pinned by SimilaritySpec.
+    *
+    * Scale shape: the corpus index streams partition-wise and NEVER
+    * shuffles — the query batch (small by contract, same as
+    * [[bruteForceTopK]]; guarded by [[MaxBroadcastRows]]) is broadcast with
+    * its own codes, and each corpus partition does candidate check (`tables`
+    * int compares per pair) + exact cosine for matches in one tight loop.
+    * The only shuffle is the per-query top-k window. Bigger query sets run
+    * as successive broadcast batches against the same persisted index; a
+    * full self-join-shaped dedup workload belongs to [[Dedup.minhashNearDups]]
+    * (symmetric banded-join path) instead. */
+  def lshTopKOnIndex(
+      queries: DataFrame, index: DataFrame, idCol: String, embCol: String,
+      k: Int, tables: Int = 16, bits: Int = 4, dims: Int = 64,
+      invDensity: Int = 8): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows = lshPrep(queries, idCol, embCol, tables, bits, dims, invDensity)
+      .as[(Long, Array[Long], Double, Array[Int])]
+      .limit(MaxBroadcastRows + 1).collect()
+    require(qRows.length <= MaxBroadcastRows,
+      s"lshTopK query batch exceeds $MaxBroadcastRows rows; split into " +
+        "successive batches against a persisted lshIndex")
+    val bcast = spark.sparkContext.broadcast(qRows.sortBy(_._1))
+    val scored = index.as[(Long, Array[Long], Double, Array[Int])]
+      .mapPartitions { iter =>
+        val qs = bcast.value
+        // Per-table inverted index (code -> query positions), built once per
+        // partition: each corpus row then does `tables` hash lookups instead
+        // of a linear scan over every query's code array. A stamp array
+        // dedups queries matched in several tables without per-row allocs.
+        val inv: Array[java.util.HashMap[Int, Array[Int]]] =
+          Array.tabulate(tables) { t =>
+            val m = new java.util.HashMap[Int, Array[Int]]()
+            qs.indices.groupBy(i => qs(i)._4(t)).foreach { case (code, idxs) =>
+              m.put(code, idxs.toArray)
+            }
+            m
+          }
+        val stamp = new Array[Int](qs.length)
+        var rowNo = 0
+        iter.flatMap { case (nid, ce, cn, cc) =>
+          rowNo += 1
+          val out = Seq.newBuilder[(Long, Long, Double)]
+          var t = 0
+          while (t < cc.length) {
+            val hits = inv(t).get(cc(t))
+            if (hits != null) {
+              var j = 0
+              while (j < hits.length) {
+                val qi = hits(j)
+                if (stamp(qi) != rowNo) {
+                  stamp(qi) = rowNo
+                  val (qid, qe, qn, _) = qs(qi)
+                  if (qid != nid)
+                    out += ((qid, nid, Qv.dot(qe, ce).toDouble / (qn * cn)))
+                }
+                j += 1
+              }
+            }
+            t += 1
+          }
+          out.result()
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    cand
-      .join(broadcast(embTable(queries, "query_id")), "query_id")
-      .join(embTable(corpus, "neighbor_id"), "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
-        pairCosine(col("emb_query_id"), col("emb_neighbor_id"),
-          col("nrm_query_id"), col("nrm_neighbor_id"), dims).as("cosine"))
-      .withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** LSH ANN over a corpus without a prebuilt index (codes computed once,
+    * in the same single pass that scores). See [[lshTopKOnIndex]]. */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, tables: Int = 16, bits: Int = 4, dims: Int = 64,
+      invDensity: Int = 8): DataFrame =
+    lshTopKOnIndex(queries,
+      lshIndex(corpus, idCol, embCol, tables, bits, dims, invDensity),
+      idCol, embCol, k, tables, bits, dims, invDensity)
 
   /** Per-label centroids of quantized embeddings via the one-pass
     * [[VecSumAgg]] aggregator, emitted as exploded (label, dim, mean) rows
@@ -258,11 +385,22 @@ object Similarity {
     // same `dp / (sqrt(nn1) * sqrt(nn2))` IEEE expression as the oracle —
     // versus a BroadcastNestedLoopJoin evaluating an interpreted
     // per-element expression for every pair.
+    // Guarded driver collect: fail fast past MaxBroadcastRows instead of
+    // OOMing (past the contract, candidates must come from lshTopK/minhash
+    // LSH). The Broadcast itself is method-local, so the ContextCleaner
+    // reclaims executor copies once the returned plan is dropped.
     val quantized = vecs
       .select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("e"))
       .as[(Long, Array[Long])]
-    val corpus = quantized.collect().sortBy(_._1)
-      .map { case (id, e) => (id, e, math.sqrt(Qv.dot(e, e).toDouble)) }
+    val rows = quantized.limit(MaxBroadcastRows + 1).collect()
+    require(rows.length <= MaxBroadcastRows,
+      s"embeddingNearDups corpus exceeds $MaxBroadcastRows rows; " +
+        "generate candidates with lshTopK/minhashNearDups instead")
+    val corpus = rows.sortBy(_._1)
+      .map { case (id, e) =>
+        require(e.length == dims, s"vector length ${e.length} != dims $dims")
+        (id, e, math.sqrt(Qv.dot(e, e).toDouble))
+      }
     val bcast = spark.sparkContext.broadcast(corpus)
     quantized.mapPartitions { iter =>
       val all = bcast.value
