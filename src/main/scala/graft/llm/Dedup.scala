@@ -35,10 +35,44 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), explode(TextOps.shingles(col("__toks"), n)).as("shingle"))
 
-  /** Exact all-intersecting-pairs Jaccard >= minJ via shingle self-join.
-    * This is the confirm/baseline path; candidate *generation* at scale is
-    * LSH (below). Output: d1 < d2, jaccard (double). */
-  def jaccardPairs(shingles: DataFrame, minJ: Double): DataFrame = {
+  /** Default per-shingle document-frequency ceiling. A shingle shared by f
+    * documents contributes f·(f-1)/2 rows to the pair join — one viral
+    * boilerplate shingle ("all rights reserved") with DF 10^6 alone yields
+    * 5·10^11 pairs at 100 TB. Shingles past the cap are boilerplate, not
+    * near-dup evidence: dropping them barely moves Jaccard for genuine
+    * near-dups (which share many low-DF shingles) while bounding the join
+    * at maxDf²/2 pairs per shingle. 1000 is far above any organic
+    * shingle DF in the test corpora (max observed: 25 at sf0.1), so the
+    * capped and uncapped paths agree there (oracle parity). */
+  val DefaultMaxShingleDf = 1000
+
+  /** Hot-shingle guard: drop shingles whose document frequency exceeds
+    * `maxDf` before any pair-generating self-join. The hot set is tiny by
+    * construction (only shingles with DF > maxDf), so it broadcasts and the
+    * main table is filtered map-side — no extra shuffle of the big side. */
+  def capShingleDf(shingles: DataFrame, maxDf: Int): DataFrame = {
+    val hot = shingles.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("shingle")
+    shingles.join(broadcast(hot), Seq("shingle"), "left_anti")
+  }
+
+  /** Exact all-intersecting-pairs Jaccard >= minJ via shingle self-join,
+    * with the [[capShingleDf]] hot-shingle guard applied first (pass
+    * `maxShingleDf = Int.MaxValue` to disable). This is the confirm/
+    * baseline path; candidate *generation* at scale is LSH (below).
+    * Output: d1 < d2, jaccard (double). */
+  def jaccardPairs(
+      shingles: DataFrame, minJ: Double,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    // The shingle table feeds the DF-cap aggregation, the per-doc sizes,
+    // and BOTH sides of the self-join — persist it so tokenize+explode runs
+    // once, not once per consumer (the cap's anti-join is broadcast, so the
+    // capped frame re-derives map-side from this cache).
+    jaccardPairsUncapped(capShingleDf(shingles.persist(), maxShingleDf), minJ)
+  }
+
+  private def jaccardPairsUncapped(shingles: DataFrame, minJ: Double): DataFrame = {
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // Equality on a 64-bit hash shuffles and compares far cheaper than on
     // n-gram strings; xxhash64 collisions (~pairs/2^64) are negligible.
@@ -102,8 +136,10 @@ object Dedup {
     * all-pairs join never happens). */
   def minhashNearDups(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, numHashes: Int, rowsPerBand: Int, minJ: Double): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, shingleN).persist()
+      shingleN: Int, numHashes: Int, rowsPerBand: Int, minJ: Double,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val sh = capShingleDf(
+      shingleTable(docs, idCol, textCol, shingleN), maxShingleDf).persist()
     val cand = lshCandidates(minhashSignature(sh, numHashes), numHashes, rowsPerBand)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // 64-bit-hashed shingles for the confirm join (same rationale as in
@@ -132,37 +168,52 @@ object Dedup {
     */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
+    import spark.implicits._
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .distinct()
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // Seed each node with min(own id, min neighbor id) — one aggregation
+    // that is both the node-set build and propagation round 0 (pairs and
+    // star-shaped clusters converge immediately).
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min("dst").as("m"))
+      .select(col("id"), least(col("id"), col("m")).as("lbl"))
       .localCheckpoint()
-    def labelSum(df: DataFrame): Long = {
-      val row = df.agg(sum("lbl")).head()
-      if (row.isNullAt(0)) 0L else row.getLong(0)
-    }
     var converged = false
     var iter = 0
-    var prevSum = labelSum(labels)
     while (!converged && iter < maxIters) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2")).agg(min("lbl").as("nlbl"))
-      // localCheckpoint truncates the lineage: without it each round's plan
-      // embeds the whole previous round's plan and the tree grows
-      // exponentially (on a cluster, use checkpoint() with a reliable dir
-      // for lineage truncation plus fault tolerance).
+      // One Spark job per round: the changed-label count rides a
+      // LongAccumulator through the eager localCheckpoint materialization,
+      // so convergence needs no second aggregation action. localCheckpoint
+      // also truncates the lineage: without it each round's plan embeds the
+      // whole previous round's plan and the tree grows exponentially (on a
+      // cluster, use checkpoint() with a reliable dir for lineage
+      // truncation plus fault tolerance).
+      val changed = spark.sparkContext.longAccumulator(s"cc_changed_$iter")
       val next = labels.join(neighborMin, labels("id") === col("id2"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nl"),
+          (col("nlbl") < col("lbl")).as("ch"))
+        .as[(Long, Long, Option[Boolean])]
+        .map { case (id, lbl, ch) =>
+          if (ch.contains(true)) changed.add(1L)
+          (id, lbl)
+        }
+        .toDF("id", "lbl")
         .localCheckpoint()
-      val s = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = s == prevSum
-      prevSum = s
+      converged = changed.value == 0L
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dedupClusters did not converge within $maxIters iterations; " +
+          "labels may be partially propagated (a component's diameter " +
+          "exceeds maxIters) — raise maxIters")
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("lbl").as("survivor_id"))
   }

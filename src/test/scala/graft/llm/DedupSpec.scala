@@ -67,6 +67,32 @@ class DedupSpec extends SparkSpec {
     assert(got == 419982666956583591L)
   }
 
+  test("capShingleDf drops only shingles past the DF cap; default cap is a no-op here") {
+    val sh = Dedup.shingleTable(corpus, "doc_id", "text", 3)
+    val capped = Dedup.capShingleDf(sh, 2).select("shingle").as[String].collect()
+    // "quick brown fox" etc. appear in docs 1,2,3 (DF 3 > 2) and must go;
+    // every surviving shingle has DF <= 2.
+    assert(!capped.contains("quick brown fox"))
+    val dfs = sh.groupBy("shingle").count().as[(String, Long)].collect().toMap
+    assert(capped.forall(s => dfs(s) <= 2))
+    // the default cap (1000) changes nothing on an organic corpus
+    assert(Dedup.jaccardPairs(sh, 0.5).select("d1", "d2", "jaccard").collect().toSet ==
+      Dedup.jaccardPairs(sh, 0.5, Int.MaxValue).select("d1", "d2", "jaccard").collect().toSet)
+  }
+
+  test("capShingleDf keeps a hot boilerplate shingle from going quadratic") {
+    // 40 docs share one boilerplate shingle; tails are unique. Uncapped,
+    // that one shingle alone drives 40*39/2 intersecting pairs.
+    val hotDocs = (1L to 40L)
+      .map(i => (i, s"common boilerplate header unique$i tail$i words$i end$i"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleTable(hotDocs, "doc_id", "text", 3)
+    val uncapped = Dedup.jaccardPairs(sh, 0.01, Int.MaxValue).count()
+    val capped = Dedup.jaccardPairs(sh, 0.01, 10).count()
+    assert(uncapped == 40L * 39 / 2, s"uncapped=$uncapped")
+    assert(capped == 0, s"capped=$capped")
+  }
+
   test("dedupClusters: min-label propagation finds transitive components") {
     // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,7}; pair table never
     // links 4 or 8 (absent docs get no row).
