@@ -35,7 +35,13 @@ object Bench {
         .withColumn("rn", row_number().over(
           Window.partitionBy("g").orderBy(col("id").desc)))
         .groupBy("g").agg(sum("rn")).write.mode("overwrite").format("noop").save()
-    } catch { case _: Throwable => () }
+    } catch {
+      case e: Throwable =>
+        // Warmup failure means the first timed query silently re-absorbs
+        // startup cost — surface it (stderr; stdout is the JSON contract).
+        System.err.println(s"[bench] WARMUP FAILED (timings will include " +
+          s"startup): ${Option(e.getMessage).getOrElse(e.getClass.getName)}")
+    }
 
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

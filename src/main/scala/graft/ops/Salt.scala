@@ -26,15 +26,25 @@ object Salt {
       .agg(count(lit(1)).as(out))
 
   /** Generic two-phase salted aggregation for algebraic measures: rows are
-    * spread over `buckets` deterministic salt buckets (hash of the whole
-    * row modulo buckets — no RNG, replayable), partially aggregated on
+    * spread over `buckets` salt buckets, partially aggregated on
     * (key, salt), then combined per key. `partial` and `combine` must form
-    * a semigroup (sum/sum, count/sum, min/min, max/max...). */
+    * a semigroup (sum/sum, count/sum, min/min, max/max...).
+    *
+    * The salt mixes the row-content hash with the physical position
+    * (partition id + per-partition row index), so exact-duplicate rows of a
+    * hot key — the common duplicated-row skew case — still spread across
+    * buckets instead of collapsing into one. Salt values are therefore not
+    * replay-stable across repartitionings, which is safe here: the salt
+    * only routes rows between semigroup partials; the combined result is
+    * identical for any assignment. */
   def saltedAgg(
       df: DataFrame, keys: Seq[String], buckets: Int,
       partial: Seq[(Column, String)], combine: Seq[(String => Column, String)]): DataFrame = {
+    require(!df.columns.contains("__salt"),
+      "saltedAgg: input already has a __salt column; rename it first")
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(buckets)))
+      pmod(xxhash64(monotonically_increasing_id() +: df.columns.map(col): _*),
+        lit(buckets)))
     val phase1 = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partial.head._1.as(partial.head._2),

@@ -47,13 +47,19 @@ object BikeShapeQueries {
       (lit(-51.2) - (col("s_suppkey") % 73).cast("double") * lit(0.013)).as("lon"))
 
   private[graft] def status(s: SparkSession, dir: String): DataFrame = {
-    val nStations = Td.table(s, dir, "supplier").count()
-    Td.table(s, dir, "events").select(
-      (col("user_id") % nStations).as("station_id"),
-      col("ts"), col("event_id"),
-      (col("event_id") % 30).cast("int").as("bikes"),
-      col("value"),
-      date_trunc("hour", col("ts")).as("h"))
+    // Scalar-subquery shape for the station modulus: the 1-row supplier
+    // count rides in as a broadcast cross join, so building this plan costs
+    // no eager Spark job (previously a .count() ran at construction time,
+    // serializing an extra job into every bq* query's setup).
+    val n = Td.table(s, dir, "supplier").agg(count(lit(1)).as("__n_stations"))
+    Td.table(s, dir, "events")
+      .crossJoin(broadcast(n))
+      .select(
+        (col("user_id") % col("__n_stations")).as("station_id"),
+        col("ts"), col("event_id"),
+        (col("event_id") % 30).cast("int").as("bikes"),
+        col("value"),
+        date_trunc("hour", col("ts")).as("h"))
   }
 
   private def q(name: String, oracle: String)(
@@ -126,17 +132,28 @@ object BikeShapeQueries {
     },
 
     // ── Q4: weather-correlation temporal join (queries.sql:44-59), quirk Q1
-    //    canonicalized: both sides keyed on date_trunc('hour') timestamps
-    //    instead of the reference's mismatched string formats. ──
+    //    canonicalized: both sides keyed on hour timestamps instead of the
+    //    reference's mismatched string formats. The weather series is a
+    //    genuinely distinct table — an orders-keyed hourly synthetic
+    //    (hour = base + o_orderkey % 720, temp = mean of o_totalprice mod
+    //    35 °C) — so the plan carries two separate scans (events + orders),
+    //    matching the reference's status×weather two-table shape. ──
     q("bq4_weather_hour_join",
       s"""WITH $mappingSql,
          |sh AS (SELECT h, ${O.iavg("bikes")} AS bikes_med FROM ss GROUP BY 1),
-         |wh AS (SELECT h, ${O.qavg("value", 2)} AS temperature FROM ss GROUP BY 1)
+         |wh AS (SELECT TIMESTAMP '2024-01-01 00:00:00'
+         |    + (o_orderkey % 720) * INTERVAL 1 HOUR AS h,
+         |  ${O.qavg("o_totalprice % 35.0", 2)} AS temperature
+         |  FROM orders GROUP BY 1)
          |SELECT ${O.iso("wh.h")} AS hora, wh.temperature, sh.bikes_med
          |FROM wh JOIN sh ON sh.h = wh.h""".stripMargin) { (s, dir) =>
-      val ss = status(s, dir)
-      val statusHour = ss.groupBy("h").agg(Det.iavg(col("bikes")).as("bikes_med"))
-      val weatherHour = ss.groupBy("h").agg(Det.qavg(col("value"), 2).as("temperature"))
+      val statusHour = status(s, dir)
+        .groupBy("h").agg(Det.iavg(col("bikes")).as("bikes_med"))
+      val weatherHour = Td.table(s, dir, "orders")
+        .groupBy((to_timestamp(lit("2024-01-01 00:00:00")) +
+            make_dt_interval(lit(0), (col("o_orderkey") % 720).cast("int"),
+              lit(0), lit(0))).as("h"))
+        .agg(Det.qavg(col("o_totalprice") % lit(35.0), 2).as("temperature"))
       weatherHour.join(statusHour, "h")
         .select(Det.iso(col("h")).as("hora"), col("temperature"), col("bikes_med"))
     },

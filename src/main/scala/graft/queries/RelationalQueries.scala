@@ -310,10 +310,14 @@ object RelationalQueries {
           count(lit(1)).over(w)).as("moving_avg"))
     },
 
-    // ── P8: anti-join (left_anti — customers with no orders) ──
+    // ── P8: anti-join (left_anti — customers with no orders). Oracle uses
+    //    NOT EXISTS, not NOT IN: NOT IN yields zero rows whenever any
+    //    o_custkey is NULL, while left_anti keeps unmatched customers —
+    //    NOT EXISTS matches left_anti's semantics on nullable keys. ──
     q("p8_anti_join",
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin) { (s, dir) =>
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin) { (s, dir) =>
       Td.table(s, dir, "customer")
         .join(Td.table(s, dir, "orders"),
           col("c_custkey") === col("o_custkey"), "left_anti")
