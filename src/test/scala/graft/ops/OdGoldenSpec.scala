@@ -55,4 +55,39 @@ class OdGoldenSpec extends SparkSpec {
       ("st0", "st4", 2L), ("st0", "st5", 2L), ("st1", "st3", 3L), ("st2", "st4", 2L))
     assert(got.toSeq == golden)
   }
+
+  test("sf0.01 driver-scale replay matches the reference implementation exactly") {
+    // flows_sf001.json = the reference's own infer_flows (pandas) run over
+    // the sf0.01 testdata through the identical bike-shaped mapping
+    // (regenerate with tools/gen_od_golden.py). This pins the registered
+    // bod_flows_greedy pipeline — which the driver can only rows-check —
+    // to exact equality at driver scale: 2976 (o, d, flow) rows.
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/events.parquet").exists)
+    val ss = graft.queries.BikeShapeQueries.status(spark, dir)
+      .withColumn("bucket", TimeOps.bucketFloor(col("ts"), 60))
+    val lastPerBucket = TimeOps.lastPerGroup(ss,
+      Seq("station_id", "bucket"), Seq(col("ts"), col("event_id")))
+    val deltas = TimeOps.lagDiff(lastPerBucket,
+      Seq("station_id"), Seq(col("bucket")), "bikes")
+    val st = graft.queries.BikeShapeQueries.stations(spark, dir)
+      .select("station_id", "lat", "lon")
+    val input: Dataset[StationDelta] = deltas
+      .join(broadcast(st), "station_id")
+      .select(
+        unix_timestamp(col("bucket")).as("bucket"),
+        col("station_id").cast("string").as("station"),
+        col("delta").cast("long").as("delta"),
+        col("lat"), col("lon"))
+      .as[StationDelta]
+    val got = OdInference.inferFlows(input)
+      .as[(String, String, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    val golden = spark.read
+      .option("multiLine", true)
+      .schema("o string, d string, flow long")
+      .json(s"$res/flows_sf001.json")
+      .as[(String, String, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(golden.nonEmpty)
+    assert(got == golden)
+  }
 }
