@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, TextOps}
+
+/** Bucketed lake layout for the LLM curation tables — the write-side twin
+  * of the dedup → cluster → curate chain in [[graft.llm.Dedup]] /
+  * [[graft.queries.LlmQueries]].
+  *
+  * At 100 TB the chain's doc_id joins are large⋈large: survivors maps,
+  * curation scores, and embedding attachments all join the full documents
+  * table by key, and a plain parquet layout re-shuffles both sides on every
+  * run. This module writes `documents` / `embeddings` (and the derived
+  * cluster map) as parquet tables bucketed AND sorted on their keys, so
+  * every subsequent join on those keys is exchange-free and sort-free —
+  * bucket once at write time, join co-located forever after (the strategy
+  * BucketingSpec proves in isolation; LlmLakeSpec proves it on this chain).
+  *
+  * Bucket counts must match across tables joined to each other; the default
+  * (32) matches the session's shuffle parallelism. On a real cluster size
+  * buckets so each bucket file lands near the parquet row-group sweet spot
+  * (~128 MB-1 GB) at the expected table volume.
+  */
+final class LlmLake(spark: SparkSession, db: String, location: String,
+    buckets: Int = 32) {
+
+  def bootstrap(): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$location'")
+
+  def drop(): Unit =
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+
+  private def writeBucketed(df: DataFrame, key: String, table: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(s"$db.$table")
+
+  /** One-time (per corpus version) bucketed ingests. */
+  def writeDocuments(docs: DataFrame): Unit =
+    writeBucketed(docs, "doc_id", "documents")
+  def writeEmbeddings(vecs: DataFrame): Unit =
+    writeBucketed(vecs, "vec_id", "embeddings")
+
+  def documents: DataFrame = spark.table(s"$db.documents")
+  def embeddings: DataFrame = spark.table(s"$db.embeddings")
+
+  /** Materialize the near-dup cluster map (doc_id, survivor_id) bucketed on
+    * doc_id, so later joins against `documents` co-locate. The pair
+    * generation itself (MinHash + banded LSH) shuffles on its own keys —
+    * that cost is paid once here, not per downstream consumer. */
+  def writeClusterMap(shingleN: Int = 3, numHashes: Int = 128,
+      rowsPerBand: Int = 4, minJ: Double = 0.8): Unit = {
+    val pairs = Dedup.minhashNearDups(documents, "doc_id", "text",
+      shingleN, numHashes, rowsPerBand, minJ)
+    writeBucketed(Dedup.dedupClusters(pairs), "doc_id", "cluster_map")
+  }
+
+  def clusterMap: DataFrame = spark.table(s"$db.cluster_map")
+
+  /** The chained curation read: drop near-dup non-survivors (anti-join on
+    * the co-bucketed cluster map) and apply the token-window + quality
+    * floor in the same scan. With both tables bucket-sorted on doc_id the
+    * whole plan runs exchange-free: scan → merge anti-join → filter. */
+  def curatedDocuments(minTok: Int = 10, maxTok: Int = 5000,
+      minQuality: Double = 0.5): DataFrame = {
+    val removed = clusterMap.filter(col("doc_id") =!= col("survivor_id"))
+    val toks = TextOps.tokens(col("text"))
+    documents
+      .hint("merge")
+      .join(removed, Seq("doc_id"), "left_anti")
+      .withColumn("n_tok", size(toks))
+      .withColumn("quality", TextOps.qualityScore(toks, col("text")))
+      .filter(col("n_tok").between(minTok, maxTok) && col("quality") >= minQuality)
+  }
+
+  /** Curated documents with their embeddings attached (doc_id = vec_id):
+    * both sides bucket-sorted on the join key, so this large⋈large join is
+    * also exchange-free. */
+  def curatedWithEmbeddings(minTok: Int = 10, maxTok: Int = 5000,
+      minQuality: Double = 0.5): DataFrame =
+    curatedDocuments(minTok, maxTok, minQuality)
+      .hint("merge")
+      .join(embeddings, col("doc_id") === col("vec_id"))
+}
