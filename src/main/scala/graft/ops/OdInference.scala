@@ -74,15 +74,24 @@ object OdInference {
     out.toSeq
   }
 
-  /** Distributed flow inference: deltas → per-bucket greedy match → OD rollup.
-    * Output columns: o, d, flow (total over all buckets). */
-  def inferFlows(deltas: Dataset[StationDelta]): DataFrame = {
+  /** Per-bucket flows (bucket preserved in the output) — the incremental/
+    * streaming surface: a bucket's flow rows depend only on that bucket's
+    * deltas, so a changed bucket can be recomputed in isolation (see
+    * [[graft.streaming.FlowStream]]). Output columns: bucket, o, d, flow. */
+  def inferFlowsPerBucket(deltas: Dataset[StationDelta]): DataFrame = {
     val spark = deltas.sparkSession
     import spark.implicits._
     deltas
       .groupByKey(_.bucket)
-      .flatMapGroups((_: Long, it: Iterator[StationDelta]) => greedyMatch(it.toSeq).iterator)
+      .flatMapGroups((b: Long, it: Iterator[StationDelta]) =>
+        greedyMatch(it.toSeq).iterator.map(f => (b, f.o, f.d, f.flow)))
+      .toDF("bucket", "o", "d", "flow")
+  }
+
+  /** Distributed flow inference: deltas → per-bucket greedy match → OD rollup.
+    * Output columns: o, d, flow (total over all buckets). */
+  def inferFlows(deltas: Dataset[StationDelta]): DataFrame =
+    inferFlowsPerBucket(deltas)
       .groupBy("o", "d")
       .agg(sum("flow").as("flow"))
-  }
 }
