@@ -26,7 +26,10 @@ object Bench {
     // Untimed warmup: pay JVM/codegen/parquet-reader startup once here so
     // the alphabetically-first timed query doesn't absorb it. entry() is the
     // Q1-shape query on sf0.001 (scan + broadcast join + agg); the range
-    // round-trip warms shuffle + window machinery.
+    // round-trips warm (a) shuffle + window machinery and (b) the
+    // interpreted higher-order-function evaluator + regex split + explode
+    // (the text/dedup tier's hot paths — without this the first lt*/ld*
+    // query absorbs several seconds of their JIT compilation).
     try {
       SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
       import org.apache.spark.sql.expressions.Window
@@ -35,6 +38,16 @@ object Bench {
         .withColumn("rn", row_number().over(
           Window.partitionBy("g").orderBy(col("id").desc)))
         .groupBy("g").agg(sum("rn")).write.mode("overwrite").format("noop").save()
+      spark.range(20000)
+        .selectExpr(
+          "transform(sequence(0, 63), i -> CAST(id + i AS DOUBLE)) AS arr",
+          "concat(CAST(id AS STRING), ' the a of and to in x, y. z!') AS s")
+        .selectExpr(
+          "aggregate(zip_with(arr, arr, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) AS dp",
+          "filter(split(regexp_replace(s, '([.,!?;:])', ' $1 '), '\\\\s+'), t -> t <> '') AS toks")
+        .selectExpr("dp", "size(array_distinct(toks)) AS nd", "explode(toks) AS t")
+        .groupBy("t").agg(count(lit(1)), sum("dp"), sum("nd"))
+        .write.mode("overwrite").format("noop").save()
     } catch {
       case e: Throwable =>
         // Warmup failure means the first timed query silently re-absorbs

@@ -6,12 +6,16 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (Array[Float]).
   *
-  * Two paths:
+  * Three paths:
   *  - brute-force cosine top-k — the exact baseline, oracle-checkable;
-  *  - multi-table sign-random-projection LSH — the scale path: candidates
-  *    come from hash-bucket joins (shuffle on bucket id), exact cosine is
-  *    computed only within buckets. At 100 TB the corpus is bucketed once
-  *    and persisted; queries touch only their buckets.
+  *  - multi-table sparse-sign-projection LSH — query batches broadcast
+  *    against a reusable corpus index (one kernel pass computes all codes;
+  *    persist it, or at 100 TB write it bucketed); only candidates sharing
+  *    a bucket code are scored, and the corpus never shuffles;
+  *  - IVF cell probing — the complementary DISTRIBUTED shape: both sides
+  *    shuffle on the cell id (at 100 TB the corpus is written partitioned
+  *    by cell once and only probed cells are read), so neither side needs
+  *    to fit in memory.
   *
   * Determinism: cosine is computed over integer-quantized components
   * (round(x*1000)), so the dot product and norms are exact integer sums —
@@ -88,16 +92,6 @@ object Similarity {
   def qcosine(a: Column, b: Column): Column =
     qdot(a, b).cast("double") /
       (sqrt(qdot(a, a).cast("double")) * sqrt(qdot(b, b).cast("double")))
-
-  /** Per-row L2 norm of a quantized vector, hoisted out of pair loops so
-    * each pair computes ONE dot product instead of three. */
-  private def qnorm(e: Column, dims: Int): Column =
-    sqrt(qdotFixed(e, e, dims).cast("double"))
-
-  /** Pair cosine from precomputed norms; same expression shape as the
-    * DuckDB oracle (`dp / (sqrt(nn1) * sqrt(nn2))`), so bit-identical. */
-  private def pairCosine(a: Column, b: Column, na: Column, nb: Column, dims: Int): Column =
-    qdotFixed(a, b, dims).cast("double") / (na * nb)
 
   /** Brute-force cosine top-k: every query row (small side, broadcast) vs
     * the full corpus, ranked per query. The corpus side never shuffles for
@@ -344,28 +338,49 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
       k: Int, cellBits: Int = 4, dims: Int = 64): DataFrame = {
-    def cellOf(emb: Column): Column =
-      (0 until cellBits).map { b =>
-        when(emb.getItem(b) > 0, lit(1 << b)).otherwise(lit(0))
-      }.reduce(_ + _)
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-        quantize(col(embCol)).as("c_emb"))
-      .withColumn("c_nrm", qnorm(col("c_emb"), dims))
-      .withColumn("cell", cellOf(col("c_emb")))
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // One kernel pass per side: quantized vector, norm, cell (packed signs
+    // of the first cellBits components). Same reasoning as lshPrep — the
+    // unrolled-expression formulation spent seconds in codegen for work a
+    // tight loop does instantly; unlike lshTopK this path keeps the
+    // DISTRIBUTED join shape (both sides shuffle on cell; at 100 TB the
+    // corpus is written partitioned by cell once and only probed cells
+    // are read), so neither side needs to fit anywhere.
+    def prep(df: DataFrame) =
+      df.select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("e"))
+        .as[(Long, Array[Long])]
+        .mapPartitions { iter =>
+          iter.map { case (id, e) =>
+            require(e.length == dims, s"vector length ${e.length} != dims $dims")
+            var cell = 0
+            var b = 0
+            while (b < cellBits) {
+              if (e(b) > 0) cell |= 1 << b
+              b += 1
+            }
+            (id, e, math.sqrt(Qv.dot(e, e).toDouble), cell)
+          }
+        }
+    val c = prep(corpus).toDF("neighbor_id", "c_emb", "c_nrm", "cell")
     val probes = (cell: Column) =>
       array(cell +: (0 until cellBits).map(b => cell.bitwiseXOR(lit(1 << b))): _*)
-    val q = queries.select(col(idCol).as("query_id"),
-        quantize(col(embCol)).as("q_emb"))
-      .withColumn("q_nrm", qnorm(col("q_emb"), dims))
-      .withColumn("cell", explode(probes(cellOf(col("q_emb")))))
+    val q = prep(queries).toDF("query_id", "q_emb", "q_nrm", "cell0")
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        explode(probes(col("cell0"))).as("cell"))
+    val scored = q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "q_emb", "q_nrm", "neighbor_id", "c_emb", "c_nrm")
+      .as[(Long, Array[Long], Double, Long, Array[Long], Double)]
+      .mapPartitions { iter =>
+        iter.map { case (qid, qe, qn, nid, ce, cn) =>
+          (qid, nid, Qv.dot(qe, ce).toDouble / (qn * cn))
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    q.join(c, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        pairCosine(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm"), dims)
-          .as("cosine"))
-      .withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 
