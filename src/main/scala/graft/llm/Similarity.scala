@@ -171,19 +171,28 @@ object Similarity {
     * setup, no per-element expression interpretation).
     *
     * Output columns: (`id`, `e` quantized, `nrm`, `codes` one int per table). */
+  /** Per-plane participating (dim, sign) terms for the sparse projection
+    * geometry, indexed plane-major (`tp = table * bits + plane`). The
+    * single source of truth shared by the [[lshPrep]] kernel AND the
+    * generated DuckDB oracle SQL (which embeds the same planes as literal
+    * arithmetic, in the same dim order, so bucket codes agree bit-for-bit
+    * across engines). */
+  def planeTerms(
+      tables: Int, bits: Int, dims: Int, invDensity: Int): IndexedSeq[IndexedSeq[(Int, Double)]] =
+    (0 until tables * bits).map { tp =>
+      (0 until dims)
+        .filter(d => planeKeeps(tp / bits, tp % bits, d, invDensity))
+        .map(d => d -> planeSign(tp / bits, tp % bits, d))
+    }
+
   private def lshPrep(
       df: DataFrame, idCol: String, embCol: String,
       tables: Int, bits: Int, dims: Int, invDensity: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // Per plane: packed participating-dim indices + their signs (sparse
-    // projection — expected dims/invDensity entries per plane).
-    val planeDims: Array[Array[Int]] = Array.tabulate(tables * bits) { tp =>
-      (0 until dims).filter(d => planeKeeps(tp / bits, tp % bits, d, invDensity)).toArray
-    }
-    val planeSgns: Array[Array[Double]] = Array.tabulate(tables * bits) { tp =>
-      planeDims(tp).map(d => planeSign(tp / bits, tp % bits, d))
-    }
+    val terms = planeTerms(tables, bits, dims, invDensity)
+    val planeDims: Array[Array[Int]] = terms.map(_.map(_._1).toArray).toArray
+    val planeSgns: Array[Array[Double]] = terms.map(_.map(_._2).toArray).toArray
     df.select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("e"))
       .as[(Long, Array[Long])]
       .mapPartitions { iter =>

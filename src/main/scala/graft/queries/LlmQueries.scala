@@ -19,8 +19,9 @@ import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
   * threshold — valid because the band geometry (r=4, b=32) has miss
   * probability ~1e-15 at the observed near-dup similarity (>=0.9), i.e. the
   * approximate path is exhaustive on real near-dups; the exact-confirm
-  * filter removes all false positives. The LSH ANN query is not
-  * SQL-expressible at equal semantics → rows-only check + recall-floor spec.
+  * filter removes all false positives. The LSH/IVF ANN oracles embed the
+  * engine's projection geometry as literal SQL arithmetic so even the
+  * bucket-dependent candidate sets hash-match exactly.
   */
 object LlmQueries {
 
@@ -75,6 +76,79 @@ object LlmQueries {
       |  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
       |  FROM embeddings),
       |nrm AS (SELECT vec_id, sum(x*x) AS nn FROM qc GROUP BY 1)""".stripMargin
+
+  /** Quantized component `d` (0-based) of an embedding row, as DuckDB SQL
+    * (list indexing is 1-based). */
+  private def qComp(d: Int): String =
+    s"CAST(round(CAST(embedding[${d + 1}] AS DOUBLE) * 1000) AS BIGINT)"
+
+  /** Shared tail of the ANN oracles: exact cosine over candidate pairs +
+    * per-query rank (identical IEEE sequence to the engine kernels — the
+    * same `dp / (sqrt(nn) * sqrt(nn))` shape ls1's oracle hash-matches). */
+  private def annRankTail(k: Int): String =
+    s"""dot AS (SELECT query_id, neighbor_id, sum(x.x * y.x) AS dp
+       |  FROM cand JOIN qc x ON x.vec_id = query_id
+       |  JOIN qc y ON y.vec_id = neighbor_id AND y.i = x.i
+       |  GROUP BY 1, 2),
+       |sims AS (SELECT query_id, neighbor_id,
+       |    CAST(dp AS DOUBLE) / (sqrt(CAST(nx.nn AS DOUBLE)) * sqrt(CAST(ny.nn AS DOUBLE)))
+       |      AS cosine
+       |  FROM dot JOIN nrm nx ON query_id = nx.vec_id
+       |  JOIN nrm ny ON neighbor_id = ny.vec_id)
+       |SELECT * FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |  FROM sims)
+       |WHERE rank <= $k""".stripMargin
+
+  /** DuckDB twin of the engine's LSH candidate generation: the identical
+    * sparse projection planes ([[Similarity.planeTerms]]) embedded as
+    * literal arithmetic, summed in the same dim order — bucket codes agree
+    * bit-for-bit, so "candidates = pairs sharing >= 1 bucket code" is
+    * reproduced exactly and the whole LSH ANN query becomes
+    * hash-checkable (previously rows-only). */
+  private def ls2Oracle(
+      k: Int, tables: Int, bits: Int, dims: Int, inv: Int, qMod: Int): String = {
+    val terms = Similarity.planeTerms(tables, bits, dims, inv)
+    def planeExpr(tp: Int): String =
+      if (terms(tp).isEmpty) "0.0"
+      else terms(tp).map { case (d, s) =>
+        val e = s"CAST(${qComp(d)} AS DOUBLE)"
+        if (s > 0) e else s"(-1.0 * $e)"
+      }.mkString(" + ")
+    def codeExpr(t: Int): String =
+      (0 until bits).map { p =>
+        s"(CASE WHEN (${planeExpr(t * bits + p)}) > 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+    val codeList = (0 until tables).map(codeExpr).mkString(",\n    ")
+    s"""WITH $quantCtes,
+       |codes AS (SELECT vec_id, unnest(range(0, $tables)) AS t,
+       |  unnest([$codeList]) AS code
+       |  FROM embeddings),
+       |cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM codes a JOIN codes b ON a.t = b.t AND a.code = b.code
+       |  WHERE a.vec_id % $qMod = 0 AND a.vec_id <> b.vec_id),
+       |${annRankTail(k)}""".stripMargin
+  }
+
+  /** DuckDB twin of the IVF cell-probe candidate generation (cell = packed
+    * signs of the first cellBits quantized components; probes = own cell +
+    * all Hamming-1 neighbors). */
+  private def ls3Oracle(k: Int, cellBits: Int, qMod: Int): String = {
+    val cellExpr = (0 until cellBits)
+      .map(b => s"(CASE WHEN ${qComp(b)} > 0 THEN ${1 << b} ELSE 0 END)")
+      .mkString(" + ")
+    val probeList = ("cell" +: (0 until cellBits).map(b => s"xor(cell, ${1 << b})"))
+      .mkString(", ")
+    s"""WITH $quantCtes,
+       |cells AS (SELECT vec_id, $cellExpr AS cell FROM embeddings),
+       |probes AS (SELECT vec_id, unnest([$probeList]) AS cell
+       |  FROM cells WHERE vec_id % $qMod = 0),
+       |cand AS (SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM probes p JOIN cells c ON p.cell = c.cell AND p.vec_id <> c.vec_id),
+       |${annRankTail(k)}""".stripMargin
+  }
 
   private def q(name: String, oracle: String)(
       f: (SparkSession, String) => DataFrame): QueryDef =
@@ -169,23 +243,28 @@ object LlmQueries {
         vecs.filter(col("vec_id") % 40 === 0), vecs, "vec_id", "embedding", 10)
     },
 
-    // ── LSH-bucketed ANN (the scale path). Bucket-dependent candidate set
-    //    is not SQL-expressible at equal semantics → rows-only check here;
-    //    SimilaritySpec pins a recall floor vs ls1's brute force. ──
-    QueryDef("ls2_ann_lsh", (s: SparkSession, dir: String) => {
+    // ── LSH-bucketed ANN (the scale path). The oracle reproduces the
+    //    EXACT candidate semantics by embedding the engine's sparse
+    //    projection planes as literal arithmetic (same dims, same order →
+    //    identical codes), then ranking candidates by the same quantized
+    //    cosine — full hash check; SimilaritySpec additionally pins the
+    //    recall floor vs ls1's brute force. ──
+    q("ls2_ann_lsh",
+      ls2Oracle(k = 10, tables = 16, bits = 4, dims = 64, inv = 8, qMod = 40)) { (s, dir) =>
       val vecs = Td.table(s, dir, "embeddings")
       Similarity.lshTopK(
         vecs.filter(col("vec_id") % 40 === 0), vecs, "vec_id", "embedding", 10)
-    }, None),
+    },
 
-    // ── IVF-style cell-probed ANN (second scale path beside LSH). Probed
-    //    candidate set is bucket-dependent → rows-only check here; the
-    //    recall floor vs ls1's brute force is pinned by SimilaritySpec. ──
-    QueryDef("ls3_ann_ivf", (s: SparkSession, dir: String) => {
+    // ── IVF-style cell-probed ANN (second scale path beside LSH; the
+    //    distributed cell-join shape). Oracle mirrors the cell + Hamming-1
+    //    probe candidate generation exactly → full hash check; recall
+    //    floor pinned by SimilaritySpec. ──
+    q("ls3_ann_ivf", ls3Oracle(k = 10, cellBits = 4, qMod = 40)) { (s, dir) =>
       val vecs = Td.table(s, dir, "embeddings")
       Similarity.ivfTopK(
         vecs.filter(col("vec_id") % 40 === 0), vecs, "vec_id", "embedding", 10)
-    }, None),
+    },
 
     // ── corpus n-gram document-frequency top-k (text analysis) ──
     q("lt4_ngram_topk",
