@@ -393,8 +393,49 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Sub-quadratic embedding near-dup — the scale path [[embeddingNearDups]]
+    * documents: candidates are pairs sharing >= 1 LSH bucket code
+    * (symmetric id-only bucket self-join, never all-pairs), then exact
+    * quantized cosine confirms. Both sides of the self-join are the same
+    * kernel-prepped index (one pass, persisted), candidate rows carry ids
+    * only, and embeddings re-attach by key for scoring — the fully
+    * distributed shape: nothing broadcasts, nothing collects, shuffles are
+    * (tbl, code) then id. Recall follows the same 1-(1-p^bits)^tables
+    * geometry as [[lshTopKOnIndex]]; for near-dup-grade cosine (>= ~0.8)
+    * with the default 16x4 sparse planes it is effectively exhaustive.
+    * Output: d1 < d2, cosine >= minCos. */
+  def lshNearDups(
+      vecs: DataFrame, idCol: String, embCol: String, minCos: Double,
+      tables: Int = 16, bits: Int = 4, dims: Int = 64,
+      invDensity: Int = 8): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val prep = lshPrep(vecs, idCol, embCol, tables, bits, dims, invDensity)
+      .persist()
+    val buckets = prep.select(col("id"),
+      posexplode(col("codes")).as(Seq("tbl", "code")))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.code") === col("b.code") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"))
+      .distinct()
+    cand
+      .join(prep.select(col("id").as("d1"), col("e").as("e1"), col("nrm").as("n1")), "d1")
+      .join(prep.select(col("id").as("d2"), col("e").as("e2"), col("nrm").as("n2")), "d2")
+      .select("d1", "d2", "e1", "n1", "e2", "n2")
+      .as[(Long, Long, Array[Long], Double, Array[Long], Double)]
+      .mapPartitions { iter =>
+        iter.flatMap { case (d1, d2, e1, n1, e2, n2) =>
+          val cos = Qv.dot(e1, e2).toDouble / (n1 * n2)
+          if (cos >= minCos) Some((d1, d2, cos)) else None
+        }
+      }
+      .toDF("d1", "d2", "cosine")
+  }
+
   /** Exact all-pairs cosine near-dup (the confirm/baseline path; at scale
-    * the candidate set comes from lshTopK's bucketing instead of the
+    * the candidate set comes from [[lshNearDups]]' bucketing instead of the
     * self-join). Output d1 < d2 with cosine >= minCos. */
   def embeddingNearDups(
       vecs: DataFrame, idCol: String, embCol: String, minCos: Double,

@@ -108,8 +108,10 @@ object LlmQueries {
     * bit-for-bit, so "candidates = pairs sharing >= 1 bucket code" is
     * reproduced exactly and the whole LSH ANN query becomes
     * hash-checkable (previously rows-only). */
-  private def ls2Oracle(
-      k: Int, tables: Int, bits: Int, dims: Int, inv: Int, qMod: Int): String = {
+  /** `codes` CTE: one (vec_id, t, code) row per LSH table, with the
+    * engine's sparse projection planes embedded as literal arithmetic
+    * (same dims, same summation order → identical codes). */
+  private def lshCodesCte(tables: Int, bits: Int, dims: Int, inv: Int): String = {
     val terms = Similarity.planeTerms(tables, bits, dims, inv)
     def planeExpr(tp: Int): String =
       if (terms(tp).isEmpty) "0.0"
@@ -122,15 +124,40 @@ object LlmQueries {
         s"(CASE WHEN (${planeExpr(t * bits + p)}) > 0 THEN ${1 << p} ELSE 0 END)"
       }.mkString(" + ")
     val codeList = (0 until tables).map(codeExpr).mkString(",\n    ")
-    s"""WITH $quantCtes,
-       |codes AS (SELECT vec_id, unnest(range(0, $tables)) AS t,
+    s"""codes AS (SELECT vec_id, unnest(range(0, $tables)) AS t,
        |  unnest([$codeList]) AS code
-       |  FROM embeddings),
+       |  FROM embeddings)""".stripMargin
+  }
+
+  private def ls2Oracle(
+      k: Int, tables: Int, bits: Int, dims: Int, inv: Int, qMod: Int): String =
+    s"""WITH $quantCtes,
+       |${lshCodesCte(tables, bits, dims, inv)},
        |cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
        |  FROM codes a JOIN codes b ON a.t = b.t AND a.code = b.code
        |  WHERE a.vec_id % $qMod = 0 AND a.vec_id <> b.vec_id),
        |${annRankTail(k)}""".stripMargin
-  }
+
+  /** LSH near-dup pair oracle: symmetric code self-join (d1 < d2) then
+    * exact quantized cosine at `minCos` — the twin of
+    * [[Similarity.lshNearDups]]. */
+  private def ld7Oracle(
+      minCos: Double, tables: Int, bits: Int, dims: Int, inv: Int): String =
+    s"""WITH $quantCtes,
+       |${lshCodesCte(tables, bits, dims, inv)},
+       |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+       |  FROM codes a JOIN codes b ON a.t = b.t AND a.code = b.code
+       |  WHERE a.vec_id < b.vec_id),
+       |dot AS (SELECT d1, d2, sum(x.x * y.x) AS dp
+       |  FROM cand JOIN qc x ON x.vec_id = d1
+       |  JOIN qc y ON y.vec_id = d2 AND y.i = x.i
+       |  GROUP BY 1, 2)
+       |SELECT * FROM (
+       |  SELECT d1, d2,
+       |    CAST(dp AS DOUBLE) / (sqrt(CAST(nx.nn AS DOUBLE)) * sqrt(CAST(ny.nn AS DOUBLE)))
+       |      AS cosine
+       |  FROM dot JOIN nrm nx ON d1 = nx.vec_id JOIN nrm ny ON d2 = ny.vec_id)
+       |WHERE cosine >= $minCos""".stripMargin
 
   /** DuckDB twin of the IVF cell-probe candidate generation (cell = packed
     * signs of the first cellBits quantized components; probes = own cell +
@@ -219,6 +246,16 @@ object LlmQueries {
          |  FROM dot JOIN nrm x ON d1 = x.vec_id JOIN nrm y ON d2 = y.vec_id)
          |WHERE cosine >= 0.45""".stripMargin) { (s, dir) =>
       Similarity.embeddingNearDups(Td.table(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+    },
+
+    // ── embedding near-dup via LSH bucketing — the registered SCALE path
+    //    for ld5: symmetric id-only bucket self-join (never all-pairs,
+    //    nothing broadcast/collected), exact cosine confirm on candidates.
+    //    Threshold 0.45 matches ld5 so the two paths are comparable. ──
+    q("ld7_embed_neardup_lsh",
+      ld7Oracle(minCos = 0.45, tables = 16, bits = 4, dims = 64, inv = 8)) { (s, dir) =>
+      Similarity.lshNearDups(
+        Td.table(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
     },
 
     // ── brute-force cosine top-10 ANN (queries = vec_id % 40 = 0) ──

@@ -58,6 +58,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@10 = $recall")
   }
 
+  test("lshNearDups: no false positives, high recall vs the exact all-pairs path") {
+    val vecs = graft.Td.table(spark, Sf0001, "embeddings")
+    val exact = Similarity.embeddingNearDups(vecs, "vec_id", "embedding", 0.45)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshNearDups(vecs, "vec_id", "embedding", 0.45)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    // exact-cosine confirm on candidates -> every emitted pair is a true pair
+    assert(lsh.subsetOf(exact))
+    assert(exact.nonEmpty)
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall (exact=${exact.size}, lsh=${lsh.size})")
+  }
+
   test("planeSign is deterministic and roughly balanced") {
     val signs = for (t <- 0 until 4; p <- 0 until 8; d <- 0 until 64)
       yield Similarity.planeSign(t, p, d)
