@@ -336,6 +336,51 @@ object Similarity {
         (col("s").cast("double") / col("n")).as("mean_q"))
   }
 
+  /** Assign every vector to its nearest per-label centroid by cosine — the
+    * cluster/domain-labeling step of a curation pipeline (and a 1-NN
+    * classifier over label centroids). The centroid mean's /count cancels
+    * inside cosine, so assignment works on the exact integer component
+    * SUMS from [[VecSumAgg]] — no floating-point accumulation anywhere,
+    * hence bit-deterministic and oracle-reproducible. Ties go to the
+    * smallest label. Labels are few by contract (the centroid table is
+    * collected + broadcast; the vector side streams partition-wise and
+    * never shuffles). Output: vec_id, label, label_pred, cosine. */
+  def centroidAssign(
+      vecs: DataFrame, idCol: String, labelCol: String, embCol: String,
+      dims: Int = 64): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val vecsum = udaf(VecSumAgg)
+    val cents = vecs
+      .select(col(labelCol).cast("int").as("label"), quantize(col(embCol)).as("q"))
+      .groupBy("label").agg(vecsum(col("q")).as("s"))
+      .as[(Int, Array[Long])].collect().sortBy(_._1)
+      .map { case (l, s) => (l, s, math.sqrt(Qv.dot(s, s).toDouble)) }
+    require(cents.length <= 100000, s"${cents.length} labels exceed broadcast contract")
+    val bcast = spark.sparkContext.broadcast(cents)
+    vecs
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(labelCol).cast("int").as("label"), quantize(col(embCol)).as("e"))
+      .as[(Long, Int, Array[Long])]
+      .mapPartitions { iter =>
+        val cs = bcast.value
+        iter.map { case (id, lbl, e) =>
+          require(e.length == dims, s"vector length ${e.length} != dims $dims")
+          val vn = math.sqrt(Qv.dot(e, e).toDouble)
+          var bi = 0
+          var best = Double.NegativeInfinity
+          var i = 0
+          while (i < cs.length) {
+            val cos = Qv.dot(e, cs(i)._2).toDouble / (vn * cs(i)._3)
+            if (cos > best) { best = cos; bi = i } // strict > = first/min label wins ties
+            i += 1
+          }
+          (id, lbl, cs(bi)._1, best)
+        }
+      }
+      .toDF("vec_id", "label", "label_pred", "cosine")
+  }
+
   /** IVF-style ANN: a deterministic coarse quantizer assigns every vector to
     * one of 2^cellBits cells (cell id = packed signs of the first cellBits
     * components); queries probe their own cell plus all Hamming-1 neighbor

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Td
-import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /** LLM-training-data pipeline operators over the driver's documents /
   * embeddings tables: deduplication (exact, n-gram Jaccard, MinHash+LSH,
@@ -396,6 +396,62 @@ object LlmQueries {
           when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), countDistinct(col("lang")).as("n_langs"))
+    },
+
+    // ── deterministic mixture sampling: per-source Bernoulli rates decided
+    //    by the cross-engine md5 hash — the dataset-mixing primitive
+    //    ("50% of src1, 10% of everything else"); a pure scan-stage filter ──
+    q("lt7_mixture_sample", {
+      val rateCase =
+        """CASE WHEN source = 'src0' THEN 1.0
+          |     WHEN source = 'src1' THEN 0.5
+          |     WHEN source = 'src2' THEN 0.25
+          |     ELSE 0.1 END""".stripMargin
+      s"""SELECT doc_id, source, lang FROM documents
+         |WHERE CAST(('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+         |  < CAST(round(($rateCase) * 1000) AS BIGINT)""".stripMargin
+    }) { (s, dir) =>
+      Sampling.mixtureSample(Td.table(s, dir, "documents"), "doc_id", "source",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), defaultRate = 0.1)
+        .select("doc_id", "source", "lang")
+    },
+
+    // ── deterministic quota sampling: up to 30 docs per language chosen by
+    //    hash order — balanced eval subsets without a global sort ──
+    q("lt8_quota_sample",
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY CAST(('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000,
+        |      doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 30""".stripMargin) { (s, dir) =>
+      Sampling.quotaSample(Td.table(s, dir, "documents"), "doc_id", "lang", 30)
+        .select("doc_id", "lang")
+    },
+
+    // ── nearest-centroid assignment (cluster/domain labeling; 1-NN over
+    //    the ls4 centroids). Exact integer sums — the /n of the mean
+    //    cancels in cosine — so both engines agree bit-for-bit ──
+    q("ls5_centroid_assign",
+      s"""WITH $quantCtes,
+         |lq AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+         |  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
+         |  FROM embeddings),
+         |cs AS (SELECT label, i, sum(x) AS s FROM lq GROUP BY 1, 2),
+         |cn AS (SELECT label, sum(s * s) AS nn FROM cs GROUP BY 1),
+         |dotc AS (SELECT v.vec_id, c.label, sum(v.x * c.s) AS dp
+         |  FROM qc v JOIN cs c ON c.i = v.i GROUP BY 1, 2),
+         |scored AS (SELECT d.vec_id, d.label,
+         |    CAST(dp AS DOUBLE) / (sqrt(CAST(n.nn AS DOUBLE)) * sqrt(CAST(c.nn AS DOUBLE)))
+         |      AS cosine
+         |  FROM dotc d JOIN nrm n ON d.vec_id = n.vec_id JOIN cn c ON d.label = c.label)
+         |SELECT e.vec_id, CAST(e.label AS INT) AS label,
+         |  CAST(s.label AS INT) AS label_pred, s.cosine
+         |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cosine DESC, label) AS rn FROM scored) s
+         |JOIN embeddings e ON e.vec_id = s.vec_id
+         |WHERE s.rn = 1""".stripMargin) { (s, dir) =>
+      Similarity.centroidAssign(Td.table(s, dir, "embeddings"), "vec_id", "label", "embedding")
     },
 
     // ── document fingerprint (md5 of normalized text) ──

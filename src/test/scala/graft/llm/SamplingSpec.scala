@@ -1,0 +1,47 @@
+package graft.llm
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = graft.Td.table(spark, Sf0001, "documents")
+
+  test("mixtureSample: rate 1.0 keeps a stratum whole, 0.0 drops it, runs are identical") {
+    val kept = Sampling.mixtureSample(docs, "doc_id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5)
+    val bySource = kept.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySource("src0") == totals("src0"))
+    assert(!bySource.contains("src1"))
+    // deterministic: an independent evaluation keeps exactly the same rows
+    val again = Sampling.mixtureSample(docs, "doc_id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5)
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq ==
+      again.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("mixtureSample: default rate lands near its expectation") {
+    val kept = Sampling.mixtureSample(docs, "doc_id", "source",
+      Map.empty, defaultRate = 0.3).count().toDouble
+    val frac = kept / docs.count()
+    assert(frac > 0.2 && frac < 0.4, s"kept fraction $frac")
+  }
+
+  test("quotaSample: caps every stratum at the quota, keeps small strata whole") {
+    val quota = 20
+    val sampled = Sampling.quotaSample(docs, "doc_id", "lang", quota)
+    val byLang = sampled.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    totals.foreach { case (lang, n) =>
+      assert(byLang(lang) == math.min(n, quota.toLong), s"lang=$lang")
+    }
+    // sampled rows are real rows (subset by key)
+    val ids = sampled.select("doc_id").as[Long].collect().toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(all))
+  }
+}

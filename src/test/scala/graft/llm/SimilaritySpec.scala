@@ -71,6 +71,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall=$recall (exact=${exact.size}, lsh=${lsh.size})")
   }
 
+  test("centroidAssign labels well-separated clusters perfectly; ties -> min label") {
+    // two orthogonal clusters: label 1 along dim 0, label 2 along dim 1
+    val vecs = Seq(
+      (1L, 1, Array.tabulate(64)(d => if (d == 0) 1.0f else 0.0f)),
+      (2L, 1, Array.tabulate(64)(d => if (d == 0) 0.9f else 0.0f)),
+      (3L, 2, Array.tabulate(64)(d => if (d == 1) 1.0f else 0.0f)),
+      (4L, 2, Array.tabulate(64)(d => if (d == 1) 0.8f else 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroidAssign(vecs, "vec_id", "label", "embedding")
+      .select("vec_id", "label_pred").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2))
+    // exact tie between two centroids resolves to the smaller label
+    val tied = Seq(
+      (1L, 5, Array.tabulate(64)(d => if (d == 0) 1.0f else 0.0f)),
+      (2L, 3, Array.tabulate(64)(d => if (d == 0) 1.0f else 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val t = Similarity.centroidAssign(tied, "vec_id", "label", "embedding")
+      .select("vec_id", "label_pred").as[(Long, Int)].collect().toMap
+    assert(t == Map(1L -> 3, 2L -> 3))
+  }
+
   test("planeSign is deterministic and roughly balanced") {
     val signs = for (t <- 0 until 4; p <- 0 until 8; d <- 0 until 64)
       yield Similarity.planeSign(t, p, d)
