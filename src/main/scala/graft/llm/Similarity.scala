@@ -446,8 +446,14 @@ object Similarity {
     * only, and embeddings re-attach by key for scoring — the fully
     * distributed shape: nothing broadcasts, nothing collects, shuffles are
     * (tbl, code) then id. Recall follows the same 1-(1-p^bits)^tables
-    * geometry as [[lshTopKOnIndex]]; for near-dup-grade cosine (>= ~0.8)
-    * with the default 16x4 sparse planes it is effectively exhaustive.
+    * geometry as [[lshTopKOnIndex]].
+    *
+    * Size `bits` to the threshold and corpus: random-pair candidate rate is
+    * ~1-(1-2^-bits)^tables (the default 16x4 admits ~60% of pairs — fine
+    * for a low threshold on a small corpus, NOT sub-quadratic). At 100 TB
+    * with near-dup-grade thresholds (cos >= ~0.8, where per-plane agreement
+    * p >= ~0.8) use bits 8-16: candidate rate falls geometrically while
+    * true near-dups keep p^bits high.
     * Output: d1 < d2, cosine >= minCos. */
   def lshNearDups(
       vecs: DataFrame, idCol: String, embCol: String, minCos: Double,
