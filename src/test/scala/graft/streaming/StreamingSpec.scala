@@ -166,6 +166,60 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
   }
 
+  test("FlowStream resumes from its checkpoint across separate runs") {
+    import org.apache.spark.sql.functions._
+    val dir = Fixtures.tempDir("stream6")
+    val snapDefs = Seq(
+      (Fixtures.stationStatus(5, 3, 0), "2025-09-04 10:10:00"),
+      (Fixtures.stationStatus(7, 2, 1), "2025-09-04 11:10:00"),
+      (Fixtures.stationStatus(6, 4, 2), "2025-09-04 12:10:00"),
+      (Fixtures.stationStatus(8, 1, 3), "2025-09-04 13:10:00"))
+    val snaps = snapDefs.zipWithIndex.map { case ((payload, ts), i) =>
+      Gbfs.statusFromJson(spark,
+        Fixtures.write(dir, s"snap$i.json", payload), Timestamp.valueOf(ts))
+    }
+    val landing = dir.resolve("landing").toString
+    val stations = Gbfs.stationsFromJson(spark,
+      Fixtures.write(dir, "si.json", Fixtures.stationInfo))
+    val flowsDir = dir.resolve("flows").toString
+    def runOnce(): Unit = {
+      val q = FlowStream.start(spark, landing, stations,
+        dir.resolve("bdeltas").toString, flowsDir,
+        dir.resolve("ckpt6").toString, bucketMinutes = 60)
+      q.awaitTermination()
+    }
+    // run 1 sees the first two snapshots; run 2 (same checkpoint) the rest —
+    // the per-station open-bucket state must survive the restart for the
+    // 11:10 bucket's delta (vs the 10:10 close carried in state) to be right
+    snaps.take(2).foreach(_.coalesce(1).write.mode("append").json(landing))
+    runOnce()
+    snaps.drop(2).foreach(_.coalesce(1).write.mode("append").json(landing))
+    runOnce()
+    val streamed = spark.read.parquet(flowsDir)
+      .select("bucket", "o", "d", "flow")
+      .as[(Long, String, String, Long)].collect().toSet
+
+    val all = snaps.reduce(_ unionByName _)
+    val bucketed = all.withColumn("bucket",
+      graft.ops.TimeOps.bucketFloor(col("scraped_at"), 60))
+    val lastPer = graft.ops.TimeOps.lastPerGroup(bucketed,
+      Seq("station_id", "bucket"), Seq(col("scraped_at")))
+    val deltas = graft.ops.TimeOps.lagDiff(lastPer,
+      Seq("station_id"), Seq(col("bucket")), "num_bikes_available")
+    val input = deltas
+      .join(broadcast(stations.select("station_id", "lat", "lon")), "station_id")
+      .select(unix_timestamp(col("bucket")).as("bucket"),
+        col("station_id").as("station"),
+        col("delta").cast("long").as("delta"), col("lat"), col("lon"))
+      .as[graft.ops.StationDelta]
+    val openBucket = input.agg(max("bucket")).as[Long].head()
+    val batch = graft.ops.OdInference.inferFlowsPerBucket(input)
+      .filter(col("bucket") < openBucket)
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
+
   test("watermark dedup drops duplicate (station, scraped_at) rows in-stream") {
     val dir = Fixtures.tempDir("stream2")
     val snaps = snapshots(dir)
