@@ -72,30 +72,38 @@ object Dedup {
     jaccardPairsUncapped(capShingleDf(shingles.persist(), maxShingleDf), minJ)
   }
 
-  private def jaccardPairsUncapped(shingles: DataFrame, minJ: Double): DataFrame = {
-    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // Equality on a 64-bit hash shuffles and compares far cheaper than on
-    // n-gram strings; xxhash64 collisions (~pairs/2^64) are negligible.
-    val hashed = shingles.select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-    val a = hashed.as("a")
-    val b = hashed.as("b")
-    val inter = a.join(b, col("a.sh") === col("b.sh") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("n_inter"))
-    withJaccard(inter, sizes).filter(col("jaccard") >= minJ)
-  }
+  /** (doc_id, sh = 64-bit shingle hash, n_sh = doc's shingle count).
+    * Equality on the hash shuffles and compares far cheaper than on n-gram
+    * strings (collisions ~pairs/2^64 are negligible), and the per-doc size
+    * riding every row means the pair rollup after a self/confirm join needs
+    * NO size re-joins — the intersecting-pair table (often >> the shingle
+    * table) would otherwise shuffle twice more just to attach two longs. */
+  private def hashedWithSize(shingles: DataFrame): DataFrame =
+    shingles
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .withColumn("n_sh", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
 
-  /** Attach jaccard = inter / (|d1| + |d2| - inter) to a (d1, d2, n_inter)
-    * pair table. Sizes side is broadcast when small. */
-  private def withJaccard(pairs: DataFrame, sizes: DataFrame): DataFrame =
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+  /** Jaccard from a joined pair table carrying (d1, d2, n1, n2) per match:
+    * group (sizes are functionally dependent on the doc ids), count the
+    * intersection, compute jaccard = inter / (n1 + n2 - inter). */
+  private def pairRollup(matches: DataFrame, minJ: Double): DataFrame =
+    matches
+      .groupBy("d1", "d2", "n1", "n2")
+      .agg(count(lit(1)).as("n_inter"))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (col("n1") + col("n2") - col("n_inter")).cast("double"))
       .select("d1", "d2", "n_inter", "jaccard")
+      .filter(col("jaccard") >= minJ)
+
+  private def jaccardPairsUncapped(shingles: DataFrame, minJ: Double): DataFrame = {
+    val hashed = hashedWithSize(shingles)
+    val a = hashed.toDF("d1", "sh", "n1")
+    val b = hashed.toDF("d2", "sh2", "n2")
+    pairRollup(
+      a.join(b, col("sh") === col("sh2") && col("d1") < col("d2")), minJ)
+  }
 
   // ── MinHash + banded LSH ─────────────────────────────────────────────────
 
@@ -141,16 +149,13 @@ object Dedup {
     val sh = capShingleDf(
       shingleTable(docs, idCol, textCol, shingleN), maxShingleDf).persist()
     val cand = lshCandidates(minhashSignature(sh, numHashes), numHashes, rowsPerBand)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // 64-bit-hashed shingles for the confirm join (same rationale as in
-    // jaccardPairs: long equality beats string equality on the shuffle).
-    val hashed = sh.select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-    val a = hashed.toDF("d1", "s1")
-    val b = hashed.toDF("d2b", "s2")
-    val inter = cand.join(a, "d1")
-      .join(b, col("d2") === col("d2b") && col("s1") === col("s2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("n_inter"))
-    withJaccard(inter, sizes).filter(col("jaccard") >= minJ)
+    val hashed = hashedWithSize(sh)
+    val a = hashed.toDF("d1", "s1", "n1")
+    val b = hashed.toDF("d2b", "s2", "n2")
+    pairRollup(
+      cand.join(a, "d1")
+        .join(b, col("d2") === col("d2b") && col("s1") === col("s2")),
+      minJ)
   }
 
   // ── cluster survivors ────────────────────────────────────────────────────
