@@ -41,6 +41,23 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** ALL n-token windows (multiset — unlike [[shingles]], repeats kept):
+    * the basis for intra-document repetition signals. */
+  def ngramsAll(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+
+  /** Intra-document repetition ratio: fraction of n-gram windows that are
+    * repeats of an earlier window (1 - distinct/total). The standard
+    * duplicate-n-gram curation signal — high values flag boilerplate,
+    * keyword stuffing, and degenerate generations. Pure scan-stage column
+    * work. */
+  def repetitionRatio(toks: Column, n: Int): Column = {
+    val all = ngramsAll(toks, n)
+    lit(1.0) - size(array_distinct(all)).cast("double") / size(all).cast("double")
+  }
+
   /** Number of tokens from `toks` found in `words` (multiset count). */
   def countIn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit(_)): _*)))

@@ -454,6 +454,32 @@ object LlmQueries {
       Similarity.centroidAssign(Td.table(s, dir, "embeddings"), "vec_id", "label", "embedding")
     },
 
+    // ── intra-document repetition signal: fraction of repeated 2-gram
+    //    windows (duplicate-n-gram curation filter; high = boilerplate /
+    //    keyword stuffing / degenerate text). Multiset windows, unlike the
+    //    dedup tier's distinct shingles ──
+    q("lt9_repetition",
+      """WITH toks3 AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |bg AS (SELECT doc_id,
+        |  list_transform(range(1, greatest(len(t)-1, 1) + 1),
+        |    i -> array_to_string(t[i:i+1], ' ')) AS g
+        |  FROM toks3)
+        |SELECT doc_id, CAST(len(g) AS INT) AS n_bigrams,
+        |  CAST(len(list_distinct(g)) AS INT) AS n_distinct,
+        |  1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE)
+        |    AS rep_ratio
+        |FROM bg""".stripMargin) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      val all = TextOps.ngramsAll(toks, 2)
+      Td.table(s, dir, "documents").select(
+        col("doc_id"),
+        size(all).as("n_bigrams"),
+        size(array_distinct(all)).as("n_distinct"),
+        TextOps.repetitionRatio(toks, 2).as("rep_ratio"))
+    },
+
     // ── document fingerprint (md5 of normalized text) ──
     q("lt3_fingerprint",
       """SELECT doc_id,

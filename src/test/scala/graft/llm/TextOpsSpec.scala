@@ -47,6 +47,18 @@ class TextOpsSpec extends SparkSpec {
     assert(got == cases.map(_._2))
   }
 
+  test("repetitionRatio: 0 for all-unique bigrams, high for degenerate text") {
+    val df = Seq(
+      (1L, "a b c d e f"),           // all bigrams unique
+      (2L, "spam spam spam spam spam") // one bigram repeated 4x
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextOps.repetitionRatio(TextOps.tokens(col("text")), 2).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 0.0)
+    assert(got(2L) == 0.75) // 4 windows, 1 distinct
+  }
+
   test("qualityScore is in [0,1] over the sf0.001 corpus") {
     val q = graft.Td.table(spark, Sf0001, "documents")
       .select(TextOps.qualityScore(TextOps.tokens(col("text")), col("text")))
