@@ -220,6 +220,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
   }
 
+  test("streaming curation: quality filter + cross-batch first-seen dedup equals batch") {
+    import org.apache.spark.sql.functions._
+    val dir = Fixtures.tempDir("stream7")
+    val landing = dir.resolve("landing").toString
+    // take real docs; re-drop the first file's docs in a later file (cross-
+    // batch duplicates) with HIGHER ids, which first-seen must drop
+    val docs = graft.Td.table(spark, Sf0001, "documents")
+      .select("doc_id", "lang", "source", "text").limit(60).cache()
+    val part1 = docs.filter(col("doc_id") < 30)
+    val part2 = docs.filter(col("doc_id") >= 30)
+    val dupes = part1.withColumn("doc_id", col("doc_id") + 100000)
+    part1.coalesce(1).write.mode("append").json(landing)
+    part2.coalesce(1).write.mode("append").json(landing)
+    dupes.coalesce(1).write.mode("append").json(landing)
+
+    val out = dir.resolve("curated").toString
+    val q = CurationStream.start(spark, landing, out, dir.resolve("ckpt7").toString,
+      minTok = 10, maxTok = 5000, minQuality = 0.5)
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSet
+
+    // batch twin over the same drops: curation filter + first-seen = min id
+    // per fingerprint (ingest order here follows id order)
+    val all = docs.unionByName(dupes)
+    val toks = graft.llm.TextOps.tokens(col("text"))
+    val kept = all
+      .withColumn("fp", graft.llm.TextOps.fingerprint(col("text")))
+      .withColumn("n_tok", size(toks))
+      .withColumn("q", graft.llm.TextOps.qualityScore(toks, col("text")))
+      .filter(col("n_tok").between(10, 5000) && col("q") >= 0.5)
+    val expected = kept.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == expected, s"streamed=${streamed.size} expected=${expected.size}")
+    // the re-dropped duplicates must all be gone
+    assert(streamed.forall(_ < 100000))
+  }
+
   test("watermark dedup drops duplicate (station, scraped_at) rows in-stream") {
     val dir = Fixtures.tempDir("stream2")
     val snaps = snapshots(dir)
