@@ -43,7 +43,7 @@ object Salt {
     require(!df.columns.contains("__salt"),
       "saltedAgg: input already has a __salt column; rename it first")
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id() +: df.columns.map(col): _*),
+      pmod(xxhash64(monotonically_increasing_id() +: df.columns.toIndexedSeq.map(col): _*),
         lit(buckets)))
     val phase1 = salted
       .groupBy((keys :+ "__salt").map(col): _*)

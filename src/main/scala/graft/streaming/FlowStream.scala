@@ -105,7 +105,7 @@ object FlowStream {
         batch.write.mode("append").parquet(deltasDir)
         if (touched.nonEmpty) {
           val input: Dataset[StationDelta] = spark.read.parquet(deltasDir)
-            .filter(col("bucket").isin(touched: _*))
+            .filter(col("bucket").isin(touched.toIndexedSeq: _*))
             .join(broadcast(dim), "station_id")
             .select(col("bucket"), col("station_id").as("station"),
               col("delta"), col("lat"), col("lon"))
