@@ -26,5 +26,26 @@ class CliSpec extends SparkSpec {
     assert(store.stations.count() == 3)
     assert(store.status.count() == 6)
     assert(spark.table("station_status").count() == 6) // init-db registered views
+
+    // flows + verbatim-SQL runners over the same store
+    Cli.run(spark, List("flows", root, "10", "20"))
+    val script = Fixtures.write(dir, "q.sql",
+      "SELECT STRFTIME('%H', scraped_at) AS hora, COUNT(*) AS n\n" +
+        "FROM station_status GROUP BY 1;")
+    Cli.run(spark, List("sql", root, script))
+  }
+
+  test("curate subcommand runs the lake chain end-to-end") {
+    val dir = Fixtures.tempDir("clicurate")
+    val docs = graft.Td.table(spark, Sf0001, "documents")
+    val docsPath = dir.resolve("docs.parquet").toString
+    docs.write.parquet(docsPath)
+    val out = dir.resolve("curated").toString
+    try {
+      Cli.run(spark, List("curate", docsPath, dir.resolve("wh").toString, out))
+      assert(spark.read.parquet(out).count() > 0)
+    } finally {
+      spark.sql("DROP DATABASE IF EXISTS graft_cli_lake CASCADE")
+    }
   }
 }
