@@ -158,6 +158,31 @@ object Dedup {
       minJ)
   }
 
+  /** Train/test contamination detection (eval decontamination): pairs of
+    * documents from two different splits sharing at least `minShared`
+    * shingles. Same sub-quadratic machinery as [[jaccardPairsUncapped]] —
+    * hashed-shingle equi-join (with the [[capShingleDf]] guard) — but the
+    * join is across split strata instead of a d1<d2 self-join, and the
+    * signal is the absolute shared-shingle count (an eval item is
+    * contaminated by ANY long-enough overlap, however large the training
+    * doc, so Jaccard's size normalization is wrong here).
+    * `splits` maps doc_id → split label (e.g. [[graft.llm]] hash-split
+    * output); output: test_doc, train_doc, n_shared. */
+  def contaminationPairs(
+      shingles: DataFrame, splits: DataFrame,
+      testSplit: String, trainSplit: String, minShared: Int,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val hashed = capShingleDf(shingles, maxShingleDf)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .join(splits, "doc_id")
+    val t = hashed.filter(col("split") === testSplit).select(col("doc_id").as("test_doc"), col("sh"))
+    val tr = hashed.filter(col("split") === trainSplit).select(col("doc_id").as("train_doc"), col("sh").as("sh2"))
+    t.join(tr, col("sh") === col("sh2"))
+      .groupBy("test_doc", "train_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ── cluster survivors ────────────────────────────────────────────────────
 
   /** Connected components over a near-dup pair graph (d1, d2 edges):

@@ -454,6 +454,36 @@ object LlmQueries {
       Similarity.centroidAssign(Td.table(s, dir, "embeddings"), "vec_id", "label", "embedding")
     },
 
+    // ── eval decontamination: test-split documents contaminated by a
+    //    train-split document via >= 3 shared 3-gram shingles. Absolute
+    //    shared count, not Jaccard — an eval item is contaminated by ANY
+    //    long-enough overlap regardless of the training doc's size. Note
+    //    exact duplicates can never cross a content-hash split (same text
+    //    -> same bucket), so this catches exactly the PARTIAL overlaps the
+    //    hash split cannot. ──
+    q("lt10_contamination",
+      s"""WITH $toksCte,
+         |$shinglesCte,
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+         |       WHEN CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT a.doc_id AS test_doc, b.doc_id AS train_doc, count(*) AS n_shared
+         |FROM sh a JOIN sp pa ON a.doc_id = pa.doc_id AND pa.split = 'test'
+         |JOIN sh b ON a.s = b.s
+         |JOIN sp pb ON b.doc_id = pb.doc_id AND pb.split = 'train'
+         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin) { (s, dir) =>
+      val docs = Td.table(s, dir, "documents")
+      val bucket = pmod(Dedup.md5Hash60(col("text")), lit(100L))
+      val splits = docs.select(col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"))
+      Dedup.contaminationPairs(
+        Dedup.shingleTable(docs, "doc_id", "text", 3), splits,
+        testSplit = "test", trainSplit = "train", minShared = 3)
+    },
+
     // ── intra-document repetition signal: fraction of repeated 2-gram
     //    windows (duplicate-n-gram curation filter; high = boilerplate /
     //    keyword stuffing / degenerate text). Multiset windows, unlike the

@@ -93,6 +93,30 @@ class DedupSpec extends SparkSpec {
     assert(capped == 0, s"capped=$capped")
   }
 
+  test("contaminationPairs: cross-split overlaps only, threshold respected") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // test
+      (2L, "alpha beta gamma delta other words here"), // train: 3 shared shingles? check
+      (3L, "alpha beta gamma delta epsilon eta"),    // train: shares 3 shingles w/ doc1
+      (4L, "totally different content entirely now yes") // train: no overlap
+    ).toDF("doc_id", "text")
+    val splits = Seq((1L, "test"), (2L, "train"), (3L, "train"), (4L, "train"))
+      .toDF("doc_id", "split")
+    val got = Dedup.contaminationPairs(
+        Dedup.shingleTable(docs, "doc_id", "text", 3), splits,
+        "test", "train", minShared = 2)
+      .select("test_doc", "train_doc").as[(Long, Long)].collect().toSet
+    // doc1 vs doc3 share "alpha beta gamma","beta gamma delta","gamma delta epsilon";
+    // doc1 vs doc2 share the first two; doc4 shares nothing. No train-train
+    // or test-test pairs may appear.
+    assert(got == Set((1L, 2L), (1L, 3L)))
+    val strict = Dedup.contaminationPairs(
+        Dedup.shingleTable(docs, "doc_id", "text", 3), splits,
+        "test", "train", minShared = 3)
+      .select("test_doc", "train_doc").as[(Long, Long)].collect().toSet
+    assert(strict == Set((1L, 3L)))
+  }
+
   test("dedupClusters: min-label propagation finds transitive components") {
     // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,7}; pair table never
     // links 4 or 8 (absent docs get no row).
