@@ -39,6 +39,44 @@ final class Store(spark: SparkSession, root: String) {
   def upsertWeather(fresh: DataFrame): Unit =
     Upsert.mergeInto(spark, fresh, weatherPath, Seq("time"))
 
+  /** Quirk Q6 (SURVEY §2.13): SQLite stored whatever the ETL passed —
+    * dynamic typing, no domain checks. The engine instead enforces the
+    * declared constraints at ingest and QUARANTINES nonconforming rows
+    * (key/timestamp present, counts non-negative-or-null) into an
+    * auditable side table tagged with the violated rule, rather than
+    * silently storing or silently dropping them. Returns
+    * (rows appended, rows quarantined). */
+  def appendStatusValidated(snapshot: DataFrame): (Long, Long) = {
+    val countCols =
+      Seq("num_bikes_available", "num_bikes_disabled",
+        "num_docks_available", "num_docks_disabled")
+    val checks: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "null_station_id" -> col("station_id").isNull,
+      "null_scraped_at" -> col("scraped_at").isNull,
+      "negative_count" -> countCols.map(c => col(c) < 0).reduce(_ || _))
+    val reason = checks.foldRight(lit(null).cast("string")) {
+      case ((name, cond), acc) => when(cond, name).otherwise(acc)
+    }
+    val flagged = snapshot.withColumn("_reason", reason).persist()
+    try {
+      val bad = flagged.filter(col("_reason").isNotNull)
+      val nBad = bad.count()
+      if (nBad > 0) {
+        bad.write.mode(SaveMode.Append).parquet(s"$root/quarantine/status")
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"quarantined $nBad nonconforming status rows -> $root/quarantine/status")
+      }
+      val good = flagged.filter(col("_reason").isNull).drop("_reason")
+      appendStatus(good)
+      (good.count(), nBad)
+    } finally {
+      flagged.unpersist(): Unit
+    }
+  }
+
+  def quarantinedStatus: DataFrame =
+    spark.read.parquet(s"$root/quarantine/status")
+
   def stations: DataFrame = spark.read.parquet(stationsPath)
   def status: DataFrame = spark.read.parquet(statusPath)
   def weather: DataFrame = spark.read.parquet(weatherPath)

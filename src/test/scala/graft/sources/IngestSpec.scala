@@ -103,6 +103,34 @@ class IngestSpec extends SparkSpec {
     assert(sc.filter($"station_id" === "3").head().getAs[Int]("is_installed") == 0)
   }
 
+  test("Q6: nonconforming status rows are quarantined with reasons, not stored") {
+    val dir = Fixtures.tempDir("q6")
+    // one clean row, one negative count, one missing station_id
+    val payload =
+      """{"last_updated": 1757000100, "ttl": 60, "data": {"stations": [
+        |  {"station_id": "1", "num_bikes_available": 5, "num_bikes_disabled": 0,
+        |   "num_docks_available": 7, "num_docks_disabled": 0,
+        |   "is_installed": 1, "is_renting": 1, "is_returning": 1, "last_reported": 1757000050},
+        |  {"station_id": "2", "num_bikes_available": -3, "num_bikes_disabled": 0,
+        |   "num_docks_available": 7, "num_docks_disabled": 0,
+        |   "is_installed": 1, "is_renting": 1, "is_returning": 1, "last_reported": 1757000051},
+        |  {"num_bikes_available": 4, "num_bikes_disabled": 0,
+        |   "num_docks_available": 2, "num_docks_disabled": 0,
+        |   "is_installed": 1, "is_renting": 1, "is_returning": 1, "last_reported": 1757000052}
+        |]}}""".stripMargin
+    val ss = Gbfs.statusFromJson(spark,
+      Fixtures.write(dir, "bad.json", payload),
+      Timestamp.valueOf("2025-09-04 15:08:40"))
+    val store = new Store(spark, dir.toString + "/db")
+    val (appended, quarantined) = store.appendStatusValidated(ss)
+    assert(appended == 1 && quarantined == 2)
+    assert(store.status.count() == 1)
+    assert(store.status.head().getAs[String]("station_id") == "1")
+    val reasons = store.quarantinedStatus
+      .select("_reason").as[String].collect().sorted.toSeq
+    assert(reasons == Seq("negative_count", "null_station_id"))
+  }
+
   test("relative-date parse: ±Nd offsets and ISO dates (F10)") {
     val now = java.time.Instant.parse("2025-09-04T12:00:00Z")
     assert(Weather.parseRelDate("-2d", now).toString == "2025-09-02")
