@@ -28,13 +28,27 @@ object TextOps {
   def bpeishTokens(text: Column): Column =
     filter(split(regexp_replace(text, "([.,!?;:])", " $1 "), "\\s+"), t => t =!= "")
 
-  /** Distinct n-token shingles, reference-DuckDB-compatible shape:
-    * positions 1..max(len-(n-1), 1), each shingle up to n tokens joined by a
-    * single space (shorter at the tail / for short docs). */
+  /** Sliding n-token windows joined by single spaces, in O(n·len) column
+    * work: iteratively zip the token array with its k-shifted self (the
+    * obvious transform+slice formulation copies a length-n slice per
+    * position — O(len²) per document — and the shingle build sits under
+    * the whole dedup tier). zip_with pads the shorter shifted side with
+    * nulls, which concat propagates, so the trailing sub-length windows
+    * filter out; documents shorter than n degenerate to one whole-doc
+    * window (reference-DuckDB-compatible shape: positions
+    * 1..max(len-(n-1), 1)). */
+  private def slidingWindows(toks: Column, n: Int): Column = {
+    val zipped = (1 until n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), greatest(size(toks) - k, lit(1))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(toks) <= n - 1, array(concat_ws(" ", toks)))
+      .otherwise(filter(zipped, w => w.isNotNull))
+  }
+
+  /** Distinct n-token shingles (see [[slidingWindows]] for the shape). */
   def shingles(toks: Column, n: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n)))))
+    array_distinct(slidingWindows(toks, n))
 
   /** Canonical document fingerprint: md5 of the whitespace-normalized,
     * lower-cased text. Identical in any engine with md5. */
@@ -44,9 +58,7 @@ object TextOps {
   /** ALL n-token windows (multiset — unlike [[shingles]], repeats kept):
     * the basis for intra-document repetition signals. */
   def ngramsAll(toks: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
+    slidingWindows(toks, n)
 
   /** Intra-document repetition ratio: fraction of n-gram windows that are
     * repeats of an earlier window (1 - distinct/total). The standard

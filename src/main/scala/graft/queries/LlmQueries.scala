@@ -501,13 +501,19 @@ object LlmQueries {
         |  1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE)
         |    AS rep_ratio
         |FROM bg""".stripMargin) { (s, dir) =>
+      // explode + aggregate rather than three array-column expressions:
+      // CollapseProject re-inlines a shared HOF array into every consumer
+      // (no common-subexpression reuse for interpreted HOFs), so the
+      // column form built the n-gram array 3-4x per row; this builds it
+      // once and the counting is codegen'd aggregation.
       val toks = TextOps.tokens(col("text"))
-      val all = TextOps.ngramsAll(toks, 2)
-      Td.table(s, dir, "documents").select(
-        col("doc_id"),
-        size(all).as("n_bigrams"),
-        size(array_distinct(all)).as("n_distinct"),
-        TextOps.repetitionRatio(toks, 2).as("rep_ratio"))
+      Td.table(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.ngramsAll(toks, 2)).as("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_bigrams"),
+          countDistinct(col("g")).cast("int").as("n_distinct"))
+        .withColumn("rep_ratio",
+          lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams").cast("double"))
     },
 
     // ── document fingerprint (md5 of normalized text) ──
