@@ -65,11 +65,15 @@ object Dedup {
   def jaccardPairs(
       shingles: DataFrame, minJ: Double,
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
-    // The shingle table feeds the DF-cap aggregation, the per-doc sizes,
-    // and BOTH sides of the self-join — persist it so tokenize+explode runs
-    // once, not once per consumer (the cap's anti-join is broadcast, so the
-    // capped frame re-derives map-side from this cache).
-    jaccardPairsUncapped(capShingleDf(shingles.persist(), maxShingleDf), minJ)
+    // The shingle table feeds the DF-cap aggregation and BOTH sides of the
+    // self-join — persist an INTERNAL projection (not the caller's frame)
+    // so tokenize+explode runs once, not once per consumer. The cache lives
+    // as long as the returned plan is registered (CacheManager holds it);
+    // long-running services re-running dedup across corpus versions should
+    // spark.catalog.clearCache() between versions.
+    jaccardPairsUncapped(
+      capShingleDf(shingles.select("doc_id", "shingle").persist(), maxShingleDf),
+      minJ)
   }
 
   /** (doc_id, sh = 64-bit shingle hash, n_sh = doc's shingle count).
@@ -146,6 +150,8 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, rowsPerBand: Int, minJ: Double,
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    // internal frame, cached for its three consumers (signature, confirm
+    // sides); same cache-lifetime note as jaccardPairs
     val sh = capShingleDf(
       shingleTable(docs, idCol, textCol, shingleN), maxShingleDf).persist()
     val cand = lshCandidates(minhashSignature(sh, numHashes), numHashes, rowsPerBand)

@@ -461,6 +461,10 @@ object Similarity {
       invDensity: Int = 8): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    // internal index, persisted for its two consumers (bucket explode +
+    // scoring re-attach); cached until the plan is dropped from the
+    // CacheManager — clearCache() between corpus versions in long-running
+    // services
     val prep = lshPrep(vecs, idCol, embCol, tables, bits, dims, invDensity)
       .persist()
     val buckets = prep.select(col("id"),

@@ -64,7 +64,10 @@ object TextOps {
     * repeats of an earlier window (1 - distinct/total). The standard
     * duplicate-n-gram curation signal — high values flag boilerplate,
     * keyword stuffing, and degenerate generations. Pure scan-stage column
-    * work. */
+    * work — convenient for composing filters, but note the window array is
+    * built twice (Catalyst re-inlines shared HOF subtrees per consumer);
+    * bulk-scoring pipelines should use the explode + aggregate form the
+    * registered lt9 query uses (one array build + codegen'd counting). */
   def repetitionRatio(toks: Column, n: Int): Column = {
     val all = ngramsAll(toks, n)
     lit(1.0) - size(array_distinct(all)).cast("double") / size(all).cast("double")

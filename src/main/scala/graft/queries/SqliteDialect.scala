@@ -49,13 +49,35 @@ object SqliteDialect {
     strftimeCodes.foldLeft(fmt) { case (s, (k, v)) => s.replace(k, v) }
   }
 
-  /** Rewrite one statement's SQLite-isms into Spark SQL. */
+  private val stringLitRe = "'(?:[^']|'')*'".r
+
+  /** Apply `f` only to the chunks of `sql` OUTSIDE single-quoted string
+    * literals (SQLite doubles quotes to escape: 'it''s'), so value
+    * rewrites cannot mutate text inside user strings. */
+  private def mapOutsideLiterals(sql: String)(f: String => String): String = {
+    val out = new StringBuilder
+    var last = 0
+    for (m <- stringLitRe.findAllMatchIn(sql)) {
+      out ++= f(sql.substring(last, m.start))
+      out ++= m.matched
+      last = m.end
+    }
+    out ++= f(sql.substring(last))
+    out.toString
+  }
+
+  /** Rewrite one statement's SQLite-isms into Spark SQL. The two
+    * function-shaped rewrites run on the full text (their patterns span
+    * the quoted format/suffix arguments); the bare decimal-literal
+    * rewrite is restricted to text outside string literals so a value
+    * like 'speed 1.5 km' survives untouched. */
   def translate(sql: String): String = {
     val s1 = substrHourRe.replaceAllIn(sql,
       m => s"date_trunc('hour', ${m.group(1)})")
     val s2 = strftimeRe.replaceAllIn(s1,
       m => s"date_format(${m.group(2)}, '${mapStrftime(m.group(1))}')")
-    decimalLitRe.replaceAllIn(s2, m => s"${m.group(1)}D")
+    mapOutsideLiterals(s2)(chunk =>
+      decimalLitRe.replaceAllIn(chunk, m => s"${m.group(1)}D"))
   }
 
   /** Split a multi-statement script on `;`, dropping empty and

@@ -74,8 +74,18 @@ final class Store(spark: SparkSession, root: String) {
     }
   }
 
-  def quarantinedStatus: DataFrame =
-    spark.read.parquet(s"$root/quarantine/status")
+  /** Quarantined rows so far; empty (with the right schema) when nothing
+    * has ever been quarantined — "clean ingest history" is a normal state,
+    * not a missing-path error. */
+  def quarantinedStatus: DataFrame = {
+    val dir = s"$root/quarantine/status"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(dir)
+    else spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      Schemas.stationStatus.add("_reason", org.apache.spark.sql.types.StringType))
+  }
 
   def stations: DataFrame = spark.read.parquet(stationsPath)
   def status: DataFrame = spark.read.parquet(statusPath)

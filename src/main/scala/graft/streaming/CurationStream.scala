@@ -85,11 +85,25 @@ object CurationStream {
       .as[(Long, String, String, String)]
     curate(stream, minTok, maxTok, minQuality).writeStream
       .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: Dataset[CuratedDoc], _: Long) =>
-        batch.write.mode("append").parquet(outDir): Unit
+      .foreachBatch { (batch: Dataset[CuratedDoc], batchId: Long) =>
+        writeBatch(batch, batchId, outDir)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Idempotent sink: foreachBatch is at-least-once, and the state store
+    * rolls back with the replayed batch (flatMapGroupsWithState re-emits
+    * the same rows), so each batch writes its own batch_id partition with
+    * dynamic overwrite — a replay replaces itself instead of appending
+    * duplicates, preserving the cross-restart dedup guarantee end to end.
+    * Exposed for the replay-idempotence spec. */
+  private[streaming] def writeBatch(
+      batch: Dataset[CuratedDoc], batchId: Long, outDir: String): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
 }

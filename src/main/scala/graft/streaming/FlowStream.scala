@@ -99,26 +99,46 @@ object FlowStream {
       col("lat").cast("double"), col("lon").cast("double"))
     bucketDeltas(stream, bucketMinutes).writeStream
       .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: Dataset[ClosedBucketDelta], _: Long) =>
-        val touched = batch.select("bucket").distinct()
-          .as[Long].collect() // bounded: buckets closed in ONE micro-batch
-        batch.write.mode("append").parquet(deltasDir)
-        if (touched.nonEmpty) {
-          val input: Dataset[StationDelta] = spark.read.parquet(deltasDir)
-            .filter(col("bucket").isin(touched.toIndexedSeq: _*))
-            .join(broadcast(dim), "station_id")
-            .select(col("bucket"), col("station_id").as("station"),
-              col("delta"), col("lat"), col("lon"))
-            .as[StationDelta]
-          OdInference.inferFlowsPerBucket(input)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .parquet(flowsDir)
-        }
+      .foreachBatch { (batch: Dataset[ClosedBucketDelta], batchId: Long) =>
+        processBatch(spark, batch, batchId, dim, deltasDir, flowsDir)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** One micro-batch: idempotent delta write + per-touched-bucket flow
+    * refresh. foreachBatch is at-least-once — a crash between the sink
+    * write and the checkpoint commit replays the batch — so deltas are
+    * written partitioned by batch id with dynamic partition overwrite: a
+    * replayed batch REPLACES its own partition instead of appending its
+    * rows a second time (which would double every replayed station-bucket
+    * delta in all future flow recomputations). Exposed for the
+    * replay-idempotence spec. */
+  private[streaming] def processBatch(
+      spark: SparkSession,
+      batch: Dataset[ClosedBucketDelta], batchId: Long,
+      dim: DataFrame, deltasDir: String, flowsDir: String): Unit = {
+    import spark.implicits._
+    val touched = batch.select("bucket").distinct()
+      .as[Long].collect() // bounded: buckets closed in ONE micro-batch
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(deltasDir)
+    if (touched.nonEmpty) {
+      val input: Dataset[StationDelta] = spark.read.parquet(deltasDir)
+        .filter(col("bucket").isin(touched.toIndexedSeq: _*))
+        .join(broadcast(dim), "station_id")
+        .select(col("bucket"), col("station_id").as("station"),
+          col("delta"), col("lat"), col("lon"))
+        .as[StationDelta]
+      OdInference.inferFlowsPerBucket(input)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(flowsDir)
+    }
   }
 }

@@ -51,6 +51,13 @@ class SqliteDialectSpec extends SparkSpec {
       "ROUND(100.0D * a / b, 1)")
     assert(SqliteDialect.translate("SELECT name FROM stations") ==
       "SELECT name FROM stations")
+    // value rewrites must not touch text inside string literals
+    assert(SqliteDialect.translate("SELECT * FROM t WHERE note = 'speed 1.5 km'") ==
+      "SELECT * FROM t WHERE note = 'speed 1.5 km'")
+    assert(SqliteDialect.translate("SELECT 1.5 WHERE a = 'x 2.5 y' AND b > 3.5") ==
+      "SELECT 1.5D WHERE a = 'x 2.5 y' AND b > 3.5D")
+    assert(SqliteDialect.translate("SELECT 'it''s 1.5' AS s, 2.5 AS v") ==
+      "SELECT 'it''s 1.5' AS s, 2.5D AS v")
   }
 
   test("reference queries.sql splits into the four declared KPI statements") {

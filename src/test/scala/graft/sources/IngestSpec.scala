@@ -129,6 +129,10 @@ class IngestSpec extends SparkSpec {
     val reasons = store.quarantinedStatus
       .select("_reason").as[String].collect().sorted.toSeq
     assert(reasons == Seq("negative_count", "null_station_id"))
+    // a store with a clean history reports an EMPTY quarantine, not an error
+    val clean = new Store(spark, dir.toString + "/db_clean")
+    assert(clean.quarantinedStatus.isEmpty)
+    assert(clean.quarantinedStatus.columns.contains("_reason"))
   }
 
   test("relative-date parse: ±Nd offsets and ISO dates (F10)") {

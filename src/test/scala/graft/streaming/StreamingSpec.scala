@@ -258,6 +258,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall(_ < 100000))
   }
 
+  test("replayed micro-batches are idempotent for both streaming sinks") {
+    import org.apache.spark.sql.functions._
+    val dir = Fixtures.tempDir("stream8")
+    // FlowStream: process the same batch twice (simulating foreachBatch
+    // replay after a crash between sink write and checkpoint commit)
+    val deltas = Seq(
+      ClosedBucketDelta("1", 3600L, 2L), ClosedBucketDelta("2", 3600L, -2L))
+      .toDS()
+    val stations = Gbfs.stationsFromJson(spark,
+      Fixtures.write(dir, "si.json", Fixtures.stationInfo))
+      .select(col("station_id"), col("lat").cast("double"), col("lon").cast("double"))
+    val dDir = dir.resolve("d").toString
+    val fDir = dir.resolve("f").toString
+    FlowStream.processBatch(spark, deltas, 7L, stations, dDir, fDir)
+    val once = spark.read.parquet(fDir)
+      .select("o", "d", "flow").as[(String, String, Long)].collect().toSet
+    FlowStream.processBatch(spark, deltas, 7L, stations, dDir, fDir) // replay
+    val twice = spark.read.parquet(fDir)
+      .select("o", "d", "flow").as[(String, String, Long)].collect().toSet
+    assert(once == twice && once.nonEmpty)
+    assert(spark.read.parquet(dDir).count() == 2) // deltas not duplicated
+
+    // CurationStream: same replay pattern
+    val doc = CuratedDoc(1L, "en", "src0",
+      "some reasonable document text with enough tokens to pass the window " +
+        "quality filter because it keeps going and going with variety",
+      "fp1", 20, 0.9)
+    val cDir = dir.resolve("c").toString
+    CurationStream.writeBatch(Seq(doc).toDS(), 3L, cDir)
+    CurationStream.writeBatch(Seq(doc).toDS(), 3L, cDir) // replay
+    assert(spark.read.parquet(cDir).count() == 1)
+  }
+
   test("watermark dedup drops duplicate (station, scraped_at) rows in-stream") {
     val dir = Fixtures.tempDir("stream2")
     val snaps = snapshots(dir)
