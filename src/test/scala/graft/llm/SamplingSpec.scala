@@ -31,6 +31,18 @@ class SamplingSpec extends SparkSpec {
     assert(frac > 0.2 && frac < 0.4, s"kept fraction $frac")
   }
 
+  test("mixtureSample rates are NESTED: raising a rate only adds rows") {
+    // keep-iff-hash<rate*1000 makes samples monotone in the rate — scaling
+    // a source's mix up reuses every row already selected (reproducible
+    // dataset growth), rather than reshuffling the sample
+    val low = Sampling.mixtureSample(docs, "doc_id", "source", Map.empty, 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val high = Sampling.mixtureSample(docs, "doc_id", "source", Map.empty, 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(low.subsetOf(high))
+    assert(low.size < high.size)
+  }
+
   test("quotaSample: caps every stratum at the quota, keeps small strata whole") {
     val quota = 20
     val sampled = Sampling.quotaSample(docs, "doc_id", "lang", quota)

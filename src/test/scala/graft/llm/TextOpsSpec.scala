@@ -47,6 +47,29 @@ class TextOpsSpec extends SparkSpec {
     assert(got == cases.map(_._2))
   }
 
+  test("sliding windows match the naive position-slice reference on random inputs") {
+    // regression guard for the shifted-zip builder: same output as the
+    // spec'd shape (positions 1..max(len-(n-1),1), windows of up to n
+    // tokens) on random corpora incl. empty and shorter-than-n docs
+    val rnd = new scala.util.Random(42)
+    val cases = ((0 until 60).map { _ =>
+      val len = rnd.nextInt(12)
+      (0 until len).map(_ => s"t${rnd.nextInt(6)}").mkString(" ")
+    } :+ "" :+ "single").zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = cases.toDF("id", "text")
+    for (n <- 2 to 4) {
+      val got = df
+        .select(col("id"), TextOps.ngramsAll(TextOps.tokens(col("text")), n).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      cases.foreach { case (i, t) =>
+        val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+        val expected = (1 to math.max(toks.length - (n - 1), 1))
+          .map(p => toks.slice(p - 1, p - 1 + n).mkString(" "))
+        assert(got(i) == expected, s"n=$n text='$t'")
+      }
+    }
+  }
+
   test("repetitionRatio: 0 for all-unique bigrams, high for degenerate text") {
     val df = Seq(
       (1L, "a b c d e f"),           // all bigrams unique
