@@ -66,12 +66,22 @@ object Bench {
         case e: Throwable =>
           errors ::= name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           None
+      } finally {
+        // Per-query cache hygiene (untimed): a 69-query run must not
+        // accumulate dead cached RDDs from the dedup tier's internal
+        // persists — harmless at 128 GiB, eviction thrash beyond.
+        graft.llm.Caches.releaseAll(spark)
       }
     }
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    // 1-minute system load average, so a load-contaminated snapshot (e.g.
+    // the driver's own pipeline still finishing) is self-diagnosing.
+    val loadAvg =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","load_avg":$loadAvg,"queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

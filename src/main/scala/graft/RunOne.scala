@@ -26,6 +26,9 @@ object RunOne {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         println(f"[runone] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        // match Bench's per-query cache hygiene so repeat timings aren't
+        // flattered by a cache the bench run won't have
+        graft.llm.Caches.releaseAll(spark)
       }
     }
     spark.stop()

@@ -67,12 +67,11 @@ object Dedup {
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     // The shingle table feeds the DF-cap aggregation and BOTH sides of the
     // self-join — persist an INTERNAL projection (not the caller's frame)
-    // so tokenize+explode runs once, not once per consumer. The cache lives
-    // as long as the returned plan is registered (CacheManager holds it);
-    // long-running services re-running dedup across corpus versions should
-    // spark.catalog.clearCache() between versions.
+    // so tokenize+explode runs once, not once per consumer. Registered with
+    // [[Caches]]: call Caches.release() after the action consuming the
+    // returned frame to free it (no global clearCache needed).
     jaccardPairsUncapped(
-      capShingleDf(shingles.select("doc_id", "shingle").persist(), maxShingleDf),
+      capShingleDf(Caches.persist(shingles.select("doc_id", "shingle")), maxShingleDf),
       minJ)
   }
 
@@ -151,9 +150,9 @@ object Dedup {
       shingleN: Int, numHashes: Int, rowsPerBand: Int, minJ: Double,
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     // internal frame, cached for its three consumers (signature, confirm
-    // sides); same cache-lifetime note as jaccardPairs
-    val sh = capShingleDf(
-      shingleTable(docs, idCol, textCol, shingleN), maxShingleDf).persist()
+    // sides); released via Caches.release() — same lifecycle as jaccardPairs
+    val sh = Caches.persist(capShingleDf(
+      shingleTable(docs, idCol, textCol, shingleN), maxShingleDf))
     val cand = lshCandidates(minhashSignature(sh, numHashes), numHashes, rowsPerBand)
     val hashed = hashedWithSize(sh)
     val a = hashed.toDF("d1", "s1", "n1")

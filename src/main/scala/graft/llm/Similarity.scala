@@ -448,12 +448,18 @@ object Similarity {
     * (tbl, code) then id. Recall follows the same 1-(1-p^bits)^tables
     * geometry as [[lshTopKOnIndex]].
     *
-    * Size `bits` to the threshold and corpus: random-pair candidate rate is
-    * ~1-(1-2^-bits)^tables (the default 16x4 admits ~60% of pairs — fine
-    * for a low threshold on a small corpus, NOT sub-quadratic). At 100 TB
-    * with near-dup-grade thresholds (cos >= ~0.8, where per-plane agreement
-    * p >= ~0.8) use bits 8-16: candidate rate falls geometrically while
-    * true near-dups keep p^bits high.
+    * Size `bits` to the threshold: random-pair candidate rate is
+    * ~1-(1-2^-bits)^tables. At near-dup-grade thresholds (cos >= ~0.8,
+    * where per-plane agreement p >= ~0.8) use bits 8-16 — candidate rate
+    * falls geometrically while true near-dups keep p^bits high; the
+    * registered `ld7` query ships 16 tables × 10 bits (invDensity 4):
+    * ~2% of random pairs admitted, planted cos≈0.97 twins recalled at
+    * ~100% (both pinned by SimilaritySpec). The permissive 16×4 default
+    * serves only BORDERLINE thresholds (cos barely above random, e.g.
+    * 0.45 on a centered corpus) where no geometry is selective — there
+    * the per-plane agreement gap vs random pairs (~0.65 vs 0.5) is too
+    * small for any (bits, tables) to separate, and recall has to be
+    * bought with candidate volume.
     * Output: d1 < d2, cosine >= minCos. */
   def lshNearDups(
       vecs: DataFrame, idCol: String, embCol: String, minCos: Double,
@@ -462,11 +468,10 @@ object Similarity {
     val spark = vecs.sparkSession
     import spark.implicits._
     // internal index, persisted for its two consumers (bucket explode +
-    // scoring re-attach); cached until the plan is dropped from the
-    // CacheManager — clearCache() between corpus versions in long-running
-    // services
-    val prep = lshPrep(vecs, idCol, embCol, tables, bits, dims, invDensity)
-      .persist()
+    // scoring re-attach); released via Caches.release() after the
+    // consuming action
+    val prep = Caches.persist(
+      lshPrep(vecs, idCol, embCol, tables, bits, dims, invDensity))
     val buckets = prep.select(col("id"),
       posexplode(col("codes")).as(Seq("tbl", "code")))
     val cand = buckets.as("a")

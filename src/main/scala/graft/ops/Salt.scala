@@ -30,20 +30,29 @@ object Salt {
     * (key, salt), then combined per key. `partial` and `combine` must form
     * a semigroup (sum/sum, count/sum, min/min, max/max...).
     *
-    * The salt mixes the row-content hash with the physical position
-    * (partition id + per-partition row index), so exact-duplicate rows of a
-    * hot key — the common duplicated-row skew case — still spread across
-    * buckets instead of collapsing into one. Salt values are therefore not
-    * replay-stable across repartitionings, which is safe here: the salt
-    * only routes rows between semigroup partials; the combined result is
-    * identical for any assignment. */
+    * The salt is a pure function of row CONTENT (xxhash64 over every
+    * column, plus any caller-supplied `disambiguators`), never of physical
+    * position. Position-derived salts (partition id, row index,
+    * monotonically_increasing_id) are not replay-stable: after a shuffle
+    * fetch failure or under speculation, a recomputed upstream partition
+    * can assign the same row to a different bucket than the copy a
+    * completed phase-1 reducer already consumed — rows get double-counted
+    * or dropped. Content hashing makes every retry route every row
+    * identically, so the two-phase result is exactly the direct aggregate.
+    *
+    * Caveat: exact-duplicate rows of a hot key hash to ONE bucket, so a
+    * key whose skew comes mostly from duplicated rows is not spread. When
+    * the caller has a deterministic per-row identity column (event id,
+    * source offset), pass it via `disambiguators` to spread duplicates
+    * without giving up replay stability. */
   def saltedAgg(
       df: DataFrame, keys: Seq[String], buckets: Int,
-      partial: Seq[(Column, String)], combine: Seq[(String => Column, String)]): DataFrame = {
+      partial: Seq[(Column, String)], combine: Seq[(String => Column, String)],
+      disambiguators: Seq[Column] = Nil): DataFrame = {
     require(!df.columns.contains("__salt"),
       "saltedAgg: input already has a __salt column; rename it first")
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id() +: df.columns.toIndexedSeq.map(col): _*),
+      pmod(xxhash64(df.columns.toIndexedSeq.map(col) ++ disambiguators: _*),
         lit(buckets)))
     val phase1 = salted
       .groupBy((keys :+ "__salt").map(col): _*)
@@ -57,9 +66,10 @@ object Salt {
 
   /** Salted sum+count (the common case). */
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
-      buckets: Int = 16): DataFrame =
+      buckets: Int = 16, disambiguators: Seq[Column] = Nil): DataFrame =
     saltedAgg(df, keys, buckets,
       partial = Seq(sum(col(valueCol)) -> "sum_value", count(lit(1)) -> "n"),
       combine = Seq(((n: String) => sum(col(n))) -> "sum_value",
-        ((n: String) => sum(col(n))) -> "n"))
+        ((n: String) => sum(col(n))) -> "n"),
+      disambiguators = disambiguators)
 }

@@ -70,12 +70,14 @@ object LlmQueries {
   }
 
   /** DuckDB quantized-embedding CTEs (twin of Similarity.quantize):
-    * per-component rows + per-vector squared norms. */
-  private val quantCtes =
-    """qc AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-      |  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
-      |  FROM embeddings),
-      |nrm AS (SELECT vec_id, sum(x*x) AS nn FROM qc GROUP BY 1)""".stripMargin
+    * per-component rows + per-vector squared norms, over `src` (the base
+    * embeddings table, or a derived corpus CTE). */
+  private def quantCtesFrom(src: String) =
+    s"""qc AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
+       |  FROM $src),
+       |nrm AS (SELECT vec_id, sum(x*x) AS nn FROM qc GROUP BY 1)""".stripMargin
+  private val quantCtes = quantCtesFrom("embeddings")
 
   /** Quantized component `d` (0-based) of an embedding row, as DuckDB SQL
     * (list indexing is 1-based). */
@@ -111,7 +113,9 @@ object LlmQueries {
   /** `codes` CTE: one (vec_id, t, code) row per LSH table, with the
     * engine's sparse projection planes embedded as literal arithmetic
     * (same dims, same summation order → identical codes). */
-  private def lshCodesCte(tables: Int, bits: Int, dims: Int, inv: Int): String = {
+  private def lshCodesCte(
+      tables: Int, bits: Int, dims: Int, inv: Int,
+      src: String = "embeddings"): String = {
     val terms = Similarity.planeTerms(tables, bits, dims, inv)
     def planeExpr(tp: Int): String =
       if (terms(tp).isEmpty) "0.0"
@@ -126,7 +130,42 @@ object LlmQueries {
     val codeList = (0 until tables).map(codeExpr).mkString(",\n    ")
     s"""codes AS (SELECT vec_id, unnest(range(0, $tables)) AS t,
        |  unnest([$codeList]) AS code
-       |  FROM embeddings)""".stripMargin
+       |  FROM $src)""".stripMargin
+  }
+
+  /** The embedding near-dup demonstration corpus: the testdata embeddings
+    * are purely random vectors (max pair cosine ~0.51 at every SF — the
+    * only pairs past any threshold are the random tail, where NO LSH
+    * geometry can be selective: the 0.45-vs-random per-plane agreement gap
+    * is ~0.65 vs 0.5), so the scale path is demonstrated on the corpus
+    * plus deterministic planted twins: every `vec_id % 50 == 0` vector
+    * gains a twin (`vec_id + 1000000`) whose first component is shifted by
+    * +0.25 in double space — cos(orig, twin) ≈ 0.97, squarely in the
+    * near-dup regime the operator is built for. The derivation is
+    * declarative on both engines (float→double widening is exact, +0.25 is
+    * exact in binary, quantization follows), so the oracle reproduces the
+    * corpus bit-for-bit. */
+  private val plantedCorpusCte =
+    """corpus AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      |  FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id,
+      |    list_concat([CAST(embedding[1] AS DOUBLE) + 0.25],
+      |      list_transform(embedding[2:], x -> CAST(x AS DOUBLE))) AS embedding
+      |  FROM embeddings WHERE vec_id % 50 = 0)""".stripMargin
+
+  /** Spark twin of [[plantedCorpusCte]]. */
+  private def plantedCorpus(vecs: DataFrame, dims: Int = 64): DataFrame = {
+    val twins = vecs.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 1).cast("double") + lit(0.25)),
+          transform(slice(col("embedding"), 2, dims - 1), x => x.cast("double"))
+        ).as("embedding"))
+    vecs.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .unionByName(twins)
   }
 
   private def ls2Oracle(
@@ -140,11 +179,12 @@ object LlmQueries {
 
   /** LSH near-dup pair oracle: symmetric code self-join (d1 < d2) then
     * exact quantized cosine at `minCos` — the twin of
-    * [[Similarity.lshNearDups]]. */
+    * [[Similarity.lshNearDups]] over the planted-twin corpus. */
   private def ld7Oracle(
       minCos: Double, tables: Int, bits: Int, dims: Int, inv: Int): String =
-    s"""WITH $quantCtes,
-       |${lshCodesCte(tables, bits, dims, inv)},
+    s"""WITH $plantedCorpusCte,
+       |${quantCtesFrom("corpus")},
+       |${lshCodesCte(tables, bits, dims, inv, "corpus")},
        |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
        |  FROM codes a JOIN codes b ON a.t = b.t AND a.code = b.code
        |  WHERE a.vec_id < b.vec_id),
@@ -251,11 +291,18 @@ object LlmQueries {
     // ── embedding near-dup via LSH bucketing — the registered SCALE path
     //    for ld5: symmetric id-only bucket self-join (never all-pairs,
     //    nothing broadcast/collected), exact cosine confirm on candidates.
-    //    Threshold 0.45 matches ld5 so the two paths are comparable. ──
+    //    Geometry 16×10-bit (invDensity 4) is the scale-safe regime: ~2% of
+    //    random pairs become candidates (measured at sf0.01 AND sf0.1;
+    //    SimilaritySpec pins < 5%) while cos≈0.97 twins collide with
+    //    probability ~1 (planted recall 100%, also pinned). Runs at a
+    //    genuine near-dup threshold (0.9) over the planted-twin corpus —
+    //    see [[plantedCorpusCte]] for why the random testdata corpus can't
+    //    demonstrate this regime by itself. ──
     q("ld7_embed_neardup_lsh",
-      ld7Oracle(minCos = 0.45, tables = 16, bits = 4, dims = 64, inv = 8)) { (s, dir) =>
+      ld7Oracle(minCos = 0.9, tables = 16, bits = 10, dims = 64, inv = 4)) { (s, dir) =>
       Similarity.lshNearDups(
-        Td.table(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+        plantedCorpus(Td.table(s, dir, "embeddings")), "vec_id", "embedding", 0.9,
+        tables = 16, bits = 10, invDensity = 4)
     },
 
     // ── brute-force cosine top-10 ANN (queries = vec_id % 40 = 0) ──

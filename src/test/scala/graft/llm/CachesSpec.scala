@@ -1,0 +1,42 @@
+package graft.llm
+
+import graft.{SparkSpec, Td}
+
+/** Pins the dedup/similarity tier's cache lifecycle: every internal
+  * persist is released by Caches.release() after the consuming action —
+  * no dead cached RDDs accumulate across queries (the Bench/Verify/RunOne
+  * loops call releaseAll between queries). */
+class CachesSpec extends SparkSpec {
+
+  private def noopWrite(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
+  test("jaccardPairs / lshNearDups internal caches are gone after release()") {
+    Caches.releaseAll(spark) // clean slate (suites share one JVM session)
+    val docs = Td.table(spark, Sf0001, "documents")
+    noopWrite(Dedup.jaccardPairs(
+      Dedup.shingleTable(docs, "doc_id", "text", 3), 0.8))
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "expected the internal shingle cache to be materialized")
+    Caches.release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "release() must free every internal persist")
+
+    val vecs = Td.table(spark, Sf0001, "embeddings")
+    noopWrite(Similarity.lshNearDups(vecs, "vec_id", "embedding", 0.45))
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    Caches.release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("releaseAll also clears dedupClusters' localCheckpoint storage") {
+    Caches.releaseAll(spark)
+    val docs = Td.table(spark, Sf0001, "documents")
+    noopWrite(Dedup.dedupClusters(Dedup.minhashNearDups(
+      docs, "doc_id", "text", shingleN = 3, numHashes = 32,
+      rowsPerBand = 4, minJ = 0.8)))
+    Caches.releaseAll(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "releaseAll must leave zero persistent RDDs (incl. checkpoints)")
+  }
+}

@@ -71,6 +71,54 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall=$recall (exact=${exact.size}, lsh=${lsh.size})")
   }
 
+  test("registered ld7 geometry (16 tables x 10 bits) admits < 5% of random pairs as candidates") {
+    // The embeddings tables are random centered vectors, i.e. a worst-case
+    // (structureless) corpus for bucketing: every candidate pair is a false
+    // positive the confirm pass must pay for. The scale contract is that the
+    // candidate join stays a small fraction of n^2/2 there.
+    val vecs = graft.Td.table(spark, Sf0001, "embeddings")
+    val n = vecs.count()
+    val idx = Similarity.lshIndex(vecs, "vec_id", "embedding",
+      tables = 16, bits = 10, invDensity = 4)
+    val buckets = idx.select(col("id"),
+      posexplode(col("codes")).as(Seq("tbl", "code")))
+    val nCand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.code") === col("b.code") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id")).distinct().count()
+    val rate = nCand / (n * (n - 1) / 2.0)
+    assert(rate < 0.05, s"candidate rate $rate (n=$n, candidates=$nCand)")
+  }
+
+  test("planted cos~0.97 twins are all recalled by the registered ld7 geometry") {
+    // Plant a twin for every 10th vector: first component shifted +0.25 in
+    // double space -> cos(orig, twin) ~ 0.97. The registered geometry must
+    // recall every planted pair (per-table collision ~0.44 at p~0.92, so
+    // P(miss) ~ (1-0.44)^16 ~ 1e-4 per pair) while the random corpus
+    // contributes nothing at the 0.9 threshold (max random cosine ~0.5).
+    val vecs = graft.Td.table(spark, Sf0001, "embeddings")
+    val twins = vecs.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 1).cast("double") + lit(0.25)),
+          transform(slice(col("embedding"), 2, 63), x => x.cast("double"))
+        ).as("embedding"))
+    val corpus = vecs
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .unionByName(twins)
+    val found = Similarity.lshNearDups(corpus, "vec_id", "embedding", 0.9,
+        tables = 16, bits = 10, invDensity = 4)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val planted = vecs.filter(col("vec_id") % 10 === 0)
+      .select("vec_id").as[Long].collect()
+      .map(id => (id, id + 1000000L)).toSet
+    assert(planted.nonEmpty)
+    assert(found == planted,
+      s"missed ${(planted -- found).size}/${planted.size}, spurious ${(found -- planted).size}")
+  }
+
   test("centroidAssign labels well-separated clusters perfectly; ties -> min label") {
     // two orthogonal clusters: label 1 along dim 0, label 2 along dim 1
     val vecs = Seq(

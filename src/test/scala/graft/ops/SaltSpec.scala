@@ -32,4 +32,42 @@ class SaltSpec extends SparkSpec {
       assert(math.abs(salted(k)._1 - s) < 1e-6, s"sum mismatch for $k")
     }
   }
+
+  test("salt is replay-deterministic: pure function of row content, not position") {
+    // The same logical rows, shuffled into different physical layouts, must
+    // land in identical salt buckets — this is what makes the two-phase agg
+    // safe under task retries / speculation (a recomputed partition routes
+    // every row exactly as the original attempt did).
+    val rows = (1 to 500).map(i => (s"k${i % 3}", i.toDouble))
+    val a = rows.toDF("k", "v")
+    val b = rows.reverse.toDF("k", "v").repartition(7)
+    def buckets(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("__salt",
+          pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(8)))
+        .select("k", "v", "__salt").as[(String, Double, Long)]
+        .collect().map { case (k, v, s) => (k, v) -> s }.toMap
+    assert(buckets(a) == buckets(b))
+  }
+
+  test("disambiguator column spreads exact-duplicate hot rows across buckets") {
+    // 9000 byte-identical rows of one hot key: content-only salt collapses
+    // them into one bucket (documented caveat); a deterministic per-row id
+    // passed as a disambiguator spreads them while staying replay-stable.
+    val dup = (1 to 9000).map(i => ("hot", 1.0, i.toLong)).toDF("k", "v", "event_id")
+    val spread = Salt.saltedAgg(dup.select("k", "v"), Seq("k"), buckets = 8,
+      partial = Seq(count(lit(1)) -> "n"),
+      combine = Seq(((n: String) => sum(col(n))) -> "n"))
+    // content-only: all duplicates in one (key, salt) group => 1 phase-1 row
+    assert(spread.select("n").as[Long].head() == 9000L)
+
+    val withId = Salt.saltedSumCount(dup, Seq("k"), "v", buckets = 8,
+      disambiguators = Seq(col("event_id")))
+      .select("k", "sum_value", "n").as[(String, Double, Long)].head()
+    assert(withId == (("hot", 9000.0, 9000L)))
+    // and the phase-1 spread is real: distinct salts > 1 for the hot key
+    val nSalts = dup
+      .withColumn("__salt", pmod(xxhash64(col("k"), col("v"), col("event_id"), col("event_id")), lit(8)))
+      .select("__salt").distinct().count()
+    assert(nSalts > 1)
+  }
 }
