@@ -24,6 +24,18 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // InferFiltersFromGenerate prepends `size(arr) > 0 AND arr IS NOT
+      // NULL` to every explode — re-evaluating the generator input once
+      // more per row. Array-building expressions here are interpreted
+      // higher-order functions with NO cross-expression CSE, so that
+      // "free" filter silently doubles the dedup/text tier's scan cost
+      // (measured: the 3-gram shingle HOF went from 1 to 2-3 evaluations
+      // per row). The filter never changes results (explode of an empty/
+      // null array emits no rows anyway) and its only scale benefit —
+      // dropping empty-array rows before a shuffle — does not apply to
+      // same-stage generates, which is all this engine has.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
       // read the raw int64 and convert in Td (truncate ns→us like DuckDB).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

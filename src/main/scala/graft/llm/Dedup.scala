@@ -27,13 +27,26 @@ object Dedup {
 
   // ── n-gram Jaccard ───────────────────────────────────────────────────────
 
-  /** (id, shingle) exploded table, distinct per doc. Tokens are materialized
-    * in their own projection first: composing `shingles(tokens(text), n)`
-    * inline would splice the tokenizer into the transform lambda, where it
-    * re-runs per shingle position — O(tokens²) regex splits per document. */
+  /** (id, shingle, n_sh) exploded table, distinct per doc, with the doc's
+    * distinct-shingle count emitted alongside every row. The count is
+    * `size()` of the in-flight shingle ARRAY — free in the scan stage —
+    * so downstream Jaccard never needs a per-doc count shuffle (the
+    * window/aggregation pass it would otherwise pay over the full exploded
+    * table). Tokens are materialized in their own projection first:
+    * composing `shingles(tokens(text), n)` inline would splice the
+    * tokenizer into the transform lambda, where it re-runs per shingle
+    * position — O(tokens²) regex splits per document. */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"), explode(TextOps.shingles(col("__toks"), n)).as("shingle"))
+      .select(col("doc_id"), TextOps.shingles(col("__toks"), n).as("__sh"))
+      // __sh referenced twice FROM ITS OWN projection: CollapseProject's
+      // multi-reference guard then refuses to inline the (expensive,
+      // interpreted) shingle HOF into the consumers, so the array is built
+      // once per document — explode(<hof>) + size(<hof>) in one projection
+      // would instead re-inline it per consumer (no CSE for interpreted
+      // HOFs) and triple the dedup tier's scan cost
+      .select(col("doc_id"), col("__sh"), size(col("__sh")).as("n_sh"))
+      .select(col("doc_id"), explode(col("__sh")).as("shingle"), col("n_sh"))
 
   /** Default per-shingle document-frequency ceiling. A shingle shared by f
     * documents contributes f·(f-1)/2 rows to the pair join — one viral
@@ -46,46 +59,73 @@ object Dedup {
     * capped and uncapped paths agree there (oracle parity). */
   val DefaultMaxShingleDf = 1000
 
-  /** Hot-shingle guard: drop shingles whose document frequency exceeds
-    * `maxDf` before any pair-generating self-join. The hot set is tiny by
-    * construction (only shingles with DF > maxDf), so it broadcasts and the
+  /** Generic hot-key document-frequency cap: drop rows whose `keyCol`
+    * value occurs more than `maxDf` times. The hot set is tiny by
+    * construction (only keys with DF > maxDf), so it broadcasts and the
     * main table is filtered map-side — no extra shuffle of the big side. */
-  def capShingleDf(shingles: DataFrame, maxDf: Int): DataFrame = {
-    val hot = shingles.groupBy("shingle").agg(count(lit(1)).as("df"))
+  private def capByDf(df: DataFrame, keyCol: String, maxDf: Int): DataFrame = {
+    val hot = df.groupBy(keyCol).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
-      .select("shingle")
-    shingles.join(broadcast(hot), Seq("shingle"), "left_anti")
+      .select(keyCol)
+    // re-select in the input's column order: a USING join (even anti)
+    // moves the join key to the front, which would silently break
+    // positional renames downstream
+    df.join(broadcast(hot), Seq(keyCol), "left_anti")
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Hot-shingle guard over a (doc_id, shingle) table — see [[capByDf]]. */
+  def capShingleDf(shingles: DataFrame, maxDf: Int): DataFrame =
+    capByDf(shingles, "shingle", maxDf)
+
+  /** (doc_id, sh = 64-bit shingle hash, n_sh = doc's distinct-shingle
+    * count). Equality on the hash shuffles and compares far cheaper than on
+    * n-gram strings (collisions ~pairs/2^64 are negligible), and the
+    * per-doc size riding every row means the pair rollup after a
+    * self/confirm join needs NO size re-joins — the intersecting-pair table
+    * (often >> the shingle table) would otherwise shuffle twice more just
+    * to attach two longs. [[shingleTable]] emits `n_sh` for free from the
+    * in-flight shingle array; a caller-built table without it falls back to
+    * one count shuffle here. */
+  private def hashedWithSize(shingles: DataFrame): DataFrame =
+    if (shingles.columns.contains("n_sh"))
+      shingles.select(col("doc_id"), xxhash64(col("shingle")).as("sh"), col("n_sh"))
+    else
+      shingles
+        .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+        .withColumn("n_sh", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+
   /** Exact all-intersecting-pairs Jaccard >= minJ via shingle self-join,
-    * with the [[capShingleDf]] hot-shingle guard applied first (pass
-    * `maxShingleDf = Int.MaxValue` to disable). This is the confirm/
-    * baseline path; candidate *generation* at scale is LSH (below).
-    * Output: d1 < d2, jaccard (double). */
+    * with the hot-shingle DF cap applied first (pass
+    * `maxShingleDf = Int.MaxValue` to disable). Union sizes always use the
+    * FULL per-doc distinct-shingle count (the cap only suppresses pair
+    * evidence from boilerplate shingles, it does not shrink documents —
+    * matching the exact-Jaccard oracle's size semantics). This is the
+    * confirm/baseline path; candidate *generation* at scale is LSH
+    * (below). Output: d1 < d2, jaccard (double).
+    *
+    * The cap rides the join's OWN shuffle: the self-join must hash-
+    * partition (and, for sort-merge, sort) both sides by the shingle hash
+    * anyway, so a `count over (partition by sh)` window on top of that
+    * exchange yields each shingle's exact document frequency with zero
+    * extra passes — no separate aggregation, no broadcast, no cache. The
+    * scan feeds one exchange, reused by both join sides. A 100 TB hot
+    * shingle means one fat (linear) partition to count and discard —
+    * the cap fires BEFORE the join can square it. */
   def jaccardPairs(
       shingles: DataFrame, minJ: Double,
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
-    // The shingle table feeds the DF-cap aggregation and BOTH sides of the
-    // self-join — persist an INTERNAL projection (not the caller's frame)
-    // so tokenize+explode runs once, not once per consumer. Registered with
-    // [[Caches]]: call Caches.release() after the action consuming the
-    // returned frame to free it (no global clearCache needed).
-    jaccardPairsUncapped(
-      capShingleDf(Caches.persist(shingles.select("doc_id", "shingle")), maxShingleDf),
-      minJ)
+    val hashed = hashedWithSize(shingles)
+    val capped =
+      if (maxShingleDf == Int.MaxValue) hashed
+      else hashed
+        .withColumn("__df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+        .filter(col("__df") <= maxShingleDf)
+        .drop("__df")
+    jaccardPairsUncapped(capped, minJ)
   }
-
-  /** (doc_id, sh = 64-bit shingle hash, n_sh = doc's shingle count).
-    * Equality on the hash shuffles and compares far cheaper than on n-gram
-    * strings (collisions ~pairs/2^64 are negligible), and the per-doc size
-    * riding every row means the pair rollup after a self/confirm join needs
-    * NO size re-joins — the intersecting-pair table (often >> the shingle
-    * table) would otherwise shuffle twice more just to attach two longs. */
-  private def hashedWithSize(shingles: DataFrame): DataFrame =
-    shingles
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-      .withColumn("n_sh", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
 
   /** Jaccard from a joined pair table carrying (d1, d2, n1, n2) per match:
     * group (sizes are functionally dependent on the doc ids), count the
@@ -100,24 +140,32 @@ object Dedup {
       .select("d1", "d2", "n_inter", "jaccard")
       .filter(col("jaccard") >= minJ)
 
-  private def jaccardPairsUncapped(shingles: DataFrame, minJ: Double): DataFrame = {
-    val hashed = hashedWithSize(shingles)
-    val a = hashed.toDF("d1", "sh", "n1")
-    val b = hashed.toDF("d2", "sh2", "n2")
+  /** Self-join + rollup over an already-hashed (doc_id, sh, n_sh) table. */
+  private def jaccardPairsUncapped(hashed: DataFrame, minJ: Double): DataFrame = {
+    val a = hashed.select(col("doc_id").as("d1"), col("sh"), col("n_sh").as("n1"))
+    val b = hashed.select(col("doc_id").as("d2"), col("sh").as("sh2"), col("n_sh").as("n2"))
     pairRollup(
       a.join(b, col("sh") === col("sh2") && col("d1") < col("d2")), minJ)
   }
 
   // ── MinHash + banded LSH ─────────────────────────────────────────────────
 
-  /** MinHash signature per doc: numHashes independent min-hashes, each
-    * min over xxhash64(seed_i, shingle). One pass over the exploded shingle
-    * table; all hashes codegen'd. */
-  def minhashSignature(shingles: DataFrame, numHashes: Int): DataFrame = {
+  /** MinHash signature from 64-bit-hashed shingle rows (`sh` column):
+    * numHashes independent min-hashes, each min over xxhash64(seed_i, sh).
+    * One pass over the exploded table; all hashes codegen'd. */
+  private def minhashSignatureHashed(hashed: DataFrame, numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
-    shingles.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      min(xxhash64(lit(i), col("sh"))).as(s"mh$i"))
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
+
+  /** MinHash signature per doc from a (doc_id, shingle) string table —
+    * hashes shingles to 64 bits first (re-seeded mixes of a 64-bit value
+    * are as valid a min-hash family as mixes of the string, and every
+    * downstream shuffle then carries longs). */
+  def minhashSignature(shingles: DataFrame, numHashes: Int): DataFrame =
+    minhashSignatureHashed(
+      shingles.select(col("doc_id"), xxhash64(col("shingle")).as("sh")), numHashes)
 
   /** Banded-LSH candidate pairs from a minhash signature table:
     * bands of `rowsPerBand` hashes each; docs agreeing on all hashes of any
@@ -149,14 +197,14 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, rowsPerBand: Int, minJ: Double,
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
-    // internal frame, cached for its three consumers (signature, confirm
-    // sides); released via Caches.release() — same lifecycle as jaccardPairs
-    val sh = Caches.persist(capShingleDf(
-      shingleTable(docs, idCol, textCol, shingleN), maxShingleDf))
-    val cand = lshCandidates(minhashSignature(sh, numHashes), numHashes, rowsPerBand)
-    val hashed = hashedWithSize(sh)
-    val a = hashed.toDF("d1", "s1", "n1")
-    val b = hashed.toDF("d2b", "s2", "n2")
+    // internal frame (three longs per row), cached for its three consumers
+    // (signature, confirm sides); released via Caches.release() — same
+    // lifecycle and size semantics as jaccardPairs
+    val sh = capByDf(Caches.persist(hashedWithSize(
+      shingleTable(docs, idCol, textCol, shingleN))), "sh", maxShingleDf)
+    val cand = lshCandidates(minhashSignatureHashed(sh, numHashes), numHashes, rowsPerBand)
+    val a = sh.select(col("doc_id").as("d1"), col("sh").as("s1"), col("n_sh").as("n1"))
+    val b = sh.select(col("doc_id").as("d2b"), col("sh").as("s2"), col("n_sh").as("n2"))
     pairRollup(
       cand.join(a, "d1")
         .join(b, col("d2") === col("d2b") && col("s1") === col("s2")),
@@ -177,8 +225,9 @@ object Dedup {
       shingles: DataFrame, splits: DataFrame,
       testSplit: String, trainSplit: String, minShared: Int,
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
-    val hashed = capShingleDf(shingles, maxShingleDf)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+    val hashed = capByDf(
+        shingles.select(col("doc_id"), xxhash64(col("shingle")).as("sh")),
+        "sh", maxShingleDf)
       .join(splits, "doc_id")
     val t = hashed.filter(col("split") === testSplit).select(col("doc_id").as("test_doc"), col("sh"))
     val tr = hashed.filter(col("split") === trainSplit).select(col("doc_id").as("train_doc"), col("sh").as("sh2"))
@@ -194,23 +243,44 @@ object Dedup {
     * survivor = min doc id per component; output (doc_id, survivor_id) for
     * every doc appearing in at least one pair.
     *
-    * Distributed min-label propagation: each iteration every node takes the
-    * min of its own label and its neighbors' labels — converges in
-    * O(component diameter) rounds (near-dup clusters are small, so a handful).
-    * The driver loop only checks a scalar convergence metric per round; the
-    * data never leaves the executors. At 100 TB this is the standard
-    * large-graph CC shape (label propagation over edge joins).
+    * Distributed min-label propagation WITH pointer doubling: each round
+    * every node first takes the min of its own and its neighbors' labels
+    * (one edge hop), then jumps to its new label's label (doubling the
+    * distance already covered). Rounds to converge are O(log diameter)
+    * instead of O(diameter) — on a length-d chain, plain propagation needs
+    * d rounds while this needs ~log2(d) — which matters twice: fewer
+    * sequential jobs (each driver-side round is a scheduling barrier and a
+    * load-variance surface) and a much smaller worst case for long-chain
+    * components. The driver loop only checks a scalar convergence metric
+    * per round; the data never leaves the executors. At 100 TB this is the
+    * standard large-graph CC shape (label propagation over edge joins, cf.
+    * two-hop / star-contraction CC).
     */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .distinct()
+    // Symmetrize via explode, not union: a union's two legs are two
+    // separate evaluations of the (expensive) pair pipeline, while the
+    // explode emits both directions from ONE pass over each pair row. No
+    // distinct either: the pair rollup upstream emits unique d1 < d2 rows
+    // (so the directions cannot collide), and duplicate edges would anyway
+    // only widen the propagation joins (min over a multiset = min over its
+    // set) — a distinct would cost a full extra shuffle of the edge table
+    // for nothing. Callers feeding non-deduped edge lists at scale should
+    // distinct() them first to keep join fan-out down.
+    val edges = pairs.select(explode(array(
+        struct(col("d1").cast("long").as("src"), col("d2").cast("long").as("dst")),
+        struct(col("d2").cast("long").as("src"), col("d1").cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     // Seed each node with min(own id, min neighbor id) — one aggregation
     // that is both the node-set build and propagation round 0 (pairs and
-    // star-shaped clusters converge immediately).
+    // star-shaped clusters converge immediately). The eager localCheckpoint
+    // is deliberate: it is the job that populates the edges cache with a
+    // SINGLE consumer — leaving the seed lazy would hand round 0 a plan
+    // referencing `edges` three times, and concurrent scans of a not-yet-
+    // cached RDD each recompute it (cache population gives no intra-job
+    // dedup), re-running the whole upstream pair pipeline in triplicate.
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min("dst").as("m"))
       .select(col("id"), least(col("id"), col("m")).as("lbl"))
@@ -220,22 +290,45 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2")).agg(min("lbl").as("nlbl"))
+      val stepped = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"), col("lbl").as("prev"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("mid"))
+      // Pointer doubling from round 1 on: labels are always node ids (the
+      // seed picks one, every later value is some node's label), so
+      // resolving id -> label ON the label itself jumps straight to what
+      // that node already knows. Round 0 skips the jump: real near-dup
+      // components are overwhelmingly diameter <= 2 (measured sf0.1 pair
+      // graph: max diameter 1), so the common case is seed + one zero-
+      // change confirm round with no extra joins — the jump's two extra
+      // shuffles would be pure overhead there. Long-chain components hit
+      // round 1+ and switch to doubled hops (O(log diameter) rounds).
+      // `stepped` feeds both sides of the jump self-join; the planner
+      // reuses the exchange (identical subplans), so the hop is one extra
+      // small shuffle, not a recomputation.
+      val jumped =
+        if (iter == 0) stepped
+        else {
+          val ptr = stepped.select(col("id").as("pid"), col("mid").as("plbl"))
+          stepped.join(ptr, stepped("mid") === col("pid"), "left")
+            .select(col("id"), col("prev"),
+              least(col("mid"), coalesce(col("plbl"), col("mid"))).as("mid"))
+        }
       // One Spark job per round: the changed-label count rides a
       // LongAccumulator through the eager localCheckpoint materialization,
       // so convergence needs no second aggregation action. localCheckpoint
       // also truncates the lineage: without it each round's plan embeds the
       // whole previous round's plan and the tree grows exponentially (on a
       // cluster, use checkpoint() with a reliable dir for lineage
-      // truncation plus fault tolerance).
+      // truncation plus fault tolerance). Termination stays correct with
+      // the extra hop: a round with zero changes is a fixpoint of the
+      // neighbor-min step alone, which on symmetric edges means adjacent
+      // nodes agree everywhere — labels are component-constant.
       val changed = spark.sparkContext.longAccumulator(s"cc_changed_$iter")
-      val next = labels.join(neighborMin, labels("id") === col("id2"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nl"),
-          (col("nlbl") < col("lbl")).as("ch"))
-        .as[(Long, Long, Option[Boolean])]
-        .map { case (id, lbl, ch) =>
-          if (ch.contains(true)) changed.add(1L)
-          (id, lbl)
+      val next = jumped
+        .as[(Long, Long, Long)]
+        .map { case (id, prev, nl) =>
+          if (nl < prev) changed.add(1L)
+          (id, nl)
         }
         .toDF("id", "lbl")
         .localCheckpoint()

@@ -11,13 +11,20 @@ class CachesSpec extends SparkSpec {
   private def noopWrite(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
-  test("jaccardPairs / lshNearDups internal caches are gone after release()") {
+  test("jaccardPairs caches nothing; minhash/lsh internal caches are gone after release()") {
     Caches.releaseAll(spark) // clean slate (suites share one JVM session)
     val docs = Td.table(spark, Sf0001, "documents")
+    // jaccardPairs rides the join's own shuffle for the DF cap — zero
+    // caches even BEFORE any release
     noopWrite(Dedup.jaccardPairs(
       Dedup.shingleTable(docs, "doc_id", "text", 3), 0.8))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "jaccardPairs must not persist anything")
+
+    noopWrite(Dedup.minhashNearDups(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 32, rowsPerBand = 4, minJ = 0.8))
     assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
-      "expected the internal shingle cache to be materialized")
+      "expected the internal hashed-shingle cache to be materialized")
     Caches.release()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "release() must free every internal persist")
