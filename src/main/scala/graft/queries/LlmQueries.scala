@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Td
 import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.sources.LlmLake
 
 /** LLM-training-data pipeline operators over the driver's documents /
   * embeddings tables: deduplication (exact, n-gram Jaccard, MinHash+LSH,
@@ -220,6 +221,40 @@ object LlmQueries {
   private def q(name: String, oracle: String)(
       f: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, f, Some(oracle))
+
+  /** DuckDB twins of `size(TextOps.tokens(text))` / `TextOps.qualityScore`
+    * over documents-shaped rows (same expressions lt6's oracle inlines). */
+  private val nTokSql =
+    """CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INT)"""
+  private val qualitySql =
+    """0.4 * least(CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE) / 100.0, 1.0)
+      |    + 0.3 * (CAST(len(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS DOUBLE)
+      |             / CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE))
+      |    + 0.3 * least(((CAST(length(text) AS DOUBLE) + 1.0)
+      |             / CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE) - 1.0) / 8.0, 1.0)""".stripMargin
+
+  /** Oracle for the bucketed-lake chain: near-dup clusters (exact Jaccard
+    * transitive closure — the same equivalence ld6's oracle rests on),
+    * non-survivor removal, curation filter, embeddings join. */
+  private val lq1Oracle: String =
+    s"""WITH RECURSIVE ${jacCtes(0.8)},
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM jac
+       |  UNION SELECT d2, d1 FROM jac),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+       |cmap AS (SELECT id AS doc_id, min(r) AS survivor_id FROM reach GROUP BY 1),
+       |removed AS (SELECT doc_id FROM cmap WHERE doc_id <> survivor_id),
+       |scored AS (SELECT doc_id, lang, text, $nTokSql AS n_tok, $qualitySql AS q
+       |  FROM documents),
+       |kept AS (SELECT * FROM scored
+       |  WHERE n_tok BETWEEN 10 AND 5000 AND q >= 0.5
+       |    AND doc_id NOT IN (SELECT doc_id FROM removed))
+       |SELECT k.doc_id, k.lang, k.n_tok,
+       |  floor(k.q * 1E6 + 0.5) / 1E6 AS quality,
+       |  e.label, CAST(round(CAST(e.embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS q0
+       |FROM kept k JOIN embeddings e ON e.vec_id = k.doc_id""".stripMargin
 
   def entries: Seq[QueryDef] = Seq(
 
@@ -616,6 +651,33 @@ object LlmQueries {
         |FROM documents""".stripMargin) { (s, dir) =>
       Multimodal.extractFeatures(
         Multimodal.binarize(Td.table(s, dir, "documents"), "doc_id", "text"))
+    },
+
+    // ── bucketed-lake end-to-end: write documents/embeddings/cluster-map
+    //    bucket-sorted on their keys, then run the chained curation read —
+    //    near-dup non-survivor removal (anti-join), token/quality filter,
+    //    embeddings attach — whose JOIN PLAN is exchange-free (asserted by
+    //    LlmLakeSpec on this very registered query). The build cost (pair
+    //    gen + bucketed writes) is the pay-once write side of the layout;
+    //    the read side is what repeats at 100 TB. ──
+    q("lq1_curated_join", lq1Oracle) { (s, dir) =>
+      val loc = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_lq1_lake").getAbsolutePath
+      // 8 buckets: enough to prove the co-located layout at test SFs
+      // without 32-file-per-table write churn; at real volume size buckets
+      // to the row-group sweet spot (LlmLake scaladoc)
+      val lake = new LlmLake(s, "graft_lq1", loc, buckets = 8)
+      lake.drop()
+      lake.bootstrap()
+      lake.writeDocuments(Td.table(s, dir, "documents"))
+      lake.writeEmbeddings(Td.table(s, dir, "embeddings"))
+      lake.writeClusterMap()
+      lake.curatedWithEmbeddings()
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          (floor(col("quality") * 1e6 + 0.5) / 1e6).as("quality"),
+          col("label"),
+          round(element_at(col("embedding"), 1).cast("double") * lit(1000.0))
+            .cast("long").as("q0"))
     },
 
     // ── multimodal frame sampling: every 2nd 64-byte frame of the payload,

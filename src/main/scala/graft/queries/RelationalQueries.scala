@@ -401,16 +401,27 @@ object RelationalQueries {
     },
 
     // ── approx_count_distinct (HLL++) — the 100 TB path beside A1's exact
-    //    distinct: no Expand, constant memory per group. Sketch values are
-    //    engine-specific → rows-only driver check; the <2% relative-error
-    //    bound vs exact is pinned in RelationalOpsSpec. ──
-    QueryDef("a11_approx_distinct", (s: SparkSession, dir: String) => {
+    //    distinct: no Expand, constant memory per group. The sketch VALUE is
+    //    engine-specific, but the grouping keys and the promised error
+    //    bound are not: the query emits the bound check itself
+    //    (|approx - exact| / exact <= 2%) and the oracle asserts TRUE per
+    //    group — a hash mismatch means the sketch broke its contract. The
+    //    exact countDistinct here is the bound's witness (this is the
+    //    validation query; production uses the sketch alone). The same
+    //    bound is also pinned in RelationalOpsSpec. ──
+    q("a11_approx_distinct",
+      """SELECT l_returnflag, count(*) AS n_rows, TRUE AS approx_within_2pct
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
       Td.table(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx"),
+          countDistinct(col("l_orderkey")).as("exact"),
           count(lit(1)).as("n_rows"))
-    }, None),
+        .select(col("l_returnflag"), col("n_rows"),
+          (abs(col("approx") - col("exact")).cast("double") /
+            col("exact").cast("double") <= 0.02).as("approx_within_2pct"))
+    },
 
     // ── pivot (wide per-key event-type counts) — Catalyst rewrites the
     //    explicit value list into one pass of conditional aggregates,

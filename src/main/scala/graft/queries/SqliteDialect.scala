@@ -5,13 +5,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** SQLite → Spark SQL dialect shim for the reference's literal SQL surface
   * (reference `sql/queries.sql:3-59` and the notebook cells that re-run it,
   * `notebooks/01_eda.ipynb` cells 2-4): a user can paste that text into
-  * [[run]] unchanged. Three SQLite-isms are rewritten before parse; all
+  * [[run]] unchanged. Four SQLite-isms are rewritten before parse; all
   * other constructs the reference uses (CTEs, USING joins, GROUP BY
   * ordinals, `||` concat, NULLIF/COALESCE/ROUND, LIMIT) parse natively.
   *
   *  - `STRFTIME('<fmt>', e)` → `date_format(e, '<java fmt>')`
   *    (reference `sql/queries.sql:37`; F1 in SURVEY §2.8 — the string hour
-  *    `'00'..'23'`, quirk Q8).
+  *    `'00'..'23'`, quirk Q8). The expression argument is scanned with
+  *    balanced parentheses, so nested calls translate too.
+  *  - `DATETIME(e)` (single-argument form) → `CAST(e AS TIMESTAMP)` —
+  *    SQLite's time-value canonicalizer, commonly wrapped inside STRFTIME;
+  *    the modifier forms (`DATETIME(e, '+1 day')`) are outside the
+  *    reference surface and raise a clear unsupported error.
   *  - `SUBSTR(e, 1, 13) || ':00:00'` → `date_trunc('hour', e)`
   *    (reference `sql/queries.sql:48`; F2). This is quirk Q1's documented
   *    canonicalization: the string surgery only "works" on ISO text columns,
@@ -23,9 +28,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    Spark parses it as DECIMAL(p,s) and would propagate decimal
   *    arithmetic through the occupancy percentage.
   *
-  * This is a surface shim for the reference's declared query text, not a
-  * general SQLite parser: rewrites are textual and skip nothing inside
-  * string literals of the covered patterns.
+  * All rewrites and the statement splitter are string-literal-aware
+  * (SQLite doubles quotes to escape: `'it''s'`) and `--`-comment-aware, so
+  * a `;`, quote, or function name inside a literal or comment never
+  * derails them. Unsupported constructs (strftime codes without a
+  * translation, DATETIME modifiers, non-literal formats, unterminated
+  * literals) fail fast with a message naming the construct — not at Spark
+  * parse time with a confusing error. This is a surface shim for the
+  * reference's declared query text, not a general SQLite parser.
   */
 object SqliteDialect {
 
@@ -36,58 +46,189 @@ object SqliteDialect {
     "%Y" -> "yyyy", "%m" -> "MM", "%d" -> "dd",
     "%H" -> "HH", "%M" -> "mm", "%S" -> "ss")
 
-  private val strftimeRe =
-    """(?i)\bSTRFTIME\s*\(\s*'([^']*)'\s*,\s*([^()]*?)\s*\)""".r
   private val substrHourRe =
     """(?i)\bSUBSTR\s*\(\s*([\w.]+)\s*,\s*1\s*,\s*13\s*\)\s*\|\|\s*':00:00'""".r
   private val decimalLitRe = """(?<![\w.])(\d+\.\d+)(?![\w.DdEe])""".r
 
   private[queries] def mapStrftime(fmt: String): String = {
     val unknown = "%.".r.findAllIn(fmt).toSeq.filterNot(strftimeCodes.contains)
-    require(unknown.isEmpty,
-      s"strftime code(s) ${unknown.mkString(",")} have no translation")
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"unsupported SQLite construct: strftime code(s) ${unknown.mkString(",")} " +
+        "have no Spark translation")
     strftimeCodes.foldLeft(fmt) { case (s, (k, v)) => s.replace(k, v) }
   }
 
-  private val stringLitRe = "'(?:[^']|'')*'".r
+  /** Index just past the single-quoted literal starting at `start`
+    * (`s(start)` must be `'`); SQLite escapes a quote by doubling it. */
+  private def literalEnd(s: String, start: Int): Int = {
+    var j = start + 1
+    while (j < s.length) {
+      if (s.charAt(j) == '\'') {
+        if (j + 1 < s.length && s.charAt(j + 1) == '\'') j += 2
+        else return j + 1
+      } else j += 1
+    }
+    throw new IllegalArgumentException(
+      "unsupported SQLite construct: unterminated string literal at " +
+        s"'${s.substring(start, math.min(start + 30, s.length))}...'")
+  }
+
+  /** Index just past a `--` comment starting at `start` (end of line). */
+  private def commentEnd(s: String, start: Int): Int =
+    s.indexOf('\n', start) match { case -1 => s.length; case nl => nl + 1 }
+
+  private def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
 
   /** Apply `f` only to the chunks of `sql` OUTSIDE single-quoted string
-    * literals (SQLite doubles quotes to escape: 'it''s'), so value
-    * rewrites cannot mutate text inside user strings. */
+    * literals and `--` comments, so value rewrites cannot mutate text
+    * inside user strings. */
   private def mapOutsideLiterals(sql: String)(f: String => String): String = {
     val out = new StringBuilder
     var last = 0
-    for (m <- stringLitRe.findAllMatchIn(sql)) {
-      out ++= f(sql.substring(last, m.start))
-      out ++= m.matched
-      last = m.end
+    var i = 0
+    def flushChunk(upTo: Int): Unit = { out ++= f(sql.substring(last, upTo)) }
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '\'' =>
+          flushChunk(i)
+          val e = literalEnd(sql, i)
+          out ++= sql.substring(i, e); i = e; last = e
+        case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
+          flushChunk(i)
+          val e = commentEnd(sql, i)
+          out ++= sql.substring(i, e); i = e; last = e
+        case _ => i += 1
+      }
     }
-    out ++= f(sql.substring(last))
+    flushChunk(sql.length)
     out.toString
   }
 
-  /** Rewrite one statement's SQLite-isms into Spark SQL. The two
-    * function-shaped rewrites run on the full text (their patterns span
-    * the quoted format/suffix arguments); the bare decimal-literal
-    * rewrite is restricted to text outside string literals so a value
-    * like 'speed 1.5 km' survives untouched. */
+  /** Split `args` (the inside of a call's parentheses) at top-level commas,
+    * respecting nested parentheses and string literals. */
+  private def splitTopLevel(args: String): Seq[String] = {
+    val parts = Seq.newBuilder[String]
+    var depth = 0
+    var from = 0
+    var i = 0
+    while (i < args.length) {
+      args.charAt(i) match {
+        case '\'' => i = literalEnd(args, i)
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case ',' if depth == 0 => parts += args.substring(from, i); from = i + 1; i += 1
+        case _ => i += 1
+      }
+    }
+    parts += args.substring(from)
+    parts.result()
+  }
+
+  /** Rewrite every `name(<args>)` call in `sql` — case-insensitive, word-
+    * boundary checked, balanced-paren and literal/comment aware — via
+    * `f(argsText)`. `name` NOT followed by `(` (e.g. a column called
+    * strftime) passes through untouched. */
+  private def rewriteCalls(sql: String, name: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val up = sql.toUpperCase(java.util.Locale.ROOT)
+    val uname = name.toUpperCase(java.util.Locale.ROOT)
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') { val e = literalEnd(sql, i); out ++= sql.substring(i, e); i = e }
+      else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        val e = commentEnd(sql, i); out ++= sql.substring(i, e); i = e
+      }
+      else if (up.startsWith(uname, i) && (i == 0 || !isWordChar(sql.charAt(i - 1)))) {
+        var j = i + uname.length
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        if (j < sql.length && sql.charAt(j) == '(') {
+          var depth = 1
+          var k = j + 1
+          while (k < sql.length && depth > 0) {
+            sql.charAt(k) match {
+              case '\'' => k = literalEnd(sql, k)
+              case '(' => depth += 1; k += 1
+              case ')' => depth -= 1; k += 1
+              case _ => k += 1
+            }
+          }
+          if (depth != 0) throw new IllegalArgumentException(
+            s"unsupported SQLite construct: unbalanced parentheses in $name(...)")
+          out ++= f(sql.substring(j + 1, k - 1))
+          i = k
+        } else { out += c; i += 1 }
+      }
+      else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  private def stripQuotes(lit: String): Option[String] = {
+    val t = lit.trim
+    if (t.length >= 2 && t.head == '\'' && t.last == '\'') Some(t.substring(1, t.length - 1))
+    else None
+  }
+
+  /** STRFTIME call body → date_format; the expression argument is itself
+    * re-translated (nested STRFTIME/DATETIME). */
+  private def strftimeArgs(args: String): String = {
+    val parts = splitTopLevel(args)
+    if (parts.length != 2) throw new IllegalArgumentException(
+      "unsupported SQLite construct: STRFTIME expects exactly (format, expr), got " +
+        s"${parts.length} argument(s) in STRFTIME($args)")
+    val fmt = stripQuotes(parts.head).getOrElse(throw new IllegalArgumentException(
+      s"unsupported SQLite construct: STRFTIME format must be a string literal, got ${parts.head.trim}"))
+    s"date_format(${translateCalls(parts(1).trim)}, '${mapStrftime(fmt)}')"
+  }
+
+  /** DATETIME call body → CAST(e AS TIMESTAMP); modifier forms are outside
+    * the shim's surface. */
+  private def datetimeArgs(args: String): String = {
+    val parts = splitTopLevel(args)
+    if (parts.length != 1) throw new IllegalArgumentException(
+      "unsupported SQLite construct: DATETIME with modifiers " +
+        s"(DATETIME($args)) has no Spark translation in this shim")
+    s"CAST(${translateCalls(parts.head.trim)} AS TIMESTAMP)"
+  }
+
+  /** The two function-shaped rewrites, applied recursively. */
+  private def translateCalls(sql: String): String =
+    rewriteCalls(rewriteCalls(sql, "STRFTIME")(strftimeArgs), "DATETIME")(datetimeArgs)
+
+  /** Rewrite one statement's SQLite-isms into Spark SQL. */
   def translate(sql: String): String = {
     val s1 = substrHourRe.replaceAllIn(sql,
       m => s"date_trunc('hour', ${m.group(1)})")
-    val s2 = strftimeRe.replaceAllIn(s1,
-      m => s"date_format(${m.group(2)}, '${mapStrftime(m.group(1))}')")
+    val s2 = translateCalls(s1)
     mapOutsideLiterals(s2)(chunk =>
       decimalLitRe.replaceAllIn(chunk, m => s"${m.group(1)}D"))
   }
 
-  /** Split a multi-statement script on `;`, dropping empty and
-    * comment-only chunks (Spark handles inline `--` comments itself). */
-  def splitStatements(script: String): Seq[String] =
-    script.split(";").toSeq
+  /** Split a multi-statement script on `;` — ignoring semicolons inside
+    * string literals and `--` comments — dropping empty and comment-only
+    * chunks (Spark handles inline `--` comments itself). */
+  def splitStatements(script: String): Seq[String] = {
+    val parts = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    while (i < script.length) {
+      script.charAt(i) match {
+        case '\'' =>
+          val e = literalEnd(script, i); cur ++= script.substring(i, e); i = e
+        case '-' if i + 1 < script.length && script.charAt(i + 1) == '-' =>
+          val e = commentEnd(script, i); cur ++= script.substring(i, e); i = e
+        case ';' => parts += cur.toString; cur.clear(); i += 1
+        case c => cur += c; i += 1
+      }
+    }
+    parts += cur.toString
+    parts.result()
       .map(_.trim)
       .filter(s => s.linesIterator.exists(l => {
         val t = l.trim; t.nonEmpty && !t.startsWith("--")
       }))
+  }
 
   /** Run a verbatim SQLite script (e.g. the reference's `sql/queries.sql`)
     * against the bootstrapped catalog; one DataFrame per statement. */

@@ -29,8 +29,17 @@ final class LlmLake(spark: SparkSession, db: String, location: String,
   def bootstrap(): Unit =
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$location'")
 
-  def drop(): Unit =
+  /** Drop the catalog database AND its on-disk location. The location
+    * cleanup matters across sessions: a fresh catalog does not know the
+    * previous run's managed tables, so DROP CASCADE alone would leave the
+    * old table directories behind and the next saveAsTable would refuse
+    * the already-occupied location. */
+  def drop(): Unit = {
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    val p = new org.apache.hadoop.fs.Path(location)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true): Unit
+  }
 
   private def writeBucketed(df: DataFrame, key: String, table: String): Unit =
     df.write.mode("overwrite")

@@ -25,10 +25,14 @@ final case class OpenBucket(hasPrev: Boolean, prevBikes: Int, bucket: Long, bike
   *     bucket's last observation and the previous bucket's close, so
   *     last-per-bucket dedup (W2) and the bucket-to-bucket lag diff (W1)
   *     happen incrementally, touching only new rows;
-  *  2. `foreachBatch` appends the finalized deltas and recomputes flows for
-  *     ONLY the buckets touched in that micro-batch (a bucket's greedy
-  *     match depends on nothing outside the bucket), dynamically
-  *     overwriting just those partitions of the flows table.
+  *  2. `foreachBatch` journals the finalized deltas (batch_id partitions,
+  *     replay-idempotent), folds them into a bucket-partitioned compaction
+  *     (`<deltasDir>_by_bucket`), and recomputes flows for ONLY the
+  *     buckets touched in that micro-batch (a bucket's greedy match
+  *     depends on nothing outside the bucket), dynamically overwriting
+  *     just those partitions of the flows table. Refresh reads prune to
+  *     the touched buckets' partitions, so per-trigger cost tracks the
+  *     trigger's own bucket count — not total stream history.
   *
   * A bucket's flows are therefore emitted/refined as its stations close,
   * and never change once every station has moved past it — the streaming
@@ -52,7 +56,14 @@ object FlowStream {
       .flatMapGroupsWithState[OpenBucket, ClosedBucketDelta](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (id: String, rows: Iterator[StatusPoint], state: GroupState[OpenBucket]) =>
-          val sorted = rows.toSeq.sortBy(_.scraped_at.getTime)
+          // total deterministic order: duplicate (station, scraped_at)
+          // observations tie-break on the bikes value, so the bucket's
+          // closing observation never depends on iterator order. (The
+          // batch/golden path breaks ties with event_id, which the status
+          // stream does not carry — parity on duplicate timestamps holds
+          // per this documented order, and exactly when timestamps are
+          // unique, which is the GBFS scrape contract.)
+          val sorted = rows.toSeq.sortBy(p => (p.scraped_at.getTime, p.bikes))
           var st = state.getOption
           val out = Seq.newBuilder[ClosedBucketDelta]
           sorted.foreach { p =>
@@ -107,14 +118,56 @@ object FlowStream {
       .start()
   }
 
-  /** One micro-batch: idempotent delta write + per-touched-bucket flow
-    * refresh. foreachBatch is at-least-once — a crash between the sink
-    * write and the checkpoint commit replays the batch — so deltas are
-    * written partitioned by batch id with dynamic partition overwrite: a
-    * replayed batch REPLACES its own partition instead of appending its
-    * rows a second time (which would double every replayed station-bucket
-    * delta in all future flow recomputations). Exposed for the
-    * replay-idempotence spec. */
+  /** The bucket-partitioned compaction of the delta journal, derived from
+    * the journal's path. The journal partitions by batch_id (what replay
+    * idempotence wants to overwrite); flow refresh filters by bucket — a
+    * non-partition column there, so reading the journal for a refresh
+    * would scan the ENTIRE history every micro-batch, a per-trigger cost
+    * growing linearly with stream age. The compaction keeps the same rows
+    * partitioned by bucket, so a refresh prunes to exactly the touched
+    * partitions. */
+  private[streaming] def bucketDir(deltasDir: String): String =
+    deltasDir.stripSuffix("/") + "_by_bucket"
+
+  /** Partition-pruned read of the touched buckets' prior deltas from the
+    * compaction (empty on the first batch). Exposed for the pruning spec. */
+  private[streaming] def priorInput(
+      spark: SparkSession, deltasDir: String, touched: Seq[Long]): DataFrame = {
+    val dir = bucketDir(deltasDir)
+    val exists = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf()).exists(new org.apache.hadoop.fs.Path(dir))
+    if (!exists)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("station_id", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("delta", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType))))
+    else
+      spark.read.parquet(dir)
+        .filter(col("bucket").isin(touched: _*))
+        .select(col("station_id"), col("delta").cast("long").as("delta"),
+          col("bucket").cast("long").as("bucket"))
+  }
+
+  /** One micro-batch: idempotent journal write + touched-bucket compaction
+    * + per-touched-bucket flow refresh.
+    *
+    * foreachBatch is at-least-once — a crash between the sink writes and
+    * the checkpoint commit replays the batch — so every write is
+    * idempotent by construction:
+    *  - the journal appends under a batch_id partition with dynamic
+    *    overwrite (a replayed batch REPLACES its own partition);
+    *  - the compaction merges the batch into its buckets' partitions with
+    *    a (station_id, bucket) key dedup — a station closes a bucket at
+    *    most once, and a replayed batch re-emits identical rows (the
+    *    stateful stage's state store is versioned with the batch), so the
+    *    dedup collapses the replay to a no-op;
+    *  - the flows refresh dynamically overwrites exactly the touched
+    *    bucket partitions, recomputed from the compaction's merged rows.
+    *
+    * Per-batch read cost is the touched buckets' partitions only (see
+    * [[priorInput]]) — O(buckets closed this trigger), independent of
+    * stream age. Exposed for the replay-idempotence spec. */
   private[streaming] def processBatch(
       spark: SparkSession,
       batch: Dataset[ClosedBucketDelta], batchId: Long,
@@ -128,8 +181,17 @@ object FlowStream {
       .partitionBy("batch_id")
       .parquet(deltasDir)
     if (touched.nonEmpty) {
-      val input: Dataset[StationDelta] = spark.read.parquet(deltasDir)
-        .filter(col("bucket").isin(touched.toIndexedSeq: _*))
+      val merged = batch.toDF()
+        .select(col("station_id"), col("delta").cast("long").as("delta"),
+          col("bucket").cast("long").as("bucket"))
+        .unionByName(priorInput(spark, deltasDir, touched.toIndexedSeq))
+        .dropDuplicates("station_id", "bucket")
+        .localCheckpoint() // pin the merge BEFORE overwriting the partitions it read
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(bucketDir(deltasDir))
+      val input: Dataset[StationDelta] = merged
         .join(broadcast(dim), "station_id")
         .select(col("bucket"), col("station_id").as("station"),
           col("delta"), col("lat"), col("lon"))

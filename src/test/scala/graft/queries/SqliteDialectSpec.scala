@@ -60,6 +60,46 @@ class SqliteDialectSpec extends SparkSpec {
       "SELECT 'it''s 1.5' AS s, 2.5D AS v")
   }
 
+  test("nested calls translate via balanced-paren scanning") {
+    assert(SqliteDialect.translate("STRFTIME('%H', DATETIME(scraped_at))") ==
+      "date_format(CAST(scraped_at AS TIMESTAMP), 'HH')")
+    assert(SqliteDialect.translate("STRFTIME('%Y-%m-%d', COALESCE(a, MIN(b, c)))") ==
+      "date_format(COALESCE(a, MIN(b, c)), 'yyyy-MM-dd')")
+    assert(SqliteDialect.translate("DATETIME(ss.scraped_at)") ==
+      "CAST(ss.scraped_at AS TIMESTAMP)")
+    // a column merely NAMED strftime passes through
+    assert(SqliteDialect.translate("SELECT strftime FROM t") ==
+      "SELECT strftime FROM t")
+    // and the translated nested form actually runs
+    val hour = spark.sql(SqliteDialect.translate(
+        "SELECT STRFTIME('%H', DATETIME('2025-09-04 15:08:00')) AS h"))
+      .collect().head.getString(0)
+    assert(hour == "15")
+  }
+
+  test("unsupported constructs fail fast with a clear message") {
+    def msg(sql: String): String =
+      intercept[IllegalArgumentException](SqliteDialect.translate(sql)).getMessage
+    assert(msg("STRFTIME('%H', ts, 'localtime')").contains("unsupported SQLite construct"))
+    assert(msg("DATETIME(ts, '+1 day')").contains("unsupported SQLite construct"))
+    assert(msg("STRFTIME(fmt_col, ts)").contains("string literal"))
+    assert(msg("STRFTIME('%H', ts").contains("unbalanced"))
+    assert(msg("SELECT 'oops").contains("unterminated"))
+    assert(msg("STRFTIME('%q', ts)").contains("%q"))
+  }
+
+  test("splitStatements ignores semicolons inside literals and comments") {
+    val script =
+      """SELECT 'a;b' AS s; -- trailing; comment
+        |SELECT 2 AS t""".stripMargin
+    val stmts = SqliteDialect.splitStatements(script)
+    assert(stmts.length == 2)
+    assert(stmts.head == "SELECT 'a;b' AS s")
+    // a quote inside a comment must not open a literal
+    val withComment = "-- don't trip\nSELECT 1; SELECT 2"
+    assert(SqliteDialect.splitStatements(withComment).length == 2)
+  }
+
   test("reference queries.sql splits into the four declared KPI statements") {
     assume(Files.exists(Paths.get(refSqlPath)))
     assert(refStatements.length == 4)

@@ -65,4 +65,16 @@ class LlmLakeSpec extends SparkSpec {
       s"expected zero exchanges incl. embeddings join, plan:\n$plan")
     assert(df.filter(col("doc_id") =!= col("vec_id")).isEmpty)
   }
+
+  test("the registered lq1_curated_join query's read plan is exchange-free") {
+    // end-to-end through the driver contract: the query fn builds its own
+    // lake (write side pays the shuffles ONCE) and the returned read plan
+    // must stay exchange-free — the promise the layout exists for
+    val df = graft.queries.Registry.queries("lq1_curated_join")(spark, Sf0001)
+    val plan = finalPlan(df)
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty,
+      s"expected zero exchanges in lq1's read plan, plan:\n$plan")
+    assert(df.count() > 0)
+  }
 }

@@ -291,6 +291,42 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(cDir).count() == 1)
   }
 
+  test("flow refresh scans only touched-bucket partitions, not the whole history") {
+    import org.apache.spark.sql.functions._
+    val dir = Fixtures.tempDir("stream9")
+    val stations = Gbfs.stationsFromJson(spark,
+      Fixtures.write(dir, "si.json", Fixtures.stationInfo))
+      .select(col("station_id"), col("lat").cast("double"), col("lon").cast("double"))
+    val dDir = dir.resolve("d").toString
+    val fDir = dir.resolve("f").toString
+    // 12 historical micro-batches, each closing its own bucket
+    (1 to 12).foreach { i =>
+      val d = Seq(
+        ClosedBucketDelta("1", i * 3600L, 2L),
+        ClosedBucketDelta("2", i * 3600L, -2L)).toDS()
+      FlowStream.processBatch(spark, d, i.toLong, stations, dDir, fDir)
+    }
+    // the refresh-side read for one touched bucket returns exactly that
+    // bucket's rows...
+    val prior = FlowStream.priorInput(spark, dDir, Seq(5 * 3600L))
+    assert(prior.collect().map(r => (r.getAs[String]("station_id"), r.getAs[Long]("bucket"))).toSet ==
+      Set(("1", 5 * 3600L), ("2", 5 * 3600L)))
+    // ...and the scan physically prunes: the file-source scan carries a
+    // partition filter on bucket and reads a fraction of the files
+    // proportional to touched buckets (1 of 12), not stream age.
+    val scans = prior.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "bucket filter must reach the scan as a partition filter")
+    val filesRead = scans.map(_.metrics("numFiles").value).sum
+    val allFiles = spark.read.parquet(FlowStream.bucketDir(dDir)).inputFiles.length.toLong
+    assert(allFiles >= 12, s"expected >=12 bucket partitions' files, got $allFiles")
+    assert(filesRead * 6 <= allFiles,
+      s"scan read $filesRead of $allFiles files — not pruned to touched buckets")
+  }
+
   test("watermark dedup drops duplicate (station, scraped_at) rows in-stream") {
     val dir = Fixtures.tempDir("stream2")
     val snaps = snapshots(dir)
