@@ -412,12 +412,21 @@ object RelationalQueries {
     q("a11_approx_distinct",
       """SELECT l_returnflag, count(*) AS n_rows, TRUE AS approx_within_2pct
         |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      // NOT agg(approx_count_distinct, countDistinct) in one pass: mixing
+      // them makes Catalyst key phase 1 by (group, value) for the exact
+      // distinct, allocating one multi-KB HLL buffer PER KEY PAIR — ~n
+      // sketches instead of one per group (measured 9 s vs ~1 s at sf0.1).
+      // Dedup first, then sketch the distinct stream: HLL registers are
+      // insensitive to duplicates, so the estimate is bit-identical, and
+      // phase 2 holds exactly one sketch per group.
       Td.table(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_orderkey")
+        .agg(count(lit(1)).as("cnt"))
         .groupBy("l_returnflag")
         .agg(
           approx_count_distinct(col("l_orderkey"), 0.01).as("approx"),
-          countDistinct(col("l_orderkey")).as("exact"),
-          count(lit(1)).as("n_rows"))
+          count(lit(1)).as("exact"),
+          sum(col("cnt")).as("n_rows"))
         .select(col("l_returnflag"), col("n_rows"),
           (abs(col("approx") - col("exact")).cast("double") /
             col("exact").cast("double") <= 0.02).as("approx_within_2pct"))
