@@ -17,7 +17,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the returned plan — releasing earlier would recompute the shared
   * intermediate once per consumer). This frees exactly the tier's own
   * caches, never the caller's.
-  */
+  *
+  * Scope contract: the registry is JVM-global, not session- or
+  * thread-scoped — [[release]] drains EVERY tracked frame. Sequential
+  * pipelines (the engine's Bench/Verify/RunOne loops, a driver running
+  * one curation job at a time) get exact lifecycle management for free;
+  * CONCURRENT pipelines sharing a JVM must coordinate (release only at a
+  * boundary where no tracked pipeline is still consuming its plan, or
+  * serialize the pipelines) — an interleaved release would unpersist a
+  * sibling's in-flight intermediate, which recomputes (correctly but
+  * once per consumer). */
 object Caches {
 
   private val tracked = new ConcurrentLinkedQueue[DataFrame]()
@@ -38,6 +47,17 @@ object Caches {
       df = tracked.poll()
     }
   }
+
+  /** Unpersist the RDD pinned by a `localCheckpoint()`ed frame.
+    * `Dataset.unpersist` cannot reach it — the checkpoint's storage lives
+    * on the RDD inside the frame's LogicalRDD leaf, not in the
+    * CacheManager — so iterative/streaming code that checkpoints per
+    * round/batch must release through this or the blocks accumulate
+    * until the driver GCs the frame reference. */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /** Harness variant ([[graft.Bench]]/[[graft.Verify]]/[[graft.RunOne]] call
     * this between queries): [[release]] plus removal of any remaining

@@ -259,6 +259,14 @@ object Dedup {
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // loud guard: the edge build casts ids to long, and cast("long") on a
+    // non-numeric column yields NULL per row — silent garbage instead of
+    // an error. String doc ids must be mapped to longs by the caller.
+    Seq("d1", "d2").foreach { c =>
+      require(pairs.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"dedupClusters: $c must be numeric doc ids, got " +
+          s"${pairs.schema(c).dataType.simpleString} (cast would silently null them)")
+    }
     // Symmetrize via explode, not union: a union's two legs are two
     // separate evaluations of the (expensive) pair pipeline, while the
     // explode emits both directions from ONE pass over each pair row. No
@@ -332,7 +340,10 @@ object Dedup {
         }
         .toDF("id", "lbl")
         .localCheckpoint()
-      labels.unpersist()
+      // release the PREVIOUS round's checkpoint storage for real:
+      // Dataset.unpersist is a no-op on localCheckpoint'd frames (the pin
+      // is on the LogicalRDD's rdd, not in the CacheManager)
+      Caches.unpersistCheckpoint(labels)
       labels = next
       converged = changed.value == 0L
       iter += 1

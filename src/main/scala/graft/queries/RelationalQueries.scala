@@ -419,12 +419,16 @@ object RelationalQueries {
       // Dedup first, then sketch the distinct stream: HLL registers are
       // insensitive to duplicates, so the estimate is bit-identical, and
       // phase 2 holds exactly one sketch per group.
+      // rsd 0.005 against the 2% pin = a 4-sigma margin: the oracle's
+      // hard TRUE must hold for any corpus the driver throws at it, not
+      // just ~2-sigma-often (the sketch is deterministic per dataset, but
+      // the bound should survive testdata regeneration)
       Td.table(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_orderkey")
         .agg(count(lit(1)).as("cnt"))
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_orderkey"), 0.01).as("approx"),
+          approx_count_distinct(col("l_orderkey"), 0.005).as("approx"),
           count(lit(1)).as("exact"),
           sum(col("cnt")).as("n_rows"))
         .select(col("l_returnflag"), col("n_rows"),

@@ -105,7 +105,7 @@ object SqliteDialect {
   }
 
   /** Split `args` (the inside of a call's parentheses) at top-level commas,
-    * respecting nested parentheses and string literals. */
+    * respecting nested parentheses, string literals, and `--` comments. */
   private def splitTopLevel(args: String): Seq[String] = {
     val parts = Seq.newBuilder[String]
     var depth = 0
@@ -114,6 +114,8 @@ object SqliteDialect {
     while (i < args.length) {
       args.charAt(i) match {
         case '\'' => i = literalEnd(args, i)
+        case '-' if i + 1 < args.length && args.charAt(i + 1) == '-' =>
+          i = commentEnd(args, i)
         case '(' => depth += 1; i += 1
         case ')' => depth -= 1; i += 1
         case ',' if depth == 0 => parts += args.substring(from, i); from = i + 1; i += 1
@@ -130,8 +132,6 @@ object SqliteDialect {
     * strftime) passes through untouched. */
   private def rewriteCalls(sql: String, name: String)(f: String => String): String = {
     val out = new StringBuilder
-    val up = sql.toUpperCase(java.util.Locale.ROOT)
-    val uname = name.toUpperCase(java.util.Locale.ROOT)
     var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
@@ -139,8 +139,13 @@ object SqliteDialect {
       else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
         val e = commentEnd(sql, i); out ++= sql.substring(i, e); i = e
       }
-      else if (up.startsWith(uname, i) && (i == 0 || !isWordChar(sql.charAt(i - 1)))) {
-        var j = i + uname.length
+      // regionMatches(ignoreCase) instead of comparing against
+      // sql.toUpperCase: locale-dependent case mappings can CHANGE STRING
+      // LENGTH (e.g. ß -> SS), silently desynchronizing index-parallel
+      // scans of the original and uppercased text
+      else if (sql.regionMatches(true, i, name, 0, name.length) &&
+          (i == 0 || !isWordChar(sql.charAt(i - 1)))) {
+        var j = i + name.length
         while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
         if (j < sql.length && sql.charAt(j) == '(') {
           var depth = 1
@@ -148,6 +153,8 @@ object SqliteDialect {
           while (k < sql.length && depth > 0) {
             sql.charAt(k) match {
               case '\'' => k = literalEnd(sql, k)
+              case '-' if k + 1 < sql.length && sql.charAt(k + 1) == '-' =>
+                k = commentEnd(sql, k)
               case '(' => depth += 1; k += 1
               case ')' => depth -= 1; k += 1
               case _ => k += 1
@@ -160,6 +167,24 @@ object SqliteDialect {
         } else { out += c; i += 1 }
       }
       else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  /** Remove `--` comments (literal-aware) from an expression fragment that
+    * is about to be re-embedded in generated text — a trailing comment
+    * would otherwise swallow whatever the generator appends on that line. */
+  private def stripComments(s: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' =>
+          val e = literalEnd(s, i); out ++= s.substring(i, e); i = e
+        case '-' if i + 1 < s.length && s.charAt(i + 1) == '-' =>
+          i = commentEnd(s, i); out += ' '
+        case c => out += c; i += 1
+      }
     }
     out.toString
   }
@@ -179,7 +204,7 @@ object SqliteDialect {
         s"${parts.length} argument(s) in STRFTIME($args)")
     val fmt = stripQuotes(parts.head).getOrElse(throw new IllegalArgumentException(
       s"unsupported SQLite construct: STRFTIME format must be a string literal, got ${parts.head.trim}"))
-    s"date_format(${translateCalls(parts(1).trim)}, '${mapStrftime(fmt)}')"
+    s"date_format(${translateCalls(stripComments(parts(1)).trim)}, '${mapStrftime(fmt)}')"
   }
 
   /** DATETIME call body → CAST(e AS TIMESTAMP); modifier forms are outside
@@ -189,17 +214,39 @@ object SqliteDialect {
     if (parts.length != 1) throw new IllegalArgumentException(
       "unsupported SQLite construct: DATETIME with modifiers " +
         s"(DATETIME($args)) has no Spark translation in this shim")
-    s"CAST(${translateCalls(parts.head.trim)} AS TIMESTAMP)"
+    s"CAST(${translateCalls(stripComments(parts.head).trim)} AS TIMESTAMP)"
   }
 
   /** The two function-shaped rewrites, applied recursively. */
   private def translateCalls(sql: String): String =
     rewriteCalls(rewriteCalls(sql, "STRFTIME")(strftimeArgs), "DATETIME")(datetimeArgs)
 
+  /** Spans (start, end) of string literals and `--` comments in `sql`. */
+  private def protectedSpans(sql: String): Seq[(Int, Int)] = {
+    val spans = Seq.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '\'' =>
+          val e = literalEnd(sql, i); spans += ((i, e)); i = e
+        case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
+          val e = commentEnd(sql, i); spans += ((i, e)); i = e
+        case _ => i += 1
+      }
+    }
+    spans.result()
+  }
+
   /** Rewrite one statement's SQLite-isms into Spark SQL. */
   def translate(sql: String): String = {
-    val s1 = substrHourRe.replaceAllIn(sql,
-      m => s"date_trunc('hour', ${m.group(1)})")
+    // The SUBSTR-hour pattern itself spans a quoted suffix (`|| ':00:00'`),
+    // so it can't run on literal-free chunks; instead matches STARTING
+    // inside a literal or comment are left untouched.
+    val spans = protectedSpans(sql)
+    val s1 = substrHourRe.replaceAllIn(sql, m =>
+      if (spans.exists(sp => m.start >= sp._1 && m.start < sp._2))
+        scala.util.matching.Regex.quoteReplacement(m.matched)
+      else s"date_trunc('hour', ${m.group(1)})")
     val s2 = translateCalls(s1)
     mapOutsideLiterals(s2)(chunk =>
       decimalLitRe.replaceAllIn(chunk, m => s"${m.group(1)}D"))

@@ -29,16 +29,26 @@ final class LlmLake(spark: SparkSession, db: String, location: String,
   def bootstrap(): Unit =
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$location'")
 
-  /** Drop the catalog database AND its on-disk location. The location
-    * cleanup matters across sessions: a fresh catalog does not know the
-    * previous run's managed tables, so DROP CASCADE alone would leave the
-    * old table directories behind and the next saveAsTable would refuse
-    * the already-occupied location. */
+  /** Drop the catalog database AND the lake's own table directories. The
+    * on-disk cleanup matters across sessions: a fresh catalog does not
+    * know the previous run's managed tables, so DROP CASCADE alone would
+    * leave the old table directories behind and the next saveAsTable
+    * would refuse the already-occupied location. Only the three table
+    * directories this lake creates are deleted (plus the root if that
+    * leaves it empty) — `location` is caller-supplied and may sit inside
+    * a shared warehouse, so a recursive delete of the root would be a
+    * data-loss footgun. */
   def drop(): Unit = {
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
-    val p = new org.apache.hadoop.fs.Path(location)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) fs.delete(p, true): Unit
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(location)
+    val fs = root.getFileSystem(conf)
+    Seq("documents", "embeddings", "cluster_map").foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(root, t)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+    }
+    if (fs.exists(root) && fs.listStatus(root).isEmpty)
+      fs.delete(root, false): Unit
   }
 
   private def writeBucketed(df: DataFrame, key: String, table: String): Unit =

@@ -129,24 +129,50 @@ object FlowStream {
   private[streaming] def bucketDir(deltasDir: String): String =
     deltasDir.stripSuffix("/") + "_by_bucket"
 
-  /** Partition-pruned read of the touched buckets' prior deltas from the
-    * compaction (empty on the first batch). Exposed for the pruning spec. */
+  private def priorSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("station_id", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("delta", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType)))
+
+  private def emptyPrior(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], priorSchema)
+
+  /** Prior deltas of the touched buckets (empty on the first batch).
+    *
+    * Normal path: the compaction's touched partition directories are read
+    * DIRECTLY (`basePath` keeps the bucket column) — per-trigger metadata
+    * cost is O(touched buckets); a plain `read.parquet(dir)` would re-list
+    * the entire partition tree every trigger, a driver-side cost growing
+    * with stream age even though the data read is pruned.
+    *
+    * Healing path: a touched bucket with NO compacted partition but an
+    * existing journal (a journal written before the compaction existed, or
+    * a deleted derived dir) is rebuilt from the journal — an O(history)
+    * read once per such bucket's first refresh; the compaction write that
+    * follows makes every later refresh of it pruned again. The compaction
+    * is thus a rebuildable derived artifact, never the sole copy.
+    * Exposed for the pruning spec. */
   private[streaming] def priorInput(
       spark: SparkSession, deltasDir: String, touched: Seq[Long]): DataFrame = {
+    import org.apache.hadoop.fs.Path
     val dir = bucketDir(deltasDir)
-    val exists = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sessionState.newHadoopConf()).exists(new org.apache.hadoop.fs.Path(dir))
-    if (!exists)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("station_id", org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("delta", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType))))
-    else
-      spark.read.parquet(dir)
-        .filter(col("bucket").isin(touched: _*))
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    val (compacted, missing) = touched.partition(b => fs.exists(new Path(dir, s"bucket=$b")))
+    val fromCompaction =
+      if (compacted.isEmpty) emptyPrior(spark)
+      else spark.read.option("basePath", dir)
+        .parquet(compacted.map(b => new Path(dir, s"bucket=$b").toString): _*)
         .select(col("station_id"), col("delta").cast("long").as("delta"),
           col("bucket").cast("long").as("bucket"))
+    val fromJournal =
+      if (missing.isEmpty || !fs.exists(new Path(deltasDir))) emptyPrior(spark)
+      else spark.read.parquet(deltasDir)
+        .filter(col("bucket").isin(missing: _*))
+        .select(col("station_id"), col("delta").cast("long").as("delta"),
+          col("bucket").cast("long").as("bucket"))
+    fromCompaction.unionByName(fromJournal)
   }
 
   /** One micro-batch: idempotent journal write + touched-bucket compaction
@@ -201,6 +227,9 @@ object FlowStream {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .parquet(flowsDir)
+      // release the per-batch checkpoint pin — a long-running stream would
+      // otherwise accumulate one pinned merged-delta copy per trigger
+      graft.llm.Caches.unpersistCheckpoint(merged)
     }
   }
 }

@@ -136,4 +136,12 @@ class DedupSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
     assert(Dedup.dedupClusters(empty).count() == 0)
   }
+
+  test("dedupClusters rejects non-numeric doc ids loudly") {
+    // cast("long") on strings yields NULL per row — the guard must fail
+    // fast instead of emitting null-labeled garbage
+    val strPairs = Seq(("doc-1", "doc-2")).toDF("d1", "d2")
+    val e = intercept[IllegalArgumentException](Dedup.dedupClusters(strPairs))
+    assert(e.getMessage.contains("numeric"))
+  }
 }

@@ -88,6 +88,20 @@ class SqliteDialectSpec extends SparkSpec {
     assert(msg("STRFTIME('%q', ts)").contains("%q"))
   }
 
+  test("comments and literals inside call arguments don't derail the scanner") {
+    // apostrophe in a comment inside the call parens; the comment is
+    // stripped so it can't swallow generated text on the same line
+    assert(SqliteDialect.translate("STRFTIME('%H', ts -- don't trip\n)") ==
+      "date_format(ts, 'HH')")
+    // SUBSTR-hour pattern TEXT inside a string literal stays untouched
+    val lit = "SELECT 'SUBSTR(ts, 1, 13) || ' AS doc, SUBSTR(ts, 1, 13) || ':00:00' AS h"
+    assert(SqliteDialect.translate(lit) ==
+      "SELECT 'SUBSTR(ts, 1, 13) || ' AS doc, date_trunc('hour', ts) AS h")
+    // length-changing case mappings can't desync the scan (ß uppercases to SS)
+    assert(SqliteDialect.translate("SELECT 'Straße' AS s, STRFTIME('%H', ts) AS h") ==
+      "SELECT 'Straße' AS s, date_format(ts, 'HH') AS h")
+  }
+
   test("splitStatements ignores semicolons inside literals and comments") {
     val script =
       """SELECT 'a;b' AS s; -- trailing; comment

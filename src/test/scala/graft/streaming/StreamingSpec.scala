@@ -311,20 +311,58 @@ class StreamingSpec extends SparkSpec {
     val prior = FlowStream.priorInput(spark, dDir, Seq(5 * 3600L))
     assert(prior.collect().map(r => (r.getAs[String]("station_id"), r.getAs[Long]("bucket"))).toSet ==
       Set(("1", 5 * 3600L), ("2", 5 * 3600L)))
-    // ...and the scan physically prunes: the file-source scan carries a
-    // partition filter on bucket and reads a fraction of the files
-    // proportional to touched buckets (1 of 12), not stream age.
+    // ...and the scan physically prunes: the read lists ONLY the touched
+    // partition directory (pruning happens at path selection, so even the
+    // driver-side file listing is O(touched buckets), not stream age) and
+    // reads a fraction of the files proportional to touched buckets.
     val scans = prior.queryExecution.executedPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }
     assert(scans.nonEmpty)
-    assert(scans.forall(_.partitionFilters.nonEmpty),
-      "bucket filter must reach the scan as a partition filter")
+    val roots = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(roots.nonEmpty && roots.forall(_.contains("bucket=" + 5 * 3600)),
+      s"scan must list only the touched partition dir, got $roots")
     val filesRead = scans.map(_.metrics("numFiles").value).sum
     val allFiles = spark.read.parquet(FlowStream.bucketDir(dDir)).inputFiles.length.toLong
     assert(allFiles >= 12, s"expected >=12 bucket partitions' files, got $allFiles")
     assert(filesRead * 6 <= allFiles,
       s"scan read $filesRead of $allFiles files — not pruned to touched buckets")
+  }
+
+  test("compaction heals from the journal when its partitions are missing") {
+    import org.apache.spark.sql.functions._
+    val dir = Fixtures.tempDir("stream10")
+    val stations = Gbfs.stationsFromJson(spark,
+      Fixtures.write(dir, "si.json", Fixtures.stationInfo))
+      .select(col("station_id"), col("lat").cast("double"), col("lon").cast("double"))
+    val dDir = dir.resolve("d").toString
+    val fDir = dir.resolve("f").toString
+    // batch 1 closes bucket B for station 1, then the derived compaction
+    // dir is deleted (equivalently: a journal written before the
+    // compaction existed)
+    FlowStream.processBatch(spark,
+      Seq(ClosedBucketDelta("1", 3600L, 2L)).toDS(), 1L, stations, dDir, fDir)
+    val bucketPath = new org.apache.hadoop.fs.Path(FlowStream.bucketDir(dDir))
+    bucketPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(bucketPath, true)
+    // batch 2 closes the SAME bucket for station 2 — the refresh must
+    // recover station 1's delta from the journal, not silently compute
+    // flows from a subset
+    FlowStream.processBatch(spark,
+      Seq(ClosedBucketDelta("2", 3600L, -2L)).toDS(), 2L, stations, dDir, fDir)
+    val got = spark.read.parquet(fDir)
+      .select("bucket", "o", "d", "flow")
+      .as[(Long, String, String, Long)].collect().toSet
+    val both = Seq(
+      ClosedBucketDelta("1", 3600L, 2L), ClosedBucketDelta("2", 3600L, -2L)).toDS()
+    val expected = graft.ops.OdInference.inferFlowsPerBucket(
+        both.join(broadcast(stations), "station_id")
+          .select(col("bucket"), col("station_id").as("station"),
+            col("delta"), col("lat"), col("lon"))
+          .as[graft.ops.StationDelta])
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(expected.nonEmpty)
+    assert(got == expected, s"got=$got expected=$expected")
   }
 
   test("watermark dedup drops duplicate (station, scraped_at) rows in-stream") {
