@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Td
-import graft.ops.{Det, TimeOps, Upsert}
+import graft.ops.{AsOfJoin, Det, TimeOps, Upsert}
 
 /** The relational operator inventory (SURVEY.md §2.2–2.6, §2.8, §2.9)
   * re-expressed over the driver's testdata tables, each with a DuckDB oracle.
@@ -175,6 +175,35 @@ object RelationalQueries {
         .join(broadcast(Td.table(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(Td.table(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .select("s_suppkey", "s_name", "n_name", "r_name")
+    },
+
+    // ── J9: as-of (backward) join — every click attributed to the same
+    //    user's latest view at-or-before it (impression attribution; the
+    //    generic "state as of event time" primitive). Spark side is the
+    //    union+window form (ONE key shuffle, no inequality-join blowup);
+    //    the oracle is DuckDB's native ASOF LEFT JOIN over the identical
+    //    tie-deduped view table. Gap in exact integer microseconds. ──
+    q("j9_asof_join",
+      """WITH views AS (SELECT user_id, ts, max(event_id) AS event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |clicks AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts,
+        |  v.event_id AS view_event_id, v.ts AS view_ts,
+        |  epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin) { (s, dir) =>
+      val ev = Td.table(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "event_id")
+      AsOfJoin.asOf(clicks, views, "user_id", "ts", "ts",
+          rightTieBreak = Seq(col("event_id")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof.event_id").as("view_event_id"),
+          col("asof.ts").as("view_ts"),
+          (unix_micros(col("ts")) - unix_micros(col("asof.ts"))).as("gap_us"))
     },
 
     // ── A1/F5: global multi-measure agg w/ exact countDistinct
@@ -434,6 +463,61 @@ object RelationalQueries {
         .select(col("l_returnflag"), col("n_rows"),
           (abs(col("approx") - col("exact")).cast("double") /
             col("exact").cast("double") <= 0.02).as("approx_within_2pct"))
+    },
+
+    // ── A14: second-moment statistics (stddev, correlation) the
+    //    DETERMINISTIC way: builtin stddev/corr accumulate doubles, so the
+    //    result depends on partition count and reduction order — a
+    //    cross-engine (and cross-run-at-different-parallelism) hash can
+    //    never pin them. Instead the exact integer moments (n, Σx, Σy,
+    //    Σx², Σy², Σxy) are summed over quantized values — decimal/hugeint
+    //    sums where squares could overflow 64 bits — and the statistics
+    //    derive in one identical double-arithmetic tail on both engines.
+    //    Reduction order cannot change any output bit. ──
+    q("a14_moments",
+      """WITH qv AS (SELECT l_returnflag,
+        |  CAST(l_quantity AS BIGINT) AS qx,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS qy
+        |  FROM lineitem),
+        |s AS (SELECT l_returnflag, count(*) AS n,
+        |  sum(qx) AS sx, sum(qy) AS sy, sum(qx*qx) AS sxx,
+        |  sum(CAST(qy AS HUGEINT) * qy) AS syy,
+        |  sum(CAST(qx AS HUGEINT) * qy) AS sxy
+        |  FROM qv GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
+        |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_p100,
+        |  sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) - 1.0)) AS std_q,
+        |  sqrt((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) - 1.0)) AS std_p100,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    AS corr_qp
+        |FROM s""".stripMargin) { (s, dir) =>
+      val qx = col("l_quantity").cast("long")
+      val qy = round(col("l_extendedprice") * 100).cast("long")
+      val sums = Td.table(s, dir, "lineitem")
+        .select(col("l_returnflag"), qx.as("qx"), qy.as("qy"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("qx")).as("sx"), sum(col("qy")).as("sy"),
+          sum(col("qx") * col("qx")).as("sxx"),
+          sum(col("qy").cast("decimal(20,0)") * col("qy")).as("syy"),
+          sum(col("qx").cast("decimal(20,0)") * col("qy")).as("sxy"))
+      val (nD, sxD, syD) =
+        (col("n").cast("double"), col("sx").cast("double"), col("sy").cast("double"))
+      val (sxxD, syyD, sxyD) =
+        (col("sxx").cast("double"), col("syy").cast("double"), col("sxy").cast("double"))
+      sums.select(col("l_returnflag"), col("n"),
+        (sxD / nD).as("mean_q"),
+        (syD / nD).as("mean_p100"),
+        sqrt((sxxD - sxD * sxD / nD) / (nD - lit(1.0))).as("std_q"),
+        sqrt((syyD - syD * syD / nD) / (nD - lit(1.0))).as("std_p100"),
+        ((nD * sxyD - sxD * syD) /
+          (sqrt(nD * sxxD - sxD * sxD) * sqrt(nD * syyD - syD * syD)))
+          .as("corr_qp"))
     },
 
     // ── pivot (wide per-key event-type counts) — Catalyst rewrites the

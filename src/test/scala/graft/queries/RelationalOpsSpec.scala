@@ -24,6 +24,32 @@ class RelationalOpsSpec extends SparkSpec {
     }
   }
 
+  test("a14 exact-moment stats agree with builtin stddev/corr to 1e-9 relative") {
+    // the builtins accumulate doubles (order-dependent last bits, so not
+    // oracle-hashable); the exact-integer-moment form must agree to fp
+    // tolerance while being bit-deterministic itself
+    val got = Registry.queries("a14_moments")(spark, Sf0001)
+      .select("l_returnflag", "std_q", "std_p100", "corr_qp")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val builtin = Td.table(spark, Sf0001, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("qx"),
+        round(col("l_extendedprice") * 100).cast("long").as("qy"))
+      .groupBy("l_returnflag")
+      .agg(stddev_samp(col("qx")).as("sq"), stddev_samp(col("qy")).as("sp"),
+        corr(col("qx"), col("qy")).as("c"))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == builtin.keySet && got.nonEmpty)
+    got.foreach { case (k, (sq, sp, c)) =>
+      val (bsq, bsp, bc) = builtin(k)
+      assert(math.abs(sq - bsq) / bsq < 1e-9, s"$k std_q $sq vs $bsq")
+      assert(math.abs(sp - bsp) / bsp < 1e-9, s"$k std_p100 $sp vs $bsp")
+      assert(math.abs(c - bc) < 1e-9, s"$k corr $c vs $bc")
+    }
+  }
+
   test("rollup emits leaf, subtotal, and grand-total rows") {
     val df = Seq(("r1", "n1", 1), ("r1", "n2", 2), ("r2", "n3", 4)).toDF("r", "n", "v")
     val got = df.rollup("r", "n").agg(sum("v").as("s"))
