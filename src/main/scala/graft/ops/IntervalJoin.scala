@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval (range) join: every point row (key, ts) matched to
+  * the interval rows (key, start, end) containing its timestamp — event→
+  * session attribution, reading-in-validity-window lookups, time-versioned
+  * dimension resolution.
+  *
+  * A literal θ-join (`p.key = i.key AND p.ts BETWEEN i.start AND i.end`)
+  * plans as an equi-join on key with the range as a post-join filter —
+  * O(points × intervals) rows PER KEY before filtering, which dense keys
+  * cannot survive. This implementation bucketizes time instead: intervals
+  * explode to the fixed-width buckets they overlap, points carry their own
+  * bucket, and the join is a pure equi-join on (key, bucket) with exact
+  * containment as a residual filter. Each matching pair meets in EXACTLY
+  * one bucket (the point's), so no post-join dedup is needed. Join width
+  * per (key, bucket) is bounded by concurrent intervals in one bucket —
+  * the 100 TB shape.
+  *
+  * Size `bucketMinutes` to the typical interval span: each interval emits
+  * span/bucket + 1 rows, so buckets much narrower than intervals inflate
+  * the build side, while buckets much wider than spans raise residual-
+  * filter waste. Bucket arithmetic is exact long microseconds (no double
+  * rounding at bucket edges).
+  */
+object IntervalJoin {
+
+  def pointInInterval(
+      points: DataFrame, intervals: DataFrame, key: String,
+      tsCol: String, startCol: String, endCol: String,
+      bucketMinutes: Int): DataFrame = {
+    val overlap = points.columns.toSet
+      .intersect(intervals.columns.filterNot(_ == key).toSet)
+    require(overlap.isEmpty,
+      s"pointInInterval: overlapping non-key columns ${overlap.mkString(", ")} — rename one side")
+    require(!points.columns.contains("__b") && !intervals.columns.contains("__b"),
+      "pointInInterval: column __b is reserved")
+    val wUs = bucketMinutes * 60L * 1000000L
+    def bucketStart(c: Column): Column =
+      unix_micros(c) - pmod(unix_micros(c), lit(wUs))
+    val p = points.withColumn("__b", bucketStart(col(tsCol))).as("p")
+    val iv = intervals
+      .withColumn("__b", explode(sequence(
+        bucketStart(col(startCol)), bucketStart(col(endCol)), lit(wUs))))
+      .as("i")
+    p.join(iv,
+        col(s"p.$key") === col(s"i.$key") && col("p.__b") === col("i.__b") &&
+          col(s"p.$tsCol") >= col(s"i.$startCol") &&
+          col(s"p.$tsCol") <= col(s"i.$endCol"))
+      .select(points.columns.toIndexedSeq.map(c => col(s"p.$c")) ++
+        intervals.columns.toIndexedSeq.filterNot(_ == key).map(c => col(s"i.$c")): _*)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Td
-import graft.ops.{AsOfJoin, Det, TimeOps, Upsert}
+import graft.ops.{AsOfJoin, Det, IntervalJoin, TimeOps, Upsert}
 
 /** The relational operator inventory (SURVEY.md §2.2–2.6, §2.8, §2.9)
   * re-expressed over the driver's testdata tables, each with a DuckDB oracle.
@@ -204,6 +204,48 @@ object RelationalQueries {
           col("asof.event_id").as("view_event_id"),
           col("asof.ts").as("view_ts"),
           (unix_micros(col("ts")) - unix_micros(col("asof.ts"))).as("gap_us"))
+    },
+
+    // ── J10: point-in-interval (range) join — purchases attributed to the
+    //    gap-based session (built from the user's OTHER events) whose time
+    //    window contains them. Spark side bucketizes time and equi-joins
+    //    on (key, bucket) with exact containment as a residual filter —
+    //    never the θ-join's O(points×intervals)-per-key blowup; the oracle
+    //    is DuckDB's native range join over the identically-derived
+    //    session intervals. ──
+    q("j10_interval_join",
+      """WITH flags AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+        |           - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w) > 86400
+        |         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM events WHERE event_type <> 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_n
+        |  FROM flags),
+        |iv AS (SELECT user_id,
+        |    user_id || '#' || CAST(session_n AS VARCHAR) AS session_id,
+        |    min(ts) AS s_start, max(ts) AS s_end
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.ts, i.session_id, i.s_start, i.s_end
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |JOIN iv i ON p.user_id = i.user_id
+        |  AND p.ts BETWEEN i.s_start AND i.s_end""".stripMargin) { (s, dir) =>
+      val ev = Td.table(s, dir, "events")
+      val sessions = TimeOps.sessionize(
+          ev.filter(col("event_type") =!= "purchase"),
+          "user_id", "ts", gapMinutes = 1440, orderTieBreak = Seq(col("event_id")))
+        .groupBy("user_id", "session_id")
+        .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      IntervalJoin.pointInInterval(purchases, sessions,
+          "user_id", "ts", "s_start", "s_end", bucketMinutes = 1440)
+        .select("event_id", "user_id", "ts", "session_id", "s_start", "s_end")
     },
 
     // ── A1/F5: global multi-measure agg w/ exact countDistinct

@@ -1,0 +1,63 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Td}
+
+class IntervalJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("points match exactly the containing intervals, inclusive bounds") {
+    val points = Seq(
+      (1L, 10L, ts("2024-01-01 10:30:00")), // inside iv A
+      (2L, 10L, ts("2024-01-01 11:00:00")), // exactly at A's end -> inclusive
+      (3L, 10L, ts("2024-01-01 12:30:00")), // in the gap -> no match
+      (4L, 20L, ts("2024-01-01 10:30:00"))  // other key, no intervals
+    ).toDF("event_id", "user_id", "ts")
+    val intervals = Seq(
+      (10L, "A", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      (10L, "B", ts("2024-01-01 13:00:00"), ts("2024-01-01 14:00:00"))
+    ).toDF("user_id", "iv_id", "s_start", "s_end")
+    val got = IntervalJoin.pointInInterval(points, intervals,
+        "user_id", "ts", "s_start", "s_end", bucketMinutes = 15)
+      .select("event_id", "iv_id").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "A"), (2L, "A")))
+  }
+
+  test("a pair meets in exactly one bucket: no duplicate output rows") {
+    // interval spans many buckets; the contained point must appear once
+    val points = Seq((1L, 10L, ts("2024-01-01 10:07:00"))).toDF("event_id", "user_id", "ts")
+    val intervals = Seq((10L, "A", ts("2024-01-01 08:00:00"), ts("2024-01-01 20:00:00")))
+      .toDF("user_id", "iv_id", "s_start", "s_end")
+    val got = IntervalJoin.pointInInterval(points, intervals,
+      "user_id", "ts", "s_start", "s_end", bucketMinutes = 5)
+    assert(got.count() == 1)
+  }
+
+  test("matches the brute-force range join on sf0.001 events sessions") {
+    val ev = Td.table(spark, Sf0001, "events")
+    val sessions = TimeOps.sessionize(
+        ev.filter(col("event_type") =!= "purchase"),
+        "user_id", "ts", gapMinutes = 1440, orderTieBreak = Seq(col("event_id")))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val got = IntervalJoin.pointInInterval(purchases, sessions,
+        "user_id", "ts", "s_start", "s_end", bucketMinutes = 1440)
+      .select("event_id", "session_id").as[(Long, String)].collect().toSet
+    // brute force θ-join (the shape the operator exists to avoid)
+    val expected = purchases.as("p")
+      .join(sessions.as("s"),
+        col("p.user_id") === col("s.user_id") &&
+          col("p.ts") >= col("s.s_start") && col("p.ts") <= col("s.s_end"))
+      .select(col("p.event_id"), col("s.session_id"))
+      .as[(Long, String)].collect().toSet
+    assert(got == expected && got.nonEmpty)
+  }
+}
