@@ -562,6 +562,33 @@ object RelationalQueries {
           .as("corr_qp"))
     },
 
+    // ── A15: exact quantiles (quartiles + median) per group. Exact
+    //    percentile sorts within the group — the VALIDATION/medium-scale
+    //    path; at 100 TB use approx_percentile (t-digest, constant memory,
+    //    engine-specific values so spec-bounded rather than hash-oracled —
+    //    see RelationalOpsSpec). Hash parity holds because quartile
+    //    interpolation over quantized integers is exact binary arithmetic
+    //    (frac ∈ {.25,.5,.75} are powers of two; lo/hi are small ints) —
+    //    every formula variant yields the identical double. ──
+    q("a15_quantiles",
+      """SELECT l_returnflag,
+        |  quantile_cont(CAST(l_quantity AS BIGINT), 0.25) AS q25,
+        |  quantile_cont(CAST(l_quantity AS BIGINT), 0.50) AS q50,
+        |  quantile_cont(CAST(l_quantity AS BIGINT), 0.75) AS q75,
+        |  CAST(min(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS qmin,
+        |  CAST(max(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS qmax
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("qx"))
+        .groupBy("l_returnflag")
+        .agg(
+          percentile(col("qx"), lit(0.25)).as("q25"),
+          percentile(col("qx"), lit(0.50)).as("q50"),
+          percentile(col("qx"), lit(0.75)).as("q75"),
+          min(col("qx")).cast("double").as("qmin"),
+          max(col("qx")).cast("double").as("qmax"))
+    },
+
     // ── pivot (wide per-key event-type counts) — Catalyst rewrites the
     //    explicit value list into one pass of conditional aggregates,
     //    exactly the oracle's CASE-sum formulation. ──

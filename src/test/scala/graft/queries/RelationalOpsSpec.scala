@@ -50,6 +50,19 @@ class RelationalOpsSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile tracks exact percentile within 1 quantity unit (the 100 TB path)") {
+    val li = Td.table(spark, Sf0001, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qx"))
+    val both = li.groupBy("l_returnflag")
+      .agg(percentile(col("qx"), lit(0.5)).as("exact"),
+        approx_percentile(col("qx"), lit(0.5), lit(1000)).as("approx"))
+      .as[(String, Double, Long)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (k, e, a) =>
+      assert(math.abs(a - e) <= 1.0, s"group $k: approx $a vs exact $e")
+    }
+  }
+
   test("rollup emits leaf, subtotal, and grand-total rows") {
     val df = Seq(("r1", "n1", 1), ("r1", "n2", 2), ("r2", "n3", 4)).toDF("r", "n", "v")
     val got = df.rollup("r", "n").agg(sum("v").as("s"))
