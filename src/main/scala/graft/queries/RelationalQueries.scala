@@ -562,6 +562,20 @@ object RelationalQueries {
           .as("corr_qp"))
     },
 
+    // ── S2: skew-resistant exact distinct count (ops/Salt.distinctCount):
+    //    phase 1 dedups on (key, value) — the shuffle spreads a hot key
+    //    across partitions BY VALUE — phase 2 counts deduped rows per key.
+    //    Same answer as countDistinct (the oracle), but no single reducer
+    //    ever holds a hot key's whole value set: the two-phase shape that
+    //    survives a key owning 10% of a 100 TB table. ──
+    q("s2_salted_distinct",
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      graft.ops.Salt.distinctCount(
+        Td.table(s, dir, "events"), Seq("event_type"), "user_id")
+        .select(col("event_type"), col("n_distinct"))
+    },
+
     // ── A15: exact quantiles (quartiles + median) per group. Exact
     //    percentile sorts within the group — the VALIDATION/medium-scale
     //    path; at 100 TB use approx_percentile (t-digest, constant memory,

@@ -66,6 +66,32 @@ class AsOfJoinSpec extends SparkSpec {
       got.values.forall(_.isDefined))
   }
 
+  test("random timelines with duplicate timestamps match the brute-force reference") {
+    // seeded random streams, coarse timestamps so duplicate ts (within and
+    // across sides) are common — the edge the ordering contract exists for
+    val rnd = new scala.util.Random(4242)
+    val leftRows = (1 to 300).map { i =>
+      (i.toLong, rnd.nextInt(8).toLong, new Timestamp(rnd.nextInt(50) * 60000L))
+    }
+    val rightRows = (1000 to 1300).map { i =>
+      (i.toLong, rnd.nextInt(8).toLong, new Timestamp(rnd.nextInt(50) * 60000L))
+    }
+    val left = leftRows.toDF("event_id", "user_id", "ts")
+    val right = rightRows.toDF("event_id", "user_id", "ts")
+    val got = AsOfJoin.asOf(left, right, "user_id", "ts", "ts",
+        rightTieBreak = Seq(col("event_id")))
+      .select(col("event_id"), col("asof.event_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    val expected = leftRows.map { case (id, k, t) =>
+      val best = rightRows
+        .filter(r => r._2 == k && !r._3.after(t))
+        .sortBy(r => (r._3.getTime, r._1)).lastOption
+      id -> best.map(_._1)
+    }.toMap
+    assert(got == expected)
+    assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty))
+  }
+
   test("the plan shuffles once on the key — no inequality join blowup") {
     val ev = Td.table(spark, Sf0001, "events")
     val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")

@@ -39,6 +39,34 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got.count() == 1)
   }
 
+  test("random overlapping intervals match the brute-force reference, incl. boundary hits") {
+    // seeded random intervals that OVERLAP within a key (unlike sessions),
+    // plus points snapped to a coarse grid so boundary-equal hits occur
+    val rnd = new scala.util.Random(77)
+    val pointRows = (1 to 300).map { i =>
+      (i.toLong, rnd.nextInt(6).toLong, new Timestamp(rnd.nextInt(200) * 300000L))
+    }
+    val ivRows = (1 to 80).map { i =>
+      val start = rnd.nextInt(180) * 300000L
+      (rnd.nextInt(6).toLong, s"iv$i",
+        new Timestamp(start), new Timestamp(start + (1 + rnd.nextInt(30)) * 300000L))
+    }
+    val points = pointRows.toDF("event_id", "user_id", "ts")
+    val intervals = ivRows.toDF("user_id", "iv_id", "s_start", "s_end")
+    val got = IntervalJoin.pointInInterval(points, intervals,
+        "user_id", "ts", "s_start", "s_end", bucketMinutes = 17)
+      .select("event_id", "iv_id").as[(Long, String)].collect()
+    // overlapping intervals -> a point can match several; result must be a
+    // BAG equal to the reference (also proves no bucket-double-counting)
+    assert(got.length == got.toSet.size)
+    val expected = (for {
+      (pid, pk, pt) <- pointRows
+      (ik, iv, s, e) <- ivRows
+      if ik == pk && !pt.before(s) && !pt.after(e)
+    } yield (pid, iv)).toSet
+    assert(got.toSet == expected && expected.nonEmpty)
+  }
+
   test("matches the brute-force range join on sf0.001 events sessions") {
     val ev = Td.table(spark, Sf0001, "events")
     val sessions = TimeOps.sessionize(
