@@ -48,6 +48,14 @@ object Bench {
         .selectExpr("dp", "size(array_distinct(toks)) AS nd", "explode(toks) AS t")
         .groupBy("t").agg(count(lit(1)), sum("dp"), sum("nd"))
         .write.mode("overwrite").format("noop").save()
+      // sketch/sort-based aggregate paths (HLL++, exact percentile): these
+      // JIT lazily and otherwise land inside whichever timed query touches
+      // them first (alphabetically a11/a15)
+      spark.range(100000).withColumn("g", col("id") % 3)
+        .groupBy("g")
+        .agg(approx_count_distinct(col("id"), 0.005),
+          percentile(col("id"), lit(0.5)))
+        .write.mode("overwrite").format("noop").save()
     } catch {
       case e: Throwable =>
         // Warmup failure means the first timed query silently re-absorbs
