@@ -38,12 +38,20 @@ object AsOfJoin {
       leftTs: String, rightTs: String,
       rightTieBreak: Seq[Column] = Nil,
       asofCol: String = "asof"): DataFrame = {
-    val reserved = Seq("__k", "__ts", "__side", "__lrow", "__rrow")
+    val reserved = Seq("__k", "__ts", "__side", "__lrow", "__rrow", "__rn")
     require(!(left.columns ++ right.columns).exists(reserved.contains),
       s"asOf: column names ${reserved.mkString(", ")} are reserved")
-    val rightDeduped =
-      if (rightTieBreak.isEmpty) right
-      else TimeOps.lastPerGroup(right, Seq(key, rightTs), rightTieBreak)
+    require(!left.columns.contains(asofCol),
+      s"asOf: output column '$asofCol' collides with a left column — pass a different asofCol")
+    // a null right timestamp can never satisfy rightTs <= leftTs (SQL
+    // three-valued logic) but WOULD sort nulls-first and get carried as a
+    // bogus match — drop such rows. Null LEFT timestamps need no handling:
+    // they sort before every right row, so the carried value is null.
+    val rightDeduped = {
+      val nonNull = right.filter(col(rightTs).isNotNull)
+      if (rightTieBreak.isEmpty) nonNull
+      else TimeOps.lastPerGroup(nonNull, Seq(key, rightTs), rightTieBreak)
+    }
     val rPayloadCols = right.columns.filterNot(_ == key).toIndexedSeq
     val rStructType = right.select(struct(rPayloadCols.map(col): _*).as("s"))
       .schema("s").dataType

@@ -31,6 +31,7 @@ object IntervalJoin {
       points: DataFrame, intervals: DataFrame, key: String,
       tsCol: String, startCol: String, endCol: String,
       bucketMinutes: Int): DataFrame = {
+    require(bucketMinutes > 0, s"pointInInterval: bucketMinutes must be positive, got $bucketMinutes")
     val overlap = points.columns.toSet
       .intersect(intervals.columns.filterNot(_ == key).toSet)
     require(overlap.isEmpty,
@@ -41,7 +42,12 @@ object IntervalJoin {
     def bucketStart(c: Column): Column =
       unix_micros(c) - pmod(unix_micros(c), lit(wUs))
     val p = points.withColumn("__b", bucketStart(col(tsCol))).as("p")
+    // inverted (end < start) or null-bounded intervals contain nothing
+    // under BETWEEN semantics; dropping them up front keeps one dirty row
+    // from crashing the job on sequence()'s bounds check
     val iv = intervals
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(startCol) <= col(endCol))
       .withColumn("__b", explode(sequence(
         bucketStart(col(startCol)), bucketStart(col(endCol)), lit(wUs))))
       .as("i")

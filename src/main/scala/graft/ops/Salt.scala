@@ -16,14 +16,16 @@ object Salt {
     * phase 1 dedups on (key, value) — the shuffle spreads a hot key across
     * partitions by value — phase 2 counts the dedup'd rows per key.
     * Equivalent to groupBy(key).agg(countDistinct(value)) with skew
-    * resistance. */
+    * resistance, INCLUDING null semantics: nulls ride through the dedup
+    * (so a key whose values are all null still emits a row) and
+    * `count(valueCol)` skips them — count 0, exactly like
+    * `count(DISTINCT valueCol)`. */
   def distinctCount(df: DataFrame, keys: Seq[String], valueCol: String,
       out: String = "n_distinct"): DataFrame =
     df.select((keys :+ valueCol).map(col): _*)
-      .filter(col(valueCol).isNotNull)
       .distinct()
       .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as(out))
+      .agg(count(col(valueCol)).as(out))
 
   /** Generic two-phase salted aggregation for algebraic measures: rows are
     * spread over `buckets` salt buckets, partially aggregated on

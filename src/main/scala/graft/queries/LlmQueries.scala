@@ -661,8 +661,30 @@ object LlmQueries {
     //    gen + bucketed writes) is the pay-once write side of the layout;
     //    the read side is what repeats at 100 TB. ──
     q("lq1_curated_join", lq1Oracle) { (s, dir) =>
-      val loc = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_lq1_lake").getAbsolutePath
+      // per-JVM location: two engine processes on one machine (e.g. a
+      // Verify and a Bench running concurrently) must not clobber each
+      // other's lake mid-build; within one JVM re-invocations reuse and
+      // rebuild the same path (drop() makes that idempotent). Leftover
+      // lakes of DEAD processes are swept here so repeated runs don't
+      // accumulate one bucketed corpus per JVM in tmpdir forever.
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      val self = java.lang.ProcessHandle.current().pid()
+      Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+        val n = f.getName
+        if (n.startsWith("graft_lq1_lake_") && f.isDirectory) {
+          val alive = n.stripPrefix("graft_lq1_lake_").toLongOption.exists(pid =>
+            pid == self || java.lang.ProcessHandle.of(pid)
+              .map[java.lang.Boolean](_.isAlive).orElse(java.lang.Boolean.FALSE))
+          if (!alive) {
+            def rm(x: java.io.File): Unit = {
+              Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+              x.delete(): Unit
+            }
+            rm(f)
+          }
+        }
+      }
+      val loc = new java.io.File(tmp, s"graft_lq1_lake_$self").getAbsolutePath
       // 8 buckets: enough to prove the co-located layout at test SFs
       // without 32-file-per-table write churn; at real volume size buckets
       // to the row-group sweet spot (LlmLake scaladoc)

@@ -184,9 +184,11 @@ object RelationalQueries {
     //    the oracle is DuckDB's native ASOF LEFT JOIN over the identical
     //    tie-deduped view table. Gap in exact integer microseconds. ──
     q("j9_asof_join",
-      """WITH views AS (SELECT user_id, ts, max(event_id) AS event_id
-        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
-        |clicks AS (SELECT event_id, user_id, ts FROM events
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type FROM events),
+        |views AS (SELECT user_id, ts, max(event_id) AS event_id
+        |  FROM ev WHERE event_type = 'view' GROUP BY 1, 2),
+        |clicks AS (SELECT event_id, user_id, ts FROM ev
         |  WHERE event_type = 'click')
         |SELECT c.event_id, c.user_id, c.ts,
         |  v.event_id AS view_event_id, v.ts AS view_ts,
@@ -214,12 +216,13 @@ object RelationalQueries {
     //    is DuckDB's native range join over the identically-derived
     //    session intervals. ──
     q("j10_interval_join",
-      """WITH flags AS (
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type FROM events),
+        |flags AS (
         |  SELECT user_id, ts, event_id,
-        |    CASE WHEN epoch(CAST(ts AS TIMESTAMP))
-        |           - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w) > 86400
+        |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 86400
         |         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
-        |  FROM events WHERE event_type <> 'purchase'
+        |  FROM ev WHERE event_type <> 'purchase'
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (
         |  SELECT user_id, ts,
@@ -231,7 +234,7 @@ object RelationalQueries {
         |    min(ts) AS s_start, max(ts) AS s_end
         |  FROM sess GROUP BY 1, 2)
         |SELECT p.event_id, p.user_id, p.ts, i.session_id, i.s_start, i.s_end
-        |FROM (SELECT event_id, user_id, ts FROM events
+        |FROM (SELECT event_id, user_id, ts FROM ev
         |      WHERE event_type = 'purchase') p
         |JOIN iv i ON p.user_id = i.user_id
         |  AND p.ts BETWEEN i.s_start AND i.s_end""".stripMargin) { (s, dir) =>

@@ -53,17 +53,35 @@ class AsOfJoinSpec extends SparkSpec {
       .select(col("event_id"), col("asof.event_id"))
       .as[(Long, Option[Long])].collect().toMap
     // brute force: argmax over the inequality join (fine at spec scale;
-    // the operator exists so production never runs this shape)
+    // the operator exists so production never runs this shape). Rank by
+    // exact nanoseconds — Timestamp.getTime is millisecond precision and
+    // would mis-rank candidates differing only below the millisecond.
+    def ns(t: Timestamp): Long = t.getTime / 1000 * 1000000000L + t.getNanos
     val v = views.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
     val expected = clicks.collect().map { c =>
       val (id, u, t) = (c.getLong(0), c.getLong(1), c.getTimestamp(2))
       val best = v.filter(x => x._1 == u && !x._2.after(t))
-        .sortBy(x => (x._2.getTime, x._3)).lastOption
+        .sortBy(x => (ns(x._2), x._3)).lastOption
       id -> best.map(_._3)
     }.toMap
     assert(got == expected)
     assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty) ||
       got.values.forall(_.isDefined))
+  }
+
+  test("null timestamps: right nulls never match, left nulls get no match") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, null.asInstanceOf[Timestamp])
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, null.asInstanceOf[Timestamp]), // must never be carried
+      (101L, 10L, ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val got = AsOfJoin.asOf(left, right, "user_id", "ts", "ts")
+      .select(col("event_id"), col("asof.event_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(1L -> Some(101L), 2L -> None))
   }
 
   test("random timelines with duplicate timestamps match the brute-force reference") {

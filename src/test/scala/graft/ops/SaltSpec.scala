@@ -33,6 +33,16 @@ class SaltSpec extends SparkSpec {
     }
   }
 
+  test("distinctCount keeps all-null-value groups with count 0, like count(DISTINCT)") {
+    val df = Seq(
+      ("a", Some(1)), ("a", Some(1)), ("a", None),
+      ("b", None), ("b", None) // all-null group must appear with 0
+    ).toDF("k", "v")
+    val got = Salt.distinctCount(df, Seq("k"), "v")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 1L, "b" -> 0L))
+  }
+
   test("salt is replay-deterministic: pure function of row content, not position") {
     // The same logical rows, shuffled into different physical layouts, must
     // land in identical salt buckets — this is what makes the two-phase agg
