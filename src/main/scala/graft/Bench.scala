@@ -5,11 +5,24 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark runner: times every registered query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line for the driver. A crashing query is reported in an
   * explicit "errors" map (and its time excluded from the total) rather than
-  * being silently folded into wall-clock. */
+  * being silently folded into wall-clock.
+  *
+  * Self-defending timing: each query runs SPARK_GRAFT_BENCH_RUNS times
+  * (default 3) after a shared warmup, and the reported per-query number is
+  * the MINIMUM across runs — a single-shot time on a loaded machine measures
+  * the machine, not the engine (a prior round's canonical artifact recorded
+  * 10-20x steady-state for three queries purely from box load). All raw runs
+  * are emitted in "runs", and the 1-minute load average is sampled at start
+  * AND end; a start load above SPARK_GRAFT_LOAD_MAX (default 4.0 — far above
+  * this box's idle ~0) sets "contaminated": true so the consumer knows the
+  * snapshot began on a busy machine even before reading the numbers. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runsPerQuery =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val loadMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "4.0").toDouble
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"),
       shufflePartitions = cpus.toInt
@@ -22,6 +35,12 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
+
+    def loadAvg1: Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+
+    val loadStart = loadAvg1
 
     // Untimed warmup: pay JVM/codegen/parquet-reader startup once here so
     // the alphabetically-first timed query doesn't absorb it. entry() is the
@@ -65,31 +84,46 @@ object Bench {
     }
 
     var errors = List.empty[(String, String)]
+    // Per query: up to runsPerQuery timed executions (stop at first failure),
+    // caches released between runs so every run pays its own compute — the
+    // min is "warm JIT, cold data", which is the engine's steady-state cost.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        Some(name -> (System.nanoTime() - t0) / 1e9)
-      } catch {
-        case e: Throwable =>
-          errors ::= name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          None
-      } finally {
-        // Per-query cache hygiene (untimed): a 69-query run must not
-        // accumulate dead cached RDDs from the dedup tier's internal
-        // persists — harmless at 128 GiB, eviction thrash beyond.
-        graft.llm.Caches.releaseAll(spark)
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var failed = false
+      var run = 0
+      while (run < runsPerQuery && !failed) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          times += (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            failed = true
+            errors ::= name ->
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        } finally {
+          // Per-query-run cache hygiene (untimed): a 75-query x k run must
+          // not accumulate dead cached RDDs from the dedup tier's internal
+          // persists — harmless at 128 GiB, eviction thrash beyond. Also
+          // keeps runs independent: no run rides a previous run's cache.
+          graft.llm.Caches.releaseAll(spark)
+        }
+        run += 1
       }
+      if (times.nonEmpty) Some(name -> times.toVector) else None
     }
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val mins = results.map { case (k, v) => k -> v.min }
+    val qs = mins.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val allRuns = results.map { case (k, v) =>
+      s"${jstr(k)}:${v.mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    // 1-minute system load average, so a load-contaminated snapshot (e.g.
-    // the driver's own pipeline still finishing) is self-diagnosing.
-    val loadAvg =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
-      catch { case _: Throwable => -1.0 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","load_avg":$loadAvg,"queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val total = mins.map(_._2).sum
+    val loadEnd = loadAvg1
+    // Only the START load can indict the snapshot — by the end the bench's
+    // own executors have legitimately saturated the box.
+    val contaminated = loadStart > loadMax
+    println(s"""{"metric":"total","value":$total,"unit":"sec","load_avg":$loadStart,"load_avg_end":$loadEnd,"contaminated":$contaminated,"runs_per_query":$runsPerQuery,"queries":$qs,"runs":$allRuns,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -238,27 +238,35 @@ object Similarity {
     * candidates. Recall is tunable by (tables, bits); the recall floor vs
     * brute force is pinned by SimilaritySpec.
     *
-    * Scale shape: the corpus index streams partition-wise and NEVER
-    * shuffles — the query batch (small by contract, same as
-    * [[bruteForceTopK]]; guarded by [[MaxBroadcastRows]]) is broadcast with
-    * its own codes, and each corpus partition does candidate check (`tables`
-    * int compares per pair) + exact cosine for matches in one tight loop.
-    * The only shuffle is the per-query top-k window. Bigger query sets run
-    * as successive broadcast batches against the same persisted index; a
-    * full self-join-shaped dedup workload belongs to [[Dedup.minhashNearDups]]
-    * (symmetric banded-join path) instead. */
+    * Scale shape: for query batches within `broadcastCap` (default
+    * [[MaxBroadcastRows]]) the corpus index streams partition-wise and
+    * NEVER shuffles — the batch is broadcast with its own codes, and each
+    * corpus partition does candidate check (`tables` int compares per
+    * pair) + exact cosine for matches in one tight loop; the only shuffle
+    * is the per-query top-k window. A batch PAST the cap automatically
+    * falls back to the fully distributed (tbl, code) equi-join tail
+    * ([[lshTopKJoined]]) — same results, both sides shuffle, nothing needs
+    * to fit in memory. A full self-join-shaped dedup workload belongs to
+    * [[Dedup.minhashNearDups]] (symmetric banded-join path) instead. */
   def lshTopKOnIndex(
       queries: DataFrame, index: DataFrame, idCol: String, embCol: String,
       k: Int, tables: Int = 16, bits: Int = 4, dims: Int = 64,
-      invDensity: Int = 8): DataFrame = {
+      invDensity: Int = 8, broadcastCap: Int = MaxBroadcastRows): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val qRows = lshPrep(queries, idCol, embCol, tables, bits, dims, invDensity)
+    val qPrep = lshPrep(queries, idCol, embCol, tables, bits, dims, invDensity)
+    val qRows = qPrep
       .as[(Long, Array[Long], Double, Array[Int])]
-      .limit(MaxBroadcastRows + 1).collect()
-    require(qRows.length <= MaxBroadcastRows,
-      s"lshTopK query batch exceeds $MaxBroadcastRows rows; split into " +
-        "successive batches against a persisted lshIndex")
+      .limit(broadcastCap + 1).collect()
+    // Query batch past the broadcast cap: switch to the fully distributed
+    // (tbl, code) equi-join shape (same as lshNearDups) instead of failing.
+    // Identical results by construction — the same "shares >= 1 bucket
+    // code" candidate predicate, the same exact-cosine scoring sequence,
+    // the same top-k window — just with candidates generated by a
+    // distributed join (ids only; embeddings re-attach by key) rather than
+    // a per-partition inverted map over a broadcast batch.
+    if (qRows.length > broadcastCap)
+      return lshTopKJoined(qPrep, index, k)
     val bcast = spark.sparkContext.broadcast(qRows.sortBy(_._1))
     val scored = index.as[(Long, Array[Long], Double, Array[Int])]
       .mapPartitions { iter =>
@@ -299,6 +307,46 @@ object Similarity {
             t += 1
           }
           out.result()
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Distributed large-batch LSH ANN tail: candidates from a (tbl, code)
+    * equi-join of exploded bucket codes (ids only), embeddings re-attached
+    * by key for exact-cosine scoring, per-query top-k window. Nothing
+    * broadcasts or collects — both sides shuffle on (tbl, code) then id —
+    * so neither the query batch nor the corpus needs to fit anywhere.
+    * Same results as the broadcast path by construction (identical
+    * candidate predicate, scoring sequence, and ranking); SimilaritySpec
+    * pins the equivalence through a small-cap override. */
+  private def lshTopKJoined(qPrep: DataFrame, index: DataFrame, k: Int): DataFrame = {
+    val spark = qPrep.sparkSession
+    import spark.implicits._
+    // both sides have two consumers (bucket explode + scoring re-attach)
+    val qp = Caches.persist(qPrep)
+    val ip = Caches.persist(index)
+    def buckets(df: DataFrame, idAs: String) =
+      df.select(col("id").as(idAs), posexplode(col("codes")).as(Seq("tbl", "code")))
+    val cand = buckets(qp, "query_id")
+      .join(buckets(ip, "neighbor_id"), Seq("tbl", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val scored = cand
+      .join(qp.select(col("id").as("query_id"), col("e").as("qe"), col("nrm").as("qn")),
+        "query_id")
+      .join(ip.select(col("id").as("neighbor_id"), col("e").as("ce"), col("nrm").as("cn")),
+        "neighbor_id")
+      .select("query_id", "qe", "qn", "neighbor_id", "ce", "cn")
+      .as[(Long, Array[Long], Double, Long, Array[Long], Double)]
+      .mapPartitions { iter =>
+        iter.map { case (qid, qe, qn, nid, ce, cn) =>
+          (qid, nid, Qv.dot(qe, ce).toDouble / (qn * cn))
         }
       }
       .toDF("query_id", "neighbor_id", "cosine")
@@ -422,6 +470,119 @@ object Similarity {
     val q = prep(queries).toDF("query_id", "q_emb", "q_nrm", "cell0")
       .select(col("query_id"), col("q_emb"), col("q_nrm"),
         explode(probes(col("cell0"))).as("cell"))
+    val scored = q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "q_emb", "q_nrm", "neighbor_id", "c_emb", "c_nrm")
+      .as[(Long, Array[Long], Double, Long, Array[Long], Double)]
+      .mapPartitions { iter =>
+        iter.map { case (qid, qe, qn, nid, ce, cn) =>
+          (qid, nid, Qv.dot(qe, ce).toDouble / (qn * cn))
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF with a LEARNED coarse quantizer — k-means-lite over the corpus
+    * replacing [[ivfTopK]]'s fixed sign grid, keeping its fully distributed
+    * cell-join shape. Training is deterministic so an oracle can replay it
+    * bit-for-bit: seeds = the `kCells` smallest corpus ids (cell = rank),
+    * one Lloyd round (assign every vector to its nearest seed by quantized
+    * cosine, rebuild each cell's centroid as the EXACT integer component
+    * sum via [[VecSumAgg]] — the mean's /n cancels inside cosine, so no
+    * float accumulates anywhere), then final assignment against the learned
+    * centroids. Queries probe their `nprobe` nearest centroids; exact
+    * cosine runs only inside probed cells. Ties (equal cosine) go to the
+    * smallest cell id on both engines.
+    *
+    * Scale shape: the centroid table is kCells rows (collect + broadcast —
+    * bounded by construction, like [[centroidAssign]]'s label contract);
+    * the corpus only ever streams or shuffles on `cell`. Training costs two
+    * extra corpus passes; at 100 TB train on a deterministic sample
+    * (e.g. `id % m = 0`) and assign the full corpus — the assignment pass
+    * is the same either way. Recall floor vs brute force is pinned by
+    * SimilaritySpec alongside the sign-grid path's. */
+  def ivfLearnedTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, kCells: Int = 16, nprobe: Int = 4, dims: Int = 64): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(kCells >= 1 && nprobe >= 1 && nprobe <= kCells,
+      s"bad IVF geometry: kCells=$kCells nprobe=$nprobe")
+
+    def qz(df: DataFrame) = df
+      .select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("e"))
+      .as[(Long, Array[Long])]
+    val corpusQ = qz(corpus)
+
+    // (cell, sums, norm) for a centroid set; cosine vs a vector uses the
+    // same IEEE sequence as the oracle: dp / (sqrt(nn_v) * sqrt(nn_c))
+    def withNorm(c: Int, s: Array[Long]): (Int, Array[Long], Double) =
+      (c, s, math.sqrt(Qv.dot(s, s).toDouble))
+
+    // top-`take` cells by (cosine desc, cell asc) — insertion selection
+    // over <= kCells candidates; cents must be sorted by cell id so the
+    // strict-> comparisons resolve ties to the smallest cell
+    def nearestCells(e: Array[Long], nrm: Double,
+        cents: Array[(Int, Array[Long], Double)], take: Int): Array[Int] = {
+      val n = math.min(take, cents.length)
+      val bestC = new Array[Int](n)
+      val bestS = new Array[Double](n)
+      java.util.Arrays.fill(bestS, Double.NegativeInfinity)
+      var i = 0
+      while (i < cents.length) {
+        val (c, s, sn) = cents(i)
+        val cos = Qv.dot(e, s).toDouble / (nrm * sn)
+        var j = n - 1
+        if (cos > bestS(j)) {
+          while (j > 0 && cos > bestS(j - 1)) {
+            bestS(j) = bestS(j - 1); bestC(j) = bestC(j - 1); j -= 1
+          }
+          bestS(j) = cos; bestC(j) = c
+        }
+        i += 1
+      }
+      bestC.take(n)
+    }
+
+    // deterministic seeds: the kCells smallest corpus ids, cell = rank
+    val seeds = corpusQ.orderBy(col("id")).limit(kCells).collect().sortBy(_._1)
+      .zipWithIndex.map { case ((_, e), c) => withNorm(c, e) }
+    val bseed = spark.sparkContext.broadcast(seeds)
+
+    // one Lloyd round: assign to seeds, rebuild centroids as exact sums
+    val vecsum = udaf(VecSumAgg)
+    val assigned = corpusQ.mapPartitions { iter =>
+      val cs = bseed.value
+      iter.map { case (_, e) =>
+        require(e.length == dims, s"vector length ${e.length} != dims $dims")
+        val nrm = math.sqrt(Qv.dot(e, e).toDouble)
+        (nearestCells(e, nrm, cs, 1)(0), e)
+      }
+    }.toDF("cell", "q")
+    val cents = assigned.groupBy("cell").agg(vecsum(col("q")).as("s"))
+      .as[(Int, Array[Long])].collect().sortBy(_._1)
+      .map { case (c, s) => withNorm(c, s) }
+    val bcent = spark.sparkContext.broadcast(cents)
+
+    // final assignment (corpus: own cell; queries: nprobe nearest cells)
+    def prep(df: DataFrame, take: Int) = qz(df).mapPartitions { iter =>
+      val cs = bcent.value
+      iter.map { case (id, e) =>
+        require(e.length == dims, s"vector length ${e.length} != dims $dims")
+        val nrm = math.sqrt(Qv.dot(e, e).toDouble)
+        (id, e, nrm, nearestCells(e, nrm, cs, take))
+      }
+    }
+    val c = prep(corpus, 1)
+      .map { case (id, e, nrm, cells) => (id, e, nrm, cells(0)) }
+      .toDF("neighbor_id", "c_emb", "c_nrm", "cell")
+    val q = prep(queries, nprobe).toDF("query_id", "q_emb", "q_nrm", "cells")
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        explode(col("cells")).as("cell"))
     val scored = q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "q_emb", "q_nrm", "neighbor_id", "c_emb", "c_nrm")

@@ -94,4 +94,33 @@ object OdInference {
     inferFlowsPerBucket(deltas)
       .groupBy("o", "d")
       .agg(sum("flow").as("flow"))
+
+  /** Per-bucket conservation summary — the matcher's oracle-checkable
+    * surface. For every bucket: total arrival demand (Σ delta>0), total
+    * departure supply (Σ -delta for delta<0), and the total flow the greedy
+    * matcher ACTUALLY emitted. The emitted total is provably exactly
+    * `min(arrivals, departures)`: every emission decrements both remaining
+    * totals by the same amount, a node leaves its list only at count 0, and
+    * the loop terminates precisely when one side's remaining total reaches
+    * zero (reference loop: `od_inference.py:39-43`). A relational twin can
+    * therefore pin `flow_total` from the deltas alone, which makes the
+    * whole upstream pipeline AND the matcher's conservation law
+    * hash-checkable; only the pairwise ASSIGNMENT stays on golden/property
+    * evidence. Single pass: bounds and match run in the same per-bucket
+    * group, so this costs one bucket shuffle, not two branches over the
+    * delta pipeline. */
+  def flowInvariants(deltas: Dataset[StationDelta]): DataFrame = {
+    val spark = deltas.sparkSession
+    import spark.implicits._
+    deltas
+      .groupByKey(_.bucket)
+      .mapGroups { (b: Long, it: Iterator[StationDelta]) =>
+        val rows = it.toSeq
+        val arrivals = rows.iterator.filter(_.delta > 0).map(_.delta).sum
+        val departures = rows.iterator.filter(_.delta < 0).map(-_.delta).sum
+        val total = greedyMatch(rows).iterator.map(_.flow).sum
+        (b, arrivals, departures, total)
+      }
+      .toDF("bucket", "arrivals", "departures", "flow_total")
+  }
 }

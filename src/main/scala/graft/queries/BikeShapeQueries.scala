@@ -252,6 +252,58 @@ object BikeShapeQueries {
       OdInference.inferFlows(input)
         .orderBy(col("flow").desc, col("o"), col("d"))
         .limit(200)
-    }, None)
+    }, None),
+
+    // ── OD conservation invariants — the oracle-checkable face of the
+    //    greedy matcher. The matcher's per-bucket emitted total is EXACTLY
+    //    least(Σ arrivals, Σ departures) (see OdInference.flowInvariants
+    //    scaladoc for the proof), so DuckDB can pin flow_total from the
+    //    deltas alone. This hash-checks the OD pipeline's relational 90%
+    //    (bucket floor, last-per-bucket, lag-diff, station join) plus the
+    //    matcher's conservation law; the pairwise assignment itself stays
+    //    pinned by the reference golden replay (OdGoldenSpec) + property
+    //    suite. Bounds and match are computed in ONE per-bucket group —
+    //    a single bucket shuffle, not two branches over the pipeline. ──
+    q("bod_flow_invariants",
+      s"""WITH $mappingSql,
+         |b AS (SELECT station_id, ts, event_id, bikes,
+         |  ${O.bucketFloor("ts", 60)} AS bucket FROM ss),
+         |last AS (SELECT station_id, bucket, bikes FROM (
+         |  SELECT station_id, bucket, bikes,
+         |    row_number() OVER (PARTITION BY station_id, bucket
+         |      ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM b) t WHERE rn = 1),
+         |d AS (SELECT station_id, bucket,
+         |  CAST(coalesce(bikes - lag(bikes) OVER (
+         |    PARTITION BY station_id ORDER BY bucket), 0) AS BIGINT) AS delta
+         |  FROM last),
+         |dj AS (SELECT d.* FROM d JOIN st ON st.station_id = d.station_id)
+         |SELECT CAST(epoch(bucket) AS BIGINT) AS bucket,
+         |  CAST(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END) AS BIGINT)
+         |    AS arrivals,
+         |  CAST(sum(CASE WHEN delta < 0 THEN -delta ELSE 0 END) AS BIGINT)
+         |    AS departures,
+         |  CAST(least(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END),
+         |             sum(CASE WHEN delta < 0 THEN -delta ELSE 0 END))
+         |    AS BIGINT) AS flow_total
+         |FROM dj GROUP BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ss = status(s, dir)
+        .withColumn("bucket", TimeOps.bucketFloor(col("ts"), 60))
+      val lastPerBucket = TimeOps.lastPerGroup(ss,
+        Seq("station_id", "bucket"), Seq(col("ts"), col("event_id")))
+      val deltas = TimeOps.lagDiff(lastPerBucket,
+        Seq("station_id"), Seq(col("bucket")), "bikes")
+      val st = stations(s, dir).select("station_id", "lat", "lon")
+      val input: Dataset[StationDelta] = deltas
+        .join(broadcast(st), "station_id")
+        .select(
+          unix_timestamp(col("bucket")).as("bucket"),
+          col("station_id").cast("string").as("station"),
+          col("delta").cast("long").as("delta"),
+          col("lat"), col("lon"))
+        .as[StationDelta]
+      OdInference.flowInvariants(input)
+    }
   )
 }

@@ -218,6 +218,46 @@ object LlmQueries {
        |${annRankTail(k)}""".stripMargin
   }
 
+  /** DuckDB twin of [[Similarity.ivfLearnedTopK]] — replays the whole
+    * deterministic k-means-lite training in SQL: seeds = kCells smallest
+    * vec_ids (cell = rank), one Lloyd round over exact integer component
+    * sums, final assignment + nprobe probing by the identical
+    * `dp / (sqrt(nn_v) * sqrt(nn_c))` IEEE sequence with the identical
+    * (cosine DESC, cell) tie-break. Everything data-dependent (the learned
+    * centroids included) is recomputed relationally, so even the candidate
+    * sets hash-match. */
+  private def ls3LearnedOracle(k: Int, kCells: Int, nprobe: Int, qMod: Int): String = {
+    // nearest-centroid rank of every vector vs centroid sums `cs`/`csn`
+    def rankCte(dotName: String, cs: String, csn: String, out: String): String =
+      s"""$dotName AS (SELECT v.vec_id, c.c, sum(v.x * c.s) AS dp
+         |  FROM qc v JOIN $cs c ON c.i = v.i GROUP BY 1, 2),
+         |$out AS (SELECT d.vec_id, d.c,
+         |    row_number() OVER (PARTITION BY d.vec_id ORDER BY
+         |      CAST(d.dp AS DOUBLE) /
+         |        (sqrt(CAST(n.nn AS DOUBLE)) * sqrt(CAST(cn.nn AS DOUBLE)))
+         |        DESC, d.c) AS rn
+         |  FROM $dotName d JOIN nrm n ON d.vec_id = n.vec_id
+         |  JOIN $csn cn ON d.c = cn.c)""".stripMargin
+    s"""WITH $quantCtes,
+       |seed AS (SELECT vec_id,
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c
+       |  FROM (SELECT vec_id FROM nrm ORDER BY vec_id LIMIT $kCells)),
+       |c0 AS (SELECT s.c, q.i, q.x AS s FROM seed s JOIN qc q ON q.vec_id = s.vec_id),
+       |c0n AS (SELECT c, sum(s*s) AS nn FROM c0 GROUP BY 1),
+       |${rankCte("dot1", "c0", "c0n", "sc1")},
+       |a1 AS (SELECT vec_id, c FROM sc1 WHERE rn = 1),
+       |c1 AS (SELECT a.c, q.i, sum(q.x) AS s
+       |  FROM a1 a JOIN qc q ON q.vec_id = a.vec_id GROUP BY 1, 2),
+       |c1n AS (SELECT c, sum(s*s) AS nn FROM c1 GROUP BY 1),
+       |${rankCte("dot2", "c1", "c1n", "sc2")},
+       |cells AS (SELECT vec_id, c AS cell FROM sc2 WHERE rn = 1),
+       |probes AS (SELECT vec_id, c AS cell FROM sc2
+       |  WHERE rn <= $nprobe AND vec_id % $qMod = 0),
+       |cand AS (SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM probes p JOIN cells c ON p.cell = c.cell AND p.vec_id <> c.vec_id),
+       |${annRankTail(k)}""".stripMargin
+  }
+
   private def q(name: String, oracle: String)(
       f: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, f, Some(oracle))
@@ -375,14 +415,20 @@ object LlmQueries {
         vecs.filter(col("vec_id") % 40 === 0), vecs, "vec_id", "embedding", 10)
     },
 
-    // ── IVF-style cell-probed ANN (second scale path beside LSH; the
-    //    distributed cell-join shape). Oracle mirrors the cell + Hamming-1
-    //    probe candidate generation exactly → full hash check; recall
-    //    floor pinned by SimilaritySpec. ──
-    q("ls3_ann_ivf", ls3Oracle(k = 10, cellBits = 4, qMod = 40)) { (s, dir) =>
+    // ── IVF ANN with a LEARNED coarse quantizer (second scale path beside
+    //    LSH; the distributed cell-join shape). Centroids are trained
+    //    k-means-lite from the corpus itself — deterministic seeds + one
+    //    Lloyd round over exact integer sums — and the oracle replays the
+    //    training relationally, so the data-dependent candidate sets
+    //    hash-match exactly. Recall floor pinned by SimilaritySpec (the
+    //    fixed sign-grid ivfTopK stays available as the zero-training
+    //    variant, spec-covered). ──
+    q("ls3_ann_ivf",
+      ls3LearnedOracle(k = 10, kCells = 16, nprobe = 4, qMod = 40)) { (s, dir) =>
       val vecs = Td.table(s, dir, "embeddings")
-      Similarity.ivfTopK(
-        vecs.filter(col("vec_id") % 40 === 0), vecs, "vec_id", "embedding", 10)
+      Similarity.ivfLearnedTopK(
+        vecs.filter(col("vec_id") % 40 === 0), vecs, "vec_id", "embedding",
+        k = 10, kCells = 16, nprobe = 4)
     },
 
     // ── corpus n-gram document-frequency top-k (text analysis) ──
@@ -622,19 +668,25 @@ object LlmQueries {
         |    AS q
         |  FROM documents),
         |kept AS (SELECT * FROM toks2 WHERE n_tok BETWEEN 10 AND 5000 AND q >= 0.5),
-        |surv AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM kept GROUP BY 1)
-        |SELECT k.doc_id, k.lang, k.n_tok,
-        |  floor(k.q * 1E6 + 0.5) / 1E6 AS quality
-        |FROM kept k JOIN surv s ON md5(k.text) = s.h AND k.doc_id = s.keep_id""".stripMargin) { (s, dir) =>
+        |surv AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        |  FROM kept)
+        |SELECT doc_id, lang, n_tok,
+        |  floor(q * 1E6 + 0.5) / 1E6 AS quality
+        |FROM surv WHERE doc_id = keep_id""".stripMargin) { (s, dir) =>
+      // single scan + single shuffle: min(doc_id) over the md5(text)
+      // partition replaces the previous agg + self-join survivor pattern,
+      // which scanned documents (and recomputed tokenization + quality)
+      // twice because the agg key and the join key planned as different
+      // exchanges. Same kept rows either way: a row survives iff its
+      // doc_id is the minimum among its exact-duplicate hash group.
       val toks = TextOps.tokens(col("text"))
-      val scored = Td.table(s, dir, "documents")
+      Td.table(s, dir, "documents")
         .withColumn("n_tok", size(toks))
         .withColumn("q", TextOps.qualityScore(toks, col("text")))
         .filter(col("n_tok").between(10, 5000) && col("q") >= 0.5)
-      val surv = scored.groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("keep_id"))
-      scored.join(surv,
-          md5(col("text")) === col("h") && col("doc_id") === col("keep_id"))
+        .withColumn("keep_id", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+        .filter(col("doc_id") === col("keep_id"))
         .select(col("doc_id"), col("lang"), col("n_tok"),
           (floor(col("q") * 1e6 + 0.5) / 1e6).as("quality"))
     },
@@ -661,34 +713,12 @@ object LlmQueries {
     //    gen + bucketed writes) is the pay-once write side of the layout;
     //    the read side is what repeats at 100 TB. ──
     q("lq1_curated_join", lq1Oracle) { (s, dir) =>
-      // per-JVM location: two engine processes on one machine (e.g. a
-      // Verify and a Bench running concurrently) must not clobber each
-      // other's lake mid-build; within one JVM re-invocations reuse and
-      // rebuild the same path (drop() makes that idempotent). Leftover
-      // lakes of DEAD processes are swept here so repeated runs don't
-      // accumulate one bucketed corpus per JVM in tmpdir forever.
-      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-      val self = java.lang.ProcessHandle.current().pid()
-      Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
-        val n = f.getName
-        if (n.startsWith("graft_lq1_lake_") && f.isDirectory) {
-          val alive = n.stripPrefix("graft_lq1_lake_").toLongOption.exists(pid =>
-            pid == self || java.lang.ProcessHandle.of(pid)
-              .map[java.lang.Boolean](_.isAlive).orElse(java.lang.Boolean.FALSE))
-          if (!alive) {
-            def rm(x: java.io.File): Unit = {
-              Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
-              x.delete(): Unit
-            }
-            rm(f)
-          }
-        }
-      }
-      val loc = new java.io.File(tmp, s"graft_lq1_lake_$self").getAbsolutePath
       // 8 buckets: enough to prove the co-located layout at test SFs
       // without 32-file-per-table write churn; at real volume size buckets
-      // to the row-group sweet spot (LlmLake scaladoc)
-      val lake = new LlmLake(s, "graft_lq1", loc, buckets = 8)
+      // to the row-group sweet spot (LlmLake scaladoc). Location/liveness
+      // management (per-process scratch dir, stale-lake sweep) lives in
+      // LlmLake.scratch — the query itself is pure build+read.
+      val lake = LlmLake.scratch(s, "graft_lq1", "graft_lq1_lake", buckets = 8)
       lake.drop()
       lake.bootstrap()
       lake.writeDocuments(Td.table(s, dir, "documents"))

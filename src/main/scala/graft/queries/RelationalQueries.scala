@@ -452,6 +452,86 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_cust"), Det.qsumd(col("c_acctbal"), 2).as("total_bal"))
     },
 
+    // ── cube — all four grouping combinations of (region, nation) in one
+    //    Expand + hash agg, one shuffle (same physical shape as rollup, 4
+    //    projections instead of 3). grouping() flags disambiguate the NULL
+    //    group keys explicitly on both engines. ──
+    q("a16_cube",
+      s"""SELECT r_name, n_name,
+         |  CAST(grouping(r_name) AS INT) AS g_r,
+         |  CAST(grouping(n_name) AS INT) AS g_n,
+         |  count(*) AS n_cust, ${O.qsumd("c_acctbal", 2)} AS total_bal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY CUBE(r_name, n_name)""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "customer").as("c")
+        .join(broadcast(Td.table(s, dir, "nation").as("n")),
+          col("c.c_nationkey") === col("n.n_nationkey"))
+        .join(broadcast(Td.table(s, dir, "region").as("r")),
+          col("n.n_regionkey") === col("r.r_regionkey"))
+        .select(col("r.r_name").as("r_name"), col("n.n_name").as("n_name"),
+          col("c.c_acctbal").as("c_acctbal"))
+        .cube(col("r_name"), col("n_name"))
+        .agg(grouping(col("r_name")).cast("int").as("g_r"),
+          grouping(col("n_name")).cast("int").as("g_n"),
+          count(lit(1)).as("n_cust"),
+          Det.qsumd(col("c_acctbal"), 2).as("total_bal"))
+        .select(col("r_name"), col("n_name"), col("g_r"), col("g_n"),
+          col("n_cust"), col("total_bal"))
+    },
+
+    // ── explicit GROUPING SETS — a NON-hierarchical set pair (by-region,
+    //    by-nation) that neither rollup nor cube expresses alone; Spark 4's
+    //    Dataset.groupingSets plans the same single Expand + hash agg. ──
+    q("a17_grouping_sets",
+      s"""SELECT r_name, n_name, count(*) AS n_cust,
+         |  ${O.qsumd("c_acctbal", 2)} AS total_bal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY GROUPING SETS ((r_name), (n_name))""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "customer").as("c")
+        .join(broadcast(Td.table(s, dir, "nation").as("n")),
+          col("c.c_nationkey") === col("n.n_nationkey"))
+        .join(broadcast(Td.table(s, dir, "region").as("r")),
+          col("n.n_regionkey") === col("r.r_regionkey"))
+        .select(col("r.r_name").as("r_name"), col("n.n_name").as("n_name"),
+          col("c.c_acctbal").as("c_acctbal"))
+        .groupingSets(Seq(Seq(col("r_name")), Seq(col("n_name"))),
+          col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          Det.qsumd(col("c_acctbal"), 2).as("total_bal"))
+    },
+
+    // ── full outer join — rare-key presence on BOTH sides (high-balance
+    //    customers vs negative-balance suppliers per nation) so each side
+    //    contributes unmatched rows. full_outer cannot broadcast; both
+    //    inputs arrive at the join already hash-partitioned on the join key
+    //    by their own aggregations, so the join adds zero exchanges. ──
+    q("j11_full_outer_join",
+      """WITH hc AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+        |  FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+        |ns AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+        |  FROM supplier WHERE s_acctbal < 0 GROUP BY 1)
+        |SELECT coalesce(hc.nk, ns.nk) AS nationkey,
+        |  CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+        |  CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp
+        |FROM hc FULL OUTER JOIN ns ON hc.nk = ns.nk""".stripMargin) { (s, dir) =>
+      val hc = Td.table(s, dir, "customer")
+        .filter(col("c_acctbal") > 9000)
+        .groupBy(col("c_nationkey").as("nk_c"))
+        .agg(count(lit(1)).as("n_cust"))
+      val ns = Td.table(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0)
+        .groupBy(col("s_nationkey").as("nk_s"))
+        .agg(count(lit(1)).as("n_supp"))
+      hc.join(ns, col("nk_c") === col("nk_s"), "full_outer")
+        .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    },
+
     // ── set operations (UNION/INTERSECT/EXCEPT) — free from Spark SQL,
     //    registered for breadth (SURVEY §2.6 note). ──
     q("s1_set_ops",
@@ -604,6 +684,37 @@ object RelationalQueries {
           percentile(col("qx"), lit(0.75)).as("q75"),
           min(col("qx")).cast("double").as("qmin"),
           max(col("qx")).cast("double").as("qmax"))
+    },
+
+    // ── A18: approx_percentile, driver-checked (the a11 pattern applied to
+    //    quantiles). The sketch (Greenwald-Khanna at accuracy 1000 — the
+    //    constant-memory 100 TB path a15's scaladoc names) is rank-verified
+    //    IN-QUERY against its hard deterministic guarantee: the returned
+    //    value's rank interval [lt+1, le] must intersect
+    //    [0.5·N − N/1000, 0.5·N + N/1000] (±1 for ceiling slack). The
+    //    oracle pins the verdict TRUE — a hash mismatch means the sketch
+    //    broke its contract. Two scans are inherent to the witness (ranks
+    //    are counted OF the sketch's own output); the rank pass joins the
+    //    3-row sketch result back by broadcast, and partial aggregation
+    //    keeps both passes skew-safe (unlike a window over 3 partitions).
+    //    Production uses the one-pass sketch alone. ──
+    q("a18_approx_quantile",
+      """SELECT l_returnflag, count(*) AS n_rows, TRUE AS approx_median_rank_ok
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      val base = Td.table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("qx"))
+      val ap = base.groupBy("l_returnflag")
+        .agg(percentile_approx(col("qx"), lit(0.5), lit(1000)).as("approx"))
+      val n = col("n_rows").cast("double")
+      base.join(broadcast(ap), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("qx") <= col("approx"), 1L).otherwise(0L)).as("le"),
+          sum(when(col("qx") < col("approx"), 1L).otherwise(0L)).as("lt"))
+        .select(col("l_returnflag"), col("n_rows"),
+          ((col("le").cast("double") >= n * 0.5 - n / 1000.0 - 1.0) &&
+            (col("lt").cast("double") <= n * 0.5 + n / 1000.0 + 1.0))
+            .as("approx_median_rank_ok"))
     },
 
     // ── pivot (wide per-key event-type counts) — Catalyst rewrites the

@@ -23,6 +23,70 @@ import graft.llm.{Dedup, TextOps}
   * buckets so each bucket file lands near the parquet row-group sweet spot
   * (~128 MB-1 GB) at the expected table volume.
   */
+object LlmLake {
+
+  /** Scratch lake rooted under `java.io.tmpdir` at a per-process location,
+    * so two engine JVMs on one machine (e.g. a Verify and a Bench running
+    * concurrently) never clobber each other's lake mid-build. Within one JVM
+    * re-invocations reuse and rebuild the same path (`drop()` makes that
+    * idempotent).
+    *
+    * The directory token is `pid_startEpochMillis`, not pid alone: a
+    * recycled PID would keep a dead JVM's lake forever (or let an unrelated
+    * process pin it), so liveness requires BOTH the pid to be alive AND its
+    * start instant to match the one recorded at create time. Stale lakes of
+    * dead processes are swept on each call; a directory that cannot be
+    * proven stale (unparseable name, unavailable start instant on a live
+    * pid) is conservatively left alone, and deletes that fail (foreign
+    * ownership on a shared /tmp) are skipped silently — those directories
+    * were never ours to manage.
+    */
+  def scratch(spark: SparkSession, db: String, prefix: String,
+      buckets: Int): LlmLake = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val self = java.lang.ProcessHandle.current()
+    def startMillis(h: java.lang.ProcessHandle): Long =
+      h.info().startInstant()
+        .map[java.lang.Long](i => java.lang.Long.valueOf(i.toEpochMilli))
+        .orElse(java.lang.Long.valueOf(-1L)).longValue()
+    def sameProcessAlive(pid: Long, start: Long): Boolean =
+      pid == self.pid() || java.lang.ProcessHandle.of(pid)
+        .map[java.lang.Boolean] { h =>
+          val hs = startMillis(h)
+          // unknown start instants stay conservative: never delete a
+          // directory we cannot prove stale
+          java.lang.Boolean.valueOf(
+            h.isAlive && (hs == -1L || start == -1L || hs == start))
+        }.orElse(java.lang.Boolean.FALSE).booleanValue()
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val n = f.getName
+      if (n.startsWith(prefix + "_") && f.isDirectory) {
+        val alive = n.stripPrefix(prefix + "_").split('_') match {
+          case Array(pidS, startS) =>
+            (pidS.toLongOption, startS.toLongOption) match {
+              case (Some(pid), Some(start)) => sameProcessAlive(pid, start)
+              case _ => true
+            }
+          // pid-only names from the previous layout: sweepable when dead
+          case Array(pidS) =>
+            pidS.toLongOption.forall(pid => sameProcessAlive(pid, -1L))
+          case _ => true
+        }
+        if (!alive) {
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+            x.delete(): Unit
+          }
+          rm(f)
+        }
+      }
+    }
+    val loc = new java.io.File(tmp,
+      s"${prefix}_${self.pid()}_${startMillis(self)}").getAbsolutePath
+    new LlmLake(spark, db, loc, buckets)
+  }
+}
+
 final class LlmLake(spark: SparkSession, db: String, location: String,
     buckets: Int = 32) {
 

@@ -58,6 +58,51 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@10 = $recall")
   }
 
+  test("learned-centroid IVF: recall floor >= the sign-grid path's on sf0.001 embeddings") {
+    val vecs = graft.Td.table(spark, Sf0001, "embeddings")
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+    val brute = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val grid = Similarity.ivfTopK(queries, vecs, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val learned = Similarity.ivfLearnedTopK(queries, vecs, "vec_id", "embedding",
+        k = 10, kCells = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val gridRecall = (brute & grid).size.toDouble / brute.size
+    val learnedRecall = (brute & learned).size.toDouble / brute.size
+    assert(learnedRecall >= 0.5, s"learned recall@10 = $learnedRecall")
+    assert(learnedRecall >= gridRecall,
+      s"learned recall $learnedRecall < sign-grid recall $gridRecall")
+  }
+
+  test("learned-centroid IVF training is deterministic across invocations") {
+    val vecs = graft.Td.table(spark, Sf0001, "embeddings")
+    val queries = vecs.filter(col("vec_id") % 50 === 0)
+    def run() = Similarity.ivfLearnedTopK(queries, vecs, "vec_id", "embedding",
+        k = 5, kCells = 8, nprobe = 2)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(run() == run())
+  }
+
+  test("lshTopK past the broadcast cap falls back to the join path with identical results") {
+    val vecs = graft.Td.table(spark, Sf0001, "embeddings")
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+    val idx = Similarity.lshIndex(vecs, "vec_id", "embedding")
+    def rows(capped: Boolean) = {
+      val cap = if (capped) 3 else Similarity.MaxBroadcastRows
+      Similarity.lshTopKOnIndex(queries, idx, "vec_id", "embedding", 10,
+          broadcastCap = cap)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    }
+    val viaJoin = rows(capped = true)   // query batch >> cap of 3 -> join path
+    val viaBroadcast = rows(capped = false)
+    Caches.release()
+    assert(viaJoin.nonEmpty)
+    assert(viaJoin == viaBroadcast)
+  }
+
   test("lshNearDups: no false positives, high recall vs the exact all-pairs path") {
     val vecs = graft.Td.table(spark, Sf0001, "embeddings")
     val exact = Similarity.embeddingNearDups(vecs, "vec_id", "embedding", 0.45)

@@ -60,6 +60,25 @@ class OdInferenceSpec extends SparkSpec {
     assert(flows.head == Flow("1", "3", 4))
   }
 
+  test("flowInvariants: per-bucket flow_total = least(arrivals, departures), matching local sums") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    val rows = (0 until 400).map { _ =>
+      StationDelta(60L * rnd.nextInt(8),
+        (rnd.nextInt(20) + 1).toString, rnd.nextLong(61) - 30,
+        -31.0 + rnd.nextDouble() * 2, -52.0 + rnd.nextDouble() * 2)
+    }
+    val got = OdInference.flowInvariants(rows.toDS())
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    rows.groupBy(_.bucket).foreach { case (b, rs) =>
+      val arr = rs.filter(_.delta > 0).map(_.delta).sum
+      val dep = rs.filter(_.delta < 0).map(-_.delta).sum
+      assert(got(b) == ((b, arr, dep, math.min(arr, dep))),
+        s"bucket $b: got ${got(b)}, want ($b, $arr, $dep, ${math.min(arr, dep)})")
+    }
+    assert(got.size == rows.map(_.bucket).distinct.size)
+  }
+
   test("distributed pipeline equals per-bucket local matcher") {
     import spark.implicits._
     val rows = Seq(

@@ -24,6 +24,42 @@ class RelationalOpsSpec extends SparkSpec {
     }
   }
 
+  test("lt6 curation filter plans one scan and one exchange (window dedup, no self-join)") {
+    val df = Registry.queries("lt6_curation_filter")(spark, Sf0001)
+    df.collect() // materialize so AQE finalizes
+    // Flatten the executed plan INCLUDING materialized AQE query stages:
+    // QueryStageExec nodes are leaves whose real subtree hangs off `.plan`,
+    // so a bare TreeNode.collect never sees the scan or the exchange.
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(s.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val plan = df.queryExecution.executedPlan
+    val scans = nodes.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    val shuffles = nodes.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    assert(scans.length == 1, s"expected 1 scan, got ${scans.length}:\n$plan")
+    assert(shuffles.length == 1, s"expected 1 exchange, got ${shuffles.length}:\n$plan")
+  }
+
+  test("a18 approx-quantile verdict holds under the GK rank guarantee at sf0.001") {
+    val rows = Registry.queries("a18_approx_quantile")(spark, Sf0001)
+      .as[(String, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3), s"rank bound violated: ${rows.mkString(", ")}")
+  }
+
   test("a14 exact-moment stats agree with builtin stddev/corr to 1e-9 relative") {
     // the builtins accumulate doubles (order-dependent last bits, so not
     // oracle-hashable); the exact-integer-moment form must agree to fp
