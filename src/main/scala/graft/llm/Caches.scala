@@ -30,10 +30,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Caches {
 
   private val tracked = new ConcurrentLinkedQueue[DataFrame]()
+  private val trackedCkpt = new ConcurrentLinkedQueue[DataFrame]()
 
   /** Persist `df` and register it for the next [[release]]. */
   private[llm] def persist(df: DataFrame): DataFrame = {
     tracked.add(df.persist())
+    df
+  }
+
+  /** Register a `localCheckpoint()`ed RESULT frame whose pinned RDD should
+    * be dropped by the harness-level [[releaseAll]]. NOT drained by
+    * [[release]]: a truncated checkpoint cannot recompute after
+    * unpersisting, so dropping it there would break a library caller that
+    * re-consumes the returned frame — whereas [[release]]'s persisted
+    * frames just recompute. */
+  private[llm] def trackCheckpoint(df: DataFrame): DataFrame = {
+    trackedCkpt.add(df)
     df
   }
 
@@ -60,15 +72,20 @@ object Caches {
     }.foreach(_.unpersist(blocking = false))
 
   /** Harness variant ([[graft.Bench]]/[[graft.Verify]]/[[graft.RunOne]] call
-    * this between queries): [[release]] plus removal of any remaining
-    * persistent RDDs — e.g. the localCheckpoint storage that truncates
-    * `dedupClusters`' iteration lineage, which belongs to the (already
-    * consumed and discarded) result plan. Only for contexts that own the
-    * whole session; a library caller with caches of their own should use
-    * [[release]]. */
+    * this between queries): [[release]] plus the tier's TRACKED
+    * localCheckpoint storage (e.g. the final labels frame that truncates
+    * `dedupClusters`' iteration lineage, which belongs to the already
+    * consumed and discarded result plan). Scoped to frames this registry
+    * tracked — a host application's own persists are never touched, so a
+    * registered query that legitimately caches its own frame across two
+    * actions keeps it. Callers should treat the consumed result frame as
+    * dead afterwards (its checkpoint cannot recompute). */
   def releaseAll(spark: SparkSession): Unit = {
     release()
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+    var df = trackedCkpt.poll()
+    while (df != null) {
+      unpersistCheckpoint(df)
+      df = trackedCkpt.poll()
+    }
   }
 }

@@ -354,6 +354,11 @@ object Dedup {
           "labels may be partially propagated (a component's diameter " +
           "exceeds maxIters) — raise maxIters")
     edges.unpersist()
+    // the FINAL round's checkpoint storage is pinned inside the returned
+    // plan's LogicalRDD; register it so the harness-level releaseAll can
+    // drop it after the consuming action without sweeping the whole
+    // SparkContext (a host's own persists stay untouched)
+    Caches.trackCheckpoint(labels)
     labels.select(col("id").as("doc_id"), col("lbl").as("survivor_id"))
   }
 

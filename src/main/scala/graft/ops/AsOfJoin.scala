@@ -45,10 +45,16 @@ object AsOfJoin {
       s"asOf: output column '$asofCol' collides with a left column — pass a different asofCol")
     // a null right timestamp can never satisfy rightTs <= leftTs (SQL
     // three-valued logic) but WOULD sort nulls-first and get carried as a
-    // bogus match — drop such rows. Null LEFT timestamps need no handling:
-    // they sort before every right row, so the carried value is null.
+    // bogus match — drop such rows. Same for a null right KEY: NULL = NULL
+    // never matches under join semantics, but the window form partitions
+    // all nulls into one group, so an unfiltered null-key right row would
+    // "match" null-key left rows. Dropping them leaves the null-key
+    // partition all-left, so null-key left rows pass through unmatched
+    // (asof = null) — exactly the left-join contract. Null LEFT timestamps
+    // need no handling: they sort before every right row, so the carried
+    // value is null.
     val rightDeduped = {
-      val nonNull = right.filter(col(rightTs).isNotNull)
+      val nonNull = right.filter(col(rightTs).isNotNull && col(key).isNotNull)
       if (rightTieBreak.isEmpty) nonNull
       else TimeOps.lastPerGroup(nonNull, Seq(key, rightTs), rightTieBreak)
     }

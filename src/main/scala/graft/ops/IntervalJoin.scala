@@ -24,14 +24,24 @@ import org.apache.spark.sql.functions._
   * the build side, while buckets much wider than spans raise residual-
   * filter waste. Bucket arithmetic is exact long microseconds (no double
   * rounding at bucket edges).
+  *
+  * `maxBucketsPerInterval` bounds the per-row explode: ONE dirty interval
+  * (a 9999-12-31 sentinel end date, a swapped unit) spanning years at
+  * small buckets would otherwise materialize a multi-hundred-thousand-
+  * element array per row and can OOM the whole job. Exceeding the cap
+  * fails fast with the offending span in the message (silently dropping a
+  * valid-looking interval would corrupt results invisibly); widen the cap
+  * or the bucket if the span is legitimate.
   */
 object IntervalJoin {
 
   def pointInInterval(
       points: DataFrame, intervals: DataFrame, key: String,
       tsCol: String, startCol: String, endCol: String,
-      bucketMinutes: Int): DataFrame = {
+      bucketMinutes: Int, maxBucketsPerInterval: Long = 10000L): DataFrame = {
     require(bucketMinutes > 0, s"pointInInterval: bucketMinutes must be positive, got $bucketMinutes")
+    require(maxBucketsPerInterval > 0,
+      s"pointInInterval: maxBucketsPerInterval must be positive, got $maxBucketsPerInterval")
     val overlap = points.columns.toSet
       .intersect(intervals.columns.filterNot(_ == key).toSet)
     require(overlap.isEmpty,
@@ -45,11 +55,21 @@ object IntervalJoin {
     // inverted (end < start) or null-bounded intervals contain nothing
     // under BETWEEN semantics; dropping them up front keeps one dirty row
     // from crashing the job on sequence()'s bounds check
+    // assert_true returns null on success (the when() then takes the
+    // sequence branch) and raises with the span in-message otherwise —
+    // the guard rides the row pipeline, no extra pass
+    val nBuckets =
+      (bucketStart(col(endCol)) - bucketStart(col(startCol))) / lit(wUs) + lit(1L)
     val iv = intervals
       .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
         col(startCol) <= col(endCol))
-      .withColumn("__b", explode(sequence(
-        bucketStart(col(startCol)), bucketStart(col(endCol)), lit(wUs))))
+      .withColumn("__b", explode(when(
+        assert_true(nBuckets <= lit(maxBucketsPerInterval), concat(
+          lit("pointInInterval: interval spans "), nBuckets,
+          lit(s" buckets > maxBucketsPerInterval=$maxBucketsPerInterval" +
+            s" at bucketMinutes=$bucketMinutes ["), col(startCol), lit(", "),
+          col(endCol), lit("] — dirty interval, or widen the cap/bucket"))).isNull,
+        sequence(bucketStart(col(startCol)), bucketStart(col(endCol)), lit(wUs)))))
       .as("i")
     p.join(iv,
         col(s"p.$key") === col(s"i.$key") && col("p.__b") === col("i.__b") &&

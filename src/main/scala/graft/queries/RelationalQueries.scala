@@ -532,8 +532,13 @@ object RelationalQueries {
           coalesce(col("n_supp"), lit(0L)).as("n_supp"))
     },
 
-    // ── set operations (UNION/INTERSECT/EXCEPT) — free from Spark SQL,
-    //    registered for breadth (SURVEY §2.6 note). ──
+    // ── set operations (UNION/INTERSECT/EXCEPT) — single-scan membership-
+    //    flag formulation: the literal Dataset union/intersect/except form
+    //    (the oracle keeps it for clarity) scans orders up to six times
+    //    (two legs x three ops); set membership per key is ONE scan with a
+    //    pushed-down OR filter, one shuffle on the key, and a scalar tail —
+    //    union = b|u, intersect = b&u, except = b&!u over the same flags.
+    //    The 100 TB shape for any fixed family of set expressions. ──
     q("s1_set_ops",
       """WITH big AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000),
         |urgent AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
@@ -542,16 +547,19 @@ object RelationalQueries {
         |SELECT 'intersect', count(*) FROM (SELECT k FROM big INTERSECT SELECT k FROM urgent)
         |UNION ALL
         |SELECT 'except', count(*) FROM (SELECT k FROM big EXCEPT SELECT k FROM urgent)""".stripMargin) { (s, dir) =>
-      val o = Td.table(s, dir, "orders")
-      val big = o.filter(col("o_totalprice") > 200000).select(col("o_custkey").as("k"))
-      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("k"))
-      Seq(
-        "union" -> big.union(urgent).distinct(),
-        "intersect" -> big.intersect(urgent),
-        "except" -> big.except(urgent)
-      ).map { case (op, df) =>
-        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
-      }.reduce(_ unionByName _)
+      val inBig = col("o_totalprice") > 200000
+      val inUrgent = col("o_orderpriority") === "1-URGENT"
+      val flags = Td.table(s, dir, "orders")
+        .filter(inBig || inUrgent)
+        .groupBy(col("o_custkey").as("k"))
+        .agg(max(when(inBig, 1).otherwise(0)).as("b"),
+          max(when(inUrgent, 1).otherwise(0)).as("u"))
+      flags.agg(
+          coalesce(sum(when(col("b") === 1 || col("u") === 1, 1L)), lit(0L)).as("n_union"),
+          coalesce(sum(when(col("b") === 1 && col("u") === 1, 1L)), lit(0L)).as("n_intersect"),
+          coalesce(sum(when(col("b") === 1 && col("u") === 0, 1L)), lit(0L)).as("n_except"))
+        .select(expr(
+          "stack(3, 'union', n_union, 'intersect', n_intersect, 'except', n_except) AS (op, n)"))
     },
 
     // ── approx_count_distinct (HLL++) — the 100 TB path beside A1's exact

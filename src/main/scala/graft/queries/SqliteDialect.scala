@@ -208,13 +208,25 @@ object SqliteDialect {
   }
 
   /** DATETIME call body → CAST(e AS TIMESTAMP); modifier forms are outside
-    * the shim's surface. */
+    * the shim's surface, and so are SQLite's time-value KEYWORDS
+    * ('now', 'localtime', ...): CAST('now' AS TIMESTAMP) is NULL under
+    * non-ANSI Spark, which would silently break the shim's fail-fast
+    * contract rather than translate. */
+  private val SqliteTimeKeywords =
+    Set("now", "localtime", "utc", "unixepoch", "julianday", "auto", "subsec", "subsecond")
   private def datetimeArgs(args: String): String = {
     val parts = splitTopLevel(args)
     if (parts.length != 1) throw new IllegalArgumentException(
       "unsupported SQLite construct: DATETIME with modifiers " +
         s"(DATETIME($args)) has no Spark translation in this shim")
-    s"CAST(${translateCalls(stripComments(parts.head).trim)} AS TIMESTAMP)"
+    val arg = stripComments(parts.head).trim
+    stripQuotes(parts.head).map(_.toLowerCase).foreach { lit =>
+      if (SqliteTimeKeywords.contains(lit)) throw new IllegalArgumentException(
+        s"unsupported SQLite construct: DATETIME('$lit') is a SQLite " +
+          "time-value keyword with no Spark translation in this shim " +
+          "(CAST would yield NULL silently)")
+    }
+    s"CAST(${translateCalls(arg)} AS TIMESTAMP)"
   }
 
   /** The two function-shaped rewrites, applied recursively. */

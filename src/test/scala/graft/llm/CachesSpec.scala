@@ -46,4 +46,26 @@ class CachesSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "releaseAll must leave zero persistent RDDs (incl. checkpoints)")
   }
+
+  test("releaseAll is scoped: a host application's own persist survives it") {
+    Caches.releaseAll(spark)
+    val host = Td.table(spark, Sf0001, "documents").persist()
+    try {
+      noopWrite(host) // materialize the host cache
+      // run a tier query that persists + checkpoints internally, then the
+      // harness boundary release
+      noopWrite(Dedup.dedupClusters(Dedup.minhashNearDups(
+        host, "doc_id", "text", shingleN = 3, numHashes = 32,
+        rowsPerBand = 4, minJ = 0.8)))
+      Caches.releaseAll(spark)
+      val remaining = spark.sparkContext.getPersistentRDDs
+      assert(remaining.nonEmpty,
+        "releaseAll must NOT sweep persists it never tracked")
+      assert(host.storageLevel.useMemory,
+        "the host frame must still be marked persistent")
+    } finally {
+      host.unpersist(blocking = true): Unit
+    }
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
 }

@@ -84,6 +84,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == Map(1L -> Some(101L), 2L -> None))
   }
 
+  test("null keys: NULL = NULL never matches; null-key left rows pass through unmatched") {
+    // join semantics, not window semantics: a null-key right row must not
+    // be carried into null-key left rows just because nulls co-partition
+    val left = Seq(
+      (1L, Option(10L), ts("2024-01-01 10:00:00")),
+      (2L, Option.empty[Long], ts("2024-01-01 10:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, Option.empty[Long], ts("2024-01-01 09:00:00")), // never matches
+      (101L, Option(10L), ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val got = AsOfJoin.asOf(left, right, "user_id", "ts", "ts")
+      .select(col("event_id"), col("asof.event_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(1L -> Some(101L), 2L -> None))
+  }
+
   test("random timelines with duplicate timestamps match the brute-force reference") {
     // seeded random streams, coarse timestamps so duplicate ts (within and
     // across sides) are common — the edge the ordering contract exists for

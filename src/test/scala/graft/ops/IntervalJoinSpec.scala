@@ -67,6 +67,31 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got.toSet == expected && expected.nonEmpty)
   }
 
+  test("a dirty interval past maxBucketsPerInterval fails fast with the span in-message") {
+    // a 9999 sentinel end date at small buckets would explode to millions
+    // of rows per input row; the guard must fail loudly, not OOM or
+    // silently drop
+    val points = Seq((1L, 10L, ts("2024-01-01 10:30:00"))).toDF("event_id", "user_id", "ts")
+    val intervals = Seq(
+      (10L, "ok", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      (10L, "dirty", ts("2024-01-01 10:00:00"), ts("9999-12-31 00:00:00"))
+    ).toDF("user_id", "iv_id", "s_start", "s_end")
+    val e = intercept[Exception] {
+      IntervalJoin.pointInInterval(points, intervals,
+        "user_id", "ts", "s_start", "s_end", bucketMinutes = 15).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("maxBucketsPerInterval")),
+      s"expected the guard's message, got: ${messages(e).mkString(" | ")}")
+    // clean data at the same geometry still flows with the default cap
+    val clean = IntervalJoin.pointInInterval(points,
+        intervals.filter(col("iv_id") === "ok"),
+        "user_id", "ts", "s_start", "s_end", bucketMinutes = 15)
+      .select("iv_id").as[String].collect().toSeq
+    assert(clean == Seq("ok"))
+  }
+
   test("matches the brute-force range join on sf0.001 events sessions") {
     val ev = Td.table(spark, Sf0001, "events")
     val sessions = TimeOps.sessionize(

@@ -86,6 +86,13 @@ class SqliteDialectSpec extends SparkSpec {
     assert(msg("STRFTIME('%H', ts").contains("unbalanced"))
     assert(msg("SELECT 'oops").contains("unterminated"))
     assert(msg("STRFTIME('%q', ts)").contains("%q"))
+    // time-value keywords: CAST('now' AS TIMESTAMP) would be a silent NULL
+    // under non-ANSI Spark, so they must raise like the modifier forms do
+    assert(msg("DATETIME('now')").contains("time-value keyword"))
+    assert(msg("SELECT DATETIME('localtime') AS t").contains("time-value keyword"))
+    // a plain castable literal still translates
+    assert(SqliteDialect.translate("DATETIME('2024-01-01 10:00:00')")
+      .contains("CAST('2024-01-01 10:00:00' AS TIMESTAMP)"))
   }
 
   test("comments and literals inside call arguments don't derail the scanner") {
