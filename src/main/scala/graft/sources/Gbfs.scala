@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   *  - sinks: stations MERGE-upsert (S10) via [[graft.ops.Upsert]], status
   *    append (S9) as date-partitioned parquet via [[Store]].
   *
-  * The HTTP fetch itself is isolated behind `fetchJson` so tests (and this
-  * zero-egress environment) inject file fixtures; a production deployment
-  * plugs `java.net.http.HttpClient` into the same seam.
+  * The HTTP fetch itself is isolated behind a URL→body seam so tests (and
+  * this zero-egress environment) inject fixtures; [[Http]] is the real
+  * `java.net.http.HttpClient` implementation (retry/backoff on transient
+  * failures), and [[liveStationsAndStatus]] runs the whole S1→S4 chain
+  * live — HttpSpec drives it end-to-end against an in-process server.
   */
 object Gbfs {
 
@@ -59,11 +61,8 @@ object Gbfs {
     }
   }
 
-  /** station_information payload file(s) → typed stations rows (S3).
-    * Boolean/array columns stay typed; `last_updated` is stamped from the
-    * payload header onto every row (etl_gbfs.py:107). */
-  def stationsFromJson(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(Schemas.gbfsStationInfo).option("multiLine", true).json(path)
+  private def stationRows(raw: DataFrame): DataFrame =
+    raw
       .select(col("last_updated"), explode(col("data.stations")).as("s"))
       .select(
         col("s.station_id"), col("s.name"), col("s.lat"), col("s.lon"),
@@ -72,12 +71,8 @@ object Gbfs {
         col("s.external_id"), col("s.short_name"), col("s.region_id"),
         col("last_updated"))
 
-  /** station_status payload file(s) → typed status rows (S4), stamped with
-    * the given scrape timestamp (reference stamps wall-clock at append,
-    * etl_gbfs.py:119; injectable here for replayable tests). GBFS 0/1 ints
-    * become BooleanType. */
-  def statusFromJson(spark: SparkSession, path: String, scrapedAt: java.sql.Timestamp): DataFrame =
-    spark.read.schema(Schemas.gbfsStationStatus).option("multiLine", true).json(path)
+  private def statusRows(raw: DataFrame, scrapedAt: java.sql.Timestamp): DataFrame =
+    raw
       .select(explode(col("data.stations")).as("s"))
       .select(
         col("s.station_id"),
@@ -89,6 +84,58 @@ object Gbfs {
         col("s.last_reported"),
         lit(scrapedAt).as("scraped_at"),
         col("s.vehicle_types_available"))
+
+  private def parsePayload(
+      spark: SparkSession, json: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import spark.implicits._
+    spark.read.schema(schema).json(Seq(json).toDS())
+  }
+
+  /** station_information payload file(s) → typed stations rows (S3).
+    * Boolean/array columns stay typed; `last_updated` is stamped from the
+    * payload header onto every row (etl_gbfs.py:107). */
+  def stationsFromJson(spark: SparkSession, path: String): DataFrame =
+    stationRows(spark.read.schema(Schemas.gbfsStationInfo)
+      .option("multiLine", true).json(path))
+
+  /** S3 over an in-memory payload — the live-fetch path hands the HTTP
+    * body straight to the schema-first reader, no temp file. */
+  def stationsFromPayload(spark: SparkSession, json: String): DataFrame =
+    stationRows(parsePayload(spark, json, Schemas.gbfsStationInfo))
+
+  /** station_status payload file(s) → typed status rows (S4), stamped with
+    * the given scrape timestamp (reference stamps wall-clock at append,
+    * etl_gbfs.py:119; injectable here for replayable tests). GBFS 0/1 ints
+    * become BooleanType. */
+  def statusFromJson(spark: SparkSession, path: String, scrapedAt: java.sql.Timestamp): DataFrame =
+    statusRows(spark.read.schema(Schemas.gbfsStationStatus)
+      .option("multiLine", true).json(path), scrapedAt)
+
+  /** S4 over an in-memory payload (live-fetch path). */
+  def statusFromPayload(
+      spark: SparkSession, json: String, scrapedAt: java.sql.Timestamp): DataFrame =
+    statusRows(parsePayload(spark, json, Schemas.gbfsStationStatus), scrapedAt)
+
+  /** S1→S4 live end-to-end (etl_gbfs.py:42-63 `fetch_stations_and_status`):
+    * fetch + parse the discovery doc, pick both feed URLs by language
+    * preference, fetch both payloads, return (stations, status) typed
+    * frames. `fetch` is any URL→body function — [[Http]]`.getJson` in
+    * production, a localhost fixture server or file reader in tests. */
+  def liveStationsAndStatus(
+      spark: SparkSession, discoveryUrl: String, fetch: String => String,
+      scrapedAt: java.sql.Timestamp): (DataFrame, DataFrame) = {
+    val feeds = discoveryFeeds(fetch(discoveryUrl))
+    if (feeds.isEmpty) throw new NoSuchElementException(
+      s"no feeds found in GBFS discovery doc at $discoveryUrl")
+    def urlOf(name: String) = pickFeedUrl(feeds, name).getOrElse(
+      throw new NoSuchElementException(
+        s"feed '$name' not present in GBFS discovery doc at $discoveryUrl"))
+    val si = urlOf("station_information")
+    val ss = urlOf("station_status")
+    (stationsFromPayload(spark, fetch(si)),
+      statusFromPayload(spark, fetch(ss), scrapedAt))
+  }
 
   /** Compat view matching the reference's flattened storage strings:
     * rental_methods comma-joined (F13), booleans as 0/1 (F14),

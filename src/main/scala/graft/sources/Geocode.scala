@@ -14,7 +14,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * partition count. The result lands in the S8 CSV cache and joins back to
   * stations as a broadcast dimension. The HTTP fetch is a seam
   * (`fetch: (lat, lon) => String`) so tests and this zero-egress environment
-  * inject fixtures.
+  * inject fixtures; [[Http.nominatimFetch]] is the live implementation
+  * (jsonv2, pt-BR labels, zoom 14 — streamlit_app.py:89-99), driven
+  * end-to-end in HttpSpec.
   */
 object Geocode {
 

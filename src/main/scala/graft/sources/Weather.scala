@@ -24,10 +24,8 @@ object Weather {
     "temperature_2m", "precipitation", "rain", "showers", "snowfall",
     "cloudcover", "windspeed_10m", "relative_humidity_2m", "weathercode")
 
-  /** Open-Meteo payload file → weather_hourly rows (S5). */
-  def hourlyFromJson(spark: SparkSession, path: String): DataFrame = {
-    val zipped = spark.read.schema(Schemas.openMeteoHourly)
-      .option("multiLine", true).json(path)
+  private def hourlyRows(raw: DataFrame): DataFrame = {
+    val zipped = raw
       .select(explode(arrays_zip(
         col("hourly.time").as("time") +:
           measureCols.map(c => col(s"hourly.$c").as(c)): _*)).as("h"))
@@ -35,6 +33,28 @@ object Weather {
       to_timestamp(col("h.time"), "yyyy-MM-dd'T'HH:mm").as("time") +:
         measureCols.map(c => col(s"h.$c").as(c)): _*)
   }
+
+  /** Open-Meteo payload file → weather_hourly rows (S5). */
+  def hourlyFromJson(spark: SparkSession, path: String): DataFrame =
+    hourlyRows(spark.read.schema(Schemas.openMeteoHourly)
+      .option("multiLine", true).json(path))
+
+  /** S5 over an in-memory payload (live-fetch path). */
+  def hourlyFromPayload(spark: SparkSession, json: String): DataFrame = {
+    import spark.implicits._
+    hourlyRows(spark.read.schema(Schemas.openMeteoHourly).json(Seq(json).toDS()))
+  }
+
+  /** Live end-to-end (etl_weather.py:23-36 `fetch_weather`): build the
+    * forecast URL for one city + date window + this table's hourly
+    * measures, fetch, transpose. `fetch` is any URL→body function —
+    * [[Http]]`.getJson` in production, a fixture server in tests. */
+  def liveHourly(
+      spark: SparkSession, fetch: String => String, baseUrl: String,
+      lat: Double, lon: Double, start: LocalDate, end: LocalDate,
+      timezone: String = "America/Sao_Paulo"): DataFrame =
+    hourlyFromPayload(spark, fetch(
+      Http.openMeteoUrl(baseUrl, lat, lon, timezone, start, end, measureCols)))
 
   /** Relative-date parsing for CLI args: `-2d`/`+2d` are day offsets from
     * `now`, anything else is an ISO date (etl_weather.py:14-20, F10). */
