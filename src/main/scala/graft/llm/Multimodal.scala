@@ -68,6 +68,44 @@ object Multimodal {
       .toDF()
   }
 
+  /** One resized item's stub features. */
+  final case class ResizedFeatures(
+      item_id: Long, n_bytes_resized: Int, checksum_mod: Long)
+
+  /** Resize analog over a binary payload (the image "resize to target
+    * resolution" shape, on a 1-D byte signal): nearest-neighbor resample
+    * to EXACTLY `targetBytes` samples — sample i reads byte
+    * `(i * n_bytes) / targetBytes` (integer division), which downsamples
+    * long payloads and repeats bytes of short ones, like nearest-neighbor
+    * image scaling. Runs in the same partition-batched kernel shape as
+    * [[extractFeatures]] (a real resizer would init its codec once per
+    * partition); features are deterministic byte stats so the oracle can
+    * replay the exact resample relationally. Empty payloads are dropped
+    * (nothing to resample — a real pipeline would quarantine them). */
+  def resizePayload(binarized: DataFrame, targetBytes: Int): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val spark = binarized.sparkSession
+    import spark.implicits._
+    binarized
+      .filter(col("meta.n_bytes") > 0)
+      .select(col("item_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        // per-partition resizer/codec init would happen here (stubbed)
+        iter.map { case (id, bytes) =>
+          val n = bytes.length
+          var sum = 0L
+          var i = 0
+          while (i < targetBytes) {
+            sum += (bytes(((i.toLong * n) / targetBytes).toInt) & 0xFF)
+            i += 1
+          }
+          ResizedFeatures(id, targetBytes, sum % 9973L)
+        }
+      }
+      .toDF()
+  }
+
   /** STUB decode/feature-extract: a real implementation would initialize a
     * codec/model once per partition and decode each payload; here the
     * "features" are deterministic byte statistics so the driver's oracle can

@@ -705,6 +705,43 @@ object LlmQueries {
         Multimodal.binarize(Td.table(s, dir, "documents"), "doc_id", "text"))
     },
 
+    // ── multimodal resize: nearest-neighbor byte resample to a fixed
+    //    target size (the image-resize shape on a 1-D signal), stub
+    //    features per item; the oracle replays the exact resample —
+    //    sample i reads byte (i*n)//target — via range/list_transform on
+    //    the all-ASCII corpus (byte = char). ──
+    q("lm3_resize",
+      """SELECT doc_id AS item_id, 96 AS n_bytes_resized,
+        |  CAST(list_sum(list_transform(range(0, 96),
+        |    i -> ord(substr(text, CAST((i * length(text)) // 96 AS INT) + 1, 1)))) % 9973
+        |    AS BIGINT) AS checksum_mod
+        |FROM documents WHERE length(text) > 0""".stripMargin) { (s, dir) =>
+      Multimodal.resizePayload(
+        Multimodal.binarize(Td.table(s, dir, "documents"), "doc_id", "text"),
+        targetBytes = 96)
+    },
+
+    // ── PII-style redaction plumbing: regex scrub + match count + scrubbed
+    //    fingerprint in one scan stage. The corpus is synthetic word soup,
+    //    so the demo patterns target entity-like tokens (real hits);
+    //    production swaps in email/phone/ID regexes — the pipeline shape
+    //    (codegen'd regexp_replace/regexp_count, no UDF) is the point.
+    //    Patterns stay in the RE2 ∩ Java-regex common dialect so both
+    //    engines match identically. ──
+    q("lt11_redact",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '(customer|supplier|part)')) AS BIGINT)
+        |    AS n_hits,
+        |  md5(regexp_replace(text, '(customer|supplier|part)', '<ENT>', 'g'))
+        |    AS red_hash
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val pat = "(customer|supplier|part)"
+      Td.table(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit(pat)).cast("long").as("n_hits"),
+          md5(regexp_replace(col("text"), pat, "<ENT>")).as("red_hash"))
+    },
+
     // ── bucketed-lake end-to-end: write documents/embeddings/cluster-map
     //    bucket-sorted on their keys, then run the chained curation read —
     //    near-dup non-survivor removal (anti-join), token/quality filter,

@@ -384,6 +384,32 @@ object RelationalQueries {
           count(lit(1)).over(w)).as("moving_avg"))
     },
 
+    // ── W4: ranking-function pack (dense_rank / ntile / percent_rank /
+    //    cume_dist) — the remaining window breadth a real Spark user
+    //    reaches for. One shuffle on the partition key; the ORDER BY is a
+    //    unique composite so every rank is deterministic, and
+    //    percent_rank/cume_dist divide the same exact integers on both
+    //    engines (single IEEE division — bit-identical). ──
+    q("w4_rank_pack",
+      """SELECT event_id, user_id,
+        |  dense_rank() OVER w AS drank,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS prank,
+        |  cume_dist() OVER w AS cdist
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value, ts, event_id)""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value"), col("ts"), col("event_id"))
+      Td.table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          dense_rank().over(w).as("drank"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"))
+    },
+
     // ── P8: anti-join (left_anti — customers with no orders). Oracle uses
     //    NOT EXISTS, not NOT IN: NOT IN yields zero rows whenever any
     //    o_custkey is NULL, while left_anti keeps unmatched customers —

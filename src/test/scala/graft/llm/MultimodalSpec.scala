@@ -1,0 +1,54 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the multimodal stub kernels against naive references — the oracle
+  * checks the registered queries end-to-end; these cover the operator
+  * edges the corpus doesn't exercise (upsampling, single-byte payloads,
+  * empty-payload drop). */
+class MultimodalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def mm(rows: (Long, String)*) =
+    Multimodal.binarize(rows.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+
+  test("resizePayload: nearest-neighbor resample matches the naive reference both directions") {
+    val texts = Seq(
+      1L -> "abcdefghij",          // downsample 10 -> 4
+      2L -> "xy",                  // upsample 2 -> 4 (bytes repeat)
+      3L -> "q",                   // single byte -> repeated 4x
+      4L -> ("z" * 1000))          // heavy downsample
+    val got = Multimodal.resizePayload(mm(texts: _*), targetBytes = 4)
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val expected = texts.map { case (id, t) =>
+      val b = t.getBytes("UTF-8")
+      val sum = (0 until 4).map(i => b(((i.toLong * b.length) / 4).toInt) & 0xFF).sum
+      id -> ((4, sum % 9973L))
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("resizePayload drops empty payloads and rejects a non-positive target") {
+    val got = Multimodal.resizePayload(
+      mm(1L -> "", 2L -> "ok"), targetBytes = 8).as[(Long, Int, Long)].collect()
+    assert(got.map(_._1).toSeq == Seq(2L))
+    intercept[IllegalArgumentException] {
+      Multimodal.resizePayload(mm(1L -> "x"), targetBytes = 0)
+    }
+  }
+
+  test("extractFeatures and sampleFrames agree with byte-level references") {
+    val t = "hello world, bytes here"
+    val b = t.getBytes("UTF-8")
+    val feats = Multimodal.extractFeatures(mm(1L -> t))
+      .as[(Long, Int, Long, Int)].head()
+    assert(feats == ((1L, b.length, b.map(_ & 0xFF).map(_.toLong).sum % 9973L, b(0) & 0xFF)))
+    val frames = Multimodal.sampleFrames(mm(1L -> ("ab" * 100)), frameSize = 64, stride = 2)
+      .select("frame_idx", "n_bytes").as[(Int, Int)].collect().sortBy(_._1).toSeq
+    // 200 bytes -> 4 frames of 64/64/64/8; stride 2 keeps frames 0 and 2
+    assert(frames == Seq((0, 64), (2, 64)))
+  }
+}
