@@ -751,6 +751,38 @@ object RelationalQueries {
             .as("approx_median_rank_ok"))
     },
 
+    // ── A19: approx_top_k (DataSketches frequent-items), driver-checked —
+    //    the third sketch family beside a11's HLL and a18's GK, same
+    //    witness pattern. maxItemsTracked (1000) exceeds the distinct
+    //    count (50 quantities), so the sketch is provably exact here; the
+    //    query verifies IN-QUERY that (a) every reported count equals the
+    //    exact groupBy count and (b) every reported item's count reaches
+    //    the k-th largest exact count (i.e. the result IS a valid top-k
+    //    under ties — ordering among equal counts is sketch-internal, so
+    //    the witness checks set validity, not order). Oracle pins the
+    //    verdict row. Two scans are inherent to the witness; production
+    //    uses the one-pass sketch alone. ──
+    q("a19_approx_topk",
+      """WITH e AS (SELECT CAST(l_quantity AS BIGINT) AS q, count(*) AS ecnt
+        |  FROM lineitem GROUP BY 1),
+        |kth AS (SELECT min(ecnt) AS kth FROM (
+        |  SELECT ecnt FROM e ORDER BY ecnt DESC LIMIT 10))
+        |SELECT 10 AS n_items, TRUE AS counts_exact, TRUE AS valid_topk""".stripMargin) { (s, dir) =>
+      val li = Td.table(s, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("q"))
+      val approx = li.agg(expr("approx_top_k(q, 10, 1000)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("q"), col("e.count").as("acnt"))
+      val exact = li.groupBy("q").agg(count(lit(1)).as("ecnt"))
+      val kth = exact.orderBy(col("ecnt").desc).limit(10)
+        .agg(min(col("ecnt")).as("kth"))
+      approx.join(exact, "q")
+        .crossJoin(broadcast(kth))
+        .agg(count(lit(1)).cast("int").as("n_items"),
+          min(col("acnt") === col("ecnt")).as("counts_exact"),
+          min(col("acnt") >= col("kth")).as("valid_topk"))
+    },
+
     // ── pivot (wide per-key event-type counts) — Catalyst rewrites the
     //    explicit value list into one pass of conditional aggregates,
     //    exactly the oracle's CASE-sum formulation. ──
