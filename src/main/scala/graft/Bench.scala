@@ -110,7 +110,11 @@ object Bench {
         }
         run += 1
       }
-      if (times.nonEmpty) Some(name -> times.toVector) else None
+      // a query that failed on ANY run reports ONLY in errors — the
+      // documented contract is that a crashing query's time is excluded
+      // from the total, and a succeeded-then-OOMed query in both maps
+      // would be a self-contradictory artifact
+      if (times.nonEmpty && !failed) Some(name -> times.toVector) else None
     }
     val mins = results.map { case (k, v) => k -> v.min }
     val qs = mins.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")

@@ -276,11 +276,14 @@ object Dedup {
     // set) — a distinct would cost a full extra shuffle of the edge table
     // for nothing. Callers feeding non-deduped edge lists at scale should
     // distinct() them first to keep join fan-out down.
-    val edges = pairs.select(explode(array(
+    // persisted through the tracked registry so a mid-iteration failure
+    // (this method unpersists explicitly only on the success path) still
+    // gets cleaned at the harness's releaseAll boundary instead of pinning
+    // the edge cache for the rest of a Bench/Verify run
+    val edges = Caches.persist(pairs.select(explode(array(
         struct(col("d1").cast("long").as("src"), col("d2").cast("long").as("dst")),
         struct(col("d2").cast("long").as("src"), col("d1").cast("long").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist()
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
     // Seed each node with min(own id, min neighbor id) — one aggregation
     // that is both the node-set build and propagation round 0 (pairs and
     // star-shaped clusters converge immediately). The eager localCheckpoint
@@ -289,10 +292,10 @@ object Dedup {
     // referencing `edges` three times, and concurrent scans of a not-yet-
     // cached RDD each recompute it (cache population gives no intra-job
     // dedup), re-running the whole upstream pair pipeline in triplicate.
-    var labels = edges.groupBy(col("src").as("id"))
+    var labels = Caches.trackCheckpoint(edges.groupBy(col("src").as("id"))
       .agg(min("dst").as("m"))
       .select(col("id"), least(col("id"), col("m")).as("lbl"))
-      .localCheckpoint()
+      .localCheckpoint())
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -340,6 +343,11 @@ object Dedup {
         }
         .toDF("id", "lbl")
         .localCheckpoint()
+      // track every round's checkpoint at creation: the previous round is
+      // still released eagerly below, but a FAILED round's storage must be
+      // reachable by the harness releaseAll (unpersisting an already-
+      // released RDD is a no-op, so eager + tracked don't conflict)
+      Caches.trackCheckpoint(next)
       // release the PREVIOUS round's checkpoint storage for real:
       // Dataset.unpersist is a no-op on localCheckpoint'd frames (the pin
       // is on the LogicalRDD's rdd, not in the CacheManager)
@@ -354,11 +362,11 @@ object Dedup {
           "labels may be partially propagated (a component's diameter " +
           "exceeds maxIters) — raise maxIters")
     edges.unpersist()
-    // the FINAL round's checkpoint storage is pinned inside the returned
-    // plan's LogicalRDD; register it so the harness-level releaseAll can
-    // drop it after the consuming action without sweeping the whole
-    // SparkContext (a host's own persists stay untouched)
-    Caches.trackCheckpoint(labels)
+    // every round's checkpoint (including the final labels pinned inside
+    // the returned plan's LogicalRDD) is already tracked above, so the
+    // harness-level releaseAll drops whatever remains after the consuming
+    // action without sweeping the whole SparkContext (a host's own
+    // persists stay untouched)
     labels.select(col("id").as("doc_id"), col("lbl").as("survivor_id"))
   }
 

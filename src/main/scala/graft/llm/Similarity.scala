@@ -324,24 +324,17 @@ object Similarity {
     * Same results as the broadcast path by construction (identical
     * candidate predicate, scoring sequence, and ranking); SimilaritySpec
     * pins the equivalence through a small-cap override. */
-  private def lshTopKJoined(qPrep: DataFrame, index: DataFrame, k: Int): DataFrame = {
-    val spark = qPrep.sparkSession
+  /** Shared exact-scoring + ranking tail for the distributed candidate
+    * paths: a (query_id, qe, qn, neighbor_id, ce, cn) pair table →
+    * exact quantized cosine per pair (one JVM kernel pass) → per-query
+    * top-k by (cosine DESC, neighbor_id). The IEEE sequence
+    * `dot / (qn * cn)` and the tie-break are oracle-pinned — every
+    * consumer MUST rank through here so a future tweak cannot diverge
+    * one path from its DuckDB twin. */
+  private def scorePairsTopK(pairs: DataFrame, k: Int): DataFrame = {
+    val spark = pairs.sparkSession
     import spark.implicits._
-    // both sides have two consumers (bucket explode + scoring re-attach)
-    val qp = Caches.persist(qPrep)
-    val ip = Caches.persist(index)
-    def buckets(df: DataFrame, idAs: String) =
-      df.select(col("id").as(idAs), posexplode(col("codes")).as(Seq("tbl", "code")))
-    val cand = buckets(qp, "query_id")
-      .join(buckets(ip, "neighbor_id"), Seq("tbl", "code"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id")
-      .distinct()
-    val scored = cand
-      .join(qp.select(col("id").as("query_id"), col("e").as("qe"), col("nrm").as("qn")),
-        "query_id")
-      .join(ip.select(col("id").as("neighbor_id"), col("e").as("ce"), col("nrm").as("cn")),
-        "neighbor_id")
+    val scored = pairs
       .select("query_id", "qe", "qn", "neighbor_id", "ce", "cn")
       .as[(Long, Array[Long], Double, Long, Array[Long], Double)]
       .mapPartitions { iter =>
@@ -354,6 +347,24 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  private def lshTopKJoined(qPrep: DataFrame, index: DataFrame, k: Int): DataFrame = {
+    // both sides have two consumers (bucket explode + scoring re-attach)
+    val qp = Caches.persist(qPrep)
+    val ip = Caches.persist(index)
+    def buckets(df: DataFrame, idAs: String) =
+      df.select(col("id").as(idAs), posexplode(col("codes")).as(Seq("tbl", "code")))
+    val cand = buckets(qp, "query_id")
+      .join(buckets(ip, "neighbor_id"), Seq("tbl", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    scorePairsTopK(cand
+      .join(qp.select(col("id").as("query_id"), col("e").as("qe"), col("nrm").as("qn")),
+        "query_id")
+      .join(ip.select(col("id").as("neighbor_id"), col("e").as("ce"), col("nrm").as("cn")),
+        "neighbor_id"), k)
   }
 
   /** LSH ANN over a corpus without a prebuilt index (codes computed once,
@@ -470,20 +481,10 @@ object Similarity {
     val q = prep(queries).toDF("query_id", "q_emb", "q_nrm", "cell0")
       .select(col("query_id"), col("q_emb"), col("q_nrm"),
         explode(probes(col("cell0"))).as("cell"))
-    val scored = q.join(c, Seq("cell"))
+    scorePairsTopK(q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "q_emb", "q_nrm", "neighbor_id", "c_emb", "c_nrm")
-      .as[(Long, Array[Long], Double, Long, Array[Long], Double)]
-      .mapPartitions { iter =>
-        iter.map { case (qid, qe, qn, nid, ce, cn) =>
-          (qid, nid, Qv.dot(qe, ce).toDouble / (qn * cn))
-        }
-      }
-      .toDF("query_id", "neighbor_id", "cosine")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("query_id"), col("q_emb").as("qe"), col("q_nrm").as("qn"),
+        col("neighbor_id"), col("c_emb").as("ce"), col("c_nrm").as("cn")), k)
   }
 
   /** IVF with a LEARNED coarse quantizer — k-means-lite over the corpus
@@ -583,20 +584,10 @@ object Similarity {
     val q = prep(queries, nprobe).toDF("query_id", "q_emb", "q_nrm", "cells")
       .select(col("query_id"), col("q_emb"), col("q_nrm"),
         explode(col("cells")).as("cell"))
-    val scored = q.join(c, Seq("cell"))
+    scorePairsTopK(q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "q_emb", "q_nrm", "neighbor_id", "c_emb", "c_nrm")
-      .as[(Long, Array[Long], Double, Long, Array[Long], Double)]
-      .mapPartitions { iter =>
-        iter.map { case (qid, qe, qn, nid, ce, cn) =>
-          (qid, nid, Qv.dot(qe, ce).toDouble / (qn * cn))
-        }
-      }
-      .toDF("query_id", "neighbor_id", "cosine")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("query_id"), col("q_emb").as("qe"), col("q_nrm").as("qn"),
+        col("neighbor_id"), col("c_emb").as("ce"), col("c_nrm").as("cn")), k)
   }
 
   /** Sub-quadratic embedding near-dup — the scale path [[embeddingNearDups]]

@@ -31,7 +31,11 @@ import org.apache.spark.sql.functions._
   * element array per row and can OOM the whole job. Exceeding the cap
   * fails fast with the offending span in the message (silently dropping a
   * valid-looking interval would corrupt results invisibly); widen the cap
-  * or the bucket if the span is legitimate.
+  * or the bucket if the span is legitimate. NOTE the cap is in BUCKETS,
+  * not time: the default (10000) is ~7 days at 1-minute buckets but ~19
+  * years at daily buckets — callers running fine buckets over genuinely
+  * wide intervals (already a poor geometry per the sizing note above)
+  * must raise it explicitly.
   */
 object IntervalJoin {
 

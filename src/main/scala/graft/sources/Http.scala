@@ -54,8 +54,15 @@ final class Http(
       headers.foreach { case (k, v) => b.header(k, v) }
       val resp =
         try Some(client.send(b.build(), HttpResponse.BodyHandlers.ofString()))
-        catch { // connect refused/reset, read timeout: transient
-          case e @ (_: java.io.IOException | _: InterruptedException) =>
+        catch {
+          // an interrupt is a CANCELLATION, not a transient fault: restore
+          // the flag (send() clears it) and abort — retry-sleeping through
+          // a shutdown would hold the thread for attempts x timeout
+          case e: InterruptedException =>
+            Thread.currentThread().interrupt()
+            throw new java.io.IOException(s"GET $url interrupted", e)
+          // connect refused/reset, read timeout: transient
+          case e: java.io.IOException =>
             lastFailure = s"${e.getClass.getSimpleName}: ${e.getMessage} (GET $url)"
             None
         }

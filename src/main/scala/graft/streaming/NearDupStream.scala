@@ -92,7 +92,13 @@ object NearDupStream {
       maxBucketMembers: Int = 64): Dataset[BandHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    withBands(docs, shingleN, numHashes, rowsPerBand)
+    // a permissive-schema landing line with null text/id would produce a
+    // null signature that the non-nullable encoder rejects — and a crashed
+    // stream RE-READS the same file on restart, a permanent crash loop.
+    // Null-field records carry nothing to dedup; drop them at the edge
+    // (CurationStream's quality filter does the same implicitly).
+    withBands(docs.filter(col("doc_id").isNotNull && col("text").isNotNull),
+        shingleN, numHashes, rowsPerBand)
       .select(col("doc_id").cast("long"), col("band"), col("band_hash"), col("sig"))
       .as[(Long, Int, Long, Seq[Long])]
       .groupByKey { case (_, band, bandHash, _) => (band, bandHash) }
@@ -115,12 +121,19 @@ object NearDupStream {
   }
 
   /** Per-trigger verdict reduction: one row per doc — the earliest dup_of
-    * across its bands (null = no band produced a similar prior doc) and
-    * the best estimate. Runs in foreachBatch (batch land): a doc's band
-    * rows always share a trigger, so this needs no second stateful op. */
+    * across its bands (null = no band produced a similar prior doc) WITH
+    * the estimate for that same pair (a naive max(est_j) could report a
+    * different band's estimate of a different member than the assigned
+    * duplicate; the struct-min keeps the pair coherent — same (doc, dup)
+    * in several bands always carries the same estimate, signatures being
+    * per-doc). Runs in foreachBatch (batch land): a doc's band rows
+    * always share a trigger, so this needs no second stateful op. */
   def reduceHits(hits: DataFrame): DataFrame =
     hits.groupBy("doc_id")
-      .agg(min(col("dup_of")).as("dup_of"), max(col("est_j")).as("est_j"))
+      .agg(min(when(col("dup_of").isNotNull,
+        struct(col("dup_of"), col("est_j")))).as("m"))
+      .select(col("doc_id"),
+        col("m.dup_of").as("dup_of"), col("m.est_j").as("est_j"))
 
   /** Landing-dir JSONL drops → per-doc near-dup verdicts, one batch_id
     * partition per trigger with dynamic overwrite (replays replace

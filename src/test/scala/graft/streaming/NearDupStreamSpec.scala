@@ -94,6 +94,25 @@ class NearDupStreamSpec extends SparkSpec {
     assert(got(12L).isEmpty && got(1L).isEmpty && got(7L).isEmpty)
   }
 
+  test("a null-text landing record is dropped, not a permanent crash loop") {
+    val dir = Fixtures.tempDir("neardup3")
+    java.nio.file.Files.createDirectories(dir.resolve("landing"))
+    // valid JSON, missing "text" — the permissive schema parses it to a
+    // null-text row; the stream must drop it and process the rest
+    Fixtures.write(dir.resolve("landing"), "t0.jsonl",
+      s"""{"doc_id": 1, "lang": "en", "source": "s", "text": "${soup(1)}"}
+         |{"doc_id": 99}
+         |{"doc_id": 11, "lang": "en", "source": "s", "text": "${soup(1)}"}""".stripMargin)
+    val q = NearDupStream.start(spark, dir.resolve("landing").toString,
+      dir.resolve("out").toString, dir.resolve("ckpt").toString)
+    q.awaitTermination()
+    val got = spark.read.parquet(dir.resolve("out").toString)
+      .select("doc_id", "dup_of")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got.keySet == Set(1L, 11L), s"null-text record must vanish: $got")
+    assert(got(11L).contains(1L))
+  }
+
   test("bucket state survives a restart: a later file still tags against old members") {
     val dir = Fixtures.tempDir("neardup2")
     java.nio.file.Files.createDirectories(dir.resolve("landing"))
