@@ -588,6 +588,51 @@ object RelationalQueries {
           "stack(3, 'union', n_union, 'intersect', n_intersect, 'except', n_except) AS (op, n)"))
     },
 
+    // ── set operations with BAG semantics (INTERSECT ALL / EXCEPT ALL) —
+    //    multiplicity-preserving variants of s1; Spark plans both as a
+    //    single-shuffle aggregate over (row, side-count) rather than a
+    //    join, which is the shape that survives duplicate-heavy inputs.
+    //    Row = order priority so multiplicities are large and the
+    //    min/difference arithmetic is actually exercised. ──
+    q("s3_set_ops_all",
+      """WITH big AS (SELECT o_orderpriority AS p FROM orders WHERE o_totalprice > 150000),
+        |late AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderdate >= DATE '1997-01-01')
+        |SELECT 'intersect_all' AS op, p, count(*) AS n FROM
+        |  (SELECT p FROM big INTERSECT ALL SELECT p FROM late) GROUP BY 2
+        |UNION ALL
+        |SELECT 'except_all', p, count(*) FROM
+        |  (SELECT p FROM big EXCEPT ALL SELECT p FROM late) GROUP BY 2""".stripMargin) { (s, dir) =>
+      val o = Td.table(s, dir, "orders")
+      val big = o.filter(col("o_totalprice") > 150000).select(col("o_orderpriority").as("p"))
+      val late = o.filter(col("o_orderdate") >= lit(java.sql.Date.valueOf("1997-01-01")))
+        .select(col("o_orderpriority").as("p"))
+      def counted(op: String, df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("p").agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("p"), col("n"))
+      counted("intersect_all", big.intersectAll(late))
+        .unionByName(counted("except_all", big.exceptAll(late)))
+    },
+
+    // ── unpivot (wide → long melt) — the inverse of a13's pivot;
+    //    Dataset.unpivot plans a single Expand (one output row per
+    //    measure per input row), no shuffle at all until the consumer
+    //    aggregates. Oracle uses the UNION ALL formulation (DuckDB's
+    //    UNPIVOT reorders output columns vs Spark's fixed
+    //    id/variable/value layout). ──
+    q("a20_unpivot",
+      """SELECT o_orderkey, 'o_totalprice' AS measure, CAST(o_totalprice AS DOUBLE) AS value
+        |FROM orders WHERE o_orderkey % 97 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 'o_custkey', CAST(o_custkey AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 97 = 0""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "orders")
+        .filter(col("o_orderkey") % 97 === 0)
+        .unpivot(
+          Array(col("o_orderkey")),
+          Array(col("o_totalprice").cast("double").as("o_totalprice"),
+            col("o_custkey").cast("double").as("o_custkey")),
+          "measure", "value")
+    },
+
     // ── approx_count_distinct (HLL++) — the 100 TB path beside A1's exact
     //    distinct: no Expand, constant memory per group. The sketch VALUE is
     //    engine-specific, but the grouping keys and the promised error
