@@ -69,9 +69,12 @@ object Haversine {
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")` (or
   * programmatically via `SparkSession.builder.withExtensions`). Registers
   * `haversine_m(lat1, lon1, lat2, lon2)` in the function registry — usable
-  * from SQL text and via `functions.call_function`. */
+  * from SQL text and via `functions.call_function` — and the
+  * [[HaversineBoxPrefilter]] optimizer rule that turns radius filters over
+  * it into scan-pushable bounding-box prefilters. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => HaversineBoxPrefilter)
     ext.injectFunction((
       FunctionIdentifier("haversine_m"),
       new ExpressionInfo(classOf[Haversine].getCanonicalName, "haversine_m"),

@@ -229,6 +229,31 @@ object BikeShapeQueries {
         .limit(25)
     },
 
+    // ── F7 through the NATIVE expression + optimizer rule: the same
+    //    radius predicate via the registered haversine_m function, which
+    //    fires HaversineBoxPrefilter (GraftExtensions) — the plan gains a
+    //    sargable lat/lon bounding box alongside the exact circle test
+    //    (results provably unchanged; box-containment spec in
+    //    HaversineSpec). The oracle needs no box: same rows either way. ──
+    q("bgeo_radius",
+      s"""WITH $mappingSql
+         |SELECT station_id, name,
+         |  round(2.0 * 6371000.0 * asin(sqrt(
+         |    pow(sin(radians(lat - (-30.4)) / 2), 2) +
+         |    cos(radians(-30.4)) * cos(radians(lat)) *
+         |    pow(sin(radians(lon - (-51.5)) / 2), 2))), 3) AS dist_m
+         |FROM st
+         |WHERE 2.0 * 6371000.0 * asin(sqrt(
+         |    pow(sin(radians(lat - (-30.4)) / 2), 2) +
+         |    cos(radians(-30.4)) * cos(radians(lat)) *
+         |    pow(sin(radians(lon - (-51.5)) / 2), 2))) <= 30000.0""".stripMargin) { (s, dir) =>
+      val dist = call_function("haversine_m",
+        col("lat"), col("lon"), lit(-30.4), lit(-51.5))
+      stations(s, dir)
+        .filter(dist <= 30000.0)
+        .select(col("station_id"), col("name"), round(dist, 3).as("dist_m"))
+    },
+
     // ── §2.7: greedy OD flow inference (od_inference.py:46-77). Not
     //    SQL-expressible (stateful greedy loop) → driver rows-only check;
     //    exact semantics are pinned by OdInferenceSpec property tests. ──

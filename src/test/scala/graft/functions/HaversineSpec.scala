@@ -43,4 +43,64 @@ class HaversineSpec extends SparkSpec {
       "SELECT haversine_m(CAST(NULL AS DOUBLE), 0.0, 1.0, 1.0) AS d").head()
     assert(row.isNullAt(0))
   }
+
+  test("box-prefilter rule: same rows as an unboxed filter, box reaches PushedFilters") {
+    import spark.implicits._
+    // a REAL parquet table with physical lat/lon columns, so the implied
+    // box can actually push into the scan (the rule's point at 100 TB)
+    val dir = java.nio.file.Files.createTempDirectory("geo_box").toString
+    val rnd = new scala.util.Random(11)
+    (1 to 2000).map { i =>
+      (i.toLong, -33.0 + rnd.nextDouble() * 6, -54.0 + rnd.nextDouble() * 6)
+    }.toDF("id", "lat", "lon").write.mode("overwrite").parquet(dir)
+    val pts = spark.read.parquet(dir)
+    val dist = call_function("haversine_m", col("lat"), col("lon"), lit(-30.4), lit(-51.5))
+    val df = pts.filter(dist <= 30000.0).select("id")
+    val got = df.as[Long].collect().toSet
+    // independent reference via the scalar kernel
+    val expected = pts.select("id", "lat", "lon").as[(Long, Double, Double)]
+      .collect()
+      .filter { case (_, la, lo) => Haversine.meters(la, lo, -30.4, -51.5) <= 30000.0 }
+      .map(_._1).toSet
+    assert(got == expected && got.nonEmpty)
+    // the rule's box conjuncts must reach the parquet scan as PushedFilters
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no parquet scan in plan"))
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(lat") && pushed.contains("LessThanOrEqual(lat"),
+      s"lat box not pushed: $pushed")
+    assert(pushed.contains("GreaterThanOrEqual(lon") && pushed.contains("LessThanOrEqual(lon"),
+      s"lon box not pushed: $pushed")
+  }
+
+  test("box-prefilter rule is idempotent and skips unsound geometries") {
+    import spark.implicits._
+    def radiusPlan(centerLat: Double, centerLon: Double, r: Double) =
+      Seq((-30.0, -51.0)).toDF("lat", "lon")
+        .filter(call_function("haversine_m",
+          col("lat"), col("lon"), lit(centerLat), lit(centerLon)) <= r)
+        .queryExecution.analyzed
+    val analyzed = radiusPlan(-30.4, -51.5, 30000.0)
+    val once = HaversineBoxPrefilter(analyzed)
+    val twice = HaversineBoxPrefilter(once)
+    assert(!once.fastEquals(analyzed), "rule should add box conjuncts")
+    assert(once.fastEquals(twice), "rule must be a fixpoint after one pass")
+    def lonBounds(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      plan.expressions.flatMap(_.collect {
+        case g @ org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(a, _)
+          if a.references.map(_.name).toSeq == Seq("lon") => g
+        case l @ org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(a, _)
+          if a.references.map(_.name).toSeq == Seq("lon") => l
+      })
+    assert(lonBounds(once).nonEmpty, "mid-latitude circle should emit lon bounds")
+    // near-pole center: the lat band crosses 89 deg -> lat bounds only
+    assert(lonBounds(HaversineBoxPrefilter(radiusPlan(89.5, 0.0, 100000.0))).isEmpty,
+      "polar circle must not emit lon bounds")
+    // negative radius (vacuous) and globe-covering radius: rule stays away
+    val vacuous = radiusPlan(-30.4, -51.5, -1.0)
+    assert(HaversineBoxPrefilter(vacuous).fastEquals(vacuous))
+    val global = radiusPlan(-30.4, -51.5, 2.1e7)
+    assert(HaversineBoxPrefilter(global).fastEquals(global))
+  }
 }
