@@ -48,7 +48,9 @@ class HaversineSpec extends SparkSpec {
     import spark.implicits._
     // a REAL parquet table with physical lat/lon columns, so the implied
     // box can actually push into the scan (the rule's point at 100 TB)
-    val dir = java.nio.file.Files.createTempDirectory("geo_box").toString
+    val dirPath = java.nio.file.Files.createTempDirectory("geo_box")
+    val dir = dirPath.toString
+    try {
     val rnd = new scala.util.Random(11)
     (1 to 2000).map { i =>
       (i.toLong, -33.0 + rnd.nextDouble() * 6, -54.0 + rnd.nextDouble() * 6)
@@ -72,6 +74,13 @@ class HaversineSpec extends SparkSpec {
       s"lat box not pushed: $pushed")
     assert(pushed.contains("GreaterThanOrEqual(lon") && pushed.contains("LessThanOrEqual(lon"),
       s"lon box not pushed: $pushed")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dirPath.toFile)
+    }
   }
 
   test("box-prefilter rule is idempotent and skips unsound geometries") {
@@ -102,5 +111,32 @@ class HaversineSpec extends SparkSpec {
     assert(HaversineBoxPrefilter(vacuous).fastEquals(vacuous))
     val global = radiusPlan(-30.4, -51.5, 2.1e7)
     assert(HaversineBoxPrefilter(global).fastEquals(global))
+    // NaN radius keeps every row under Spark's NaN ordering; a NaN-bound
+    // box would drop them all -> rule must stay away
+    val nanR = Seq((-30.0, -51.0)).toDF("lat", "lon")
+      .filter(call_function("haversine_m",
+        col("lat"), col("lon"), lit(-30.4), lit(-51.5)) <= lit(Double.NaN))
+      .queryExecution.analyzed
+    assert(HaversineBoxPrefilter(nanR).fastEquals(nanR), "NaN radius must not emit a box")
+    // nondeterministic endpoints must not be duplicated into new conjuncts
+    val jitter = Seq((-30.0, -51.0)).toDF("lat", "lon")
+      .filter(call_function("haversine_m",
+        col("lat") + rand(7) * 0.01, col("lon"), lit(-30.4), lit(-51.5)) <= 30000.0)
+      .queryExecution.analyzed
+    assert(HaversineBoxPrefilter(jitter).fastEquals(jitter),
+      "nondeterministic endpoint must not emit a box")
+  }
+
+  test("box-prefilter rule honors the canonical-coordinates opt-out") {
+    import spark.implicits._
+    val plan = Seq((-30.0, -51.0)).toDF("lat", "lon")
+      .filter(call_function("haversine_m",
+        col("lat"), col("lon"), lit(-30.4), lit(-51.5)) <= 30000.0)
+      .queryExecution.analyzed
+    spark.conf.set(HaversineBoxPrefilter.AssumeCanonicalCoordsKey, "false")
+    try assert(HaversineBoxPrefilter(plan).fastEquals(plan),
+      "rule must be inert when coordinates are declared non-canonical")
+    finally spark.conf.unset(HaversineBoxPrefilter.AssumeCanonicalCoordsKey)
+    assert(!HaversineBoxPrefilter(plan).fastEquals(plan))
   }
 }
