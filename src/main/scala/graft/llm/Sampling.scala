@@ -42,4 +42,29 @@ object Sampling {
       .filter(col("__rn") <= quota)
       .drop("__rn")
   }
+
+  /** TOKEN-budget sampling: pretraining mixes are specified in tokens, not
+    * documents ("50 B tokens of web, 5 B of code"), so the quota must be a
+    * running token sum, not a row count. Per stratum, documents are taken
+    * in hash order (id tie-break — same deterministic, engine-independent
+    * order as [[quotaSample]]) while the RUNNING total of `weightCol`
+    * before the document stays under its stratum's budget
+    * (`budgets(s)`, or `defaultBudget`) — so the budget may be exceeded by
+    * at most one document (the standard take-while-under contract; taking
+    * only strictly-fitting docs would bias against long documents near the
+    * boundary). One window shuffle on the stratum key, like quotaSample;
+    * the running sum rides the same sort. */
+  def tokenBudgetSample(
+      df: DataFrame, idCol: String, strataCol: String, weightCol: String,
+      budgets: Map[String, Long], defaultBudget: Long): DataFrame = {
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(keepHash(col(idCol), col(strataCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(weightCol)).over(w))
+      .filter(col("__cum") - col(weightCol) < budget)
+      .drop("__cum")
+  }
 }

@@ -508,16 +508,25 @@ object Similarity {
     * SimilaritySpec alongside the sign-grid path's. */
   def ivfLearnedTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
-      k: Int, kCells: Int = 16, nprobe: Int = 4, dims: Int = 64): DataFrame = {
+      k: Int, kCells: Int = 16, nprobe: Int = 4, dims: Int = 64,
+      trainMod: Int = 1): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     require(kCells >= 1 && nprobe >= 1 && nprobe <= kCells,
       s"bad IVF geometry: kCells=$kCells nprobe=$nprobe")
+    require(trainMod >= 1, s"trainMod must be >= 1, got $trainMod")
 
     def qz(df: DataFrame) = df
       .select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("e"))
       .as[(Long, Array[Long])]
-    val corpusQ = qz(corpus)
+    // the 100 TB path the scaladoc names: train the coarse quantizer on a
+    // deterministic id-sample (1/trainMod of the corpus — seeds AND the
+    // Lloyd round), then assign the FULL corpus against the learned
+    // centroids. Training passes cost 1/trainMod of the data; the
+    // assignment pass is identical either way. Deterministic: the sample
+    // is a pure id predicate, not random.
+    val corpusQ = qz(if (trainMod == 1) corpus
+      else corpus.filter(col(idCol).cast("long") % trainMod === 0))
 
     // (cell, sums, norm) for a centroid set; cosine vs a vector uses the
     // same IEEE sequence as the oracle: dp / (sqrt(nn_v) * sqrt(nn_c))

@@ -557,6 +557,32 @@ object LlmQueries {
         .select("doc_id", "lang")
     },
 
+    // ── TOKEN-budget mixture sampling: pretraining mixes are specified in
+    //    tokens, not documents — per language, take docs in deterministic
+    //    hash order while the running token total BEFORE the doc stays
+    //    under that language's budget (overshoot ≤ 1 doc: taking only
+    //    strictly-fitting docs would bias against long docs at the
+    //    boundary). One window shuffle; same engine-independent order as
+    //    lt8. ──
+    q("lt12_token_budget",
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+        |  CAST(('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS hk
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |  sum(n_tok) OVER (PARTITION BY lang ORDER BY hk, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, lang, n_tok FROM c
+        |WHERE cum - n_tok <
+        |  CASE WHEN lang = 'en' THEN 15000 WHEN lang = 'zh' THEN 3000 ELSE 6000 END""".stripMargin) { (s, dir) =>
+      val withTok = Td.table(s, dir, "documents")
+        .withColumn("n_tok", size(TextOps.tokens(col("text"))).cast("long"))
+      Sampling.tokenBudgetSample(withTok, "doc_id", "lang", "n_tok",
+          Map("en" -> 15000L, "zh" -> 3000L), defaultBudget = 6000L)
+        .select(col("doc_id"), col("lang"), col("n_tok"))
+    },
+
     // ── nearest-centroid assignment (cluster/domain labeling; 1-NN over
     //    the ls4 centroids). Exact integer sums — the /n of the mean
     //    cancels in cosine — so both engines agree bit-for-bit ──

@@ -1,5 +1,7 @@
 package graft.llm
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 class SamplingSpec extends SparkSpec {
@@ -55,5 +57,33 @@ class SamplingSpec extends SparkSpec {
     val ids = sampled.select("doc_id").as[Long].collect().toSet
     val all = docs.select("doc_id").as[Long].collect().toSet
     assert(ids.subsetOf(all))
+  }
+
+  test("tokenBudgetSample: per-stratum token totals land in (budget - maxDoc, budget + maxDoc]") {
+    val budget = 2000L
+    val withTok = docs.withColumn("n_tok",
+      size(TextOps.tokens(col("text"))).cast("long"))
+    val sampled = Sampling.tokenBudgetSample(
+      withTok, "doc_id", "lang", "n_tok", Map("en" -> 5000L), budget)
+    val taken = sampled.groupBy("lang")
+      .agg(sum("n_tok").as("t"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val avail = withTok.groupBy("lang").agg(sum("n_tok")).as[(String, Long)].collect().toMap
+    val maxDoc = withTok.agg(max("n_tok")).as[Long].head()
+    avail.foreach { case (lang, total) =>
+      val b = if (lang == "en") 5000L else budget
+      val (t, _) = taken(lang)
+      if (total <= b) assert(t == total, s"$lang: under-budget stratum must be whole")
+      else {
+        // take-while-under: last doc may overshoot by < its own size, and
+        // the total must have actually reached the budget
+        assert(t >= b && t < b + maxDoc, s"$lang: took $t tokens for budget $b")
+      }
+    }
+    // deterministic: same input -> same sample
+    val again = Sampling.tokenBudgetSample(
+      withTok, "doc_id", "lang", "n_tok", Map("en" -> 5000L), budget)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == sampled.select("doc_id").as[Long].collect().toSet)
   }
 }

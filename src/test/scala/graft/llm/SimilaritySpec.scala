@@ -75,6 +75,18 @@ class SimilaritySpec extends SparkSpec {
       s"learned recall $learnedRecall < sign-grid recall $gridRecall")
   }
 
+  test("learned-centroid IVF: sample-trained quantizer (the 100 TB path) holds the recall floor") {
+    val vecs = graft.Td.table(spark, Sf0001, "embeddings")
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+    val brute = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sampled = Similarity.ivfLearnedTopK(queries, vecs, "vec_id", "embedding",
+        k = 10, kCells = 16, nprobe = 4, trainMod = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & sampled).size.toDouble / brute.size
+    assert(recall >= 0.5, s"sample-trained recall@10 = $recall")
+  }
+
   test("learned-centroid IVF training is deterministic across invocations") {
     val vecs = graft.Td.table(spark, Sf0001, "embeddings")
     val queries = vecs.filter(col("vec_id") % 50 === 0)
