@@ -148,6 +148,50 @@ object Dedup {
       a.join(b, col("sh") === col("sh2") && col("d1") < col("d2")), minJ)
   }
 
+  // ── token-chunk (verbatim-span) dedup ────────────────────────────────────
+
+  /** Per-document verbatim-span duplication profile: the token stream is cut
+    * into consecutive `n`-token chunks (last chunk may be short), and a chunk
+    * occurrence counts as DUPLICATED when its exact text appears in >= 2
+    * distinct documents — chunk-granular exact-substring dedup for stripping
+    * boilerplate/copied spans that document-level near-dup passes
+    * ([[jaccardPairs]]/[[minhashNearDups]]) miss when only part of a
+    * document is copied.
+    *
+    * Plan shape: ONE documents scan. Chunk document-frequency comes from two
+    * window functions over the SAME `chunk` partitioning (dense_rank numbers
+    * the distinct docs in each chunk group; max broadcasts that count to
+    * every occurrence) — a single chunk-keyed exchange, no self-join, no
+    * second scan (the agg+join-back alternative plans two different
+    * exchanges and re-tokenizes; same lesson as lt6's single-scan rewrite).
+    * The per-doc rollup is the only other shuffle. At 100 TB the chunk rows
+    * are ~1/n of token volume and AQE skew-split absorbs viral chunks.
+    * Output: doc_id, n_chunks, n_dup_chunks, dup_frac. */
+  def chunkDupStats(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"chunk size must be >= 1, got $n")
+    val nch = ceil(size(col("__toks")) / lit(n.toDouble)).cast("int")
+    val chunks = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextOps.tokens(col(textCol)).as("__toks"))
+      // empty token streams contribute no chunks (explode drops the row);
+      // the `when` guard matters because sequence(0, -1) would DESCEND
+      .select(col("doc_id"), col("__toks"),
+        explode(when(size(col("__toks")) > 0, sequence(lit(0), nch - 1))
+          .otherwise(array().cast("array<int>"))).as("c"))
+      .select(col("doc_id"),
+        array_join(slice(col("__toks"), col("c") * n + 1, lit(n)), " ").as("chunk"))
+    val byChunk = Window.partitionBy("chunk")
+    chunks
+      .withColumn("__dr", dense_rank().over(byChunk.orderBy("doc_id")))
+      .withColumn("__nd", max(col("__dr")).over(byChunk))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+  }
+
   // ── MinHash + banded LSH ─────────────────────────────────────────────────
 
   /** MinHash signature from 64-bit-hashed shingle rows (`sh` column):

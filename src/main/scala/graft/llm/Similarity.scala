@@ -599,6 +599,179 @@ object Similarity {
         col("neighbor_id"), col("c_emb").as("ce"), col("c_nrm").as("cn")), k)
   }
 
+  /** Product-quantization ANN (PQ/ADC) — the COMPRESSED-SCAN scale path,
+    * complementary to [[lshTopK]] (bucketed candidates) and
+    * [[ivfLearnedTopK]] (partitioned candidates): every corpus vector is
+    * encoded as `m` small codebook indices (here 8 codes ≈ 8 bytes vs 256+
+    * bytes of raw floats, a 32× scan-size reduction), queries score the
+    * ENTIRE code table through a per-query lookup table (ADC — asymmetric
+    * distance computation), and only the top-`rerank` candidates per query
+    * are re-scored exactly. At 100 TB the code table is what an exhaustive
+    * scan reads — memory-bandwidth-bound instead of capacity-bound — and
+    * the same codes compose with IVF cells (IVFADC) by restricting the scan
+    * to probed cells.
+    *
+    * Codebooks are trained per subspace with the same deterministic
+    * k-means-lite as [[ivfLearnedTopK]] (seeds = the `ksub` smallest corpus
+    * ids' subvectors, one Lloyd round) and then INTEGER-quantized
+    * (`floor(sum/n + 0.5)`, empty cluster keeps its seed), so every
+    * downstream quantity — subspace squared-L2 distances, ADC sums — is an
+    * exact integer: reduction order cannot change candidates, and a DuckDB
+    * oracle replays training, encoding, and ADC bit-for-bit. Candidate rank
+    * ties break on the smaller neighbor id; the exact re-rank emits the
+    * oracle-pinned quantized cosine through [[scorePairsTopK]].
+    *
+    * Scale shape: the codebook is `m × ksub` rows (collected + broadcast —
+    * bounded by construction); the corpus streams through one encode pass
+    * and its code table never shuffles for scoring. Query batches within
+    * `broadcastCap` broadcast their LUTs and scan the code table
+    * partition-wise (the PQ-native shape); a batch past the cap falls back
+    * to the fully distributed (s, c) equi-join tail — identical integer ADC
+    * sums, hence identical results, nothing collected (equivalence is
+    * spec-pinned via a small-cap override, like [[lshTopKOnIndex]]). */
+  def pqTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, m: Int = 8, ksub: Int = 16, rerank: Int = 50, dims: Int = 64,
+      broadcastCap: Int = MaxBroadcastRows): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(m >= 1 && dims % m == 0, s"dims=$dims not divisible into m=$m subspaces")
+    require(ksub >= 1, s"ksub must be >= 1, got $ksub")
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val dsub = dims / m
+
+    def qz(df: DataFrame) = df
+      .select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("e"))
+      .as[(Long, Array[Long])]
+
+    // exact integer squared L2 between subvector `s` of `e` (at offset) and
+    // codeword `w` — the quantity the oracle recomputes relationally
+    def subDist(e: Array[Long], off: Int, w: Array[Long]): Long = {
+      var d = 0L
+      var j = 0
+      while (j < w.length) { val t = e(off + j) - w(j); d += t * t; j += 1 }
+      d
+    }
+    // nearest codeword by (d2 asc, code asc): strict < keeps the smallest code
+    def nearestCode(e: Array[Long], off: Int, cb: Array[Array[Long]]): Int = {
+      var bi = 0
+      var best = Long.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val d = subDist(e, off, cb(c))
+        if (d < best) { best = d; bi = c }
+        c += 1
+      }
+      bi
+    }
+
+    // deterministic seeds: subvectors of the ksub smallest corpus ids
+    val seeds = qz(corpus).orderBy(col("id")).limit(ksub).collect().sortBy(_._1)
+    seeds.foreach { case (_, e) =>
+      require(e.length == dims, s"seed vector length ${e.length} != dims $dims")
+    }
+    val cb0: Array[Array[Array[Long]]] =
+      Array.tabulate(m)(s => seeds.map { case (_, e) => e.slice(s * dsub, s * dsub + dsub) })
+    val bcb0 = spark.sparkContext.broadcast(cb0)
+
+    // one Lloyd round per subspace: assign every subvector to its nearest
+    // seed codeword, rebuild codewords as integer-rounded component means
+    // (exact sums via VecSumAgg; m × ksub rows collect — bounded by
+    // construction). An empty cluster keeps its seed codeword.
+    val vecsum = udaf(VecSumAgg)
+    val subSums = qz(corpus).mapPartitions { iter =>
+      val cb = bcb0.value
+      iter.flatMap { case (_, e) =>
+        require(e.length == dims, s"vector length ${e.length} != dims $dims")
+        (0 until m).iterator.map { s =>
+          (s, nearestCode(e, s * dsub, cb(s)), e.slice(s * dsub, s * dsub + dsub))
+        }
+      }
+    }.toDF("s", "c", "v")
+      .groupBy("s", "c")
+      .agg(vecsum(col("v")).as("sums"), count(lit(1)).as("n"))
+      .as[(Int, Int, Array[Long], Long)].collect()
+    val cb1: Array[Array[Array[Long]]] = cb0.map(_.map(_.clone()))
+    subSums.foreach { case (s, c, sx, n) =>
+      cb1(s)(c) = sx.map(x => math.floor(x.toDouble / n + 0.5).toLong)
+    }
+    val bcb = spark.sparkContext.broadcast(cb1)
+
+    // PQ-encode the corpus: one kernel pass -> (id, e, nrm, codes). Two
+    // consumers (ADC scan + exact re-rank re-attach) -> tracked persist.
+    val encoded = Caches.persist(qz(corpus).mapPartitions { iter =>
+      val cb = bcb.value
+      iter.map { case (id, e) =>
+        require(e.length == dims, s"vector length ${e.length} != dims $dims")
+        val codes = new Array[Int](m)
+        var s = 0
+        while (s < m) { codes(s) = nearestCode(e, s * dsub, cb(s)); s += 1 }
+        (id, e, math.sqrt(Qv.dot(e, e).toDouble), codes)
+      }
+    }.toDF("id", "e", "nrm", "codes"))
+
+    val qRows = qz(queries).limit(broadcastCap + 1).collect()
+    val distributed = qRows.length > broadcastCap
+    val qNormRaw = qz(queries).mapPartitions { iter =>
+      iter.map { case (id, e) =>
+        require(e.length == dims, s"query vector length ${e.length} != dims $dims")
+        (id, e, math.sqrt(Qv.dot(e, e).toDouble))
+      }
+    }.toDF("id", "e", "nrm")
+    // distributed tail: two consumers (LUT emission + re-rank re-attach)
+    val qNorm = if (distributed) Caches.persist(qNormRaw) else qNormRaw
+
+    val approx: DataFrame =
+      if (distributed) {
+        // fully distributed ADC: per-query LUT rows equi-join the exploded
+        // code table on (s, c); the m per-pair rows sum to the exact same
+        // integer ADC distance as the broadcast kernel
+        val lutDf = qNorm.as[(Long, Array[Long], Double)].mapPartitions { iter =>
+          val cb = bcb.value
+          iter.flatMap { case (id, e, _) =>
+            for { s <- (0 until m).iterator; c <- (0 until ksub).iterator }
+              yield (id, s, c, subDist(e, s * dsub, cb(s)(c)))
+          }
+        }.toDF("query_id", "s", "c", "d2")
+        val codeRows = encoded.select(col("id").as("neighbor_id"),
+          posexplode(col("codes")).as(Seq("s", "c")))
+        lutDf.join(codeRows, Seq("s", "c"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .groupBy("query_id", "neighbor_id")
+          .agg(sum("d2").as("approx_d2"))
+      } else {
+        // PQ-native shape: broadcast per-query LUTs, scan the code table
+        // partition-wise — m array lookups + adds per (query, vector)
+        val qArr = qRows.sortBy(_._1).map { case (id, e) =>
+          require(e.length == dims, s"query vector length ${e.length} != dims $dims")
+          (id, Array.tabulate(m, ksub)((s, c) => subDist(e, s * dsub, cb1(s)(c))))
+        }
+        val bq = spark.sparkContext.broadcast(qArr)
+        encoded.select("id", "codes").as[(Long, Array[Int])].mapPartitions { iter =>
+          val qs = bq.value
+          iter.flatMap { case (nid, codes) =>
+            qs.iterator.filter(_._1 != nid).map { case (qid, lut) =>
+              var a = 0L
+              var s = 0
+              while (s < m) { a += lut(s)(codes(s)); s += 1 }
+              (qid, nid, a)
+            }
+          }
+        }.toDF("query_id", "neighbor_id", "approx_d2")
+      }
+
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("approx_d2"), col("neighbor_id"))
+    val cand = approx.withColumn("rn", row_number().over(wc))
+      .filter(col("rn") <= rerank)
+      .select("query_id", "neighbor_id")
+    scorePairsTopK(cand
+      .join(qNorm.select(col("id").as("query_id"), col("e").as("qe"), col("nrm").as("qn")),
+        "query_id")
+      .join(encoded.select(col("id").as("neighbor_id"), col("e").as("ce"), col("nrm").as("cn")),
+        "neighbor_id"), k)
+  }
+
   /** Sub-quadratic embedding near-dup — the scale path [[embeddingNearDups]]
     * documents: candidates are pairs sharing >= 1 LSH bucket code
     * (symmetric id-only bucket self-join, never all-pairs), then exact

@@ -258,6 +258,53 @@ object LlmQueries {
        |${annRankTail(k)}""".stripMargin
   }
 
+  /** DuckDB twin of [[Similarity.pqTopK]] — replays PQ codebook training
+    * (per-subspace seeds → integer L2 assignment → integer-rounded Lloyd
+    * rebuild with empty clusters keeping seeds), corpus encoding, the
+    * integer ADC candidate scan (top-`rerank` per query by
+    * (Σ subspace d2 ASC, neighbor_id)), and the exact cosine re-rank. All
+    * accumulated quantities are exact integers — only the final cosine
+    * divides, through the same IEEE sequence as every ANN oracle — so the
+    * data-dependent candidate sets hash-match exactly. */
+  private def ls6Oracle(k: Int, m: Int, ksub: Int, rerank: Int, dims: Int, qMod: Int): String = {
+    val dsub = dims / m
+    s"""WITH $quantCtes,
+       |sub AS (SELECT vec_id, CAST((i - 1) // $dsub AS INT) AS s,
+       |  CAST((i - 1) % $dsub AS INT) AS j, x FROM qc),
+       |seed AS (SELECT vec_id,
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c
+       |  FROM (SELECT vec_id FROM nrm ORDER BY vec_id LIMIT $ksub)),
+       |cb0 AS (SELECT sd.c, sb.s, sb.j, sb.x AS w
+       |  FROM seed sd JOIN sub sb ON sb.vec_id = sd.vec_id),
+       |dist1 AS (SELECT v.vec_id, v.s, c.c, sum((v.x - c.w)*(v.x - c.w)) AS d2
+       |  FROM sub v JOIN cb0 c ON c.s = v.s AND c.j = v.j GROUP BY 1, 2, 3),
+       |a1 AS (SELECT vec_id, s, c FROM (
+       |    SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+       |      ORDER BY d2, c) AS rn FROM dist1)
+       |  WHERE rn = 1),
+       |csum AS (SELECT a.s, a.c, v.j, sum(v.x) AS sx, count(*) AS n
+       |  FROM a1 a JOIN sub v ON v.vec_id = a.vec_id AND v.s = a.s GROUP BY 1, 2, 3),
+       |cb1 AS (SELECT z.c, z.s, z.j,
+       |    coalesce(CAST(floor(CAST(u.sx AS DOUBLE) / u.n + 0.5) AS BIGINT), z.w) AS w
+       |  FROM cb0 z LEFT JOIN csum u ON u.s = z.s AND u.c = z.c AND u.j = z.j),
+       |dist2 AS (SELECT v.vec_id, v.s, c.c, sum((v.x - c.w)*(v.x - c.w)) AS d2
+       |  FROM sub v JOIN cb1 c ON c.s = v.s AND c.j = v.j GROUP BY 1, 2, 3),
+       |codes AS (SELECT vec_id, s, c FROM (
+       |    SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+       |      ORDER BY d2, c) AS rn FROM dist2)
+       |  WHERE rn = 1),
+       |adc AS (SELECT l.vec_id AS query_id, cd.vec_id AS neighbor_id,
+       |    sum(l.d2) AS approx_d2
+       |  FROM dist2 l JOIN codes cd ON cd.s = l.s AND cd.c = l.c
+       |  WHERE l.vec_id % $qMod = 0 AND l.vec_id <> cd.vec_id
+       |  GROUP BY 1, 2),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY approx_d2, neighbor_id) AS rn FROM adc)
+       |  WHERE rn <= $rerank),
+       |${annRankTail(k)}""".stripMargin
+  }
+
   private def q(name: String, oracle: String)(
       f: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, f, Some(oracle))
@@ -380,6 +427,25 @@ object LlmQueries {
         tables = 16, bits = 10, invDensity = 4)
     },
 
+    // ── chunk-granular verbatim-span dedup: per-doc duplicated-chunk
+    //    profile over consecutive 16-token chunks (doc-level near-dup
+    //    passes miss partially-copied spans; this is the chunk-exact
+    //    complement). Single scan, single chunk-keyed exchange (window
+    //    df counting), one per-doc rollup. ──
+    q("ld8_chunk_dedup",
+      s"""WITH $toksCte,
+         |ch AS (SELECT doc_id, array_to_string(t[c*16+1 : c*16+16], ' ') AS chunk
+         |  FROM toks, UNNEST(range(0, CAST(ceil(len(t)/16.0) AS INT))) AS u(c)),
+         |nd AS (SELECT chunk, count(DISTINCT doc_id) AS ndocs FROM ch GROUP BY 1)
+         |SELECT c.doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         |  CAST(sum(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS dup_frac
+         |FROM ch c JOIN nd d ON c.chunk = d.chunk
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      Dedup.chunkDupStats(Td.table(s, dir, "documents"), "doc_id", "text", 16)
+    },
+
     // ── brute-force cosine top-10 ANN (queries = vec_id % 40 = 0) ──
     q("ls1_ann_topk",
       s"""WITH $quantCtes,
@@ -429,6 +495,22 @@ object LlmQueries {
       Similarity.ivfLearnedTopK(
         vecs.filter(col("vec_id") % 40 === 0), vecs, "vec_id", "embedding",
         k = 10, kCells = 16, nprobe = 4)
+    },
+
+    // ── product-quantization ANN (ADC) — the COMPRESSED-SCAN scale path
+    //    (third beside LSH buckets and IVF cells): corpus encoded as m=8
+    //    codebook indices (32× smaller scan), per-query integer lookup
+    //    tables score the whole code table, top-50 candidates re-ranked by
+    //    exact cosine. Training, encoding, and the integer ADC scan are all
+    //    replayed relationally by the oracle, so even the data-dependent
+    //    candidate sets hash-match; recall floor vs ls1 brute force and the
+    //    broadcast=distributed equivalence are pinned in SimilaritySpec. ──
+    q("ls6_ann_pq",
+      ls6Oracle(k = 10, m = 8, ksub = 16, rerank = 50, dims = 64, qMod = 40)) { (s, dir) =>
+      val vecs = Td.table(s, dir, "embeddings")
+      Similarity.pqTopK(
+        vecs.filter(col("vec_id") % 40 === 0), vecs, "vec_id", "embedding",
+        k = 10, m = 8, ksub = 16, rerank = 50)
     },
 
     // ── corpus n-gram document-frequency top-k (text analysis) ──

@@ -410,6 +410,42 @@ object RelationalQueries {
           cume_dist().over(w).as("cdist"))
     },
 
+    // ── W5: frame/navigation pack — the window breadth w3/w4 leave out:
+    //    first_value/last_value/nth_value over an explicit unbounded ROWS
+    //    frame, lead with offset, and a value-based RANGE frame (events in
+    //    the trailing hour, ordered by epoch micros — peers-of-current-row
+    //    semantics make the count tie-safe). All three window specs share
+    //    the user_id partition key, so the plan pays ONE exchange and
+    //    resorts within partitions. ──
+    q("w5_frame_pack",
+      """SELECT event_id, user_id,
+        |  first_value(event_id) OVER wall AS first_id,
+        |  last_value(event_id) OVER wall AS last_id,
+        |  nth_value(event_id, 2) OVER wall AS second_id,
+        |  lead(event_id, 2) OVER wseq AS lead2,
+        |  count(*) OVER wrng AS cnt_1h
+        |FROM events
+        |WINDOW
+        |  wall AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |  wseq AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  wrng AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wSeq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wRng = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, Window.currentRow)
+      Td.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          first(col("event_id")).over(wAll).as("first_id"),
+          last(col("event_id")).over(wAll).as("last_id"),
+          nth_value(col("event_id"), 2).over(wAll).as("second_id"),
+          lead(col("event_id"), 2).over(wSeq).as("lead2"),
+          count(lit(1)).over(wRng).as("cnt_1h"))
+    },
+
     // ── P8: anti-join (left_anti — customers with no orders). Oracle uses
     //    NOT EXISTS, not NOT IN: NOT IN yields zero rows whenever any
     //    o_custkey is NULL, while left_anti keeps unmatched customers —
@@ -667,6 +703,54 @@ object RelationalQueries {
         .select(col("l_returnflag"), col("n_rows"),
           (abs(col("approx") - col("exact")).cast("double") /
             col("exact").cast("double") <= 0.02).as("approx_within_2pct"))
+    },
+
+    // ── A21: Bloom-filter membership sketch — the FOURTH sketch family
+    //    beside HLL (a11), GK quantiles (a18), and frequent items (a19).
+    //    At 100 TB a Bloom built on a dim key prunes the fact side before
+    //    its shuffle (semi-join pushdown without materializing the key
+    //    set). The sketch bits are engine-specific, so — like a11 — the
+    //    query emits the sketch's CONTRACT as verdict columns the oracle
+    //    pins: ZERO false negatives over every present key (a structural
+    //    Bloom property; probing it end-to-end catches build/broadcast
+    //    wiring bugs), and a measured false-positive rate over 10
+    //    deterministic absent probes per key (key + i·10^7 — all inserted
+    //    keys are far below 10^7) within 2× the nominal 1% fpp (the
+    //    expected rate's ~4-sigma envelope at the smallest SF). The build
+    //    is a tree-aggregate of OR-able bitmaps (order-independent bits);
+    //    the probe side streams with the sketch broadcast — nothing about
+    //    the operator needs the key set to fit anywhere but the sketch. ──
+    q("a21_bloom_filter",
+      """SELECT count(DISTINCT c_custkey) AS n_present,
+        |  CAST(0 AS BIGINT) AS n_false_neg,
+        |  CAST(10 * count(DISTINCT c_custkey) AS BIGINT) AS n_absent_probes,
+        |  TRUE AS fp_bounded
+        |FROM customer""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val keys = Td.table(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k")).distinct()
+      val bf = keys.stat.bloomFilter("k", keys.count(), 0.01)
+      val bc = s.sparkContext.broadcast(bf)
+      val probed = keys.as[Long].mapPartitions { iter =>
+        val f = bc.value
+        iter.map { k =>
+          var fp = 0L
+          var i = 1
+          while (i <= 10) {
+            if (f.mightContainLong(k + i * 10000000L)) fp += 1
+            i += 1
+          }
+          (if (f.mightContainLong(k)) 0L else 1L, fp)
+        }
+      }.toDF("miss", "fp")
+      probed.agg(
+          count(lit(1)).as("n_present"),
+          sum(col("miss")).as("n_false_neg"),
+          (count(lit(1)) * 10).as("n_absent_probes"),
+          sum(col("fp")).as("fp_cnt"))
+        .select(col("n_present"), col("n_false_neg"), col("n_absent_probes"),
+          (col("fp_cnt").cast("double") / col("n_absent_probes").cast("double") <= 0.02)
+            .as("fp_bounded"))
     },
 
     // ── A14: second-moment statistics (stddev, correlation) the

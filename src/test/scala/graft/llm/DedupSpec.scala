@@ -61,6 +61,27 @@ class DedupSpec extends SparkSpec {
     assert(brute.contains((1L, 2L)))
   }
 
+  test("chunkDupStats flags chunks shared across docs, counts the short tail chunk") {
+    // chunk size 4: docs 1 and 2 share their first 4-token chunk verbatim;
+    // every other chunk (including short tails) is unique to its doc
+    val docs = Seq(
+      (1L, "a b c d e f g"),            // chunks: "a b c d" (shared), "e f g"
+      (2L, "a b c d x y z w q"),        // chunks: "a b c d" (shared), "x y z w", "q"
+      (3L, "totally different words here split apart") // 2 unique chunks
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDupStats(docs, "doc_id", "text", 4)
+      .select("doc_id", "n_chunks", "n_dup_chunks", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 1L, 0.5)))
+    assert(got(2L) == ((2L, 3L, 1L, 1.0 / 3.0)))
+    assert(got(3L) == ((3L, 2L, 0L, 0.0)))
+    // a chunk repeated WITHIN one doc only is not cross-doc duplication
+    val selfRep = Seq((7L, "p q r s p q r s")).toDF("doc_id", "text")
+    val sr = Dedup.chunkDupStats(selfRep, "doc_id", "text", 4)
+      .select("n_dup_chunks").as[Long].head()
+    assert(sr == 0L)
+  }
+
   test("md5Hash60 matches the documented DuckDB expression semantics") {
     // first 15 hex chars of md5('hello') = 5d41402abc4b2a7 -> 419982666956583591
     val got = Seq("hello").toDF("s").select(Dedup.md5Hash60(col("s"))).as[Long].head()

@@ -115,6 +115,50 @@ class SimilaritySpec extends SparkSpec {
     assert(viaJoin == viaBroadcast)
   }
 
+  test("PQ ANN achieves recall@10 >= 0.5 vs brute force on sf0.001 embeddings") {
+    val vecs = graft.Td.table(spark, Sf0001, "embeddings")
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+    val brute = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(queries, vecs, "vec_id", "embedding",
+        k = 10, m = 8, ksub = 16, rerank = 50)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    Caches.release()
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@10 = $recall")
+  }
+
+  test("pqTopK past the broadcast cap falls back to the distributed ADC join with identical results") {
+    val vecs = graft.Td.table(spark, Sf0001, "embeddings")
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+    def rows(cap: Int) = {
+      val r = Similarity.pqTopK(queries, vecs, "vec_id", "embedding",
+          k = 10, m = 8, ksub = 16, rerank = 50, broadcastCap = cap)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      Caches.release()
+      r
+    }
+    val viaJoin = rows(3) // query batch >> cap of 3 -> distributed ADC tail
+    val viaBroadcast = rows(Similarity.MaxBroadcastRows)
+    assert(viaJoin.nonEmpty)
+    assert(viaJoin == viaBroadcast)
+  }
+
+  test("PQ codebook training and ADC ranking are deterministic across invocations") {
+    val vecs = graft.Td.table(spark, Sf0001, "embeddings")
+    val queries = vecs.filter(col("vec_id") % 50 === 0)
+    def run() = {
+      val r = Similarity.pqTopK(queries, vecs, "vec_id", "embedding",
+          k = 5, m = 4, ksub = 8, rerank = 20)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      Caches.release()
+      r
+    }
+    assert(run() == run())
+  }
+
   test("lshNearDups: no false positives, high recall vs the exact all-pairs path") {
     val vecs = graft.Td.table(spark, Sf0001, "embeddings")
     val exact = Similarity.embeddingNearDups(vecs, "vec_id", "embedding", 0.45)
