@@ -114,6 +114,55 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.subsetOf(batch), s"streamed=$streamed batch=$batch")
   }
 
+  test("stream-stream watermarked hour join equals the batch temporal join") {
+    import org.apache.spark.sql.functions._
+    val dir = Fixtures.tempDir("stream5")
+    val snaps = snapshots(dir)
+    val landing = dir.resolve("landing").toString
+    snaps.foreach(_.coalesce(1).write.mode("append").json(landing))
+    // weather drops: one hourly record per snapshot hour, plus an hour no
+    // status observation falls in (must not join)
+    val wLanding = dir.resolve("wlanding").toString
+    val weatherRows = Seq(
+      ("2025-09-04 10:00:00", 21.5), ("2025-09-04 11:00:00", 23.0),
+      ("2025-09-04 12:00:00", 24.5), ("2025-09-04 09:00:00", 19.0))
+    weatherRows.zipWithIndex.foreach { case ((ts, t), i) =>
+      Seq((Timestamp.valueOf(ts), t)).toDF("weather_hour", "temperature_2m")
+        .coalesce(1).write.mode("append").json(wLanding): Unit
+    }
+    val wSchema = "weather_hour TIMESTAMP, temperature_2m DOUBLE"
+
+    val out = dir.resolve("joined").toString
+    val joined = JoinStream.withHourlyWeather(
+      spark.readStream.schema(graft.sources.Schemas.stationStatus)
+        .option("maxFilesPerTrigger", 1).json(landing),
+      spark.readStream.schema(wSchema)
+        .option("maxFilesPerTrigger", 1).json(wLanding))
+    val q = joined.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out): Unit
+      }
+      .option("checkpointLocation", dir.resolve("ckpt5").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("station_id"), col("scraped_at"),
+        col("num_bikes_available"), col("temperature_2m"))
+      .as[(String, Timestamp, Int, Double)].collect().sorted
+    val streamed = canon(spark.read.parquet(out))
+    val batch = canon(JoinStream.withHourlyWeather(
+      snaps.reduce(_ unionByName _),
+      weatherRows.map { case (ts, t) => (Timestamp.valueOf(ts), t) }
+        .toDF("weather_hour", "temperature_2m")))
+    // every observation hour has exactly one weather row -> all 9 status
+    // rows join; the 09:00 weather hour matches nothing
+    assert(streamed.length == 9)
+    assert(streamed.sameElements(batch))
+  }
+
   test("streaming OD flows equal the batch per-bucket flows over closed buckets") {
     import org.apache.spark.sql.functions._
     val dir = Fixtures.tempDir("stream5")
