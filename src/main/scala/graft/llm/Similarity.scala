@@ -665,11 +665,16 @@ object Similarity {
       bi
     }
 
-    // deterministic seeds: subvectors of the ksub smallest corpus ids
+    // deterministic seeds: subvectors of the ksub smallest corpus ids. A
+    // corpus smaller than ksub just gets a smaller codebook (kEff) — every
+    // later structure (Lloyd sums, LUTs, the distributed c-range) sizes
+    // off kEff, so a tiny corpus cannot index past the seed count.
     val seeds = qz(corpus).orderBy(col("id")).limit(ksub).collect().sortBy(_._1)
+    require(seeds.nonEmpty, "pqTopK corpus is empty")
     seeds.foreach { case (_, e) =>
       require(e.length == dims, s"seed vector length ${e.length} != dims $dims")
     }
+    val kEff = seeds.length
     val cb0: Array[Array[Array[Long]]] =
       Array.tabulate(m)(s => seeds.map { case (_, e) => e.slice(s * dsub, s * dsub + dsub) })
     val bcb0 = spark.sparkContext.broadcast(cb0)
@@ -729,7 +734,7 @@ object Similarity {
         val lutDf = qNorm.as[(Long, Array[Long], Double)].mapPartitions { iter =>
           val cb = bcb.value
           iter.flatMap { case (id, e, _) =>
-            for { s <- (0 until m).iterator; c <- (0 until ksub).iterator }
+            for { s <- (0 until m).iterator; c <- (0 until kEff).iterator }
               yield (id, s, c, subDist(e, s * dsub, cb(s)(c)))
           }
         }.toDF("query_id", "s", "c", "d2")
@@ -744,7 +749,7 @@ object Similarity {
         // partition-wise — m array lookups + adds per (query, vector)
         val qArr = qRows.sortBy(_._1).map { case (id, e) =>
           require(e.length == dims, s"query vector length ${e.length} != dims $dims")
-          (id, Array.tabulate(m, ksub)((s, c) => subDist(e, s * dsub, cb1(s)(c))))
+          (id, Array.tabulate(m, kEff)((s, c) => subDist(e, s * dsub, cb1(s)(c))))
         }
         val bq = spark.sparkContext.broadcast(qArr)
         encoded.select("id", "codes").as[(Long, Array[Int])].mapPartitions { iter =>

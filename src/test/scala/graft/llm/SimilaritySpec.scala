@@ -145,6 +145,16 @@ class SimilaritySpec extends SparkSpec {
     assert(viaJoin == viaBroadcast)
   }
 
+  test("pqTopK handles a corpus smaller than ksub (codebook shrinks to the corpus)") {
+    val vecs = graft.Td.table(spark, Sf0001, "embeddings").filter(col("vec_id") < 8)
+    val r = Similarity.pqTopK(vecs.filter(col("vec_id") === 0), vecs,
+        "vec_id", "embedding", k = 3, m = 8, ksub = 16, rerank = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    Caches.release()
+    assert(r.length == 3)
+    assert(r.forall(_._1 == 0L))
+  }
+
   test("PQ codebook training and ADC ranking are deterministic across invocations") {
     val vecs = graft.Td.table(spark, Sf0001, "embeddings")
     val queries = vecs.filter(col("vec_id") % 50 === 0)
