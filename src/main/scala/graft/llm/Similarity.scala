@@ -506,6 +506,66 @@ object Similarity {
     * (e.g. `id % m = 0`) and assign the full corpus — the assignment pass
     * is the same either way. Recall floor vs brute force is pinned by
     * SimilaritySpec alongside the sign-grid path's. */
+  /** (cell, sums, norm) for a centroid set; cosine vs a vector uses the
+    * same IEEE sequence as the oracle: dp / (sqrt(nn_v) * sqrt(nn_c)) */
+  private def withNorm(c: Int, s: Array[Long]): (Int, Array[Long], Double) =
+    (c, s, math.sqrt(Qv.dot(s, s).toDouble))
+
+  /** Top-`take` cells by (cosine desc, cell asc) — insertion selection
+    * over <= kCells candidates; cents must be sorted by cell id so the
+    * strict-> comparisons resolve ties to the smallest cell. */
+  private def nearestCells(e: Array[Long], nrm: Double,
+      cents: Array[(Int, Array[Long], Double)], take: Int): Array[Int] = {
+    val n = math.min(take, cents.length)
+    val bestC = new Array[Int](n)
+    val bestS = new Array[Double](n)
+    java.util.Arrays.fill(bestS, Double.NegativeInfinity)
+    var i = 0
+    while (i < cents.length) {
+      val (c, s, sn) = cents(i)
+      val cos = Qv.dot(e, s).toDouble / (nrm * sn)
+      var j = n - 1
+      if (cos > bestS(j)) {
+        while (j > 0 && cos > bestS(j - 1)) {
+          bestS(j) = bestS(j - 1); bestC(j) = bestC(j - 1); j -= 1
+        }
+        bestS(j) = cos; bestC(j) = c
+      }
+      i += 1
+    }
+    bestC.take(n)
+  }
+
+  /** Deterministic k-means-lite coarse-quantizer training (the shared core
+    * of [[ivfLearnedTopK]] and [[ivfPqTopK]]): seeds = the `kCells`
+    * smallest corpus ids (cell = rank), one Lloyd round (assign by
+    * quantized cosine, rebuild each cell's centroid as the EXACT integer
+    * component sum via [[VecSumAgg]] — the mean's /n cancels inside
+    * cosine). Returns (cell, sums, norm) sorted by cell id. */
+  private def trainCellCentroids(
+      corpusQ: org.apache.spark.sql.Dataset[(Long, Array[Long])],
+      kCells: Int, dims: Int): Array[(Int, Array[Long], Double)] = {
+    val spark = corpusQ.sparkSession
+    import spark.implicits._
+    // deterministic seeds: the kCells smallest corpus ids, cell = rank
+    val seeds = corpusQ.orderBy(col("id")).limit(kCells).collect().sortBy(_._1)
+      .zipWithIndex.map { case ((_, e), c) => withNorm(c, e) }
+    val bseed = spark.sparkContext.broadcast(seeds)
+    // one Lloyd round: assign to seeds, rebuild centroids as exact sums
+    val vecsum = udaf(VecSumAgg)
+    val assigned = corpusQ.mapPartitions { iter =>
+      val cs = bseed.value
+      iter.map { case (_, e) =>
+        require(e.length == dims, s"vector length ${e.length} != dims $dims")
+        val nrm = math.sqrt(Qv.dot(e, e).toDouble)
+        (nearestCells(e, nrm, cs, 1)(0), e)
+      }
+    }.toDF("cell", "q")
+    assigned.groupBy("cell").agg(vecsum(col("q")).as("s"))
+      .as[(Int, Array[Long])].collect().sortBy(_._1)
+      .map { case (c, s) => withNorm(c, s) }
+  }
+
   def ivfLearnedTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
       k: Int, kCells: Int = 16, nprobe: Int = 4, dims: Int = 64,
@@ -528,54 +588,7 @@ object Similarity {
     val corpusQ = qz(if (trainMod == 1) corpus
       else corpus.filter(col(idCol).cast("long") % trainMod === 0))
 
-    // (cell, sums, norm) for a centroid set; cosine vs a vector uses the
-    // same IEEE sequence as the oracle: dp / (sqrt(nn_v) * sqrt(nn_c))
-    def withNorm(c: Int, s: Array[Long]): (Int, Array[Long], Double) =
-      (c, s, math.sqrt(Qv.dot(s, s).toDouble))
-
-    // top-`take` cells by (cosine desc, cell asc) — insertion selection
-    // over <= kCells candidates; cents must be sorted by cell id so the
-    // strict-> comparisons resolve ties to the smallest cell
-    def nearestCells(e: Array[Long], nrm: Double,
-        cents: Array[(Int, Array[Long], Double)], take: Int): Array[Int] = {
-      val n = math.min(take, cents.length)
-      val bestC = new Array[Int](n)
-      val bestS = new Array[Double](n)
-      java.util.Arrays.fill(bestS, Double.NegativeInfinity)
-      var i = 0
-      while (i < cents.length) {
-        val (c, s, sn) = cents(i)
-        val cos = Qv.dot(e, s).toDouble / (nrm * sn)
-        var j = n - 1
-        if (cos > bestS(j)) {
-          while (j > 0 && cos > bestS(j - 1)) {
-            bestS(j) = bestS(j - 1); bestC(j) = bestC(j - 1); j -= 1
-          }
-          bestS(j) = cos; bestC(j) = c
-        }
-        i += 1
-      }
-      bestC.take(n)
-    }
-
-    // deterministic seeds: the kCells smallest corpus ids, cell = rank
-    val seeds = corpusQ.orderBy(col("id")).limit(kCells).collect().sortBy(_._1)
-      .zipWithIndex.map { case ((_, e), c) => withNorm(c, e) }
-    val bseed = spark.sparkContext.broadcast(seeds)
-
-    // one Lloyd round: assign to seeds, rebuild centroids as exact sums
-    val vecsum = udaf(VecSumAgg)
-    val assigned = corpusQ.mapPartitions { iter =>
-      val cs = bseed.value
-      iter.map { case (_, e) =>
-        require(e.length == dims, s"vector length ${e.length} != dims $dims")
-        val nrm = math.sqrt(Qv.dot(e, e).toDouble)
-        (nearestCells(e, nrm, cs, 1)(0), e)
-      }
-    }.toDF("cell", "q")
-    val cents = assigned.groupBy("cell").agg(vecsum(col("q")).as("s"))
-      .as[(Int, Array[Long])].collect().sortBy(_._1)
-      .map { case (c, s) => withNorm(c, s) }
+    val cents = trainCellCentroids(corpusQ, kCells, dims)
     val bcent = spark.sparkContext.broadcast(cents)
 
     // final assignment (corpus: own cell; queries: nprobe nearest cells)
@@ -629,62 +642,56 @@ object Similarity {
     * to the fully distributed (s, c) equi-join tail — identical integer ADC
     * sums, hence identical results, nothing collected (equivalence is
     * spec-pinned via a small-cap override, like [[lshTopKOnIndex]]). */
-  def pqTopK(
-      queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
-      k: Int, m: Int = 8, ksub: Int = 16, rerank: Int = 50, dims: Int = 64,
-      broadcastCap: Int = MaxBroadcastRows): DataFrame = {
-    val spark = queries.sparkSession
+  /** Exact integer squared L2 between the subvector of `e` at `off` and
+    * codeword `w` — the quantity the PQ oracles recompute relationally. */
+  private def subDist(e: Array[Long], off: Int, w: Array[Long]): Long = {
+    var d = 0L
+    var j = 0
+    while (j < w.length) { val t = e(off + j) - w(j); d += t * t; j += 1 }
+    d
+  }
+
+  /** Nearest codeword by (d2 asc, code asc): strict < keeps the smallest
+    * code. */
+  private def nearestCode(e: Array[Long], off: Int, cb: Array[Array[Long]]): Int = {
+    var bi = 0
+    var best = Long.MaxValue
+    var c = 0
+    while (c < cb.length) {
+      val d = subDist(e, off, cb(c))
+      if (d < best) { best = d; bi = c }
+      c += 1
+    }
+    bi
+  }
+
+  /** Deterministic per-subspace PQ codebook training (the shared core of
+    * [[pqTopK]] and [[ivfPqTopK]]): seeds = subvectors of the `ksub`
+    * smallest corpus ids, one Lloyd round by exact integer L2, codewords
+    * rebuilt as INTEGER-rounded component means (`floor(sum/n + 0.5)`,
+    * exact sums via [[VecSumAgg]]; empty clusters keep their seed). A
+    * corpus smaller than ksub just gets a smaller codebook — every later
+    * structure sizes off the returned inner length, so a tiny corpus
+    * cannot index past the seed count. Returns cb(s)(c) = codeword. */
+  private def trainPqCodebook(
+      corpusQ: org.apache.spark.sql.Dataset[(Long, Array[Long])],
+      m: Int, ksub: Int, dims: Int): Array[Array[Array[Long]]] = {
+    val spark = corpusQ.sparkSession
     import spark.implicits._
-    require(m >= 1 && dims % m == 0, s"dims=$dims not divisible into m=$m subspaces")
-    require(ksub >= 1, s"ksub must be >= 1, got $ksub")
-    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
     val dsub = dims / m
-
-    def qz(df: DataFrame) = df
-      .select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("e"))
-      .as[(Long, Array[Long])]
-
-    // exact integer squared L2 between subvector `s` of `e` (at offset) and
-    // codeword `w` — the quantity the oracle recomputes relationally
-    def subDist(e: Array[Long], off: Int, w: Array[Long]): Long = {
-      var d = 0L
-      var j = 0
-      while (j < w.length) { val t = e(off + j) - w(j); d += t * t; j += 1 }
-      d
-    }
-    // nearest codeword by (d2 asc, code asc): strict < keeps the smallest code
-    def nearestCode(e: Array[Long], off: Int, cb: Array[Array[Long]]): Int = {
-      var bi = 0
-      var best = Long.MaxValue
-      var c = 0
-      while (c < cb.length) {
-        val d = subDist(e, off, cb(c))
-        if (d < best) { best = d; bi = c }
-        c += 1
-      }
-      bi
-    }
-
-    // deterministic seeds: subvectors of the ksub smallest corpus ids. A
-    // corpus smaller than ksub just gets a smaller codebook (kEff) — every
-    // later structure (Lloyd sums, LUTs, the distributed c-range) sizes
-    // off kEff, so a tiny corpus cannot index past the seed count.
-    val seeds = qz(corpus).orderBy(col("id")).limit(ksub).collect().sortBy(_._1)
-    require(seeds.nonEmpty, "pqTopK corpus is empty")
+    val seeds = corpusQ.orderBy(col("id")).limit(ksub).collect().sortBy(_._1)
+    require(seeds.nonEmpty, "PQ training corpus is empty")
     seeds.foreach { case (_, e) =>
       require(e.length == dims, s"seed vector length ${e.length} != dims $dims")
     }
-    val kEff = seeds.length
     val cb0: Array[Array[Array[Long]]] =
       Array.tabulate(m)(s => seeds.map { case (_, e) => e.slice(s * dsub, s * dsub + dsub) })
     val bcb0 = spark.sparkContext.broadcast(cb0)
-
     // one Lloyd round per subspace: assign every subvector to its nearest
     // seed codeword, rebuild codewords as integer-rounded component means
-    // (exact sums via VecSumAgg; m × ksub rows collect — bounded by
-    // construction). An empty cluster keeps its seed codeword.
+    // (m × ksub rows collect — bounded by construction)
     val vecsum = udaf(VecSumAgg)
-    val subSums = qz(corpus).mapPartitions { iter =>
+    val subSums = corpusQ.mapPartitions { iter =>
       val cb = bcb0.value
       iter.flatMap { case (_, e) =>
         require(e.length == dims, s"vector length ${e.length} != dims $dims")
@@ -700,6 +707,26 @@ object Similarity {
     subSums.foreach { case (s, c, sx, n) =>
       cb1(s)(c) = sx.map(x => math.floor(x.toDouble / n + 0.5).toLong)
     }
+    cb1
+  }
+
+  def pqTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, m: Int = 8, ksub: Int = 16, rerank: Int = 50, dims: Int = 64,
+      broadcastCap: Int = MaxBroadcastRows): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(m >= 1 && dims % m == 0, s"dims=$dims not divisible into m=$m subspaces")
+    require(ksub >= 1, s"ksub must be >= 1, got $ksub")
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val dsub = dims / m
+
+    def qz(df: DataFrame) = df
+      .select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("e"))
+      .as[(Long, Array[Long])]
+
+    val cb1 = trainPqCodebook(qz(corpus), m, ksub, dims)
+    val kEff = cb1(0).length
     val bcb = spark.sparkContext.broadcast(cb1)
 
     // PQ-encode the corpus: one kernel pass -> (id, e, nrm, codes). Two
@@ -770,6 +797,119 @@ object Similarity {
     val cand = approx.withColumn("rn", row_number().over(wc))
       .filter(col("rn") <= rerank)
       .select("query_id", "neighbor_id")
+    scorePairsTopK(cand
+      .join(qNorm.select(col("id").as("query_id"), col("e").as("qe"), col("nrm").as("qn")),
+        "query_id")
+      .join(encoded.select(col("id").as("neighbor_id"), col("e").as("ce"), col("nrm").as("cn")),
+        "neighbor_id"), k)
+  }
+
+  /** IVFADC — the composition of [[ivfLearnedTopK]]'s learned cells and
+    * [[pqTopK]]'s codes, and the shape production ANN engines run at
+    * extreme scale: the coarse quantizer bounds WHICH vectors are touched
+    * (each query reads only its `nprobe` probed cells) and PQ bounds WHAT
+    * touching costs (each candidate is scored from `m` code bytes via the
+    * query's lookup table, not from raw floats). Both quantizers train with
+    * the shared deterministic k-means-lite helpers, every scored quantity
+    * is an exact integer, and only the final re-rank cosine divides — so
+    * the registered oracle replays BOTH trainings, both assignments, and
+    * the cell-restricted ADC scan relationally, and the data-dependent
+    * candidate sets hash-match.
+    *
+    * Scale shape: centroid table (kCells) and codebook (m × ksub) are
+    * bounded-by-construction broadcasts; the corpus pays ONE encode pass
+    * and its (cell, codes) table never shuffles for scoring (at 100 TB:
+    * write it partitioned by cell once; a query batch reads only probed
+    * cells' code blocks). The query batch broadcasts probes + LUTs within
+    * `broadcastCap`; past the cap, fail fast — the distributed composition
+    * is the ls3-style cell join for candidates followed by the ls6-style
+    * (s, c) LUT join for scoring, both already implemented and oracle-
+    * pinned individually. */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, kCells: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      rerank: Int = 50, dims: Int = 64,
+      broadcastCap: Int = MaxBroadcastRows): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(kCells >= 1 && nprobe >= 1 && nprobe <= kCells,
+      s"bad IVF geometry: kCells=$kCells nprobe=$nprobe")
+    require(m >= 1 && dims % m == 0, s"dims=$dims not divisible into m=$m subspaces")
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val dsub = dims / m
+
+    def qz(df: DataFrame) = df
+      .select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("e"))
+      .as[(Long, Array[Long])]
+    val corpusQ = qz(corpus)
+    val cents = trainCellCentroids(corpusQ, kCells, dims)
+    val bcent = spark.sparkContext.broadcast(cents)
+    val cb = trainPqCodebook(corpusQ, m, ksub, dims)
+    val kEff = cb(0).length
+    val bcb = spark.sparkContext.broadcast(cb)
+
+    // encode the corpus: ONE kernel pass -> (id, e, nrm, cell, codes); two
+    // consumers (ADC scan + exact re-rank re-attach) -> tracked persist
+    val encoded = Caches.persist(qz(corpus).mapPartitions { iter =>
+      val cs = bcent.value
+      val cbv = bcb.value
+      iter.map { case (id, e) =>
+        require(e.length == dims, s"vector length ${e.length} != dims $dims")
+        val nrm = math.sqrt(Qv.dot(e, e).toDouble)
+        val cell = nearestCells(e, nrm, cs, 1)(0)
+        val codes = new Array[Int](m)
+        var s = 0
+        while (s < m) { codes(s) = nearestCode(e, s * dsub, cbv(s)); s += 1 }
+        (id, e, nrm, cell, codes)
+      }
+    }.toDF("id", "e", "nrm", "cell", "codes"))
+
+    val qRows = qz(queries).limit(broadcastCap + 1).collect()
+    require(qRows.length <= broadcastCap,
+      s"ivfPqTopK query batch exceeds $broadcastCap rows; compose the " +
+        "distributed tails instead (ivfLearnedTopK's cell join for " +
+        "candidates + pqTopK's past-cap (s, c) LUT join for scoring)")
+    // per query: nprobe probed cells + the m × kEff integer ADC LUT
+    val qArr = qRows.sortBy(_._1).map { case (id, e) =>
+      require(e.length == dims, s"query vector length ${e.length} != dims $dims")
+      val nrm = math.sqrt(Qv.dot(e, e).toDouble)
+      (id, nearestCells(e, nrm, cents, nprobe),
+        Array.tabulate(m, kEff)((s, c) => subDist(e, s * dsub, cb(s)(c))))
+    }
+    val bq = spark.sparkContext.broadcast(qArr)
+    val approx = encoded.select("id", "cell", "codes")
+      .as[(Long, Int, Array[Int])]
+      .mapPartitions { iter =>
+        val qs = bq.value
+        // inverted probe map (cell -> query positions), built once per
+        // partition; a corpus row is scored only by queries probing its
+        // cell, and at most once per pair (each row has exactly one cell)
+        val inv = new java.util.HashMap[Int, Array[Int]]()
+        qs.indices.flatMap(i => qs(i)._2.map(c => (c, i))).groupBy(_._1)
+          .foreach { case (c, xs) => inv.put(c, xs.map(_._2).toArray) }
+        iter.flatMap { case (nid, cell, codes) =>
+          val hits = inv.get(cell)
+          if (hits == null) Iterator.empty
+          else hits.iterator.filter(qi => qs(qi)._1 != nid).map { qi =>
+            val lut = qs(qi)._3
+            var a = 0L
+            var s = 0
+            while (s < m) { a += lut(s)(codes(s)); s += 1 }
+            (qs(qi)._1, nid, a)
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "approx_d2")
+
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("approx_d2"), col("neighbor_id"))
+    val cand = approx.withColumn("rn", row_number().over(wc))
+      .filter(col("rn") <= rerank)
+      .select("query_id", "neighbor_id")
+    val qNorm = qz(queries).mapPartitions { iter =>
+      iter.map { case (id, e) =>
+        (id, e, math.sqrt(Qv.dot(e, e).toDouble))
+      }
+    }.toDF("id", "e", "nrm")
     scorePairsTopK(cand
       .join(qNorm.select(col("id").as("query_id"), col("e").as("qe"), col("nrm").as("qn")),
         "query_id")

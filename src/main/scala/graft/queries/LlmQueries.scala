@@ -226,7 +226,12 @@ object LlmQueries {
     * (cosine DESC, cell) tie-break. Everything data-dependent (the learned
     * centroids included) is recomputed relationally, so even the candidate
     * sets hash-match. */
-  private def ls3LearnedOracle(k: Int, kCells: Int, nprobe: Int, qMod: Int): String = {
+  /** Prefixed CTE chain replaying the learned-IVF coarse-quantizer training
+    * (seeds → one Lloyd round over exact integer sums → final ranking).
+    * Ends with `${p}cells` (vec_id, cell) and exposes `${p}sc2` (the full
+    * nearest-centroid ranking) for probe derivation. Prefixing lets the
+    * IVFADC oracle compose this chain with [[pqTrainCtes]] in one WITH. */
+  private def ivfTrainCtes(kCells: Int, p: String): String = {
     // nearest-centroid rank of every vector vs centroid sums `cs`/`csn`
     def rankCte(dotName: String, cs: String, csn: String, out: String): String =
       s"""$dotName AS (SELECT v.vec_id, c.c, sum(v.x * c.s) AS dp
@@ -238,25 +243,28 @@ object LlmQueries {
          |        DESC, d.c) AS rn
          |  FROM $dotName d JOIN nrm n ON d.vec_id = n.vec_id
          |  JOIN $csn cn ON d.c = cn.c)""".stripMargin
-    s"""WITH $quantCtes,
-       |seed AS (SELECT vec_id,
+    s"""${p}seed AS (SELECT vec_id,
        |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c
        |  FROM (SELECT vec_id FROM nrm ORDER BY vec_id LIMIT $kCells)),
-       |c0 AS (SELECT s.c, q.i, q.x AS s FROM seed s JOIN qc q ON q.vec_id = s.vec_id),
-       |c0n AS (SELECT c, sum(s*s) AS nn FROM c0 GROUP BY 1),
-       |${rankCte("dot1", "c0", "c0n", "sc1")},
-       |a1 AS (SELECT vec_id, c FROM sc1 WHERE rn = 1),
-       |c1 AS (SELECT a.c, q.i, sum(q.x) AS s
-       |  FROM a1 a JOIN qc q ON q.vec_id = a.vec_id GROUP BY 1, 2),
-       |c1n AS (SELECT c, sum(s*s) AS nn FROM c1 GROUP BY 1),
-       |${rankCte("dot2", "c1", "c1n", "sc2")},
-       |cells AS (SELECT vec_id, c AS cell FROM sc2 WHERE rn = 1),
+       |${p}c0 AS (SELECT s.c, q.i, q.x AS s FROM ${p}seed s JOIN qc q ON q.vec_id = s.vec_id),
+       |${p}c0n AS (SELECT c, sum(s*s) AS nn FROM ${p}c0 GROUP BY 1),
+       |${rankCte(s"${p}dot1", s"${p}c0", s"${p}c0n", s"${p}sc1")},
+       |${p}a1 AS (SELECT vec_id, c FROM ${p}sc1 WHERE rn = 1),
+       |${p}c1 AS (SELECT a.c, q.i, sum(q.x) AS s
+       |  FROM ${p}a1 a JOIN qc q ON q.vec_id = a.vec_id GROUP BY 1, 2),
+       |${p}c1n AS (SELECT c, sum(s*s) AS nn FROM ${p}c1 GROUP BY 1),
+       |${rankCte(s"${p}dot2", s"${p}c1", s"${p}c1n", s"${p}sc2")},
+       |${p}cells AS (SELECT vec_id, c AS cell FROM ${p}sc2 WHERE rn = 1)""".stripMargin
+  }
+
+  private def ls3LearnedOracle(k: Int, kCells: Int, nprobe: Int, qMod: Int): String =
+    s"""WITH $quantCtes,
+       |${ivfTrainCtes(kCells, "")},
        |probes AS (SELECT vec_id, c AS cell FROM sc2
        |  WHERE rn <= $nprobe AND vec_id % $qMod = 0),
        |cand AS (SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id
        |  FROM probes p JOIN cells c ON p.cell = c.cell AND p.vec_id <> c.vec_id),
        |${annRankTail(k)}""".stripMargin
-  }
 
   /** DuckDB twin of [[Similarity.pqTopK]] — replays PQ codebook training
     * (per-subspace seeds → integer L2 assignment → integer-rounded Lloyd
@@ -266,33 +274,41 @@ object LlmQueries {
     * accumulated quantities are exact integers — only the final cosine
     * divides, through the same IEEE sequence as every ANN oracle — so the
     * data-dependent candidate sets hash-match exactly. */
-  private def ls6Oracle(k: Int, m: Int, ksub: Int, rerank: Int, dims: Int, qMod: Int): String = {
-    val dsub = dims / m
-    s"""WITH $quantCtes,
-       |sub AS (SELECT vec_id, CAST((i - 1) // $dsub AS INT) AS s,
+  /** Prefixed CTE chain replaying PQ codebook training + corpus encoding
+    * (per-subspace seeds → integer-L2 Lloyd round → integer-rounded
+    * codewords, empty clusters keeping seeds). Ends with `${p}codes`
+    * (vec_id, s, c) and exposes `${p}dist2` — the full per-(vector,
+    * subspace, codeword) distance table, which doubles as the ADC lookup
+    * table for any query subset. */
+  private def pqTrainCtes(m: Int, ksub: Int, dsub: Int, p: String): String =
+    s"""${p}sub AS (SELECT vec_id, CAST((i - 1) // $dsub AS INT) AS s,
        |  CAST((i - 1) % $dsub AS INT) AS j, x FROM qc),
-       |seed AS (SELECT vec_id,
+       |${p}seed AS (SELECT vec_id,
        |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c
        |  FROM (SELECT vec_id FROM nrm ORDER BY vec_id LIMIT $ksub)),
-       |cb0 AS (SELECT sd.c, sb.s, sb.j, sb.x AS w
-       |  FROM seed sd JOIN sub sb ON sb.vec_id = sd.vec_id),
-       |dist1 AS (SELECT v.vec_id, v.s, c.c, sum((v.x - c.w)*(v.x - c.w)) AS d2
-       |  FROM sub v JOIN cb0 c ON c.s = v.s AND c.j = v.j GROUP BY 1, 2, 3),
-       |a1 AS (SELECT vec_id, s, c FROM (
+       |${p}cb0 AS (SELECT sd.c, sb.s, sb.j, sb.x AS w
+       |  FROM ${p}seed sd JOIN ${p}sub sb ON sb.vec_id = sd.vec_id),
+       |${p}dist1 AS (SELECT v.vec_id, v.s, c.c, sum((v.x - c.w)*(v.x - c.w)) AS d2
+       |  FROM ${p}sub v JOIN ${p}cb0 c ON c.s = v.s AND c.j = v.j GROUP BY 1, 2, 3),
+       |${p}a1 AS (SELECT vec_id, s, c FROM (
        |    SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
-       |      ORDER BY d2, c) AS rn FROM dist1)
+       |      ORDER BY d2, c) AS rn FROM ${p}dist1)
        |  WHERE rn = 1),
-       |csum AS (SELECT a.s, a.c, v.j, sum(v.x) AS sx, count(*) AS n
-       |  FROM a1 a JOIN sub v ON v.vec_id = a.vec_id AND v.s = a.s GROUP BY 1, 2, 3),
-       |cb1 AS (SELECT z.c, z.s, z.j,
+       |${p}csum AS (SELECT a.s, a.c, v.j, sum(v.x) AS sx, count(*) AS n
+       |  FROM ${p}a1 a JOIN ${p}sub v ON v.vec_id = a.vec_id AND v.s = a.s GROUP BY 1, 2, 3),
+       |${p}cb1 AS (SELECT z.c, z.s, z.j,
        |    coalesce(CAST(floor(CAST(u.sx AS DOUBLE) / u.n + 0.5) AS BIGINT), z.w) AS w
-       |  FROM cb0 z LEFT JOIN csum u ON u.s = z.s AND u.c = z.c AND u.j = z.j),
-       |dist2 AS (SELECT v.vec_id, v.s, c.c, sum((v.x - c.w)*(v.x - c.w)) AS d2
-       |  FROM sub v JOIN cb1 c ON c.s = v.s AND c.j = v.j GROUP BY 1, 2, 3),
-       |codes AS (SELECT vec_id, s, c FROM (
+       |  FROM ${p}cb0 z LEFT JOIN ${p}csum u ON u.s = z.s AND u.c = z.c AND u.j = z.j),
+       |${p}dist2 AS (SELECT v.vec_id, v.s, c.c, sum((v.x - c.w)*(v.x - c.w)) AS d2
+       |  FROM ${p}sub v JOIN ${p}cb1 c ON c.s = v.s AND c.j = v.j GROUP BY 1, 2, 3),
+       |${p}codes AS (SELECT vec_id, s, c FROM (
        |    SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
-       |      ORDER BY d2, c) AS rn FROM dist2)
-       |  WHERE rn = 1),
+       |      ORDER BY d2, c) AS rn FROM ${p}dist2)
+       |  WHERE rn = 1)""".stripMargin
+
+  private def ls6Oracle(k: Int, m: Int, ksub: Int, rerank: Int, dims: Int, qMod: Int): String =
+    s"""WITH $quantCtes,
+       |${pqTrainCtes(m, ksub, dims / m, "")},
        |adc AS (SELECT l.vec_id AS query_id, cd.vec_id AS neighbor_id,
        |    sum(l.d2) AS approx_d2
        |  FROM dist2 l JOIN codes cd ON cd.s = l.s AND cd.c = l.c
@@ -303,7 +319,33 @@ object LlmQueries {
        |      ORDER BY approx_d2, neighbor_id) AS rn FROM adc)
        |  WHERE rn <= $rerank),
        |${annRankTail(k)}""".stripMargin
-  }
+
+  /** DuckDB twin of [[Similarity.ivfPqTopK]] (IVFADC): both training
+    * chains composed under distinct prefixes, candidates = probed-cell
+    * matches, scored by the cell-restricted integer ADC sum, exact cosine
+    * re-rank. Every data-dependent intermediate — centroids, codebooks,
+    * cells, codes, candidate sets — is recomputed relationally, so the
+    * whole composition hash-matches. */
+  private def ls7Oracle(
+      k: Int, kCells: Int, nprobe: Int, m: Int, ksub: Int, rerank: Int,
+      dims: Int, qMod: Int): String =
+    s"""WITH $quantCtes,
+       |${ivfTrainCtes(kCells, "iv")},
+       |ivprobes AS (SELECT vec_id, c AS cell FROM ivsc2
+       |  WHERE rn <= $nprobe AND vec_id % $qMod = 0),
+       |${pqTrainCtes(m, ksub, dims / m, "pq")},
+       |cand0 AS (SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM ivprobes p JOIN ivcells c ON p.cell = c.cell AND p.vec_id <> c.vec_id),
+       |adc AS (SELECT b.query_id, b.neighbor_id, sum(l.d2) AS approx_d2
+       |  FROM cand0 b
+       |  JOIN pqcodes cd ON cd.vec_id = b.neighbor_id
+       |  JOIN pqdist2 l ON l.vec_id = b.query_id AND l.s = cd.s AND l.c = cd.c
+       |  GROUP BY 1, 2),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY approx_d2, neighbor_id) AS rn FROM adc)
+       |  WHERE rn <= $rerank),
+       |${annRankTail(k)}""".stripMargin
 
   private def q(name: String, oracle: String)(
       f: (SparkSession, String) => DataFrame): QueryDef =
@@ -425,6 +467,22 @@ object LlmQueries {
       Similarity.lshNearDups(
         plantedCorpus(Td.table(s, dir, "embeddings")), "vec_id", "embedding", 0.9,
         tables = 16, bits = 10, invDensity = 4)
+    },
+
+    // ── IVFADC — the production extreme-scale ANN shape: learned IVF
+    //    cells bound WHICH vectors each query touches (nprobe probed
+    //    cells), PQ codes bound WHAT touching costs (m code bytes scored
+    //    via the query's integer lookup table), exact cosine re-ranks the
+    //    top candidates. The oracle composes BOTH training replays under
+    //    distinct prefixes — centroids, codebooks, cells, codes, and the
+    //    cell-restricted ADC candidates all hash-match. ──
+    q("ls7_ann_ivfpq",
+      ls7Oracle(k = 10, kCells = 16, nprobe = 4, m = 8, ksub = 16,
+        rerank = 50, dims = 64, qMod = 40)) { (s, dir) =>
+      val vecs = Td.table(s, dir, "embeddings")
+      Similarity.ivfPqTopK(
+        vecs.filter(col("vec_id") % 40 === 0), vecs, "vec_id", "embedding",
+        k = 10, kCells = 16, nprobe = 4, m = 8, ksub = 16, rerank = 50)
     },
 
     // ── chunk-granular verbatim-span dedup: per-doc duplicated-chunk

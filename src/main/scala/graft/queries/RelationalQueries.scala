@@ -669,6 +669,35 @@ object RelationalQueries {
           "measure", "value")
     },
 
+    // ── bitwise aggregates (bit_and / bit_or / bit_xor) — flag-mask
+    //    rollups; exact integer lattice ops, order-independent by
+    //    construction, map-side combined like any hash aggregate. ──
+    q("a22_bitwise_agg",
+      """SELECT event_type, bit_and(user_id) AS band, bit_or(user_id) AS bor,
+        |  bit_xor(user_id) AS bxor, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "events").groupBy("event_type")
+        .agg(expr("bit_and(user_id)").as("band"),
+          expr("bit_or(user_id)").as("bor"),
+          expr("bit_xor(user_id)").as("bxor"),
+          count(lit(1)).as("n"))
+    },
+
+    // ── ordered string aggregation — collect_list is reduction-order-
+    //    nondeterministic, so the engine canonicalizes through array_sort
+    //    before joining (the deterministic way to LISTAGG on Spark); the
+    //    oracle's string_agg carries the same explicit ORDER BY. ──
+    q("a23_string_agg",
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "nation")
+        .join(broadcast(Td.table(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+    },
+
     // ── approx_count_distinct (HLL++) — the 100 TB path beside A1's exact
     //    distinct: no Expand, constant memory per group. The sketch VALUE is
     //    engine-specific, but the grouping keys and the promised error

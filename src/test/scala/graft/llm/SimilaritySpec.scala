@@ -169,6 +169,41 @@ class SimilaritySpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("IVFADC keeps a recall floor vs brute force and stays within the IVF candidate set") {
+    val vecs = graft.Td.table(spark, Sf0001, "embeddings")
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+    val brute = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfpq = Similarity.ivfPqTopK(queries, vecs, "vec_id", "embedding",
+        k = 10, kCells = 16, nprobe = 4, m = 8, ksub = 16, rerank = 50)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    Caches.release()
+    // IVFADC's candidates are a subset of the pure-IVF candidates (same
+    // learned cells, same probes), so its results must be too
+    val ivf = Similarity.ivfLearnedTopK(queries, vecs, "vec_id", "embedding",
+        k = vecs.count().toInt, kCells = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    Caches.release()
+    assert(ivfpq.subsetOf(ivf),
+      s"IVFADC emitted pairs outside the probed cells: ${(ivfpq -- ivf).take(5)}")
+    val recall = (brute & ivfpq).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall@10 = $recall")
+  }
+
+  test("IVFADC is deterministic across invocations") {
+    val vecs = graft.Td.table(spark, Sf0001, "embeddings")
+    val queries = vecs.filter(col("vec_id") % 50 === 0)
+    def run() = {
+      val r = Similarity.ivfPqTopK(queries, vecs, "vec_id", "embedding",
+          k = 5, kCells = 8, nprobe = 2, m = 4, ksub = 8, rerank = 20)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      Caches.release()
+      r
+    }
+    assert(run() == run())
+  }
+
   test("lshNearDups: no false positives, high recall vs the exact all-pairs path") {
     val vecs = graft.Td.table(spark, Sf0001, "embeddings")
     val exact = Similarity.embeddingNearDups(vecs, "vec_id", "embedding", 0.45)
