@@ -192,6 +192,58 @@ object Dedup {
         col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
   }
 
+  /** Content-defined chunking (CDC) dedup — the INSERT-ROBUST complement
+    * to [[chunkDupStats]]: a chunk boundary opens before token position p
+    * whenever the rolling 3-token window ending at p-1 hashes to
+    * 0 mod `avgLen` (expected chunk length = avgLen tokens). Because
+    * boundaries depend only on local content, inserting or deleting a
+    * token moves only the boundaries NEAR the edit — fixed-width chunks
+    * instead shift every later boundary and destroy all downstream
+    * matches (the CDC property backup/dedup systems are built on).
+    *
+    * Plan shape: one documents scan → token explode; boundary flags are
+    * scan-stage expressions (the same md5-60bit hash lt5 splits on);
+    * segment ids come from ONE running-sum window per doc; chunks
+    * assemble in ONE (doc, seg) aggregation (order restored by sorting
+    * the collected (pos, tok) structs — deterministic, matching the
+    * oracle's `string_agg(... ORDER BY pos)`); the dup profile then
+    * reuses ld8's two-windows-over-one-chunk-exchange shape. Output:
+    * doc_id, n_chunks, n_dup_chunks, dup_frac. */
+  def cdcChunkDupStats(
+      docs: DataFrame, idCol: String, textCol: String, avgLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(avgLen >= 2, s"avgLen must be >= 2, got $avgLen")
+    val pos = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        posexplode(col("__toks")).as(Seq("p0", "tok")))
+      .withColumn("pos", col("p0") + 1)
+    // boundary flag: the window slice is guarded by pos >= 4 (And
+    // short-circuits) and clamped with greatest() so a small pos can never
+    // reach Spark's from-the-end negative-start slice semantics
+    val win = slice(col("__toks"), greatest(col("pos") - 3, lit(1)), lit(3))
+    val b = when(col("pos") >= 4 &&
+        pmod(md5Hash60(array_join(win, " ")), lit(avgLen.toLong)) === 0L, 1L)
+      .otherwise(0L)
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val chunks = pos
+      .withColumn("seg", sum(b).over(wDoc))
+      .groupBy("doc_id", "seg")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("chunk"))
+    val byChunk = Window.partitionBy("chunk")
+    chunks
+      .withColumn("__dr", dense_rank().over(byChunk.orderBy("doc_id")))
+      .withColumn("__nd", max(col("__dr")).over(byChunk))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+  }
+
   // ── MinHash + banded LSH ─────────────────────────────────────────────────
 
   /** MinHash signature from 64-bit-hashed shingle rows (`sh` column):

@@ -469,6 +469,33 @@ object LlmQueries {
         tables = 16, bits = 10, invDensity = 4)
     },
 
+    // ── content-defined chunking dedup: boundaries from a rolling
+    //    3-token hash (0 mod 8 → ~8-token chunks), so an insertion moves
+    //    only nearby boundaries — the insert-robust complement to ld8's
+    //    fixed-width chunks. Same per-doc dup profile. ──
+    q("ld9_cdc_dedup",
+      s"""WITH $toksCte,
+         |pos AS (SELECT doc_id, t, generate_subscripts(t, 1) AS pos,
+         |  unnest(t) AS tok FROM toks),
+         |sgf AS (SELECT doc_id, pos, tok,
+         |  CASE WHEN pos >= 4 AND
+         |    CAST(('0x' || substr(md5(array_to_string(t[greatest(pos-3, 1):pos-1], ' ')), 1, 15)) AS BIGINT) % 8 = 0
+         |    THEN 1 ELSE 0 END AS b
+         |  FROM pos),
+         |seg AS (SELECT doc_id, pos, tok,
+         |  sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS seg FROM sgf),
+         |ch AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS chunk
+         |  FROM seg GROUP BY doc_id, seg),
+         |nd AS (SELECT chunk, count(DISTINCT doc_id) AS ndocs FROM ch GROUP BY 1)
+         |SELECT c.doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         |  CAST(sum(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS dup_frac
+         |FROM ch c JOIN nd d ON c.chunk = d.chunk
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      Dedup.cdcChunkDupStats(Td.table(s, dir, "documents"), "doc_id", "text", 8)
+    },
+
     // ── IVFADC — the production extreme-scale ANN shape: learned IVF
     //    cells bound WHICH vectors each query touches (nprobe probed
     //    cells), PQ codes bound WHAT touching costs (m code bytes scored

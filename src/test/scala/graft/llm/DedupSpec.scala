@@ -82,6 +82,22 @@ class DedupSpec extends SparkSpec {
     assert(sr == 0L)
   }
 
+  test("CDC chunking is insert-robust where fixed-width chunking is not") {
+    // doc 2 = doc 1 with one token inserted at the FRONT: fixed-width
+    // chunks all shift by one token and (almost) nothing matches; CDC
+    // boundaries re-synchronize right after the edit, so most chunks
+    // still match verbatim
+    val base = (1 to 200).map(i => s"w${i % 23}x${i % 7}").mkString(" ")
+    val docs = Seq((1L, base), (2L, "inserted " + base)).toDF("doc_id", "text")
+    def fracs(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "dup_frac").as[(Long, Double)].collect().toMap
+    val cdc = fracs(Dedup.cdcChunkDupStats(docs, "doc_id", "text", 8))
+    val fixed = fracs(Dedup.chunkDupStats(docs, "doc_id", "text", 8))
+    assert(cdc(1L) > 0.5, s"CDC dup_frac after a front insert = ${cdc(1L)}")
+    assert(cdc(1L) > fixed(1L),
+      s"CDC (${cdc(1L)}) should beat fixed-width (${fixed(1L)}) under insertion")
+  }
+
   test("md5Hash60 matches the documented DuckDB expression semantics") {
     // first 15 hex chars of md5('hello') = 5d41402abc4b2a7 -> 419982666956583591
     val got = Seq("hello").toDF("s").select(Dedup.md5Hash60(col("s"))).as[Long].head()
