@@ -1,0 +1,79 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph operators beyond [[Dedup.dedupClusters]]' connected components.
+  *
+  * PageRank here is the curation use: authority scores over a document
+  * similarity graph (or, at scale, a domain link graph) feed quality
+  * weighting and survivor selection. The implementation is DETERMINISTIC
+  * BY CONSTRUCTION — every quantity is a scaled integer and every division
+  * is integral — so reduction order cannot change any output bit and a SQL
+  * oracle replays the whole iteration exactly (floating-point PageRank can
+  * never be hash-pinned across engines: per-node sums depend on partition
+  * count and merge order).
+  */
+object GraphOps {
+
+  /** Fixed-iteration integer PageRank with damping 0.85, over a DIRECTED
+    * edge list (src, dst) — symmetrize first for an undirected graph.
+    * Ranks live on the node set of the edge list (callers wanting isolated
+    * nodes union them in with teleport-only mass).
+    *
+    * Arithmetic: ranks are integers scaled by `scale`;
+    * r₀ = scale div N, and each iteration computes
+    * `(15·scale) div (100·N) + (85 · Σ_{u→v} (r(u) div deg(u))) div 100` —
+    * all integral divisions, both engines floor identically on
+    * non-negative operands. Mass leaks a few units per division (floor),
+    * which is the accepted price for bit-exact replayability.
+    *
+    * Scale shape: per iteration one join on src (edge list vs ranks —
+    * co-partitionable; at 100 TB pre-bucket both by src) and one shuffle
+    * on dst for the contribution sum; `iters` is fixed and small. For
+    * graphs needing many iterations, add the per-round checkpoint
+    * discipline [[Dedup.dedupClusters]] uses — at the default 5 rounds the
+    * lineage stays shallow enough to skip it. */
+  def pagerank(edges: DataFrame, iters: Int = 5,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(scale >= 1000000L, s"scale too small for meaningful ranks: $scale")
+    // The edge list is consumed 2·iters+2 times (node derivation, degrees,
+    // and one join per iteration); deriving it from an expensive upstream
+    // (here: the Jaccard shingle self-join) would recompute that upstream
+    // once per consumer. Persist edge list, node set, and degrees for the
+    // loop — tracked in Caches, released by the harness after the action.
+    val e = Caches.persist(edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")))
+    val nodes = Caches.persist(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    val n = nodes.count()
+    require(n > 0, "pagerank over an empty edge list")
+    // deg/ranks both keyed by node id; the join is src-to-src
+    val deg = Caches.persist(e.groupBy("src").agg(count(lit(1)).as("deg")))
+    val base = (15L * scale) / (100L * n)
+    var r = nodes.select(col("id"), lit(scale / n).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(r, e("src") === r("id"))
+        .join(deg, "src")
+        .select(col("dst").as("id"), expr("pr div deg").as("c"))
+      // left join back onto the full node set: in a directed graph a node
+      // with no in-edges keeps its teleport mass instead of vanishing
+      // (dangling nodes' outbound mass is dropped, the standard
+      // simplification — deterministic either way)
+      val next = nodes.join(contrib.groupBy("id").agg(sum(col("c")).as("s")),
+          Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("pr"))
+        // eager lineage truncation per round (the dedupClusters pattern):
+        // without it, round i's plan nests all prior rounds, and analysis/
+        // AQE planning cost grows with the square of the iteration count
+        .localCheckpoint()
+      Caches.trackCheckpoint(next)
+      // no-op on the initial (non-checkpointed) rank frame
+      Caches.unpersistCheckpoint(r)
+      r = next
+    }
+    r
+  }
+}

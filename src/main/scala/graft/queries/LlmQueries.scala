@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Td
-import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.llm.{Dedup, GraphOps, Multimodal, Sampling, Similarity, TextOps}
 import graft.sources.LlmLake
 
 /** LLM-training-data pipeline operators over the driver's documents /
@@ -347,6 +347,33 @@ object LlmQueries {
        |  WHERE rn <= $rerank),
        |${annRankTail(k)}""".stripMargin
 
+  /** DuckDB twin of [[GraphOps.pagerank]] over the symmetrized Jaccard
+    * near-dup graph: the fixed iterations unroll as a generated CTE chain
+    * (r0 → r`iters`), every division integral (`//` on non-negative
+    * BIGINTs floors exactly like Spark's `div`), so all ranks hash-match. */
+  private def lg1Oracle(iters: Int, scale: Long, minJ: Double): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.id,
+         |    CAST((15 * $scale) // (100 * nn.n)
+         |      + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nodes n CROSS JOIN nn
+         |  LEFT JOIN (SELECT e.dst AS id, sum(p.pr // d.deg) AS s
+         |    FROM edges e JOIN r${i - 1} p ON p.id = e.src
+         |    JOIN deg d ON d.src = e.src
+         |    GROUP BY 1) c ON c.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${jacCtes(minJ)},
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM jac
+       |  UNION ALL SELECT d2, d1 FROM jac),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |r0 AS (SELECT n.id, CAST($scale // nn.n AS BIGINT) AS pr
+       |  FROM nodes n CROSS JOIN nn),
+       |$iterCtes
+       |SELECT id AS doc_id, pr FROM r$iters""".stripMargin
+  }
+
   private def q(name: String, oracle: String)(
       f: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, f, Some(oracle))
@@ -467,6 +494,21 @@ object LlmQueries {
       Similarity.lshNearDups(
         plantedCorpus(Td.table(s, dir, "embeddings")), "vec_id", "embedding", 0.9,
         tables = 16, bits = 10, invDensity = 4)
+    },
+
+    // ── deterministic integer PageRank over the near-dup graph (graph
+    //    tier beyond ld6's connected components): authority scores feed
+    //    survivor selection / quality weighting. Scaled-integer ranks +
+    //    integral divisions make every bit reduction-order-independent —
+    //    the only way PageRank can be oracle-pinned across engines. ──
+    q("lg1_pagerank",
+      lg1Oracle(iters = 5, scale = 1000000000000L, minJ = 0.8)) { (s, dir) =>
+      val jac = Dedup.jaccardPairs(
+        Dedup.shingleTable(Td.table(s, dir, "documents"), "doc_id", "text", 3), 0.8)
+      val edges = jac.select(col("d1").as("src"), col("d2").as("dst"))
+        .unionByName(jac.select(col("d2").as("src"), col("d1").as("dst")))
+      GraphOps.pagerank(edges, iters = 5)
+        .select(col("id").as("doc_id"), col("pr"))
     },
 
     // ── content-defined chunking dedup: boundaries from a rolling

@@ -1,0 +1,45 @@
+package graft.llm
+
+import graft.SparkSpec
+
+class GraphOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("pagerank: a symmetric 2-node graph sits at its exact integer fixed point") {
+    // N=2, scale=1e12: r0 = 5e11; each node passes its whole rank across,
+    // so r = (15e12 div 200) + (85*5e11 div 100) = 7.5e10 + 4.25e11 = 5e11
+    // — the chain never moves. Hand-checkable bit-exactness.
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = GraphOps.pagerank(edges, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 500000000000L, 2L -> 500000000000L))
+  }
+
+  test("pagerank: a directed star concentrates mass; source-only leaves keep teleport mass") {
+    // leaves 1,2,3 -> center 9. N=4, r0 = 2.5e11, base = 15e12 div 400.
+    // Leaves have no in-edges: rank = base = 3.75e10 every iteration
+    // (the left-join-back path). Center at iter 1:
+    // base + (85 * 3*2.5e11) div 100 = 3.75e10 + 6.375e11 = 6.75e11.
+    val edges = Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("src", "dst")
+    val one = GraphOps.pagerank(edges, iters = 1).as[(Long, Long)].collect().toMap
+    assert(one(9L) == 675000000000L, s"center got ${one(9L)}")
+    assert(Seq(1L, 2L, 3L).forall(one(_) == 37500000000L), s"leaves: $one")
+    val five = GraphOps.pagerank(edges, iters = 5).as[(Long, Long)].collect().toMap
+    assert(five(9L) > five(1L))
+    assert(five(1L) == five(2L) && five(2L) == five(3L))
+  }
+
+  test("pagerank is deterministic across invocations on the near-dup graph") {
+    val jac = Dedup.jaccardPairs(
+      Dedup.shingleTable(graft.Td.table(spark, Sf0001, "documents"),
+        "doc_id", "text", 3), 0.8)
+    val edges = jac.selectExpr("d1 AS src", "d2 AS dst")
+      .unionByName(jac.selectExpr("d2 AS src", "d1 AS dst"))
+    def run() = GraphOps.pagerank(edges, iters = 5)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val a = run()
+    assert(a.nonEmpty)
+    assert(a == run())
+  }
+}
