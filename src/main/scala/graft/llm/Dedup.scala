@@ -115,16 +115,42 @@ object Dedup {
     * the cap fires BEFORE the join can square it. */
   def jaccardPairs(
       shingles: DataFrame, minJ: Double,
-      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame =
+    jaccardPairsUncapped(cappedHashed(shingles, maxShingleDf), minJ)
+
+  /** Hashed (doc_id, sh, n_sh) table with the hot-shingle DF cap applied
+    * (shared head of [[jaccardPairs]] and [[containmentPairs]]). */
+  private def cappedHashed(shingles: DataFrame, maxShingleDf: Int): DataFrame = {
     val hashed = hashedWithSize(shingles)
-    val capped =
-      if (maxShingleDf == Int.MaxValue) hashed
-      else hashed
-        .withColumn("__df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-        .filter(col("__df") <= maxShingleDf)
-        .drop("__df")
-    jaccardPairsUncapped(capped, minJ)
+    if (maxShingleDf == Int.MaxValue) hashed
+    else hashed
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .filter(col("__df") <= maxShingleDf)
+      .drop("__df")
+  }
+
+  /** Asymmetric near-dup detection: containment(A in B) =
+    * |sh(A) ∩ sh(B)| / |sh(A)| — catches a document EMBEDDED in a larger
+    * one, which Jaccard structurally misses (its size normalization drives
+    * the score toward 0 as the host grows: a 100-token doc pasted into a
+    * 10000-token page has J ≈ 0.01 but containment ≈ 1). Emits pairs
+    * (d1 < d2) where either direction clears `minC`, reporting both
+    * directions. Same shingle-hash equi-join shape (and hot-shingle DF
+    * cap) as [[jaccardPairs]]. */
+  def containmentPairs(
+      shingles: DataFrame, minC: Double,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val hashed = cappedHashed(shingles, maxShingleDf)
+    val a = hashed.select(col("doc_id").as("d1"), col("sh"), col("n_sh").as("n1"))
+    val b = hashed.select(col("doc_id").as("d2"), col("sh").as("sh2"), col("n_sh").as("n2"))
+    a.join(b, col("sh") === col("sh2") && col("d1") < col("d2"))
+      .groupBy("d1", "d2", "n1", "n2")
+      .agg(count(lit(1)).as("n_inter"))
+      .withColumn("c1", col("n_inter").cast("double") / col("n1").cast("double"))
+      .withColumn("c2", col("n_inter").cast("double") / col("n2").cast("double"))
+      .filter(col("c1") >= minC || col("c2") >= minC)
+      .select("d1", "d2", "n_inter", "c1", "c2")
   }
 
   /** Jaccard from a joined pair table carrying (d1, d2, n1, n2) per match:

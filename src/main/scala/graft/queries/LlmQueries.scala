@@ -496,6 +496,26 @@ object LlmQueries {
         tables = 16, bits = 10, invDensity = 4)
     },
 
+    // ── asymmetric containment near-dup pairs: |A∩B| / |A| per direction
+    //    — detects a doc EMBEDDED in a larger host, which Jaccard's size
+    //    normalization structurally misses (spec demonstrates the case).
+    //    Same shingle-hash join + DF cap as ld2. ──
+    q("ld10_containment",
+      s"""WITH $toksCte,
+         |$shinglesCte,
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT * FROM (
+         |  SELECT d1, d2, n_inter,
+         |    CAST(n_inter AS DOUBLE) / CAST(x.n_sh AS DOUBLE) AS c1,
+         |    CAST(n_inter AS DOUBLE) / CAST(y.n_sh AS DOUBLE) AS c2
+         |  FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id)
+         |WHERE c1 >= 0.85 OR c2 >= 0.85""".stripMargin) { (s, dir) =>
+      Dedup.containmentPairs(
+        Dedup.shingleTable(Td.table(s, dir, "documents"), "doc_id", "text", 3), 0.85)
+    },
+
     // ── deterministic integer PageRank over the near-dup graph (graph
     //    tier beyond ld6's connected components): authority scores feed
     //    survivor selection / quality weighting. Scaled-integer ranks +

@@ -82,6 +82,27 @@ class DedupSpec extends SparkSpec {
     assert(sr == 0L)
   }
 
+  test("containmentPairs finds a doc embedded in a large host that Jaccard misses") {
+    // doc 1 (10 tokens) pasted verbatim inside doc 2's 200-token host:
+    // jaccard ~ 8/198 ~ 0.04, but containment of 1 in 2 = 1.0
+    val small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val host = ((1 to 95).map(i => s"h${i}") :+ small).mkString(" ") +
+      " " + (96 to 190).map(i => s"h${i}").mkString(" ")
+    val docs = Seq((1L, small), (2L, host), (3L, "unrelated words entirely here"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleTable(docs, "doc_id", "text", 3)
+    val jac = Dedup.jaccardPairs(sh, 0.8)
+      .select("d1", "d2").as[(Long, Long)].collect()
+    assert(jac.isEmpty, s"jaccard should miss the embed: ${jac.toSeq}")
+    val cont = Dedup.containmentPairs(sh, 0.9)
+      .select("d1", "d2", "c1", "c2").as[(Long, Long, Double, Double)].collect()
+    assert(cont.length == 1)
+    val (d1, d2, c1, c2) = cont.head
+    assert((d1, d2) == ((1L, 2L)))
+    assert(c1 == 1.0, s"containment of the embedded doc should be 1.0, got $c1")
+    assert(c2 < 0.1, s"host containment should stay small, got $c2")
+  }
+
   test("CDC chunking is insert-robust where fixed-width chunking is not") {
     // doc 2 = doc 1 with one token inserted at the FRONT: fixed-width
     // chunks all shift by one token and (almost) nothing matches; CDC
