@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Td
+import graft.llm.Similarity
 import graft.ops.{AsOfJoin, Det, IntervalJoin, TimeOps, Upsert}
 
 /** The relational operator inventory (SURVEY.md §2.2–2.6, §2.8, §2.9)
@@ -21,6 +22,25 @@ object RelationalQueries {
   private def q(name: String, oracle: String)(
       f: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, f, Some(oracle))
+
+  /** P9 / J12 run the IDENTICAL SQL text through both engines — the point
+    * is the planner treatment (decorrelation / lateral-join rewrite), so
+    * the statements are kept engine-portable and shared from one val.
+    * Money comparisons run in exact integer cents (floor(x*100+0.5)) so a
+    * reduction-order ULP in an avg can never flip a borderline row. */
+  private val p9Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      |WHERE CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) * 2 *
+      |      (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |    > 3 * (SELECT sum(CAST(floor(o2.o_totalprice * 100 + 0.5) AS BIGINT))
+      |           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin
+
+  private val j12Sql =
+    """SELECT n_name, c_custkey, c_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT c_custkey, c_acctbal FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin
 
   def entries: Seq[QueryDef] = Seq(
 
@@ -460,6 +480,19 @@ object RelationalQueries {
         .select("c_custkey", "c_name")
     },
 
+    // ── P9: correlated scalar subqueries ("orders 1.5× above the
+    //    customer's own average"). The scale story is what Catalyst DOES
+    //    with them: each subquery decorrelates into a per-custkey aggregate
+    //    + broadcast join — nothing executes per-row. Plan note: Spark 4.1
+    //    does NOT merge the two sibling subqueries (count and sum each
+    //    aggregate their own orders scan); when that matters at scale,
+    //    fuse them by hand into one groupBy as a5/j1 do — kept split here
+    //    because surviving the portable correlated form IS this entry. ──
+    q("p9_correlated_subquery", p9Sql) { (s, dir) =>
+      Td.registerAll(s, dir)
+      s.sql(p9Sql)
+    },
+
     // ── O1: top-k (reference queries.sql:30-31); plans as
     //    TakeOrderedAndProject — per-partition heaps, no global sort. ──
     q("o1_topk",
@@ -592,6 +625,16 @@ object RelationalQueries {
         .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
           coalesce(col("n_cust"), lit(0L)).as("n_cust"),
           coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    },
+
+    // ── J12: lateral join — per-row top-2 without a global window: the
+    //    lateral subquery's ORDER BY + LIMIT is correlated to the outer
+    //    nation row. Spark rewrites it to a LateralJoin whose inner side
+    //    ranks WITHIN the domain join, so at scale this is the per-group
+    //    top-k shape (bq2/w4) reached from plain portable SQL. ──
+    q("j12_lateral_topn", j12Sql) { (s, dir) =>
+      Td.registerAll(s, dir)
+      s.sql(j12Sql)
     },
 
     // ── set operations (UNION/INTERSECT/EXCEPT) — single-scan membership-
@@ -1051,6 +1094,36 @@ object RelationalQueries {
         size(split(col("text"), " ", -1)).as("n_tokens"),
         coalesce(nullif(col("lang"), lit("")), col("source")).as("lang_or_src"),
         upper(substring(col("text"), 1, 10)).as("head10"))
+    },
+
+    // ── higher-order array functions over the embedding column —
+    //    transform / aggregate / filter / exists / zip_with / array_sort,
+    //    all codegen-capable scan-stage expressions (no UDF, no shuffle).
+    //    Arithmetic runs on the shared integer quantization
+    //    (Similarity.quantize ↔ round(CAST(x AS DOUBLE)*1000)) so the
+    //    folds are exact in both engines regardless of fold order. ──
+    q("f_hof_pack",
+      """WITH qe AS (SELECT vec_id, embedding,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS sq_norm_q,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+        |  len(list_filter(embedding, x -> x > 0.25)) > 0 AS has_big,
+        |  CAST(list_dot_product(CAST(q AS DOUBLE[]),
+        |    CAST(list_reverse(q) AS DOUBLE[])) AS BIGINT) AS dot_rev_q,
+        |  array_to_string(list_slice(list_sort(q), 1, 3), ',') AS small3
+        |FROM qe""".stripMargin) { (s, dir) =>
+      val q = Similarity.quantize(col("embedding"))
+      Td.table(s, dir, "embeddings").select(
+        col("vec_id"),
+        aggregate(q, lit(0L), (acc, x) => acc + x * x).as("sq_norm_q"),
+        size(filter(col("embedding"), x => x > lit(0))).as("n_pos"),
+        exists(col("embedding"), x => x > lit(0.25)).as("has_big"),
+        aggregate(zip_with(q, reverse(q), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("dot_rev_q"),
+        array_join(slice(array_sort(q), 1, 3), ",").as("small3"))
     },
 
     // ── F12: JSON round-trip (from_json with explicit schema + to_json) ──
