@@ -812,6 +812,49 @@ object LlmQueries {
         .select(col("doc_id"), col("lang"), col("n_tok"))
     },
 
+    // ── Gopher-style repetition/quality rules with per-rule verdicts:
+    //    most-common-token fraction (the rule lt1's ratios can't see —
+    //    a doc that is one word repeated has perfect length stats),
+    //    stopword fraction, mean token length, and the conjunction as
+    //    `keep`. Shape = distributed wordcount: explode → (doc,word)
+    //    partial-agg → per-doc rollup; two key shuffles with map-side
+    //    combine, no self-join, no windows. All ratios are exact small-int
+    //    divisions so both engines agree bit-for-bit. ──
+    q("lt13_gopher_rules",
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS w, len(t) AS n FROM toks),
+         |tc AS (SELECT doc_id, w, n, count(*) AS c FROM tok GROUP BY 1, 2, 3),
+         |agg AS (SELECT doc_id,
+         |    max(c) AS top_cnt, max(n) AS n_tok,
+         |    sum(CASE WHEN w IN ('the', 'a') THEN c ELSE 0 END) AS n_stop,
+         |    sum(c * length(w)) AS sum_len
+         |  FROM tc GROUP BY 1)
+         |SELECT doc_id, CAST(n_tok AS INT) AS n_tokens,
+         |  CAST(top_cnt AS DOUBLE) / CAST(n_tok AS DOUBLE) AS top_frac,
+         |  CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stop_frac,
+         |  CAST(sum_len AS DOUBLE) / CAST(n_tok AS DOUBLE) AS mean_tok_len,
+         |  CAST(top_cnt AS DOUBLE) / CAST(n_tok AS DOUBLE) <= 0.2
+         |    AND CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) >= 0.01
+         |    AND CAST(sum_len AS DOUBLE) / CAST(n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0
+         |    AS keep
+         |FROM agg""".stripMargin) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      val tok = Td.table(s, dir, "documents")
+        .select(col("doc_id"), explode(toks).as("w"), size(toks).cast("long").as("n"))
+      val agg = tok.groupBy("doc_id", "w", "n").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          max(col("c")).as("top_cnt"), max(col("n")).as("n_tok"),
+          sum(when(col("w").isin("the", "a"), col("c")).otherwise(lit(0L))).as("n_stop"),
+          sum(col("c") * length(col("w"))).as("sum_len"))
+      val topFrac = col("top_cnt").cast("double") / col("n_tok").cast("double")
+      val stopFrac = col("n_stop").cast("double") / col("n_tok").cast("double")
+      val meanLen = col("sum_len").cast("double") / col("n_tok").cast("double")
+      agg.select(col("doc_id"), col("n_tok").cast("int").as("n_tokens"),
+        topFrac.as("top_frac"), stopFrac.as("stop_frac"), meanLen.as("mean_tok_len"),
+        (topFrac <= 0.2 && stopFrac >= 0.01 &&
+          meanLen >= 3.0 && meanLen <= 10.0).as("keep"))
+    },
+
     // ── nearest-centroid assignment (cluster/domain labeling; 1-NN over
     //    the ls4 centroids). Exact integer sums — the /n of the mean
     //    cancels in cosine — so both engines agree bit-for-bit ──

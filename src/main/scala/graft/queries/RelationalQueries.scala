@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Td
 import graft.llm.Similarity
-import graft.ops.{AsOfJoin, Det, IntervalJoin, TimeOps, Upsert}
+import graft.ops.{AsOfJoin, Det, IntervalJoin, TimeOps, Upsert, ZOrder}
 
 /** The relational operator inventory (SURVEY.md §2.2–2.6, §2.8, §2.9)
   * re-expressed over the driver's testdata tables, each with a DuckDB oracle.
@@ -524,6 +524,25 @@ object RelationalQueries {
         .agg(sum(col("l_quantity")).as("total_qty"))
         .orderBy(col("total_qty").desc, col("o"), col("d"))
         .limit(25)
+    },
+
+    // ── O7: z-order (Morton) layout key — sort-by-z clusters BOTH
+    //    (user_id, hour) into bounded rectangles per row group, so pushed
+    //    min/max filters on either column skip row groups (single-column
+    //    sort prunes only its own column). Pure bitwise scan-stage
+    //    expression; oracle replays the identical interleave (generated
+    //    from the same recipe, ZOrder.zValueSql). Pruning win measured in
+    //    ZOrderSpec. ──
+    q("o7_zorder_layout",
+      s"""SELECT event_id, user_id,
+         |  (CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600) AS hr,
+         |  ${ZOrder.zValueSql("user_id",
+             "(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600)", 16)} AS z
+         |FROM events""".stripMargin) { (s, dir) =>
+      val hr = expr("unix_seconds(ts) div 3600")
+      Td.table(s, dir, "events").select(
+        col("event_id"), col("user_id"), hr.as("hr"),
+        ZOrder.zValue(col("user_id"), hr, 16).as("z"))
     },
 
     // ── rollup (grouping-set hierarchy) — beyond the reference's surface

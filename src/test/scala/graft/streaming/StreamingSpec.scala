@@ -114,6 +114,71 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.subsetOf(batch), s"streamed=$streamed batch=$batch")
   }
 
+  test("watermarked session-window agg equals batch and the independent sessionize") {
+    import org.apache.spark.sql.functions._
+    val dir = Fixtures.tempDir("stream_sess")
+    val snaps = snapshots(dir)
+    val landing = dir.resolve("landing").toString
+    snaps.foreach(_.coalesce(1).write.mode("append").json(landing))
+
+    // stream: per-file triggers; append mode emits a session only once the
+    // watermark passes its end (= last event + gap). Final watermark at
+    // drain is 12:10, so the 10:10- and 11:10-anchored sessions (ends
+    // 10:40 / 11:40) close; the 12:10 ones (end 12:40) stay open.
+    val out = dir.resolve("sessions").toString
+    val stream = SessionStream.stationSessions(
+      spark.readStream
+        .schema(graft.sources.Schemas.stationStatus)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+        .withWatermark("scraped_at", "0 seconds"),
+      "30 minutes")
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out): Unit
+      }
+      .option("checkpointLocation", dir.resolve("ckpt_sess").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("station_id"), col("s_start").cast("string"),
+        col("s_end").cast("string"), col("n_obs"), col("bikes"))
+      .as[(String, String, String, Long, Long)].collect().toSet
+    val streamed = asSet(spark.read.parquet(out))
+    val batch = asSet(SessionStream.stationSessions(
+      snaps.reduce(_ unionByName _), "30 minutes"))
+    assert(batch.size == 9) // 3 stations x 3 one-observation sessions
+    assert(streamed == batch.filter(_._3 <= "2025-09-04 12:10:00"),
+      s"streamed=$streamed batch=$batch")
+    assert(streamed.size == 6)
+
+    // cross-validation: session_window grouping vs the INDEPENDENT
+    // lag+cumsum sessionize on data with real multi-event sessions
+    // (no boundary-exact gaps — the two algorithms differ there).
+    val obs = Seq(
+      ("A", "2025-09-04 10:00:00", 4), ("A", "2025-09-04 10:10:00", 5),
+      ("A", "2025-09-04 10:25:00", 6), ("A", "2025-09-04 11:30:00", 7),
+      ("B", "2025-09-04 10:05:00", 1), ("B", "2025-09-04 10:50:00", 2),
+      ("B", "2025-09-04 11:05:00", 3))
+      .toDF("station_id", "s", "num_bikes_available")
+      .withColumn("scraped_at", col("s").cast("timestamp")).drop("s")
+    val viaSessionWindow = asSet(SessionStream.stationSessions(obs, "30 minutes"))
+    val viaSessionize = asSet(
+      graft.ops.TimeOps.sessionize(obs, "station_id", "scraped_at", 30)
+        .groupBy(col("station_id"), col("session_id"))
+        .agg(min("scraped_at").as("s_start"),
+          (max("scraped_at") + expr("INTERVAL 30 MINUTES")).as("s_end"),
+          count(lit(1)).as("n_obs"),
+          sum("num_bikes_available").as("bikes"))
+        .drop("session_id"))
+    assert(viaSessionWindow == viaSessionize,
+      s"session_window=$viaSessionWindow sessionize=$viaSessionize")
+    assert(viaSessionWindow.size == 4) // A: 3+1 obs, B: 1+2 obs
+  }
+
   test("stream-stream watermarked hour join equals the batch temporal join") {
     import org.apache.spark.sql.functions._
     val dir = Fixtures.tempDir("stream5")
