@@ -1145,6 +1145,53 @@ object RelationalQueries {
         array_join(slice(array_sort(q), 1, 3), ",").as("small3"))
     },
 
+    // ── map-typed columns: construct / lookup / keys / values / concat.
+    //    Output scalars only — engines disagree on map VALUE rendering
+    //    but agree on lookups (DuckDB map extraction returns a list,
+    //    unwrapped with [1]; a missing key gives [] → NULL, matching
+    //    Spark's element_at null). ──
+    q("f_map_pack",
+      """SELECT doc_id,
+        |  m['lang'][1] AS v_lang,
+        |  m['nope'][1] AS v_missing,
+        |  CAST(cardinality(m) AS INT) AS n_entries,
+        |  array_to_string(map_keys(m), ',') AS ks,
+        |  array_to_string(map_values(m), ',') AS vs
+        |FROM (SELECT doc_id,
+        |    map(['lang', 'source'], [lang, source]) AS m
+        |  FROM documents)""".stripMargin) { (s, dir) =>
+      val m = map_from_arrays(
+        array(lit("lang"), lit("source")), array(col("lang"), col("source")))
+      Td.table(s, dir, "documents").select(
+        col("doc_id"),
+        element_at(m, "lang").as("v_lang"),
+        element_at(m, "nope").as("v_missing"),
+        size(m).as("n_entries"),
+        array_join(map_keys(m), ",").as("ks"),
+        array_join(map_values(m), ",").as("vs"))
+    },
+
+    // ── error-safe scalar functions (try_*): malformed input → NULL row,
+    //    never a failed 100 TB job three hours in. Half the casts are
+    //    constructed to fail (odd doc_ids feed text where a number is
+    //    expected). ──
+    q("f_try_pack",
+      """SELECT doc_id,
+        |  TRY_CAST(CASE WHEN doc_id % 2 = 0
+        |    THEN CAST(n_chars AS VARCHAR) ELSE text END AS INT) AS maybe_n,
+        |  CAST(n_chars AS DOUBLE) / NULLIF(CAST(doc_id % 3 AS DOUBLE), 0)
+        |    AS maybe_div,
+        |  TRY_CAST(lang AS INT) AS lang_as_int
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 2 === 0, col("n_chars").cast("string"))
+          .otherwise(col("text")).try_cast("int").as("maybe_n"),
+        try_divide(col("n_chars").cast("double"), (col("doc_id") % 3).cast("double"))
+          .as("maybe_div"),
+        col("lang").try_cast("int").as("lang_as_int"))
+    },
+
     // ── F12: JSON round-trip (from_json with explicit schema + to_json) ──
     q("f_json_roundtrip",
       """SELECT event_id,

@@ -114,6 +114,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.subsetOf(batch), s"streamed=$streamed batch=$batch")
   }
 
+  test("dropDuplicatesWithinWatermark drops cross-batch duplicate drops with bounded state") {
+    import org.apache.spark.sql.functions._
+    val dir = Fixtures.tempDir("stream_dd")
+    val snaps = snapshots(dir)
+    val landing = dir.resolve("landing").toString
+    // snapshot 0 lands TWICE (a re-delivered feed file — the at-least-once
+    // ingest reality), then 1 and 2 once each.
+    (snaps.head +: snaps).foreach(_.coalesce(1).write.mode("append").json(landing))
+
+    // unlike dropDuplicates, the watermark variant EVICTS dedup state once
+    // the event time passes out of the delay window — at 100 TB the state
+    // store holds a bounded horizon of keys, not the whole stream history.
+    val out = dir.resolve("deduped").toString
+    val q = spark.readStream
+      .schema(graft.sources.Schemas.stationStatus)
+      .option("maxFilesPerTrigger", 1)
+      .json(landing)
+      .withWatermark("scraped_at", "1 hour")
+      .dropDuplicatesWithinWatermark("station_id", "scraped_at")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out): Unit
+      }
+      .option("checkpointLocation", dir.resolve("ckpt_dd").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val key = Seq("station_id", "scraped_at", "num_bikes_available")
+    val streamed = spark.read.parquet(out)
+      .select(key.head, key.tail: _*)
+      .as[(String, Timestamp, Int)].collect().sorted.toSeq
+    val batch = snaps.reduce(_ unionByName _).dropDuplicates("station_id", "scraped_at")
+      .select(key.head, key.tail: _*)
+      .as[(String, Timestamp, Int)].collect().sorted.toSeq
+    assert(streamed == batch && streamed.length == 9,
+      s"streamed=$streamed batch=$batch")
+  }
+
   test("watermarked session-window agg equals batch and the independent sessionize") {
     import org.apache.spark.sql.functions._
     val dir = Fixtures.tempDir("stream_sess")
