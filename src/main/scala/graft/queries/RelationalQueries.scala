@@ -1171,6 +1171,31 @@ object RelationalQueries {
         array_join(map_values(m), ",").as("vs"))
     },
 
+    // ── semi-structured columns through Spark 4's VARIANT type: build a
+    //    nested JSON document in-query (engine-rendered, so both engines
+    //    extract from identical text), parse once, extract typed paths.
+    //    Output scalars only — variant rendering differs across engines;
+    //    typed path extraction does not. At 100 TB this is the
+    //    parse-once / shred-lazily pattern for logs with drifting
+    //    schemas. ──
+    q("f_variant_pack",
+      """SELECT doc_id,
+        |  CAST(json_extract(j, '$.a') AS INT) AS a_int,
+        |  json_extract_string(j, '$.s.lang') AS lang_s,
+        |  json_extract_string(j, '$.nope') AS missing
+        |FROM (SELECT doc_id,
+        |    to_json(struct_pack(a := n_chars, s := struct_pack(lang := lang))) AS j
+        |  FROM documents)""".stripMargin) { (s, dir) =>
+      val j = to_json(struct(
+        col("n_chars").as("a"), struct(col("lang").as("lang")).as("s")))
+      val v = parse_json(j)
+      Td.table(s, dir, "documents").select(
+        col("doc_id"),
+        variant_get(v, "$.a", "int").as("a_int"),
+        variant_get(v, "$.s.lang", "string").as("lang_s"),
+        variant_get(v, "$.nope", "string").as("missing"))
+    },
+
     // ── error-safe scalar functions (try_*): malformed input → NULL row,
     //    never a failed 100 TB job three hours in. Half the casts are
     //    constructed to fail (odd doc_ids feed text where a number is

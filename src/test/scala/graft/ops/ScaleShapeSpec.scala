@@ -53,6 +53,20 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("Observation rides quality metrics on the action's own pass — no second scan") {
+    // the 100 TB data-quality pattern: counters (rows, nulls, sums) attach
+    // to the write pass itself instead of a separate aggregate job over
+    // the same input.
+    val obs = new org.apache.spark.sql.Observation("qc")
+    val df = spark.range(10000)
+      .select(col("id"), when(col("id") % 100 === 0, lit(null)).otherwise(col("id")).as("v"))
+      .observe(obs, count(lit(1)).as("n"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"))
+    df.write.mode("overwrite").format("noop").save()
+    assert(obs.get("n") == 10000L)
+    assert(obs.get("n_null") == 100L)
+  }
+
   test("AQE splits a skewed join partition instead of serializing the hot key") {
     // one hot key carries 200k rows, 99 cold keys carry 100 each
     val left = spark.range(200000).select(lit(7L).as("k"), col("id").as("v"))
