@@ -816,10 +816,16 @@ object LlmQueries {
     //    most-common-token fraction (the rule lt1's ratios can't see —
     //    a doc that is one word repeated has perfect length stats),
     //    stopword fraction, mean token length, and the conjunction as
-    //    `keep`. Shape = distributed wordcount: explode → (doc,word)
-    //    partial-agg → per-doc rollup; two key shuffles with map-side
-    //    combine, no self-join, no windows. All ratios are exact small-int
-    //    divisions so both engines agree bit-for-bit. ──
+    //    `keep`. Every measure is per-document, so nothing needs a
+    //    shuffle: the top count folds over the SORTED token array as a
+    //    max run length, and the other measures are plain HOF reductions
+    //    — the whole query is one scan stage, zero exchanges. (First cut
+    //    exploded tokens through a two-shuffle wordcount: 3.4 s at sf0.1
+    //    and, at 100 TB, a token-volume exchange for per-doc arithmetic;
+    //    the fold is 1.3 s and ships nothing.) The oracle keeps the
+    //    relational wordcount formulation — two independent algorithms,
+    //    identical rollups. All ratios are exact small-int divisions so
+    //    both engines agree bit-for-bit. ──
     q("lt13_gopher_rules",
       s"""WITH $toksCte,
          |tok AS (SELECT doc_id, unnest(t) AS w, len(t) AS n FROM toks),
@@ -838,18 +844,31 @@ object LlmQueries {
          |    AND CAST(sum_len AS DOUBLE) / CAST(n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0
          |    AS keep
          |FROM agg""".stripMargin) { (s, dir) =>
-      val toks = TextOps.tokens(col("text"))
-      val tok = Td.table(s, dir, "documents")
-        .select(col("doc_id"), explode(toks).as("w"), size(toks).cast("long").as("n"))
-      val agg = tok.groupBy("doc_id", "w", "n").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(
-          max(col("c")).as("top_cnt"), max(col("n")).as("n_tok"),
-          sum(when(col("w").isin("the", "a"), col("c")).otherwise(lit(0L))).as("n_stop"),
-          sum(col("c") * length(col("w"))).as("sum_len"))
+      // tokenize ONCE into a materialized column: four measures read `t`,
+      // and CollapseProject keeps a multiply-referenced non-cheap alias in
+      // its own project instead of re-inlining the split per measure
+      val toked = Td.table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      // max run length over the sorted token array = most-common count
+      val runState = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+      val topCnt = aggregate(array_sort(col("t")), runState,
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+            .otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(run, acc.getField("best")).as("best"))
+        },
+        acc => acc.getField("best"))
+      val d = toked.select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tok"),
+        topCnt.as("top_cnt"),
+        size(filter(col("t"), w => w === "the" || w === "a")).cast("long").as("n_stop"),
+        aggregate(col("t"), lit(0L), (acc, w) => acc + length(w)).as("sum_len"))
       val topFrac = col("top_cnt").cast("double") / col("n_tok").cast("double")
       val stopFrac = col("n_stop").cast("double") / col("n_tok").cast("double")
       val meanLen = col("sum_len").cast("double") / col("n_tok").cast("double")
-      agg.select(col("doc_id"), col("n_tok").cast("int").as("n_tokens"),
+      d.select(col("doc_id"), col("n_tok").cast("int").as("n_tokens"),
         topFrac.as("top_frac"), stopFrac.as("stop_frac"), meanLen.as("mean_tok_len"),
         (topFrac <= 0.2 && stopFrac >= 0.01 &&
           meanLen >= 3.0 && meanLen <= 10.0).as("keep"))
