@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 import graft.sources.Schemas
 
@@ -49,6 +49,48 @@ object DeltaStream {
           last.foreach(state.update)
           out.iterator
       }
+  }
+
+  /** [[deltas]] re-expressed on Spark 4's transformWithState — the
+    * successor API to flatMapGroupsWithState: named, typed state handles
+    * (here one `ValueState[LastSeen]`) on a RocksDB-backed store, explicit
+    * TimeMode, per-state TTL available. Semantics are identical to
+    * [[deltas]] and StreamingSpec pins byte-equal output from the same
+    * drops; at 100 TB the RocksDB store is the piece that matters —
+    * per-station state spills to local disk instead of living on the
+    * executor heap. Requires
+    * `spark.sql.streaming.stateStore.providerClass = RocksDBStateStoreProvider`. */
+  class DeltaProcessor
+      extends StatefulProcessor[String, StatusPoint, DeltaPoint] {
+    @transient private var last: ValueState[LastSeen] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[LastSeen]("last",
+        org.apache.spark.sql.Encoders.product[LastSeen], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[StatusPoint],
+        timerValues: TimerValues): Iterator[DeltaPoint] = {
+      val sorted = rows.toSeq.sortBy(_.scraped_at.getTime)
+      var l = if (last.exists()) Some(last.get()) else None
+      val out = sorted.map { p =>
+        val delta = l.map(x => p.bikes - x.bikes).getOrElse(0)
+        l = Some(LastSeen(p.scraped_at.getTime, p.bikes))
+        DeltaPoint(key, p.scraped_at, p.bikes, delta)
+      }
+      l.foreach(last.update)
+      out.iterator
+    }
+  }
+
+  /** transformWithState twin of [[deltas]]. */
+  def deltasTws(stream: Dataset[StatusPoint]): Dataset[DeltaPoint] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .groupByKey(_.station_id)
+      .transformWithState(new DeltaProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Ingest-and-diff pipeline: status-snapshot JSON drops in `landingDir` →

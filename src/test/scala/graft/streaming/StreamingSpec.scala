@@ -71,6 +71,54 @@ class StreamingSpec extends SparkSpec {
     assert(firsts.forall(_._3 == 0))
   }
 
+  test("transformWithState deltas equal the flatMapGroupsWithState deltas") {
+    val dir = Fixtures.tempDir("stream_tws")
+    val snaps = snapshots(dir)
+    val landing = dir.resolve("landing").toString
+    snaps.foreach(_.coalesce(1).write.mode("append").json(landing))
+
+    // the successor stateful API needs the RocksDB state store
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = dir.resolve("deltas_tws").toString
+      val stream = spark.readStream
+        .schema(graft.sources.Schemas.stationStatus)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+        .selectExpr("station_id", "scraped_at", "num_bikes_available AS bikes")
+        .as[StatusPoint]
+      val q = DeltaStream.deltasTws(stream).writeStream
+        .outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[DeltaPoint], _: Long) =>
+          b.write.mode("append").parquet(out): Unit
+        }
+        .option("checkpointLocation", dir.resolve("ckpt_tws").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      val tws = spark.read.parquet(out)
+        .select("station_id", "scraped_at", "bikes", "delta")
+        .as[(String, Timestamp, Int, Int)].collect().sorted.toSeq
+
+      // reference: the flatMapGroupsWithState path on the same drops
+      val out2 = dir.resolve("deltas_fmgws").toString
+      val q2 = DeltaStream.start(spark, landing, out2, dir.resolve("ckpt_fmgws").toString)
+      q2.awaitTermination()
+      val fmgws = spark.read.parquet(out2)
+        .select("station_id", "scraped_at", "bikes", "delta")
+        .as[(String, Timestamp, Int, Int)].collect().sorted.toSeq
+
+      assert(tws == fmgws && tws.length == 9, s"tws=$tws fmgws=$fmgws")
+    } finally oldProv match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("watermarked tumbling-window agg equals the batch hourly rollup") {
     import org.apache.spark.sql.functions._
     val dir = Fixtures.tempDir("stream4")
