@@ -76,4 +76,36 @@ object GraphOps {
     }
     r
   }
+
+  /** Per-node triangle counts over an UNDIRECTED simple graph given as
+    * canonical unique pairs (a < b) — exactly the shape the near-dup pair
+    * tables emit. Clustering-coefficient / community-density signal for
+    * the curation tier (a doc in many near-dup triangles sits in a dense
+    * template cluster, not a chance pairwise match).
+    *
+    * Edge-iterator algorithm: the a<b ordering makes every triangle
+    * {x<y<z} discoverable exactly once, as the wedge (x,y)+(y,z) closed
+    * by (x,z); per-corner counts then redistribute with one explode.
+    * Shape: two equi-joins on the edge table + one count shuffle — no
+    * enumeration of neighborhoods, no collect. At 100 TB, order nodes by
+    * (degree, id) instead of raw id before canonicalizing: wedge fan-out
+    * is then bounded by the SMALLER endpoint's degree, the standard
+    * hub-taming refinement (id order keeps the oracle replay simple
+    * here). Exact integer counts — oracle-pinned. */
+  def triangleCount(pairs: DataFrame): DataFrame = {
+    val e = Caches.persist(
+      pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b")))
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val tris = wedges.join(e.as("e3"),
+      col("x") === col("e3.a") && col("z") === col("e3.b"))
+      .select("x", "y", "z")
+    val perCorner = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    val nodes = e.select(col("a").as("id"))
+      .union(e.select(col("b").as("id"))).distinct()
+    nodes.join(perCorner, Seq("id"), "left")
+      .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
 }

@@ -531,6 +531,29 @@ object LlmQueries {
         .select(col("id").as("doc_id"), col("pr"))
     },
 
+    // ── per-node triangle counts over the near-dup graph: density
+    //    signal beyond ld6's components (a doc in many triangles sits in
+    //    a dense template cluster, not a chance pairwise match). The
+    //    jac pair table is already canonical (d1 < d2), so each triangle
+    //    closes exactly once. ──
+    q("lg2_triangles",
+      s"""WITH ${jacCtes(0.8)},
+         |e AS (SELECT d1 AS a, d2 AS b FROM jac),
+         |w AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e e1 JOIN e e2 ON e1.b = e2.a),
+         |t AS (SELECT x, y, z FROM w JOIN e e3 ON w.x = e3.a AND w.z = e3.b),
+         |c AS (SELECT id, count(*) AS triangles FROM (
+         |  SELECT x AS id FROM t UNION ALL SELECT y FROM t
+         |  UNION ALL SELECT z FROM t) GROUP BY 1),
+         |n AS (SELECT DISTINCT a AS id FROM e UNION SELECT b FROM e)
+         |SELECT n.id AS doc_id, coalesce(c.triangles, 0) AS triangles
+         |FROM n LEFT JOIN c ON n.id = c.id""".stripMargin) { (s, dir) =>
+      val jac = Dedup.jaccardPairs(
+        Dedup.shingleTable(Td.table(s, dir, "documents"), "doc_id", "text", 3), 0.8)
+      GraphOps.triangleCount(jac.select(col("d1").as("a"), col("d2").as("b")))
+        .select(col("id").as("doc_id"), col("triangles"))
+    },
+
     // ── content-defined chunking dedup: boundaries from a rolling
     //    3-token hash (0 mod 8 → ~8-token chunks), so an insertion moves
     //    only nearby boundaries — the insert-robust complement to ld8's
