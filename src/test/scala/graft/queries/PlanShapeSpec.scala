@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+import graft.SparkSpec
+
+/** Plan-shape regression guard: the scale claims made per query in
+  * PLANS.md/COVERAGE.md (zero-shuffle scan-stage packs, broadcast dim
+  * joins, map-side group-limit top-k) are ASSERTED here against the
+  * executed plans, so a future edit that silently adds an exchange or
+  * drops a broadcast fails the suite instead of only the bench. */
+class PlanShapeSpec extends SparkSpec {
+
+  private final case class Shape(
+      name: String, scans: Option[Int], shuffles: Option[Int],
+      mustContain: Seq[String] = Nil)
+
+  // expectations at sf0.001; AQE runs, so counts come from the
+  // materialized adaptive plan
+  private val shapes = Seq(
+    Shape("lt13_gopher_rules", scans = Some(1), shuffles = Some(0)),
+    Shape("f_hof_pack", scans = Some(1), shuffles = Some(0)),
+    Shape("f_map_pack", scans = Some(1), shuffles = Some(0)),
+    Shape("f_try_pack", scans = Some(1), shuffles = Some(0)),
+    Shape("f_variant_pack", scans = Some(1), shuffles = Some(0)),
+    Shape("o7_zorder_layout", scans = Some(1), shuffles = Some(0)),
+    Shape("o1_topk", scans = Some(1), shuffles = Some(0),
+      mustContain = Seq("TakeOrderedAndProject")),
+    // the JOIN itself adds no exchange; the single shuffle is the final
+    // per-supplier aggregation's
+    Shape("j2_fact_dim_broadcast", scans = None, shuffles = Some(1),
+      mustContain = Seq("BroadcastHashJoin")),
+    Shape("j12_lateral_topn", scans = None, shuffles = Some(1),
+      mustContain = Seq("WindowGroupLimit", "BroadcastHashJoin")))
+
+  /** Flatten INCLUDING materialized AQE query stages (QueryStageExec is a
+    * leaf whose real subtree hangs off `.plan`). */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(flatten)
+  }
+
+  shapes.foreach { sh =>
+    test(s"${sh.name} keeps its documented plan shape") {
+      val df = Registry.queries(sh.name)(spark, Sf0001)
+      df.collect() // materialize so AQE finalizes its stages
+      try {
+        val nodes = flatten(df.queryExecution.executedPlan)
+        val names = nodes.map(_.nodeName)
+        val scanCount = nodes.count {
+          case _: FileSourceScanExec | _: BatchScanExec => true
+          case _ => false
+        }
+        val shuffleCount = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+        sh.scans.foreach(n => assert(scanCount == n,
+          s"${sh.name}: expected $n scans, got $scanCount:\n${df.queryExecution.executedPlan}"))
+        sh.shuffles.foreach(n => assert(shuffleCount == n,
+          s"${sh.name}: expected $n shuffles, got $shuffleCount:\n${df.queryExecution.executedPlan}"))
+        sh.mustContain.foreach(frag => assert(names.contains(frag),
+          s"${sh.name}: plan lacks $frag:\n${df.queryExecution.executedPlan}"))
+      } finally graft.llm.Caches.releaseAll(spark)
+    }
+  }
+}
