@@ -22,6 +22,27 @@ class ZOrderSpec extends SparkSpec {
     assert(ZOrder.zValueRef(5L, 3L, 16) == 27L)
   }
 
+  test("interleave is a bijection: deinterleaving z recovers both masked dims") {
+    def deinterleave(z: Long, bits: Int): (Long, Long) = {
+      var a = 0L; var b = 0L; var i = 0
+      while (i < bits) {
+        a |= ((z >> (2 * i)) & 1L) << i
+        b |= ((z >> (2 * i + 1)) & 1L) << i
+        i += 1
+      }
+      (a, b)
+    }
+    // deterministic pseudo-random pairs (fixed LCG, no RNG state)
+    var x = 12345L
+    (1 to 500).foreach { _ =>
+      x = (x * 6364136223846793005L + 1442695040888963407L)
+      val a = (x >>> 17) & 0xFFFF
+      val b = (x >>> 41) & 0xFFFF
+      val z = ZOrder.zValueRef(a, b, 16)
+      assert(deinterleave(z, 16) == ((a, b)), s"roundtrip failed for ($a,$b)")
+    }
+  }
+
   test("z-sorted layout prunes row groups on BOTH dimensions; single-column sort does not") {
     // events sorted by ts: every file spans all users, so a user predicate
     // prunes nothing. Sorted by z(user, hour): files are rectangles in
