@@ -537,4 +537,41 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Edit-distance-1 near-dup pairs (typo-robust entity dedup) via
+    * COMPLETE deletion-signature blocking (the SymSpell scheme): every
+    * string emits itself plus each single-character deletion as a
+    * signature. Two strings within edit distance 1 necessarily share
+    * one — substitution: delete the differing position from both;
+    * insertion/deletion: the shorter string IS a deletion variant of the
+    * longer. Sharing a signature only bounds ED ≤ 2, so an exact
+    * `levenshtein ≤ 1` confirm filters survivors.
+    *
+    * Shape: explode to |s|+1 signature rows per string, ONE equi-join on
+    * the signature text (no hashing — no collisions to reason about),
+    * distinct pair, scan-stage confirm. At 100 TB the signature is the
+    * blocking key: candidate volume rides the join's own exchange, and a
+    * viral signature (e.g. every string sharing a common prefix-deletion)
+    * takes the same DF-cap discipline as the shingle joins if it ever
+    * dominates. Emits (id1 < id2, d = exact distance ∈ {0, 1}). */
+  def editNeighborPairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    // rename FIRST, then explode in a second select: a lambda referencing
+    // a column aliased in the same projection trips Spark's lateral-
+    // column-alias resolution (INTERNAL_ERROR LateralColumnAliasReference)
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    val s = col("s")
+    // i = 0..len: delete char i+1 (1-based); i = len yields the string
+    // itself (covers pure insert/delete pairs)
+    val dels = transform(sequence(lit(0), length(s)),
+      i => concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s))))
+    val sig = base.select(col("id"), s, explode(dels).as("sig"))
+    val a = sig.select(col("id").as("id1"), col("s").as("s1"), col("sig"))
+    val b = sig.select(col("id").as("id2"), col("s").as("s2"), col("sig").as("sig2"))
+    a.join(b, col("sig") === col("sig2") && col("id1") < col("id2"))
+      .select("id1", "id2", "s1", "s2")
+      .distinct()
+      .withColumn("d", levenshtein(col("s1"), col("s2")))
+      .filter(col("d") <= 1)
+      .select("id1", "id2", "d")
+  }
 }

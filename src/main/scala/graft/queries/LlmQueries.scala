@@ -531,6 +531,23 @@ object LlmQueries {
         .select(col("id").as("doc_id"), col("pr"))
     },
 
+    // ── edit-distance-1 entity near-dups via complete deletion-signature
+    //    blocking (SymSpell): the blocking is provably exhaustive for
+    //    ED ≤ 1, so the oracle can brute-force levenshtein over all pairs
+    //    and the results must match EXACTLY — a completeness check, not
+    //    just a sample. ──
+    q("ld11_edit_neardup",
+      """SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
+        |  CAST(levenshtein(a.s_name, b.s_name) AS INT) AS d
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_suppkey < b.s_suppkey
+        |  AND abs(length(a.s_name) - length(b.s_name)) <= 1
+        |  AND levenshtein(a.s_name, b.s_name) <= 1""".stripMargin) { (s, dir) =>
+      Dedup.editNeighborPairs(Td.table(s, dir, "supplier"), "s_suppkey", "s_name")
+        .select(col("id1").cast("long").as("id1"),
+          col("id2").cast("long").as("id2"), col("d"))
+    },
+
     // ── per-node triangle counts over the near-dup graph: density
     //    signal beyond ld6's components (a doc in many triangles sits in
     //    a dense template cluster, not a chance pairwise match). The

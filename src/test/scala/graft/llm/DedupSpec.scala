@@ -103,6 +103,37 @@ class DedupSpec extends SparkSpec {
     assert(c2 < 0.1, s"host containment should stay small, got $c2")
   }
 
+  test("editNeighborPairs finds exactly the ED<=1 pairs (blocking is complete)") {
+    // one of each edit kind against "kernel", one ED-2 decoy, one exact dup
+    val rows = Seq(
+      (1L, "kernel"), (2L, "kernal") /* substitution */,
+      (3L, "kernels") /* insertion */, (4L, "kernl") /* deletion */,
+      (5L, "kernale") /* ED 2 from kernel */, (6L, "kernel") /* exact dup */,
+      (7L, "zzz")).toDF("id", "s")
+    val got = Dedup.editNeighborPairs(rows, "id", "s")
+      .as[(Long, Long, Int)].collect().toSet
+    // brute force over all pairs is the ground truth
+    val all = rows.as[(Long, String)].collect()
+    val want = (for {
+      (i1, s1) <- all; (i2, s2) <- all if i1 < i2
+      d = levDist(s1, s2) if d <= 1
+    } yield (i1, i2, d)).toSet
+    assert(got == want, s"got=$got want=$want")
+    assert(got.contains((1L, 2L, 1)) && got.contains((1L, 3L, 1)) &&
+      got.contains((1L, 4L, 1)) && got.contains((1L, 6L, 0)))
+    assert(!got.exists(p => p._1 == 1L && p._2 == 5L))
+  }
+
+  private def levDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
   test("CDC chunking is insert-robust where fixed-width chunking is not") {
     // doc 2 = doc 1 with one token inserted at the FRONT: fixed-width
     // chunks all shift by one token and (almost) nothing matches; CDC
