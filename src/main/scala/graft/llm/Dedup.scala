@@ -141,10 +141,7 @@ object Dedup {
   def containmentPairs(
       shingles: DataFrame, minC: Double,
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
-    val hashed = cappedHashed(shingles, maxShingleDf)
-    val a = hashed.select(col("doc_id").as("d1"), col("sh"), col("n_sh").as("n1"))
-    val b = hashed.select(col("doc_id").as("d2"), col("sh").as("sh2"), col("n_sh").as("n2"))
-    a.join(b, col("sh") === col("sh2") && col("d1") < col("d2"))
+    pairMatches(cappedHashed(shingles, maxShingleDf))
       .groupBy("d1", "d2", "n1", "n2")
       .agg(count(lit(1)).as("n_inter"))
       .withColumn("c1", col("n_inter").cast("double") / col("n1").cast("double"))
@@ -167,12 +164,18 @@ object Dedup {
       .filter(col("jaccard") >= minJ)
 
   /** Self-join + rollup over an already-hashed (doc_id, sh, n_sh) table. */
-  private def jaccardPairsUncapped(hashed: DataFrame, minJ: Double): DataFrame = {
+  /** Canonical (d1 < d2) shingle-hash self-join carrying both sides'
+    * sizes — the shared head of [[jaccardPairsUncapped]] and
+    * [[containmentPairs]], factored so the join shape (canonicalization,
+    * future skew hints) can only ever change in one place. */
+  private def pairMatches(hashed: DataFrame): DataFrame = {
     val a = hashed.select(col("doc_id").as("d1"), col("sh"), col("n_sh").as("n1"))
     val b = hashed.select(col("doc_id").as("d2"), col("sh").as("sh2"), col("n_sh").as("n2"))
-    pairRollup(
-      a.join(b, col("sh") === col("sh2") && col("d1") < col("d2")), minJ)
+    a.join(b, col("sh") === col("sh2") && col("d1") < col("d2"))
   }
+
+  private def jaccardPairsUncapped(hashed: DataFrame, minJ: Double): DataFrame =
+    pairRollup(pairMatches(hashed), minJ)
 
   // ── token-chunk (verbatim-span) dedup ────────────────────────────────────
 
@@ -564,7 +567,12 @@ object Dedup {
     // itself (covers pure insert/delete pairs)
     val dels = transform(sequence(lit(0), length(s)),
       i => concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s))))
-    val sig = base.select(col("id"), s, explode(dels).as("sig"))
+    // dedupe signatures per string BEFORE the join: a repeated-character
+    // run emits the same deletion variant once per run position (every
+    // 'Supplier#000000001'-style zero run ~7×), and the equi-join would
+    // multiply m1·m2 identical rows per candidate pair for the later
+    // distinct to shuffle and discard
+    val sig = base.select(col("id"), s, explode(dels).as("sig")).distinct()
     val a = sig.select(col("id").as("id1"), col("s").as("s1"), col("sig"))
     val b = sig.select(col("id").as("id2"), col("s").as("s2"), col("sig").as("sig2"))
     a.join(b, col("sig") === col("sig2") && col("id1") < col("id2"))

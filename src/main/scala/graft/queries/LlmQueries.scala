@@ -905,6 +905,9 @@ object LlmQueries {
         topCnt.as("top_cnt"),
         size(filter(col("t"), w => w === "the" || w === "a")).cast("long").as("n_stop"),
         aggregate(col("t"), lit(0L), (acc, w) => acc + length(w)).as("sum_len"))
+        // a zero-token doc has no quality ratios; the oracle's unnest CTE
+        // drops it implicitly, so drop it explicitly here too
+        .filter(col("n_tok") > 0)
       val topFrac = col("top_cnt").cast("double") / col("n_tok").cast("double")
       val stopFrac = col("n_stop").cast("double") / col("n_tok").cast("double")
       val meanLen = col("sum_len").cast("double") / col("n_tok").cast("double")

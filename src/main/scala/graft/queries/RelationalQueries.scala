@@ -535,11 +535,14 @@ object RelationalQueries {
     //    ZOrderSpec. ──
     q("o7_zorder_layout",
       s"""SELECT event_id, user_id,
-         |  (CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600) AS hr,
+         |  CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 3600) AS BIGINT) AS hr,
          |  ${ZOrder.zValueSql("user_id",
-             "(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600)", 16)} AS z
+             "CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 3600) AS BIGINT)", 16)} AS z
          |FROM events""".stripMargin) { (s, dir) =>
-      val hr = expr("unix_seconds(ts) div 3600")
+      // floor division on BOTH sides: Spark's integer `div` truncates
+      // toward zero while DuckDB's `//` floors, and the two diverge on
+      // pre-epoch (negative-seconds) timestamps
+      val hr = floor(expr("unix_seconds(ts)") / lit(3600.0)).cast("long")
       Td.table(s, dir, "events").select(
         col("event_id"), col("user_id"), hr.as("hr"),
         ZOrder.zValue(col("user_id"), hr, 16).as("z"))
@@ -1140,8 +1143,7 @@ object RelationalQueries {
         aggregate(q, lit(0L), (acc, x) => acc + x * x).as("sq_norm_q"),
         size(filter(col("embedding"), x => x > lit(0))).as("n_pos"),
         exists(col("embedding"), x => x > lit(0.25)).as("has_big"),
-        aggregate(zip_with(q, reverse(q), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x).as("dot_rev_q"),
+        Similarity.qdot(q, reverse(q)).as("dot_rev_q"),
         array_join(slice(array_sort(q), 1, 3), ",").as("small3"))
     },
 

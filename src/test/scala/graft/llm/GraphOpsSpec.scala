@@ -44,21 +44,23 @@ class GraphOpsSpec extends SparkSpec {
   }
 
   test("triangleCount: K4, a path, and a shared-edge bowtie count exactly") {
-    // K4 on 1..4: every node is a corner of C(3,2) = 3 triangles
-    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
-      .toDF("a", "b")
-    val k4c = GraphOps.triangleCount(k4).as[(Long, Long)].collect().toMap
-    assert(k4c == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    try {
+      // K4 on 1..4: every node is a corner of C(3,2) = 3 triangles
+      val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+        .toDF("a", "b")
+      val k4c = GraphOps.triangleCount(k4).as[(Long, Long)].collect().toMap
+      assert(k4c == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
 
-    // path 1-2-3-4: wedges but no closures
-    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
-    val pc = GraphOps.triangleCount(path).as[(Long, Long)].collect().toMap
-    assert(pc.values.forall(_ == 0L) && pc.size == 4)
+      // path 1-2-3-4: wedges but no closures
+      val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+      val pc = GraphOps.triangleCount(path).as[(Long, Long)].collect().toMap
+      assert(pc.values.forall(_ == 0L) && pc.size == 4)
 
-    // two triangles sharing edge (2,3): nodes 2 and 3 are in both
-    val bowtie = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
-      .toDF("a", "b")
-    val bc = GraphOps.triangleCount(bowtie).as[(Long, Long)].collect().toMap
-    assert(bc == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+      // two triangles sharing edge (2,3): nodes 2 and 3 are in both
+      val bowtie = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+        .toDF("a", "b")
+      val bc = GraphOps.triangleCount(bowtie).as[(Long, Long)].collect().toMap
+      assert(bc == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+    } finally Caches.releaseAll(spark) // triangleCount persists its edge frame
   }
 }
