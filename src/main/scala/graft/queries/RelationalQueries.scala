@@ -42,6 +42,40 @@ object RelationalQueries {
       |  WHERE c.c_nationkey = n.n_nationkey
       |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin
 
+  /** TPC-H Q3/Q5 adapted to the testdata's columns — engine-portable text
+    * (the revenue aggregate is the expanded exact-cents quantization both
+    * dialects accept). The point is the PLANNER work bare SQL triggers:
+    * Q3's selective dim filters broadcast into the fact chain; Q5's
+    * six-way join (with the s_nationkey = c_nationkey "local supplier"
+    * constraint) exercises Catalyst's join reordering. */
+  private val revenueSql =
+    "CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 1E2 + 0.5)" +
+      " AS BIGINT)) AS DOUBLE) / 1E2"
+  private val sql2Text =
+    s"""SELECT l_orderkey, $revenueSql AS revenue,
+       |  CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1997-03-15'
+       |  AND l_shipdate > TIMESTAMP '1997-03-15'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, odate, l_orderkey LIMIT 10""".stripMargin
+  private val sql5Text =
+    s"""SELECT n_name, $revenueSql AS revenue
+       |FROM region
+       |JOIN nation ON n_regionkey = r_regionkey
+       |JOIN customer ON c_nationkey = n_nationkey
+       |JOIN orders ON o_custkey = c_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
   def entries: Seq[QueryDef] = Seq(
 
     // ── P1/P2: projection + not-null filter (reference utils.py:22-32) ──
@@ -1066,6 +1100,21 @@ object RelationalQueries {
           |FROM lineitem
           |WHERE l_shipdate < TIMESTAMP '1998-09-01'
           |GROUP BY 1, 2""".stripMargin)
+    },
+
+    // ── TPC-H Q3 (shipping priority) adapted: selective dim filter +
+    //    two fact joins + top-10 by grouped revenue. ──
+    q("sql2_shipping_priority", sql2Text) { (s, dir) =>
+      Td.registerAll(s, dir)
+      s.sql(sql2Text)
+    },
+
+    // ── TPC-H Q5 (local supplier volume) adapted: six-way join with the
+    //    s_nationkey = c_nationkey constraint — Catalyst join-reorder
+    //    territory from bare portable SQL. ──
+    q("sql5_local_supplier_volume", sql5Text) { (s, dir) =>
+      Td.registerAll(s, dir)
+      s.sql(sql5Text)
     },
 
     // ── F1/F2/F8/F9/F11: datetime scalar pack ──
