@@ -67,4 +67,34 @@ object Sampling {
       .filter(col("__cum") - col(weightCol) < budget)
       .drop("__cum")
   }
+
+  /** GPT-style sequence packing: documents are concatenated in
+    * deterministic hash order and split at `ctxTokens` boundaries, so
+    * every training sequence is exactly full (the concat-and-chunk
+    * scheme; a doc may straddle two bins). Packing is per-SHARD — an
+    * md5 bucket of the id — so at 100 TB each shard packs independently
+    * inside one window partition and the operator is one shuffle on the
+    * shard key; shard count scales with the cluster, not the data.
+    * Emits (shard, bin, offset) per doc: bin = which context window the
+    * doc STARTS in, offset = its start position within that window —
+    * all exact integer arithmetic on the running token sum. */
+  def sequencePack(
+      df: DataFrame, idCol: String, weightCol: String,
+      ctxTokens: Long, shards: Int): DataFrame = {
+    require(ctxTokens > 0, s"sequencePack: ctxTokens must be positive, got $ctxTokens")
+    require(shards > 0, s"sequencePack: shards must be positive, got $shards")
+    val shard = pmod(Dedup.md5Hash60(col(idCol).cast("string")), lit(shards.toLong))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(keepHash(col(idCol), col("shard")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", shard)
+      .withColumn("__start", sum(col(weightCol)).over(w) - col(weightCol))
+      // integer DIV, not `/`: the `/` operator promotes to double, which
+      // is only exact below 2^53 — a per-shard running token sum at the
+      // 100 TB design point is within range but the operator should not
+      // carry that cliff. Starts are non-negative so DIV == floor.
+      .select(col(idCol), col("shard"),
+        expr(s"__start DIV ${ctxTokens}L").as("bin"),
+        (col("__start") % ctxTokens).as("offset"))
+  }
 }

@@ -852,6 +852,31 @@ object LlmQueries {
         .select(col("doc_id"), col("lang"), col("n_tok"))
     },
 
+    // ── GPT-style sequence packing: concat docs in deterministic hash
+    //    order per shard, split at 512-token context boundaries — every
+    //    training sequence exactly full, a doc may straddle two bins.
+    //    One shuffle on the shard key; shard count scales with the
+    //    cluster. ("offset" is reserved in DuckDB → bin_off.) ──
+    q("lt14_sequence_pack",
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard
+        |  FROM documents),
+        |h AS (SELECT doc_id, n_tok, shard,
+        |    CAST(('0x' || substr(md5(CAST(shard AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS hk
+        |  FROM t),
+        |c AS (SELECT doc_id, shard,
+        |    sum(n_tok) OVER (PARTITION BY shard ORDER BY hk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS strt
+        |  FROM h)
+        |SELECT doc_id, shard, strt // 512 AS bin, strt % 512 AS bin_off
+        |FROM c""".stripMargin) { (s, dir) =>
+      val withTok = Td.table(s, dir, "documents")
+        .withColumn("n_tok", size(TextOps.tokens(col("text"))).cast("long"))
+      Sampling.sequencePack(withTok, "doc_id", "n_tok", ctxTokens = 512L, shards = 8)
+        .withColumnRenamed("offset", "bin_off")
+    },
+
     // ── Gopher-style repetition/quality rules with per-rule verdicts:
     //    most-common-token fraction (the rule lt1's ratios can't see —
     //    a doc that is one word repeated has perfect length stats),

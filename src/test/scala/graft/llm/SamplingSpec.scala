@@ -86,4 +86,31 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(again == sampled.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("sequencePack: starts are exact per-shard prefix sums; offsets in range") {
+    val docs = graft.Td.table(spark, Sf0001, "documents")
+      .withColumn("n_tok", size(TextOps.tokens(col("text"))).cast("long"))
+    val packed = Sampling.sequencePack(docs, "doc_id", "n_tok", ctxTokens = 100L, shards = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(packed.nonEmpty)
+    assert(packed.forall { case (_, _, bin, off) => bin >= 0 && off >= 0 && off < 100 })
+    // recompute locally: per shard, concat order is (keepHash, id); each
+    // doc's start must equal the running token sum before it
+    val toks = docs.select(col("doc_id"), col("n_tok")).as[(Long, Long)].collect().toMap
+    def h60(s: String): BigInt = BigInt(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    val expected = packed.groupBy(_._2).toSeq.flatMap { case (shard, rows) =>
+      val ordered = rows.toSeq.map(_._1)
+        .sortBy(id => (h60(s"$shard:$id") % 1000, id))
+      var cum = 0L
+      ordered.map { id =>
+        val start = cum; cum += toks(id)
+        (id, shard, start / 100, start % 100)
+      }
+    }.toSet
+    assert(packed.toSet == expected)
+    // shard assignment is the md5-60bit bucket of the id
+    assert(packed.forall { case (id, shard, _, _) => (h60(id.toString) % 4).toLong == shard })
+  }
 }
