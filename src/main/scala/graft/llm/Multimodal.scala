@@ -106,6 +106,47 @@ object Multimodal {
       .toDF()
   }
 
+  /** ViT-style patch-grid token accounting: given per-item pixel dims,
+    * compute the post-resize patch grid and the vision-token count — the
+    * multimodal half of a token budget (every vision-language trainer
+    * needs Σ image tokens before packing sequences). Semantics:
+    * cap the longest side at `maxSide` preserving aspect ratio (integer
+    * arithmetic: scaled = dim * maxSide DIV longest — floor, like a real
+    * resizer snapping down to whole pixels), then patchify at
+    * `patch`×`patch` with ceil division, +1 CLS token per item.
+    *
+    * Pure scan-stage column arithmetic — zero shuffles, no UDF; at 100 TB
+    * this fuses into whatever scan produces the dims. Dims come from the
+    * caller (a real pipeline reads them from the image header during
+    * decode — here the lm4 query derives deterministic stub dims, keeping
+    * the accounting arithmetic, which is the engine work, real). */
+  def patchTokens(
+      items: DataFrame, widthCol: String, heightCol: String,
+      maxSide: Int, patch: Int): DataFrame = {
+    require(maxSide > 0 && patch > 0,
+      s"patchTokens: maxSide/patch must be positive, got $maxSide/$patch")
+    // scaled dim = dim * maxSide DIV longest when downscaling, else dim
+    // (integer DIV — exact, oracle-replayable). The short side of an
+    // extreme aspect ratio can floor to 0 — clamp to 1 pixel like real
+    // preprocessors clamp to one patch row/col. Patch counts are ceil
+    // division: (d + patch-1) DIV patch.
+    items
+      .withColumn("__w", col(widthCol).cast("long"))
+      .withColumn("__h", col(heightCol).cast("long"))
+      .withColumn("__long", greatest(col("__w"), col("__h")))
+      .withColumn("scaled_w", when(col("__long") > maxSide,
+        greatest(expr(s"(__w * ${maxSide}L) DIV __long"), lit(1L)))
+        .otherwise(col("__w")))
+      .withColumn("scaled_h", when(col("__long") > maxSide,
+        greatest(expr(s"(__h * ${maxSide}L) DIV __long"), lit(1L)))
+        .otherwise(col("__h")))
+      .withColumn("patches_x", expr(s"(scaled_w + ${patch - 1}L) DIV ${patch}L"))
+      .withColumn("patches_y", expr(s"(scaled_h + ${patch - 1}L) DIV ${patch}L"))
+      .withColumn("n_patches", col("patches_x") * col("patches_y"))
+      .withColumn("vis_tokens", col("n_patches") + lit(1L))
+      .drop("__w", "__h", "__long")
+  }
+
   /** STUB decode/feature-extract: a real implementation would initialize a
     * codec/model once per partition and decode each payload; here the
     * "features" are deterministic byte statistics so the driver's oracle can

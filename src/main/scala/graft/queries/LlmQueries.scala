@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Td
-import graft.llm.{Dedup, GraphOps, Multimodal, Sampling, Similarity, TextOps}
+import graft.llm.{Dedup, GraphOps, Importance, Multimodal, Sampling, Similarity, TextOps}
 import graft.sources.LlmLake
 
 /** LLM-training-data pipeline operators over the driver's documents /
@@ -877,6 +877,62 @@ object LlmQueries {
         .withColumnRenamed("offset", "bin_off")
     },
 
+    // ── DSIR-style importance weights: score each doc by Σ over its
+    //    tokens of (target_bucket_count+1)*1e6 DIV (raw_bucket_count+1)
+    //    over 64 hashed unigram buckets (target = the 'en' slice). The
+    //    bucket table is O(64) no matter the corpus, so the engine
+    //    compiles it into a literal map and scores in a ZERO-shuffle
+    //    scan-stage fold; the oracle computes the same integers the
+    //    opposite way (explode → join → re-group) — two independent
+    //    algorithms, one exact answer. ──
+    q("lt15_importance_weights",
+      s"""WITH $toksCte,
+        |tok AS (SELECT doc_id, lang, unnest(t) AS w FROM toks),
+        |b AS (SELECT doc_id,  lang,
+        |    CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 64 AS b FROM tok),
+        |tc AS (SELECT b, count(*) AS ct FROM b WHERE lang = 'en' GROUP BY 1),
+        |rc AS (SELECT b, count(*) AS cr FROM b GROUP BY 1),
+        |ratio AS (SELECT rc.b, ((coalesce(ct, 0) + 1) * 1000000) // (cr + 1) AS rs
+        |  FROM rc LEFT JOIN tc ON rc.b = tc.b)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(rs) AS BIGINT) AS score_scaled
+        |FROM b JOIN ratio ON b.b = ratio.b
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val docs = Td.table(s, dir, "documents")
+      val buckets = 64
+      val target = Importance.bucketCounts(
+        docs.filter(col("lang") === "en"), "text", buckets)
+      val raw = Importance.bucketCounts(docs, "text", buckets)
+      Importance.scoreDocs(docs, "doc_id", "text", target, raw, buckets)
+    },
+
+    // ── Mixture planner: the half of data mixing that PRODUCES the rates
+    //    lt7 consumes — given a token budget and per-source target share,
+    //    compute per-source epochs (rate > 1 = upsampling) with a
+    //    max-epochs cap (the data-constrained regime: a source too small
+    //    for its share repeats up to the cap, not unboundedly). One
+    //    tiny aggregation; double arithmetic is the same literal ops in
+    //    the same order in both engines, so it is bit-deterministic. ──
+    q("lt16_mixture_planner",
+      s"""WITH $toksCte,
+        |src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(t)) AS BIGINT) AS n_tok FROM toks GROUP BY 1),
+        |e AS (SELECT source, n_docs, n_tok,
+        |    CAST(0.05 AS DOUBLE) * 60000 / n_tok AS epochs_raw FROM src)
+        |SELECT source, n_docs, n_tok, epochs_raw,
+        |  least(epochs_raw, CAST(2.0 AS DOUBLE)) AS epochs,
+        |  CAST(floor(least(epochs_raw, CAST(2.0 AS DOUBLE)) * n_tok) AS BIGINT)
+        |    AS planned_toks
+        |FROM e""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "documents")
+        .select(col("source"), size(TextOps.tokens(col("text"))).cast("long").as("__nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tok"))
+        .withColumn("epochs_raw", lit(0.05) * lit(60000) / col("n_tok"))
+        .withColumn("epochs", least(col("epochs_raw"), lit(2.0)))
+        .withColumn("planned_toks", floor(col("epochs") * col("n_tok")))
+    },
+
     // ── Gopher-style repetition/quality rules with per-rule verdicts:
     //    most-common-token fraction (the rule lt1's ratios can't see —
     //    a doc that is one word repeated has perfect length stats),
@@ -1104,6 +1160,39 @@ object LlmQueries {
       Multimodal.resizePayload(
         Multimodal.binarize(Td.table(s, dir, "documents"), "doc_id", "text"),
         targetBytes = 96)
+    },
+
+    // ── ViT patch-grid token accounting: cap the longest side at 448 px
+    //    (aspect-preserving integer resize), patchify 14×14, +1 CLS —
+    //    the vision half of a multimodal token budget. Stub dims derive
+    //    deterministically from doc_id (a real pipeline reads them from
+    //    the image header at decode); the accounting arithmetic — all
+    //    integer DIV, zero shuffles, scan-stage only — is the engine
+    //    work and the oracle replays it exactly. ──
+    q("lm4_patch_tokens",
+      """WITH dims AS (SELECT doc_id AS item_id,
+        |    64 + (doc_id * 37) % 1985 AS width,
+        |    64 + (doc_id * 101) % 1985 AS height
+        |  FROM documents),
+        |s AS (SELECT item_id, width, height,
+        |    greatest(width, height) AS longest FROM dims),
+        |r AS (SELECT item_id, width, height,
+        |    CASE WHEN longest > 448
+        |      THEN greatest((width * 448) // longest, 1) ELSE width END AS scaled_w,
+        |    CASE WHEN longest > 448
+        |      THEN greatest((height * 448) // longest, 1) ELSE height END AS scaled_h
+        |  FROM s)
+        |SELECT item_id, width, height, scaled_w, scaled_h,
+        |  ((scaled_w + 13) // 14) AS patches_x,
+        |  ((scaled_h + 13) // 14) AS patches_y,
+        |  ((scaled_w + 13) // 14) * ((scaled_h + 13) // 14) AS n_patches,
+        |  ((scaled_w + 13) // 14) * ((scaled_h + 13) // 14) + 1 AS vis_tokens
+        |FROM r""".stripMargin) { (s, dir) =>
+      val dims = Td.table(s, dir, "documents").select(
+        col("doc_id").as("item_id"),
+        (lit(64L) + pmod(col("doc_id") * 37L, lit(1985L))).as("width"),
+        (lit(64L) + pmod(col("doc_id") * 101L, lit(1985L))).as("height"))
+      Multimodal.patchTokens(dims, "width", "height", maxSide = 448, patch = 14)
     },
 
     // ── PII-style redaction plumbing: regex scrub + match count + scrubbed

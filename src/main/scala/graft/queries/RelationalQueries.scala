@@ -75,6 +75,18 @@ object RelationalQueries {
        |  AND o_orderdate < TIMESTAMP '1998-01-01'
        |GROUP BY n_name
        |ORDER BY revenue DESC, n_name""".stripMargin
+  private val sql18Text =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS odate, o_totalprice,
+      |  sum(l_quantity) AS total_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
   def entries: Seq[QueryDef] = Seq(
 
@@ -693,6 +705,31 @@ object RelationalQueries {
       s.sql(j12Sql)
     },
 
+    // ── J13: null-safe equi-join (<=> / IS NOT DISTINCT FROM) — the join
+    //    the dirty-key world needs: both sides derive a NULLable bucket
+    //    (nullif carves bucket 3 of nationkey % 10 out as NULL) and the null-safe inner
+    //    join KEEPS the NULL=NULL row a plain `=` join would drop.
+    //    EqualNullSafe is an extractable equi-join key in Catalyst, so
+    //    this still plans as a hash join, not a cartesian; both inputs
+    //    arrive pre-partitioned by their own aggregations. ──
+    q("j13_nullsafe_join",
+      """WITH hc AS (SELECT nullif(c_nationkey % 10, 3) AS nk, count(*) AS n_cust
+        |  FROM customer GROUP BY 1),
+        |ns AS (SELECT nullif(s_nationkey % 10, 3) AS nk, count(*) AS n_supp
+        |  FROM supplier GROUP BY 1)
+        |SELECT hc.nk AS nation_bucket,
+        |  CAST(n_cust AS BIGINT) AS n_cust, CAST(n_supp AS BIGINT) AS n_supp
+        |FROM hc JOIN ns ON hc.nk IS NOT DISTINCT FROM ns.nk""".stripMargin) { (s, dir) =>
+      val hc = Td.table(s, dir, "customer")
+        .groupBy(nullif(pmod(col("c_nationkey"), lit(10)), lit(3)).as("nk_c"))
+        .agg(count(lit(1)).as("n_cust"))
+      val ns = Td.table(s, dir, "supplier")
+        .groupBy(nullif(pmod(col("s_nationkey"), lit(10)), lit(3)).as("nk_s"))
+        .agg(count(lit(1)).as("n_supp"))
+      hc.join(ns, col("nk_c") <=> col("nk_s"))
+        .select(col("nk_c").as("nation_bucket"), col("n_cust"), col("n_supp"))
+    },
+
     // ── set operations (UNION/INTERSECT/EXCEPT) — single-scan membership-
     //    flag formulation: the literal Dataset union/intersect/except form
     //    (the oracle keeps it for clarity) scans orders up to six times
@@ -1115,6 +1152,17 @@ object RelationalQueries {
     q("sql5_local_supplier_volume", sql5Text) { (s, dir) =>
       Td.registerAll(s, dir)
       s.sql(sql5Text)
+    },
+
+    // ── TPC-H Q18 (large-volume customer) adapted: the agg-subquery
+    //    membership shape — the IN over a grouped HAVING plans as a
+    //    left-semi join against the aggregated fact, so lineitem is
+    //    scanned twice by construction (once to find big orders, once
+    //    for their detail). sum(l_quantity) sums integral doubles, so
+    //    it is exact under any partial-agg order in both engines. ──
+    q("sql18_large_volume_customer", sql18Text) { (s, dir) =>
+      Td.registerAll(s, dir)
+      s.sql(sql18Text)
     },
 
     // ── F1/F2/F8/F9/F11: datetime scalar pack ──

@@ -40,6 +40,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("patchTokens: resize cap, patch grid, and clamps match hand-computed cases") {
+    val dims = Seq(
+      (1L, 896L, 448L),   // downscale 2x: 448x224 -> 32x16 patches
+      (2L, 100L, 50L),    // under the cap: unchanged -> 8x4 patches
+      (3L, 100000L, 1L),  // extreme aspect: short side floors to 0, clamps to 1
+      (4L, 448L, 448L))   // exactly at the cap: no resize
+      .toDF("item_id", "width", "height")
+    val got = Multimodal.patchTokens(dims, "width", "height", maxSide = 448, patch = 14)
+      .select("item_id", "scaled_w", "scaled_h", "n_patches", "vis_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 448L, 224L, 32L * 16L, 32L * 16L + 1L)))
+    assert(got(2L) == ((2L, 100L, 50L, 8L * 4L, 8L * 4L + 1L)))
+    assert(got(3L) == ((3L, 448L, 1L, 32L * 1L, 32L + 1L)))
+    assert(got(4L) == ((4L, 448L, 448L, 32L * 32L, 32L * 32L + 1L)))
+    intercept[IllegalArgumentException] {
+      Multimodal.patchTokens(dims, "width", "height", maxSide = 448, patch = 0)
+    }
+  }
+
   test("extractFeatures and sampleFrames agree with byte-level references") {
     val t = "hello world, bytes here"
     val b = t.getBytes("UTF-8")

@@ -108,4 +108,25 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got.contains((None, None, 7L)))         // grand total
     assert(got.size == 6)
   }
+
+  test("j13 null-safe join keeps the NULL=NULL row a plain = join drops") {
+    val rows = Registry.queries("j13_nullsafe_join")(spark, Sf0001)
+      .as[(Option[Long], Long, Long)].collect()
+    val nullRow = rows.filter(_._1.isEmpty)
+    assert(nullRow.length == 1, s"expected exactly one NULL-bucket row, got ${rows.toSeq}")
+    // the NULL bucket really is nationkey % 10 == 3 on both sides
+    val nCust3 = Td.table(spark, Sf0001, "customer")
+      .filter(pmod(col("c_nationkey"), lit(10)) === 3).count()
+    val nSupp3 = Td.table(spark, Sf0001, "supplier")
+      .filter(pmod(col("s_nationkey"), lit(10)) === 3).count()
+    assert(nullRow.head == ((None, nCust3, nSupp3)))
+    // a plain = join over the same aggregates drops that row
+    val hc = Td.table(spark, Sf0001, "customer")
+      .groupBy(nullif(pmod(col("c_nationkey"), lit(10)), lit(3)).as("nk_c"))
+      .agg(count(lit(1)).as("n_cust"))
+    val ns = Td.table(spark, Sf0001, "supplier")
+      .groupBy(nullif(pmod(col("s_nationkey"), lit(10)), lit(3)).as("nk_s"))
+      .agg(count(lit(1)).as("n_supp"))
+    assert(hc.join(ns, col("nk_c") === col("nk_s")).count() == rows.length - 1)
+  }
 }
