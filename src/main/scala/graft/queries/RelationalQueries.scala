@@ -87,6 +87,15 @@ object RelationalQueries {
       |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+  private val sql13Text =
+    """WITH co AS (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |SELECT c_count, count(*) AS custdist
+      |FROM co GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
   def entries: Seq[QueryDef] = Seq(
 
@@ -1163,6 +1172,16 @@ object RelationalQueries {
     q("sql18_large_volume_customer", sql18Text) { (s, dir) =>
       Td.registerAll(s, dir)
       s.sql(sql18Text)
+    },
+
+    // ── TPC-H Q13 (customer distribution) adapted: histogram-of-counts —
+    //    a filtered LEFT join (the filter lives in the ON clause, so
+    //    orderless and all-filtered customers still count at 0) under two
+    //    stacked aggregations. The same shape profiles dup-cluster sizes
+    //    or docs-per-domain in the curation tier. ──
+    q("sql13_customer_distribution", sql13Text) { (s, dir) =>
+      Td.registerAll(s, dir)
+      s.sql(sql13Text)
     },
 
     // ── F1/F2/F8/F9/F11: datetime scalar pack ──

@@ -27,6 +27,11 @@ class PlanShapeSpec extends SparkSpec {
     Shape("f_try_pack", scans = Some(1), shuffles = Some(0)),
     Shape("f_variant_pack", scans = Some(1), shuffles = Some(0)),
     Shape("o7_zorder_layout", scans = Some(1), shuffles = Some(0)),
+    // lm4: the patch-grid accounting is pure scan-stage column arithmetic
+    Shape("lm4_patch_tokens", scans = Some(1), shuffles = Some(0)),
+    // lt15: the RETURNED scoring plan is a zero-shuffle literal-map fold
+    // (the two bounded stats aggregations run as separate jobs before it)
+    Shape("lt15_importance_weights", scans = Some(1), shuffles = Some(0)),
     Shape("o1_topk", scans = Some(1), shuffles = Some(0),
       mustContain = Seq("TakeOrderedAndProject")),
     // the JOIN itself adds no exchange; the single shuffle is the final
