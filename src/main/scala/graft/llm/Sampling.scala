@@ -97,4 +97,32 @@ object Sampling {
         expr(s"__start DIV ${ctxTokens}L").as("bin"),
         (col("__start") % ctxTokens).as("offset"))
   }
+
+  /** Exact global shuffle rank: a deterministic permutation index
+    * 0..n-1 in md5 order (id tie-break) — the "shuffle the dataset once,
+    * reproducibly" step every training dataloader wants. The naive form,
+    * `row_number() OVER (ORDER BY k)` with no PARTITION BY, drags the
+    * whole table through ONE partition; this is the scale-correct
+    * two-pass instead: a range-partitioned sort (sampled boundaries,
+    * all partitions parallel) + `zipWithIndex` (one tiny job to count
+    * per-partition sizes, then per-partition offsets — nothing beyond
+    * the counts leaves the executors). `monotonically_increasing_id`
+    * is NOT a substitute: its ids are per-partition-prefixed,
+    * non-contiguous, and not a permutation. */
+  def globalShuffleRank(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val keyed = df
+      .select(col(idCol))
+      .withColumn("__k", Dedup.md5Hash60(col(idCol).cast("string")))
+      .orderBy(col("__k"), col(idCol))
+      .select(col(idCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      keyed.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          "perm_idx", org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = keyed.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rows, schema)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Td
@@ -904,6 +905,52 @@ object LlmQueries {
         docs.filter(col("lang") === "en"), "text", buckets)
       val raw = Importance.bucketCounts(docs, "text", buckets)
       Importance.scoreDocs(docs, "doc_id", "text", target, raw, buckets)
+    },
+
+    // ── Exact global shuffle rank: deterministic permutation 0..n-1 in
+    //    md5 order — "shuffle the dataset once, reproducibly" for a
+    //    training dataloader. NOT row_number-over-everything (that drags
+    //    the table through one partition): a range-partitioned sort +
+    //    zipWithIndex two-pass, so every partition stays parallel and
+    //    only the per-partition COUNTS ever leave the executors. ──
+    q("lt17_shuffle_rank",
+      """SELECT doc_id,
+        |  row_number() OVER (
+        |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT), doc_id) - 1 AS perm_idx
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Sampling.globalShuffleRank(Td.table(s, dir, "documents"), "doc_id")
+    },
+
+    // ── Per-stratum percentile curation: keep each language's top
+    //    quality quartile — dynamic thresholds (75th percentile PER
+    //    stratum), not a global constant like lt6's. Exact boundary:
+    //    rn <= ceil(n/4) as pure integers (rn*4 <= n+3), so no
+    //    percentile interpolation ambiguity; one shuffle on the stratum
+    //    key carries both window functions. ──
+    q("lt18_percentile_filter",
+      s"""WITH scored AS (SELECT doc_id, lang, $nTokSql AS n_tok, $qualitySql AS q
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang, n_tok, q,
+        |    row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM scored)
+        |SELECT doc_id, lang, n_tok,
+        |  floor(q * 1E6 + 0.5) / 1E6 AS quality
+        |FROM r WHERE rn * 4 <= n + 3""".stripMargin) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      val scored = Td.table(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        size(toks).as("n_tok"),
+        TextOps.qualityScore(toks, col("text")).as("q"))
+      val byLang = Window.partitionBy(col("lang"))
+      val w = byLang.orderBy(col("q").desc, col("doc_id"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(byLang))
+        .filter(col("rn") * 4 <= col("n") + 3)
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          (floor(col("q") * 1e6 + 0.5) / 1e6).as("quality"))
     },
 
     // ── Mixture planner: the half of data mixing that PRODUCES the rates

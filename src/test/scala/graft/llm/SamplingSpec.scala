@@ -113,4 +113,23 @@ class SamplingSpec extends SparkSpec {
     // shard assignment is the md5-60bit bucket of the id
     assert(packed.forall { case (id, shard, _, _) => (h60(id.toString) % 4).toLong == shard })
   }
+
+  test("globalShuffleRank: a bijection 0..n-1 in (md5, id) order, stable across runs") {
+    val docs = graft.Td.table(spark, Sf0001, "documents")
+    val got = Sampling.globalShuffleRank(docs, "doc_id")
+      .as[(Long, Long)].collect()
+    val n = docs.count()
+    assert(got.length == n)
+    assert(got.map(_._2).sorted.toSeq == (0L until n).toSeq) // exact permutation
+    // order matches the local sort by (md5-60bit, id)
+    def h60(s: String): BigInt = BigInt(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    val expected = got.map(_._1).sortBy(id => (h60(id.toString), id))
+      .zipWithIndex.map { case (id, i) => (id, i.toLong) }.toSet
+    assert(got.toSet == expected)
+    val again = Sampling.globalShuffleRank(docs, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(again == got.toSet)
+  }
 }
