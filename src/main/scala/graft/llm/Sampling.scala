@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  private def keepHash(idCol: Column, strataCol: Column): Column =
+  /** The deterministic (stratum, id)-hash every ordered sampler here sorts
+    * by (1000 buckets; ties broken by id at each use site). Public so the
+    * streaming twin ([[graft.streaming.PackingStream]]) packs in exactly
+    * this order within its micro-batches. */
+  def keepHash(idCol: Column, strataCol: Column): Column =
     pmod(Dedup.md5Hash60(concat_ws(":", strataCol, idCol)), lit(1000L))
 
   /** Mixture (per-stratum Bernoulli) sampling: keep each row of stratum s
