@@ -1290,6 +1290,42 @@ object LlmQueries {
             .cast("long").as("q0"))
     },
 
+    // ── Dataset data card: the per-(source × lang) datasheet every
+    //    released corpus ships — docs, tokens, exact-distinct texts,
+    //    order-independent mean quality (quantized sum, Det.qavg), and
+    //    curation keep-count — in ONE scan + one grouped aggregation
+    //    (count distinct expands to Spark's standard two-phase plan).
+    //    Exact distinct is the right choice at card granularity (cells,
+    //    not rows, bound the cost); a11 shows the HLL path when it isn't. ──
+    q("lq2_data_card",
+      s"""WITH $toksCte,
+        |scored AS (SELECT source, lang, md5(text) AS h,
+        |    CAST(len(t) AS BIGINT) AS nt, $qualitySql AS q
+        |  FROM toks)
+        |SELECT source, lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tok,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS n_uniq,
+        |  ${O.qavg("q", 6)} AS mean_quality,
+        |  CAST(sum(CASE WHEN nt BETWEEN 10 AND 5000 AND q >= 0.5
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM scored GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      Td.table(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          md5(col("text")).as("h"),
+          size(toks).cast("long").as("nt"),
+          TextOps.qualityScore(toks, col("text")).as("q"))
+        .groupBy("source", "lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("n_tok"),
+          countDistinct(col("h")).as("n_uniq"),
+          graft.ops.Det.qavg(col("q"), 6).as("mean_quality"),
+          sum(when(col("nt").between(10, 5000) && col("q") >= 0.5, 1L)
+            .otherwise(0L)).as("n_kept"))
+    },
+
     // ── multimodal frame sampling: every 2nd 64-byte frame of the payload,
     //    stub features per kept frame (all-ASCII corpus ⇒ byte = char, so
     //    the oracle recomputes via substr/ord from first principles) ──
