@@ -12,14 +12,15 @@ import org.apache.spark.sql.functions._
   * document — so the oracle replays them bit-for-bit; a real DSIR uses
   * log-ratios, which changes the constant math, not the shape.
   *
-  * Scale shape: the bucket-count table is O(buckets) (fixed, e.g. 64–64k)
+  * Scale shape: the bucket-count table is O(buckets) (fixed, small)
   * regardless of corpus size, so scoring compiles the ratios into a
-  * LITERAL map and runs as a ZERO-shuffLE scan-stage fold over each doc's
+  * LITERAL map and runs as a ZERO-shuffle scan-stage fold over each doc's
   * tokens — at 100 TB nothing shuffles but the two tiny stats
-  * aggregations. With a bucket table too big for a literal (millions),
-  * the fallback is explode → broadcast-join the bucket dim → re-group by
-  * doc — one shuffle of the token stream; the literal-map form exists to
-  * avoid exactly that.
+  * aggregations. The literal-map contract is capped at 8192 buckets
+  * (beyond that the expression tree itself gets heavy); a larger feature
+  * space belongs to the fallback — explode → broadcast-join the bucket
+  * dim → re-group by doc — which costs one shuffle of the token stream;
+  * the literal-map form exists to avoid exactly that.
   */
 object Importance {
 
@@ -47,6 +48,13 @@ object Importance {
       buckets: Int, scale: Long = 1000000L): DataFrame = {
     require(buckets > 0 && scale > 0,
       s"scoreDocs: buckets/scale must be positive, got $buckets/$scale")
+    // the literal map materializes 2*buckets expression arguments — cheap
+    // at the intended feature-hashing sizes, but past a few thousand it
+    // bloats analysis/codegen; that regime belongs to the explode →
+    // broadcast-join fallback the scaladoc names, so fail loud here
+    require(buckets <= 8192,
+      s"scoreDocs: $buckets buckets exceeds the literal-map contract (8192); " +
+        "use the explode + broadcast-join formulation for large feature spaces")
     val ratios: Seq[Column] = (0L until buckets.toLong).flatMap { b =>
       val r = (target.getOrElse(b, 0L) + 1L) * scale / (raw.getOrElse(b, 0L) + 1L)
       Seq(lit(b), lit(r))

@@ -28,6 +28,12 @@ final case class PackedDoc(
   * construction, the cheapest state shape Structured Streaming can carry
   * (contrast dedup's per-key state). At 100 TB the shard count scales with
   * the cluster, not the data, so state never grows.
+  *
+  * Memory contract: one shard's slice of one micro-batch is buffered to
+  * apply the within-batch sort (the same group-buffering OdInference's
+  * matcher does). Micro-batch size is the operator's knob —
+  * maxFilesPerTrigger / maxBytesPerTrigger bound it at the source, so the
+  * buffer is admission-controlled, not data-scaled.
   */
 object PackingStream {
 

@@ -57,10 +57,13 @@ class ImportanceSpec extends SparkSpec {
     assert(raw == rawCnt && target == tgtCnt)
   }
 
-  test("scoreDocs rejects non-positive buckets/scale") {
+  test("scoreDocs rejects non-positive buckets/scale and an oversize literal map") {
     val docs = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
       Importance.scoreDocs(docs, "doc_id", "text", Map.empty, Map.empty, 0)
+    }
+    intercept[IllegalArgumentException] {
+      Importance.scoreDocs(docs, "doc_id", "text", Map.empty, Map.empty, 8193)
     }
   }
 }
