@@ -973,6 +973,61 @@ object Similarity {
       .toDF("d1", "d2", "cosine")
   }
 
+  /** SemDeDup-style CELL-blocked embedding near-dup pairs: cluster the
+    * corpus with the same deterministic k-means-lite coarse quantizer as
+    * [[ivfLearnedTopK]], assign every vector its `nprobe` nearest cells
+    * (probing >1 cell is the standard fix for twins split by a cell
+    * boundary), and confirm exact cosine only within shared cells. The
+    * third candidate-generation geometry beside [[lshNearDups]]' random
+    * hyperplanes and [[embeddingNearDups]]' all-pairs: when an embedding
+    * CLUSTERING already exists (or is wanted anyway for curation), cell
+    * blocking reuses it and the candidate join inherits the cells'
+    * balance. Scale shape: centroid table is O(kCells) (broadcast), the
+    * candidate self-join shuffles on the cell key only, nothing is
+    * collected. Output: d1 < d2, cosine >= minCos. */
+  def cellBlockedNearDups(
+      vecs: DataFrame, idCol: String, embCol: String, minCos: Double,
+      kCells: Int = 16, nprobe: Int = 2, dims: Int = 64): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    require(kCells >= 1 && nprobe >= 1 && nprobe <= kCells,
+      s"bad cell geometry: kCells=$kCells nprobe=$nprobe")
+    val corpusQ = vecs
+      .select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("e"))
+      .as[(Long, Array[Long])]
+    val bcent = spark.sparkContext.broadcast(
+      trainCellCentroids(corpusQ, kCells, dims))
+    // persisted for its two consumers (cell explode + scoring re-attach),
+    // released via Caches after the consuming action — same discipline as
+    // lshNearDups' index
+    val prep = Caches.persist(corpusQ.mapPartitions { iter =>
+      val cs = bcent.value
+      iter.map { case (id, e) =>
+        require(e.length == dims, s"vector length ${e.length} != dims $dims")
+        val nrm = math.sqrt(Qv.dot(e, e).toDouble)
+        (id, e, nrm, nearestCells(e, nrm, cs, nprobe))
+      }
+    }.toDF("id", "e", "nrm", "cells"))
+    val buckets = prep.select(col("id"), explode(col("cells")).as("cell"))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"))
+      .distinct()
+    cand
+      .join(prep.select(col("id").as("d1"), col("e").as("e1"), col("nrm").as("n1")), "d1")
+      .join(prep.select(col("id").as("d2"), col("e").as("e2"), col("nrm").as("n2")), "d2")
+      .select("d1", "d2", "e1", "n1", "e2", "n2")
+      .as[(Long, Long, Array[Long], Double, Array[Long], Double)]
+      .mapPartitions { iter =>
+        iter.flatMap { case (d1, d2, e1, n1, e2, n2) =>
+          val cos = Qv.dot(e1, e2).toDouble / (n1 * n2)
+          if (cos >= minCos) Some((d1, d2, cos)) else None
+        }
+      }
+      .toDF("d1", "d2", "cosine")
+  }
+
   /** Exact all-pairs cosine near-dup (the confirm/baseline path; at scale
     * the candidate set comes from [[lshNearDups]]' bucketing instead of the
     * self-join). Output d1 < d2 with cosine >= minCos. */

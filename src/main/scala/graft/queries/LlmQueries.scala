@@ -258,6 +258,28 @@ object LlmQueries {
        |${p}cells AS (SELECT vec_id, c AS cell FROM ${p}sc2 WHERE rn = 1)""".stripMargin
   }
 
+  /** DuckDB twin of [[Similarity.cellBlockedNearDups]] over the planted
+    * corpus: the SAME k-means-lite training replay as ls3 (so the
+    * data-dependent cell assignments hash-match), nprobe cells per vector,
+    * distinct shared-cell pairs, exact quantized-cosine confirm. */
+  private def ld12Oracle(minCos: Double, kCells: Int, nprobe: Int): String =
+    s"""WITH $plantedCorpusCte,
+       |${quantCtesFrom("corpus")},
+       |${ivfTrainCtes(kCells, "")},
+       |probes AS (SELECT vec_id, c AS cell FROM sc2 WHERE rn <= $nprobe),
+       |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+       |  FROM probes a JOIN probes b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |dot AS (SELECT d1, d2, sum(x.x * y.x) AS dp
+       |  FROM cand JOIN qc x ON x.vec_id = d1
+       |  JOIN qc y ON y.vec_id = d2 AND y.i = x.i
+       |  GROUP BY 1, 2)
+       |SELECT * FROM (
+       |  SELECT d1, d2,
+       |    CAST(dp AS DOUBLE) / (sqrt(CAST(nx.nn AS DOUBLE)) * sqrt(CAST(ny.nn AS DOUBLE)))
+       |      AS cosine
+       |  FROM dot JOIN nrm nx ON d1 = nx.vec_id JOIN nrm ny ON d2 = ny.vec_id)
+       |WHERE cosine >= $minCos""".stripMargin
+
   private def ls3LearnedOracle(k: Int, kCells: Int, nprobe: Int, qMod: Int): String =
     s"""WITH $quantCtes,
        |${ivfTrainCtes(kCells, "")},
@@ -495,6 +517,20 @@ object LlmQueries {
       Similarity.lshNearDups(
         plantedCorpus(Td.table(s, dir, "embeddings")), "vec_id", "embedding", 0.9,
         tables = 16, bits = 10, invDensity = 4)
+    },
+
+    // ── SemDeDup-style cell-blocked embedding near-dups: the learned
+    //    k-means clustering (ls3's coarse quantizer) IS the blocking —
+    //    candidates only within shared cells, nprobe=2 so boundary-split
+    //    twins still meet, exact cosine confirm. Third candidate geometry
+    //    beside ld7's hyperplane buckets and ld5's all-pairs; the oracle
+    //    replays the training relationally so the data-dependent cell
+    //    assignments (and therefore pair sets) hash-match. ──
+    q("ld12_semantic_dedup",
+      ld12Oracle(minCos = 0.9, kCells = 16, nprobe = 2)) { (s, dir) =>
+      Similarity.cellBlockedNearDups(
+        plantedCorpus(Td.table(s, dir, "embeddings")), "vec_id", "embedding", 0.9,
+        kCells = 16, nprobe = 2)
     },
 
     // ── asymmetric containment near-dup pairs: |A∩B| / |A| per direction

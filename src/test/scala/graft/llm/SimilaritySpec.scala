@@ -265,6 +265,39 @@ class SimilaritySpec extends SparkSpec {
       s"missed ${(planted -- found).size}/${planted.size}, spurious ${(found -- planted).size}")
   }
 
+  test("cell-blocked near-dups: subset of exact pairs, full planted recall at nprobe=2") {
+    // same planted-twin corpus as the ld7 recall test: cell blocking must
+    // (a) never invent a pair the exact confirm rejects — candidates are
+    // confirmed, so found ⊆ exact — and (b) recall every planted twin:
+    // a twin differs only by +0.25 in one component, so with 2 probed
+    // cells the pair shares a cell even when it straddles a boundary.
+    val vecs = graft.Td.table(spark, Sf0001, "embeddings")
+    val twins = vecs.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 1).cast("double") + lit(0.25)),
+          transform(slice(col("embedding"), 2, 63), x => x.cast("double"))
+        ).as("embedding"))
+    val corpus = vecs
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .unionByName(twins)
+    try {
+      val found = Similarity.cellBlockedNearDups(
+          corpus, "vec_id", "embedding", 0.9, kCells = 16, nprobe = 2)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      val exact = Similarity.embeddingNearDups(corpus, "vec_id", "embedding", 0.9)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      val planted = vecs.filter(col("vec_id") % 10 === 0)
+        .select("vec_id").as[Long].collect()
+        .map(id => (id, id + 1000000L)).toSet
+      assert(planted.nonEmpty)
+      assert(found.subsetOf(exact), s"spurious pairs: ${found -- exact}")
+      assert(planted.subsetOf(found),
+        s"missed ${(planted -- found).size}/${planted.size} planted twins")
+    } finally Caches.releaseAll(spark)
+  }
+
   test("centroidAssign labels well-separated clusters perfectly; ties -> min label") {
     // two orthogonal clusters: label 1 along dim 0, label 2 along dim 1
     val vecs = Seq(
