@@ -1362,6 +1362,102 @@ object LlmQueries {
             .otherwise(0L)).as("n_kept"))
     },
 
+    // ── Corpus snapshot diff (CDC audit): the release-over-release answer
+    //    to "what changed in the training set" — version B is derived
+    //    in-query by deterministic edits (1/7 removed, 1/7 text-edited,
+    //    1/7 re-added under new ids), then a FULL OUTER join on the doc id
+    //    classifies every row added/removed/changed/unchanged and rolls up
+    //    per (source, class) with the exact char delta. Scale shape: one
+    //    id-keyed shuffle per side (zero with both versions bucketed on
+    //    doc_id — the LlmLake layout), O(sources × 4) output. ──
+    q("lq3_snapshot_diff",
+      """WITH newv AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 2 THEN text || ' v2' ELSE text END AS text,
+        |    source,
+        |    CASE WHEN doc_id % 7 = 2 THEN n_chars + 3 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 7 <> 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, source, n_chars
+        |  FROM documents WHERE doc_id % 7 = 3),
+        |d AS (
+        |  SELECT coalesce(o.source, n.source) AS source,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.text <> n.text THEN 'changed'
+        |         ELSE 'unchanged' END AS change,
+        |    coalesce(n.n_chars, 0) - coalesce(o.n_chars, 0) AS cd
+        |  FROM documents o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id)
+        |SELECT source, change, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(cd) AS BIGINT) AS char_delta
+        |FROM d GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val old = Td.table(s, dir, "documents")
+        .select("doc_id", "text", "source", "n_chars")
+      val mod7 = col("doc_id") % 7
+      val newV = old.filter(mod7 =!= 1)
+        .select(col("doc_id"),
+          when(mod7 === 2, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"),
+          col("source"),
+          when(mod7 === 2, col("n_chars") + 3)
+            .otherwise(col("n_chars")).as("n_chars"))
+        .unionByName(old.filter(mod7 === 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            col("text"), col("source"), col("n_chars")))
+      old.as("o")
+        .join(newV.as("n"), col("o.doc_id") === col("n.doc_id"), "full_outer")
+        .select(
+          coalesce(col("o.source"), col("n.source")).as("source"),
+          when(col("o.doc_id").isNull, "added")
+            .when(col("n.doc_id").isNull, "removed")
+            .when(col("o.text") =!= col("n.text"), "changed")
+            .otherwise("unchanged").as("change"),
+          (coalesce(col("n.n_chars"), lit(0)) -
+            coalesce(col("o.n_chars"), lit(0))).as("cd"))
+        .groupBy("source", "change")
+        .agg(count(lit(1)).as("n_docs"), sum(col("cd")).cast("long").as("char_delta"))
+    },
+
+    // ── Survivorship policy over near-dup clusters: ld6's connected
+    //    components pick min-id; real curation keeps the BEST-QUALITY
+    //    member. Per cluster: argmax (quantized quality, then min id) via
+    //    row_number + member count — two window functions over ONE
+    //    cluster-key exchange, no self-join (the lt6 lesson). Quality is
+    //    floor-quantized to 1e-6 so the double compares identically in
+    //    both engines. ──
+    q("lq4_survivor_pick",
+      s"""WITH RECURSIVE ${jacCtes(0.8)},
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM jac
+         |  UNION SELECT d2, d1 FROM jac),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |clu AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY 1),
+         |qs AS (SELECT doc_id, CAST(floor(($qualitySql) * 1E6 + 0.5) AS BIGINT) AS qq
+         |  FROM toks),
+         |m AS (SELECT cluster, c.doc_id AS doc_id, qq,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY qq DESC, c.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY cluster) AS n_members
+         |  FROM clu c JOIN qs ON c.doc_id = qs.doc_id)
+         |SELECT cluster, doc_id, qq, n_members FROM m WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val docs = Td.table(s, dir, "documents")
+      val clusters = Dedup.dedupClusters(Dedup.jaccardPairs(
+        Dedup.shingleTable(docs, "doc_id", "text", 3), 0.8))
+      val toks = TextOps.tokens(col("text"))
+      val qs = docs.select(col("doc_id"),
+        floor(TextOps.qualityScore(toks, col("text")) * 1e6 + 0.5)
+          .cast("long").as("qq"))
+      val byCluster = Window.partitionBy("cluster")
+      clusters.select(col("doc_id"), col("survivor_id").as("cluster"))
+        .join(qs, "doc_id")
+        .withColumn("rn",
+          row_number().over(byCluster.orderBy(col("qq").desc, col("doc_id"))))
+        .withColumn("n_members", count(lit(1)).over(byCluster))
+        .filter(col("rn") === 1)
+        .select("cluster", "doc_id", "qq", "n_members")
+    },
+
     // ── multimodal frame sampling: every 2nd 64-byte frame of the payload,
     //    stub features per kept frame (all-ASCII corpus ⇒ byte = char, so
     //    the oracle recomputes via substr/ord from first principles) ──

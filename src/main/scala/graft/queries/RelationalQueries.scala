@@ -97,6 +97,51 @@ object RelationalQueries {
       |FROM co GROUP BY c_count
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  /** TPC-H Q4/Q16/Q22 adapted (the testdata lacks commit/receipt dates and
+    * every customer has SOME order, so the correlated predicates shift to
+    * columns that exist — the PLAN shapes are the point):
+    *  - Q4: correlated EXISTS → left-semi join (no dup inflation of the
+    *    outer count, however many lineitems match);
+    *  - Q16: NOT IN over a subquery → Spark's null-aware anti join (a
+    *    single NULL in the subquery legally empties the result, so the
+    *    planner must prove/track null-ness — stricter than NOT EXISTS);
+    *  - Q22: scalar avg threshold + NOT EXISTS anti join. The average is
+    *    compared in cross-multiplied exact integer cents
+    *    (cents*n > total_cents ⇔ bal > avg) so no float mean exists
+    *    anywhere to disagree between engines. */
+  private val sql4Text =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+  private val sql16Text =
+    """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1'
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_type
+      |ORDER BY supplier_cnt DESC, p_brand, p_type
+      |LIMIT 20""".stripMargin
+  private val sql22Text =
+    """WITH pos AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CAST(floor(c_acctbal * 1E2 + 0.5) AS BIGINT) AS cents
+      |  FROM customer WHERE c_acctbal > 0.0),
+      |stats AS (SELECT sum(cents) AS total_cents, count(*) AS n FROM pos)
+      |SELECT c_mktsegment, count(*) AS numcust,
+      |  CAST(sum(cents) AS DOUBLE) / 1E2 AS totacctbal
+      |FROM pos, stats
+      |WHERE cents * n > total_cents
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   def entries: Seq[QueryDef] = Seq(
 
     // ── P1/P2: projection + not-null filter (reference utils.py:22-32) ──
@@ -1182,6 +1227,34 @@ object RelationalQueries {
     q("sql13_customer_distribution", sql13Text) { (s, dir) =>
       Td.registerAll(s, dir)
       s.sql(sql13Text)
+    },
+
+    // ── TPC-H Q4 (order priority checking) adapted: correlated EXISTS —
+    //    plans as a left-semi join, so the outer count is immune to the
+    //    1:N lineitem fan-out an inner join would inflate. ──
+    q("sql4_order_priority", sql4Text) { (s, dir) =>
+      Td.registerAll(s, dir)
+      s.sql(sql4Text)
+    },
+
+    // ── TPC-H Q16 (parts/supplier relationship) adapted: NOT IN over a
+    //    subquery is a NULL-AWARE anti join (one NULL in the subquery
+    //    legally empties the result — semantics NOT EXISTS doesn't have);
+    //    Spark plans it as BroadcastHashJoin LeftAnti isNullAware when the
+    //    subquery side is broadcastable, which a key-list pruning subquery
+    //    at 100 TB always is. ──
+    q("sql16_supplier_parts", sql16Text) { (s, dir) =>
+      Td.registerAll(s, dir)
+      s.sql(sql16Text)
+    },
+
+    // ── TPC-H Q22 (global sales opportunity) adapted: scalar aggregate
+    //    threshold + NOT EXISTS anti join ("rich but recently inactive").
+    //    avg comparison cross-multiplied into exact integer cents — the
+    //    only float is the final /1E2 display cast of an exact sum. ──
+    q("sql22_idle_customers", sql22Text) { (s, dir) =>
+      Td.registerAll(s, dir)
+      s.sql(sql22Text)
     },
 
     // ── F1/F2/F8/F9/F11: datetime scalar pack ──
