@@ -273,6 +273,54 @@ object Dedup {
         col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
   }
 
+  /** Verbatim-span SCRUB — [[chunkDupStats]] reports the duplication
+    * profile; this one performs the C4-style removal and hands back the
+    * cleaned corpus. The token stream is cut into consecutive `n`-token
+    * chunks; across the whole corpus exactly ONE occurrence of each
+    * distinct chunk text survives (the globally first by (doc_id, chunk
+    * index) — so a span repeated within a single document is scrubbed
+    * too), and every document is reassembled from its surviving chunks in
+    * original order.
+    *
+    * Plan shape: one documents scan; first-occurrence election is a
+    * `row_number` window over ONE chunk-keyed exchange (no self-join, no
+    * distinct-then-join-back second scan); reassembly is the per-doc
+    * rollup — collected (index, chunk) structs sorted then joined, the
+    * same order-restoring idiom as [[cdcChunkDupStats]], with per-doc
+    * memory bounded by the document's own size. At 100 TB chunk rows are
+    * ~1/n of token volume and AQE skew-split absorbs viral chunks
+    * (boilerplate headers) in the window exchange.
+    *
+    * Output: doc_id, n_kept, n_dropped, clean_text (empty string when
+    * every chunk of the document lost its election). Documents with no
+    * tokens emit no row, matching [[chunkDupStats]]. */
+  def scrubDupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"chunk size must be >= 1, got $n")
+    val nch = ceil(size(col("__toks")) / lit(n.toDouble)).cast("int")
+    val chunks = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        explode(when(size(col("__toks")) > 0, sequence(lit(0), nch - 1))
+          .otherwise(array().cast("array<int>"))).as("c"))
+      .select(col("doc_id"), col("c"),
+        array_join(slice(col("__toks"), col("c") * n + 1, lit(n)), " ").as("chunk"))
+    val byChunk = Window.partitionBy("chunk")
+    chunks
+      .withColumn("__rn", row_number().over(byChunk.orderBy(col("doc_id"), col("c"))))
+      .withColumn("__keep", col("__rn") === 1)
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__keep"),
+              struct(col("c"), col("chunk"))))),
+            x => x.getField("chunk")), " ").as("clean_text"))
+  }
+
   // ── MinHash + banded LSH ─────────────────────────────────────────────────
 
   /** MinHash signature from 64-bit-hashed shingle rows (`sh` column):

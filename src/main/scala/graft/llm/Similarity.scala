@@ -137,6 +137,100 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** SQ8 — per-dimension scalar quantization to int8 codes + compressed
+    * exact scan + exact re-rank: the FLAT-index compression shape (FAISS
+    * `SQ8`) complementing [[pqTopK]]'s codebook compression. Training is
+    * one statistic per dimension (max |component|, clamped to >= 1), each
+    * component encodes independently as round(x·127/max_d) ∈ [-127, 127]
+    * (4× smaller than the quantized longs, 8× smaller than float64), and
+    * candidate scoring is the integer dot in code space weighted by
+    * max_d² — an exact-integer approximation of the true dot, so
+    * reduction order cannot reorder candidates and a DuckDB oracle
+    * replays training + encoding + scoring bit-for-bit. Rounding is
+    * half-away-from-zero (matching both engines' SQL `round`); candidate
+    * ties break on the smaller neighbor id; the top-`rerank` candidates
+    * per query re-rank by exact quantized cosine.
+    *
+    * Scale shape: training collects exactly `dims` rows (a tree-reduced
+    * per-dim max); the corpus streams through the compressed scan
+    * partition-wise and never shuffles for scoring (the scan reads code
+    * bytes, memory-bandwidth-bound — the point of SQ8 at 100 TB); the
+    * re-rank attaches embeddings to Q×rerank candidate rows via a
+    * broadcast-able join. The query batch broadcasts under the same
+    * [[MaxBroadcastRows]] contract as [[bruteForceTopK]]; a batch past
+    * the cap belongs on [[lshTopK]]/[[ivfLearnedTopK]]'s bucketed paths. */
+  def sq8TopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, rerank: Int = 50, dims: Int = 64): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val corpusQ = corpus
+      .select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("e"))
+    // train: per-dimension max |x| over the corpus — `dims` rows out of a
+    // partially-aggregated groupBy, then a bounded collect. All-zero
+    // dimensions clamp to scale 1 (codes stay 0; no division by zero).
+    val mxRows = corpusQ
+      .select(posexplode(col("e")).as(Seq("i", "x")))
+      .groupBy("i").agg(max(abs(col("x"))).as("mx"))
+      .as[(Int, Long)].collect()
+    require(mxRows.nonEmpty, "SQ8 training corpus is empty")
+    val scales = Array.fill(dims)(1L)
+    mxRows.foreach { case (i, mx) =>
+      require(i < dims, s"corpus vector has component $i >= dims $dims")
+      scales(i) = math.max(mx, 1L)
+    }
+    val bsc = spark.sparkContext.broadcast(scales)
+    // half-away-from-zero, the SQL round() both oracles apply to the same
+    // IEEE double x·127/max — bit-identical codes by construction
+    def enc(e: Array[Long], sc: Array[Long]): Array[Long] = {
+      require(e.length == dims, s"vector length ${e.length} != dims $dims")
+      Array.tabulate(dims) { i =>
+        val v = e(i) * 127.0 / sc(i)
+        (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+      }
+    }
+    val qRows = queries
+      .select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("e"))
+      .as[(Long, Array[Long])].limit(MaxBroadcastRows + 1).collect()
+    require(qRows.length <= MaxBroadcastRows,
+      s"sq8TopK query side exceeds $MaxBroadcastRows rows; " +
+        "use lshTopK/ivfLearnedTopK (bucketed candidate generation) instead")
+    val qArr = qRows.sortBy(_._1).map { case (qid, qe) =>
+      (qid, enc(qe, scales), qe, math.sqrt(Qv.dot(qe, qe).toDouble))
+    }
+    val bq = spark.sparkContext.broadcast(qArr)
+    // compressed scan: weighted integer dot in code space (exact longs)
+    val cand = corpusQ.as[(Long, Array[Long])]
+      .mapPartitions { iter =>
+        val sc = bsc.value
+        val qs = bq.value
+        iter.flatMap { case (cid, ce) =>
+          val cc = enc(ce, sc)
+          qs.iterator.filter(_._1 != cid).map { case (qid, qc, _, _) =>
+            var s = 0L
+            var i = 0
+            while (i < dims) { s += qc(i) * cc(i) * sc(i) * sc(i); i += 1 }
+            (qid, cid, s)
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "adc")
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val top = cand.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= rerank)
+      .select("query_id", "neighbor_id")
+    val qDf = spark.createDataset(
+        qArr.toIndexedSeq.map { case (qid, _, qe, qn) => (qid, qe, qn) })
+      .toDF("query_id", "qe", "qn")
+    val cPrep = corpusQ.as[(Long, Array[Long])]
+      .map { case (id, e) => (id, e, math.sqrt(Qv.dot(e, e).toDouble)) }
+      .toDF("neighbor_id", "ce", "cn")
+    scorePairsTopK(top.join(broadcast(qDf), "query_id").join(cPrep, "neighbor_id"), k)
+  }
+
   /** Deterministic ±1 hyperplane component for (table, plane, dim) — a
     * fixed integer mix, no RNG (workflows must be replayable). */
   private[llm] def planeSign(table: Int, plane: Int, dim: Int): Double = {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Td
-import graft.llm.{Dedup, GraphOps, Importance, Multimodal, Sampling, Similarity, TextOps}
+import graft.llm.{Dedup, GraphOps, Importance, Multimodal, Sampling, Similarity, Surprisal, TextOps}
 import graft.sources.LlmLake
 
 /** LLM-training-data pipeline operators over the driver's documents /
@@ -651,6 +651,33 @@ object LlmQueries {
         k = 10, kCells = 16, nprobe = 4, m = 8, ksub = 16, rerank = 50)
     },
 
+    // ── SQ8 — scalar-quantized int8 compressed scan (FAISS SQ8 flat
+    //    shape): per-dim max-abs training, round(x·127/max_d) codes,
+    //    candidates by the exact-integer weighted code dot (×max_d²),
+    //    exact cosine re-rank of the top 50. The oracle replays training,
+    //    encoding and scoring relationally — the data-dependent candidate
+    //    sets hash-match bit-for-bit. ──
+    q("ls8_ann_sq8",
+      s"""WITH $quantCtes,
+         |mx AS (SELECT i, greatest(max(abs(x)), 1) AS mx FROM qc GROUP BY 1),
+         |codes AS (SELECT vec_id, qc.i, mx, CAST(round(x * 127.0 / mx) AS BIGINT) AS cx
+         |  FROM qc JOIN mx ON qc.i = mx.i),
+         |adc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    sum(q.cx * c.cx * q.mx * q.mx) AS adc
+         |  FROM codes q JOIN codes c ON q.i = c.i AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id % 40 = 0 GROUP BY 1, 2),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc DESC, neighbor_id) AS cr
+         |  FROM adc) WHERE cr <= 50),
+         |${annRankTail(10)}""".stripMargin) { (s, dir) =>
+      val vecs = Td.table(s, dir, "embeddings")
+      Similarity.sq8TopK(
+        vecs.filter(col("vec_id") % 40 === 0), vecs, "vec_id", "embedding",
+        k = 10, rerank = 50)
+    },
+
     // ── chunk-granular verbatim-span dedup: per-doc duplicated-chunk
     //    profile over consecutive 16-token chunks (doc-level near-dup
     //    passes miss partially-copied spans; this is the chunk-exact
@@ -668,6 +695,27 @@ object LlmQueries {
          |FROM ch c JOIN nd d ON c.chunk = d.chunk
          |GROUP BY 1""".stripMargin) { (s, dir) =>
       Dedup.chunkDupStats(Td.table(s, dir, "documents"), "doc_id", "text", 16)
+    },
+
+    // ── C4-style verbatim-span SCRUB: ld8 measures duplication, this one
+    //    removes it — one occurrence of each distinct 16-token chunk
+    //    survives corpus-wide (globally first by (doc_id, chunk index)),
+    //    and every document is reassembled from its surviving chunks in
+    //    order. Single scan, single chunk-keyed exchange (row_number
+    //    election), per-doc rollup reassembly (sorted-struct idiom). ──
+    q("ld13_span_scrub",
+      s"""WITH $toksCte,
+         |ch AS (SELECT doc_id, c, array_to_string(t[c*16+1 : c*16+16], ' ') AS chunk
+         |  FROM toks, UNNEST(range(0, CAST(ceil(len(t)/16.0) AS INT))) AS u(c)),
+         |k AS (SELECT doc_id, c, chunk,
+         |  row_number() OVER (PARTITION BY chunk ORDER BY doc_id, c) AS rn FROM ch)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+         |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY c), '')
+         |    AS clean_text
+         |FROM k GROUP BY 1""".stripMargin) { (s, dir) =>
+      Dedup.scrubDupSpans(Td.table(s, dir, "documents"), "doc_id", "text", 16)
     },
 
     // ── brute-force cosine top-10 ANN (queries = vec_id % 40 = 0) ──
@@ -941,6 +989,30 @@ object LlmQueries {
         docs.filter(col("lang") === "en"), "text", buckets)
       val raw = Importance.bucketCounts(docs, "text", buckets)
       Importance.scoreDocs(docs, "doc_id", "text", target, raw, buckets)
+    },
+
+    // ── Corpus-trained bigram surprisal (the CCNet/KenLM perplexity-
+    //    filter shape with the LM reduced to exact integer counts):
+    //    per-doc mean of floor(log2 c(prev)) - floor(log2 c(prev,cur))
+    //    over a ""-sentinel bigram stream, log2 via length(bin(n)) so no
+    //    transcendental can diverge between engines. Counts are hash
+    //    AGGREGATES, not windows — Zipf-hot contexts ('the') would
+    //    hot-spot a window partition with no map-side combine. ──
+    q("lt19_surprisal",
+      s"""WITH $toksCte,
+        |occ AS (SELECT doc_id, CASE WHEN i = 1 THEN '' ELSE t[i-1] END AS prev,
+        |    t[i] AS cur
+        |  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+        |docbg AS (SELECT doc_id, prev, cur, count(*) AS m FROM occ GROUP BY 1, 2, 3),
+        |bg AS (SELECT prev, cur, CAST(sum(m) AS BIGINT) AS cbg FROM docbg GROUP BY 1, 2),
+        |ctx AS (SELECT prev, CAST(sum(cbg) AS BIGINT) AS cprev FROM bg GROUP BY 1),
+        |sc AS (SELECT doc_id, m, length(bin(cprev)) - length(bin(cbg)) AS s
+        |  FROM docbg JOIN bg USING (prev, cur) JOIN ctx USING (prev))
+        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_toks,
+        |  CAST(sum(m * s) AS BIGINT) AS sum_surprisal,
+        |  CAST(floor(sum(m * s) * 1000000.0 / sum(m)) AS BIGINT) AS surprisal_q
+        |FROM sc GROUP BY 1""".stripMargin) { (s, dir) =>
+      Surprisal.bigramSurprisal(Td.table(s, dir, "documents"), "doc_id", "text")
     },
 
     // ── Exact global shuffle rank: deterministic permutation 0..n-1 in

@@ -82,6 +82,30 @@ class DedupSpec extends SparkSpec {
     assert(sr == 0L)
   }
 
+  test("scrubDupSpans keeps the globally first chunk occurrence and reassembles in order") {
+    // chunk size 4: docs 1 and 2 share their first chunk; doc 2 keeps its
+    // unique tail; doc 7 repeats a chunk WITHIN itself — second occurrence
+    // scrubbed too (global first-occurrence semantics, unlike ld8's
+    // cross-doc-only duplication profile)
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d x y z w q"),
+      (7L, "p q r s p q r s")
+    ).toDF("doc_id", "text")
+    val got = Dedup.scrubDupSpans(docs, "doc_id", "text", 4)
+      .select("doc_id", "n_kept", "n_dropped", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 0L, "a b c d e f g")))
+    assert(got(2L) == ((2L, 2L, 1L, "x y z w q")))
+    assert(got(7L) == ((7L, 1L, 1L, "p q r s")))
+    // a doc whose every chunk loses its election reassembles to ""
+    val shadow = Seq((1L, "a b c d"), (9L, "a b c d")).toDF("doc_id", "text")
+    val s9 = Dedup.scrubDupSpans(shadow, "doc_id", "text", 4)
+      .filter($"doc_id" === 9L).select("n_kept", "clean_text")
+      .as[(Long, String)].head()
+    assert(s9 == ((0L, "")))
+  }
+
   test("containmentPairs finds a doc embedded in a large host that Jaccard misses") {
     // doc 1 (10 tokens) pasted verbatim inside doc 2's 200-token host:
     // jaccard ~ 8/198 ~ 0.04, but containment of 1 in 2 = 1.0

@@ -128,6 +128,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@10 = $recall")
   }
 
+  test("SQ8 ANN: high recall@10 vs brute force (8-bit codes barely perturb ranks)") {
+    // per-dim int8 quantization keeps ~7 significant bits per component,
+    // so the weighted code dot tracks the true dot far more closely than
+    // PQ's 4-bit-per-subspace codes — expect near-perfect recall
+    val vecs = graft.Td.table(spark, Sf0001, "embeddings")
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+    val brute = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sq8 = Similarity.sq8TopK(queries, vecs, "vec_id", "embedding",
+        k = 10, rerank = 50)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & sq8).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall@10 = $recall")
+  }
+
+  test("sq8TopK is deterministic across runs") {
+    val vecs = graft.Td.table(spark, Sf0001, "embeddings")
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+    def run() = Similarity.sq8TopK(queries, vecs, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(run() == run())
+  }
+
   test("pqTopK past the broadcast cap falls back to the distributed ADC join with identical results") {
     val vecs = graft.Td.table(spark, Sf0001, "embeddings")
     val queries = vecs.filter(col("vec_id") % 25 === 0)
