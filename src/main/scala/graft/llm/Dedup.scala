@@ -273,6 +273,47 @@ object Dedup {
         col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
   }
 
+  /** Incremental near-dup pairs for a corpus APPEND — the production
+    * shape for a growing lake: compare only the NEW batch against the
+    * full corpus (old–new and new–new pairs), never re-deriving the
+    * old–old pairs the previous run already emitted. The join's probe
+    * side is the full shingle table but its build side is only the new
+    * batch's shingles, so work scales with |new| × matching keys, not
+    * |corpus|² — appending 1 TB to 100 TB costs ~1% of a full rerun,
+    * and the emitted pair set is EXACTLY the all-pairs result minus
+    * old–old (oracle-pinned: the registered query's DuckDB twin computes
+    * all-pairs and filters).
+    *
+    * Orientation: old–new pairs join once (old docs appear only on the
+    * corpus side); new–new pairs are canonicalized by requiring
+    * corpus-side id < new-side id when the corpus-side row is itself new.
+    * The hot-shingle DF cap is computed over the FULL corpus (same
+    * boilerplate semantics as [[jaccardPairs]] — a shingle's virality
+    * doesn't depend on which batch it arrived in). */
+  def incrementalJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String, n: Int,
+      isNew: Column, minJ: Double,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val hashed = cappedHashed(shingleTable(docs, idCol, textCol, n), maxShingleDf)
+    val newIds = docs.filter(isNew).select(col(idCol).cast("long").as("doc_id"))
+    val aSide = hashed
+      .join(newIds.withColumn("__new", lit(true)), Seq("doc_id"), "left")
+      .withColumn("__new", coalesce(col("__new"), lit(false)))
+      .select(col("doc_id").as("ida"), col("sh"), col("n_sh").as("na"), col("__new"))
+    val bSide = hashed.join(newIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("idb"), col("sh").as("sh2"), col("n_sh").as("nb"))
+    val m = aSide
+      .join(bSide, col("sh") === col("sh2") &&
+        ((!col("__new") && col("ida") =!= col("idb")) ||
+          (col("__new") && col("ida") < col("idb"))))
+      .select(
+        least(col("ida"), col("idb")).as("d1"),
+        greatest(col("ida"), col("idb")).as("d2"),
+        when(col("ida") < col("idb"), col("na")).otherwise(col("nb")).as("n1"),
+        when(col("ida") < col("idb"), col("nb")).otherwise(col("na")).as("n2"))
+    pairRollup(m, minJ)
+  }
+
   /** Verbatim-span SCRUB — [[chunkDupStats]] reports the duplication
     * profile; this one performs the C4-style removal and hands back the
     * cleaned corpus. The token stream is cut into consecutive `n`-token

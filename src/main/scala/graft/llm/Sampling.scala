@@ -47,6 +47,33 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Stratified EXACT split: per stratum, assign train/val/test in the
+    * deterministic hash order (same order contract as [[quotaSample]])
+    * with exact integer boundaries — rank·100 ≤ n·trainPct goes to
+    * train, rank·100 ≤ n·(trainPct+valPct) to val, the rest to test.
+    * Unlike the Bernoulli hash split (lt5's shape), every stratum gets
+    * EXACTLY floor(n·pct/100) ± 1 rows per split — a 200-doc language
+    * cannot end up with an empty or double-size test set by hash luck,
+    * which is the failure mode that silently skews per-language eval.
+    * No floats anywhere: the boundary test is pure integer
+    * cross-multiplication. One window shuffle on the stratum key carries
+    * both the rank and the stratum size. */
+  def stratifiedSplit(
+      df: DataFrame, idCol: String, strataCol: String,
+      trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"percentages must be >= 0 and sum <= 100, got train=$trainPct val=$valPct")
+    val byStratum = Window.partitionBy(col(strataCol))
+    val w = byStratum.orderBy(keepHash(col(idCol), col(strataCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(byStratum))
+      .withColumn("split",
+        when(col("__rn") * 100 <= col("__n") * trainPct, "train")
+          .when(col("__rn") * 100 <= col("__n") * (trainPct + valPct), "val")
+          .otherwise("test"))
+      .drop("__rn", "__n")
+  }
+
   /** TOKEN-budget sampling: pretraining mixes are specified in tokens, not
     * documents ("50 B tokens of web, 5 B of code"), so the quota must be a
     * running token sum, not a row count. Per stratum, documents are taken
@@ -124,7 +151,7 @@ object Sampling {
       keyed.schema.fields :+
         org.apache.spark.sql.types.StructField(
           "perm_idx", org.apache.spark.sql.types.LongType, nullable = false))
-    val rows = keyed.rdd.zipWithIndex.map { case (r, i) =>
+    val rows = keyed.rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
     }
     spark.createDataFrame(rows, schema)

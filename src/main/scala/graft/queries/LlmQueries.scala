@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Td
-import graft.llm.{Dedup, GraphOps, Importance, Multimodal, Sampling, Similarity, Surprisal, TextOps}
+import graft.llm.{Chunking, Dedup, GraphOps, Importance, Keywords, Multimodal, Sampling, Similarity, Surprisal, TextOps}
 import graft.sources.LlmLake
 
 /** LLM-training-data pipeline operators over the driver's documents /
@@ -1013,6 +1013,75 @@ object LlmQueries {
         |  CAST(floor(sum(m * s) * 1000000.0 / sum(m)) AS BIGINT) AS surprisal_q
         |FROM sc GROUP BY 1""".stripMargin) { (s, dir) =>
       Surprisal.bigramSurprisal(Td.table(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // ── Stratified EXACT split: per language, train/val/test by integer
+    //    cross-multiplied boundaries over the deterministic hash order —
+    //    every stratum gets exactly its proportions (a small language
+    //    cannot draw an empty test set by Bernoulli luck, lt5's failure
+    //    mode). Per-ROW assignment is the checked surface. ──
+    q("lt21_stratified_split",
+      """SELECT doc_id, lang, CASE WHEN rn * 100 <= n * 80 THEN 'train'
+        |    WHEN rn * 100 <= n * 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY CAST(('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000,
+        |        doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)""".stripMargin) { (s, dir) =>
+      Sampling.stratifiedSplit(Td.table(s, dir, "documents"), "doc_id", "lang", 80, 10)
+        .select("doc_id", "lang", "split")
+    },
+
+    // ── RAG chunking: overlapping 32-token windows at stride 24 — the
+    //    retrieval-granularity cut an embedding indexer consumes. ZERO
+    //    shuffles: tokenize + window explode + slice are all scan-stage
+    //    (plan-asserted); rows carry doc_id so downstream stages bucket
+    //    without re-deriving. ──
+    q("lt22_rag_chunks",
+      s"""WITH $toksCte
+        |SELECT doc_id, CAST(c AS INT) AS chunk_idx,
+        |  CAST(c * 24 AS BIGINT) AS start_tok,
+        |  CAST(least(32, len(t) - c * 24) AS BIGINT) AS n_toks,
+        |  array_to_string(t[c*24+1 : c*24+32], ' ') AS chunk_text
+        |FROM toks, UNNEST(range(0, CAST(ceil(len(t)/24.0) AS INT))) AS u(c)""".stripMargin) {
+      (s, dir) =>
+      Chunking.ragChunks(Td.table(s, dir, "documents"), "doc_id", "text", 32, 24)
+    },
+
+    // ── INCREMENTAL near-dup pairs (corpus append): only old–new and
+    //    new–new pairs ("new" = doc_id % 10 = 7) — the build side of the
+    //    shingle join is just the new batch, so appending 1% costs ~1%
+    //    of a full rerun, never |corpus|². The oracle computes all-pairs
+    //    and filters: the incremental pair set must match EXACTLY. ──
+    q("ld14_incremental_neardup",
+      s"""WITH ${jacCtes(0.5)}
+        |SELECT d1, d2, n_inter, jaccard FROM jac
+        |WHERE d1 % 10 = 7 OR d2 % 10 = 7""".stripMargin) { (s, dir) =>
+      Dedup.incrementalJaccardPairs(
+        Td.table(s, dir, "documents"), "doc_id", "text", 3,
+        col("doc_id") % 10 === 7, 0.5)
+    },
+
+    // ── tf-idf keyword extraction: top-3 tokens per doc by exact-integer
+    //    tf × (floor(log2 N) − floor(log2 df)) — the labeling/routing
+    //    signal (cluster naming, topic filters) with idf's log reduced to
+    //    length(bin(n)) so both engines rank identically. Corpus doc
+    //    count rides the plan as a 1-row cross-joined aggregate. ──
+    q("lt20_tfidf_keywords",
+      s"""WITH $toksCte,
+        |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+        |sc AS (SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+        |    CAST(tf * (length(bin(n)) - length(bin(df))) AS BIGINT) AS score
+        |  FROM tf JOIN df USING (token) CROSS JOIN nd)
+        |SELECT doc_id, token, tf, score, CAST(rn AS INT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, token) AS rn FROM sc)
+        |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      Keywords.tfidfKeywords(Td.table(s, dir, "documents"), "doc_id", "text", 3)
     },
 
     // ── Exact global shuffle rank: deterministic permutation 0..n-1 in

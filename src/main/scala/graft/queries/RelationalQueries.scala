@@ -142,6 +142,21 @@ object RelationalQueries {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** TPC-H Q2's signature construct adapted: a CORRELATED SCALAR aggregate
+    * subquery (per-part minimum shipped quantity) used as an equality
+    * predicate. Spark de-correlates it into an aggregate + join — the
+    * planner shape this query pins; a naive engine re-executes the inner
+    * aggregate per outer row. `p_size = 1` keeps the probe selective the
+    * way Q2's region filter does. */
+  private val sqlQ2Text =
+    """SELECT p_partkey, s_name, l_quantity
+      |FROM part, supplier, lineitem
+      |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |  AND p_size = 1
+      |  AND l_quantity = (SELECT min(l_quantity) FROM lineitem
+      |                    WHERE l_partkey = p_partkey)
+      |ORDER BY p_partkey, s_name""".stripMargin
+
   def entries: Seq[QueryDef] = Seq(
 
     // ── P1/P2: projection + not-null filter (reference utils.py:22-32) ──
@@ -1255,6 +1270,15 @@ object RelationalQueries {
     q("sql22_idle_customers", sql22Text) { (s, dir) =>
       Td.registerAll(s, dir)
       s.sql(sql22Text)
+    },
+
+    // ── TPC-H Q2's signature shape adapted: correlated scalar-min
+    //    subquery as an equality predicate — Spark de-correlates to a
+    //    per-key aggregate + join rather than re-running the inner
+    //    aggregate per outer row. ──
+    q("sqlq2_correlated_min", sqlQ2Text) { (s, dir) =>
+      Td.registerAll(s, dir)
+      s.sql(sqlQ2Text)
     },
 
     // ── F1/F2/F8/F9/F11: datetime scalar pack ──

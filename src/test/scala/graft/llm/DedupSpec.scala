@@ -106,6 +106,28 @@ class DedupSpec extends SparkSpec {
     assert(s9 == ((0L, "")))
   }
 
+  test("incrementalJaccardPairs = all-pairs minus old-old, each pair exactly once") {
+    // near-dup trios: (1,2) old-old, (2,17) old-new, (17,27) new-new
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base + " mu"), (3L, "totally unrelated content here now"),
+      (17L, base + " nu"), (27L, base + " nu xi")
+    ).toDF("doc_id", "text")
+    val isNew = $"doc_id" >= 17L
+    val inc = Dedup.incrementalJaccardPairs(docs, "doc_id", "text", 3, isNew, 0.3)
+      .select("d1", "d2", "n_inter", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val full = Dedup.jaccardPairs(Dedup.shingleTable(docs, "doc_id", "text", 3), 0.3)
+      .select("d1", "d2", "n_inter", "jaccard")
+      .as[(Long, Long, Long, Double)].collect()
+      .filter(p => p._1 >= 17L || p._2 >= 17L).toSet
+    Caches.release()
+    assert(inc == full)
+    val pairs = inc.map(p => (p._1, p._2))
+    assert(!pairs.contains((1L, 2L)), "old-old pair must be excluded")
+    assert(pairs.contains((2L, 17L)) && pairs.contains((17L, 27L)))
+  }
+
   test("containmentPairs finds a doc embedded in a large host that Jaccard misses") {
     // doc 1 (10 tokens) pasted verbatim inside doc 2's 200-token host:
     // jaccard ~ 8/198 ~ 0.04, but containment of 1 in 2 = 1.0

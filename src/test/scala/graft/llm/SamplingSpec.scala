@@ -59,6 +59,23 @@ class SamplingSpec extends SparkSpec {
     assert(ids.subsetOf(all))
   }
 
+  test("stratifiedSplit: exact per-stratum proportions regardless of hash luck") {
+    // stratum A: 10 docs -> exactly 8/1/1; stratum B: 3 docs -> 2/0/1
+    // (rn*100 <= n*80 / n*90 integer boundaries)
+    val rows = (1 to 10).map(i => (i.toLong, "A")) ++ Seq((21L, "B"), (22L, "B"), (23L, "B"))
+    val df = rows.toDF("doc_id", "lang")
+    val got = Sampling.stratifiedSplit(df, "doc_id", "lang", 80, 10)
+      .groupBy("lang", "split").count()
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("A", "train")) == 8L && got(("A", "val")) == 1L && got(("A", "test")) == 1L)
+    assert(got(("B", "train")) == 2L && got.get(("B", "val")).isEmpty && got(("B", "test")) == 1L)
+    // deterministic: same assignment on re-run
+    def assign() = Sampling.stratifiedSplit(df, "doc_id", "lang", 80, 10)
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(assign() == assign())
+  }
+
   test("tokenBudgetSample: per-stratum token totals land in (budget - maxDoc, budget + maxDoc]") {
     val budget = 2000L
     val withTok = docs.withColumn("n_tok",

@@ -32,6 +32,8 @@ class PlanShapeSpec extends SparkSpec {
     // lt15: the RETURNED scoring plan is a zero-shuffle literal-map fold
     // (the two bounded stats aggregations run as separate jobs before it)
     Shape("lt15_importance_weights", scans = Some(1), shuffles = Some(0)),
+    // lt22: tokenize + window explode + slice all fuse into the scan stage
+    Shape("lt22_rag_chunks", scans = Some(1), shuffles = Some(0)),
     Shape("o1_topk", scans = Some(1), shuffles = Some(0),
       mustContain = Seq("TakeOrderedAndProject")),
     // the JOIN itself adds no exchange; the single shuffle is the final
