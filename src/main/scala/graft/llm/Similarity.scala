@@ -231,6 +231,74 @@ object Similarity {
     scorePairsTopK(top.join(broadcast(qDf), "query_id").join(cPrep, "neighbor_id"), k)
   }
 
+  /** Matryoshka (MRL-style) ANN — candidate generation on a PREFIX of the
+    * embedding dimensions, exact full-dimension re-rank: the adaptive-
+    * retrieval shape for embeddings trained with matryoshka representation
+    * learning, where the first `prefixDims` components carry most of the
+    * signal. The candidate scan reads prefixDims/dims of the vector bytes
+    * (e.g. 16/64 = 4× less memory traffic — the same bandwidth economics
+    * as [[sq8TopK]], achieved by truncation instead of quantization, and
+    * the two compose); scoring is the exact integer prefix dot, so
+    * candidate sets are reduction-order-independent and a DuckDB oracle
+    * replays them bit-for-bit (`i <= prefixDims` over the same quantized
+    * component rows). Ties break on the smaller neighbor id; the
+    * top-`rerank` candidates re-rank by exact full-dim quantized cosine.
+    *
+    * Scale shape: identical to [[bruteForceTopK]]'s — the corpus streams
+    * partition-wise against a broadcast query batch (bounded by
+    * [[MaxBroadcastRows]]), the only shuffles are the two per-query-key
+    * windows; nothing else moves. Batches past the cap belong on the
+    * bucketed paths ([[lshTopK]]/[[ivfLearnedTopK]]). */
+  def matryoshkaTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, prefixDims: Int = 16, rerank: Int = 50, dims: Int = 64): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    require(prefixDims >= 1 && prefixDims <= dims,
+      s"prefixDims must be in [1, dims], got prefixDims=$prefixDims dims=$dims")
+    val corpusQ = corpus
+      .select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("e"))
+    val qRows = queries
+      .select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("e"))
+      .as[(Long, Array[Long])].limit(MaxBroadcastRows + 1).collect()
+    require(qRows.length <= MaxBroadcastRows,
+      s"matryoshkaTopK query side exceeds $MaxBroadcastRows rows; " +
+        "use lshTopK/ivfLearnedTopK (bucketed candidate generation) instead")
+    val qArr = qRows.sortBy(_._1).map { case (qid, qe) =>
+      require(qe.length == dims, s"query vector length ${qe.length} != dims $dims")
+      (qid, qe, math.sqrt(Qv.dot(qe, qe).toDouble))
+    }
+    val bq = spark.sparkContext.broadcast(qArr)
+    val p = prefixDims
+    val cand = corpusQ.as[(Long, Array[Long])]
+      .mapPartitions { iter =>
+        val qs = bq.value
+        iter.flatMap { case (cid, ce) =>
+          require(ce.length == dims, s"corpus vector length ${ce.length} != dims $dims")
+          qs.iterator.filter(_._1 != cid).map { case (qid, qe, _) =>
+            var s = 0L
+            var i = 0
+            while (i < p) { s += qe(i) * ce(i); i += 1 }
+            (qid, cid, s)
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "pdot")
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("pdot").desc, col("neighbor_id"))
+    val top = cand.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= rerank)
+      .select("query_id", "neighbor_id")
+    val qDf = spark.createDataset(qArr.toIndexedSeq)
+      .toDF("query_id", "qe", "qn")
+    val cPrep = corpusQ.as[(Long, Array[Long])]
+      .map { case (id, e) => (id, e, math.sqrt(Qv.dot(e, e).toDouble)) }
+      .toDF("neighbor_id", "ce", "cn")
+    scorePairsTopK(top.join(broadcast(qDf), "query_id").join(cPrep, "neighbor_id"), k)
+  }
+
   /** Deterministic ±1 hyperplane component for (table, plane, dim) — a
     * fixed integer mix, no RNG (workflows must be replayable). */
   private[llm] def planeSign(table: Int, plane: Int, dim: Int): Double = {

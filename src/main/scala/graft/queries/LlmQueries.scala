@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Td
-import graft.llm.{Chunking, Dedup, GraphOps, Importance, Keywords, Multimodal, Sampling, Similarity, Surprisal, TextOps}
+import graft.llm.{Chunking, Dedup, GraphOps, Importance, Keywords, Multimodal, Sampling, Similarity, Sketches, Surprisal, TextOps}
 import graft.sources.LlmLake
 
 /** LLM-training-data pipeline operators over the driver's documents /
@@ -678,6 +678,29 @@ object LlmQueries {
         k = 10, rerank = 50)
     },
 
+    // ── Matryoshka ANN (MRL adaptive retrieval): candidates by the exact
+    //    integer dot over the FIRST 16 of 64 dims (4× less scan traffic —
+    //    truncation instead of ls8's quantization), exact full-dim cosine
+    //    re-rank of the top 50. Candidate sets replay bit-for-bit in the
+    //    oracle (i <= 16 over the same quantized component rows). ──
+    q("ls9_ann_matryoshka",
+      s"""WITH $quantCtes,
+         |pdot AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    sum(a.x * b.x) AS pd
+         |  FROM qc a JOIN qc b ON a.i = b.i AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 40 = 0 AND a.i <= 16 GROUP BY 1, 2),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY pd DESC, neighbor_id) AS cr
+         |  FROM pdot) WHERE cr <= 50),
+         |${annRankTail(10)}""".stripMargin) { (s, dir) =>
+      val vecs = Td.table(s, dir, "embeddings")
+      Similarity.matryoshkaTopK(
+        vecs.filter(col("vec_id") % 40 === 0), vecs, "vec_id", "embedding",
+        k = 10, prefixDims = 16, rerank = 50)
+    },
+
     // ── chunk-granular verbatim-span dedup: per-doc duplicated-chunk
     //    profile over consecutive 16-token chunks (doc-level near-dup
     //    passes miss partially-copied spans; this is the chunk-exact
@@ -1061,6 +1084,30 @@ object LlmQueries {
       Dedup.incrementalJaccardPairs(
         Td.table(s, dir, "documents"), "doc_id", "text", 3,
         col("doc_id") % 10 === 7, 0.5)
+    },
+
+    // ── Count-min-sketch heavy hitters: top-10 tokens with their CMS
+    //    estimates from a 4×64 DETERMINISTIC-hash sketch — the counter
+    //    table is O(d·w) regardless of stream size (partial aggregation
+    //    absorbs everything map-side), and the oracle replays the SKETCH
+    //    itself, pinning each estimate and the one-sided-error verdict. ──
+    q("lt23_cms_heavy_hitters",
+      s"""WITH $toksCte,
+        |tok AS (SELECT unnest(t) AS token FROM toks),
+        |tc AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+        |hh AS (SELECT j, token, n,
+        |    CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 15))
+        |      AS BIGINT) % 64 AS h
+        |  FROM tc CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+        |counters AS (SELECT j, h, CAST(sum(n) AS BIGINT) AS c FROM hh GROUP BY 1, 2),
+        |top AS (SELECT token, n FROM tc ORDER BY n DESC, token LIMIT 10)
+        |SELECT t.token, max(t.n) AS exact_count,
+        |  CAST(min(c.c) AS BIGINT) AS cms_estimate,
+        |  min(c.c) >= max(t.n) AS never_underestimates
+        |FROM top t JOIN hh ON hh.token = t.token
+        |JOIN counters c ON c.j = hh.j AND c.h = hh.h
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      Sketches.cmsHeavyHitters(Td.table(s, dir, "documents"), "doc_id", "text")
     },
 
     // ── tf-idf keyword extraction: top-3 tokens per doc by exact-integer

@@ -152,6 +152,31 @@ class SimilaritySpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("matryoshka ANN: prefix-dim candidates hold a recall floor vs brute force") {
+    val vecs = graft.Td.table(spark, Sf0001, "embeddings")
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+    val brute = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallAt(prefix: Int): Double = {
+      val mrl = Similarity.matryoshkaTopK(queries, vecs, "vec_id", "embedding",
+          k = 10, prefixDims = prefix, rerank = 50)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (brute & mrl).size.toDouble / brute.size
+    }
+    // these embeddings are isotropic random (NOT matryoshka-trained), the
+    // worst case for prefix truncation — assert a modest floor at 16 dims
+    // and that recall rises monotonically with the prefix budget
+    val r16 = recallAt(16)
+    val r32 = recallAt(32)
+    assert(r16 >= 0.3, s"recall@10 with 16-dim prefix = $r16")
+    assert(r32 > r16, s"recall should rise with prefix: r32=$r32 r16=$r16")
+    // full-prefix degenerates to brute force exactly (rerank covers k)
+    val full = Similarity.matryoshkaTopK(queries, vecs, "vec_id", "embedding",
+        k = 10, prefixDims = 64, rerank = 50)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == brute)
+  }
+
   test("pqTopK past the broadcast cap falls back to the distributed ADC join with identical results") {
     val vecs = graft.Td.table(spark, Sf0001, "embeddings")
     val queries = vecs.filter(col("vec_id") % 25 === 0)
