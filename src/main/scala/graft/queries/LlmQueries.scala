@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Td
-import graft.llm.{Chunking, Dedup, GraphOps, Importance, Keywords, Multimodal, Sampling, Similarity, Sketches, Surprisal, TextOps}
+import graft.llm.{Bpe, Chunking, Dedup, GraphOps, Importance, Keywords, Multimodal, Sampling, Similarity, Sketches, Surprisal, TextOps}
 import graft.sources.LlmLake
 
 /** LLM-training-data pipeline operators over the driver's documents /
@@ -35,6 +35,50 @@ object LlmQueries {
   private val shinglesCte =
     """sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
       |  FROM toks, UNNEST(range(1, greatest(len(t)-2, 1) + 1)) AS u(i))""".stripMargin
+
+  /** Generated DuckDB replay of [[graft.llm.Bpe.trainMerges]]: `n`
+    * iterations unrolled as CTEs (the lg1-pagerank pattern). Each iteration
+    * k derives pairs from syms{k-1} via a lead window, elects best{k} by
+    * (freq DESC, lhs, rhs), and applies the same relational leftmost-greedy
+    * merge (run-start running max + position parity + consumed-lag) the
+    * Scala side runs — see Bpe's scaladoc for why parity-in-run IS greedy. */
+  private def bpeOracle(n: Int): String = {
+    val iters = (1 to n).map { k =>
+      val p = k - 1
+      s"""nx$k AS (SELECT w, freq, pos, sym,
+         |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM syms$p),
+         |best$k AS (SELECT sym AS lhs, nxt AS rhs,
+         |    CAST(sum(freq) AS BIGINT) AS pair_freq
+         |  FROM nx$k WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |  ORDER BY pair_freq DESC, lhs, rhs LIMIT 1),
+         |fl$k AS (SELECT *, CASE WHEN m = 1 AND (pos -
+         |      max(CASE WHEN newrun = 1 THEN pos END) OVER (PARTITION BY w
+         |        ORDER BY pos ROWS UNBOUNDED PRECEDING)) % 2 = 0
+         |    THEN 1 ELSE 0 END AS sel
+         |  FROM (SELECT *, CASE WHEN m = 1 AND
+         |        coalesce(lag(m) OVER (PARTITION BY w ORDER BY pos), 0) = 0
+         |      THEN 1 ELSE 0 END AS newrun
+         |    FROM (SELECT x.*, CASE WHEN x.sym = b.lhs AND x.nxt = b.rhs
+         |        THEN 1 ELSE 0 END AS m
+         |      FROM nx$k x CROSS JOIN best$k b))),
+         |syms$k AS (SELECT w, freq,
+         |    row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
+         |    CASE WHEN sel = 1 THEN sym || nxt ELSE sym END AS sym
+         |  FROM (SELECT *, coalesce(lag(sel) OVER (PARTITION BY w ORDER BY pos),
+         |      0) AS consumed FROM fl$k)
+         |  WHERE consumed = 0)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to n)
+      .map(k => s"SELECT $k AS merge_rank, lhs, rhs, lhs || rhs AS merged, pair_freq FROM best$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $toksCte,
+       |words AS (SELECT w, count(*) AS freq FROM (SELECT unnest(t) AS w FROM toks)
+       |  GROUP BY 1),
+       |syms0 AS (SELECT w, freq, CAST(i - 1 AS BIGINT) AS pos, substr(w, CAST(i AS INT), 1) AS sym
+       |  FROM words, UNNEST(range(1, length(w) + 1)) AS u(i)),
+       |$iters
+       |$union""".stripMargin
+  }
 
   /** CTE chain ending in `jac` = exact all-pairs token-3-gram Jaccard pairs
     * at `minJ` (d1 < d2). Shared by the Jaccard/MinHash oracles and the
@@ -1649,6 +1693,18 @@ object LlmQueries {
     // ── multimodal frame sampling: every 2nd 64-byte frame of the payload,
     //    stub features per kept frame (all-ASCII corpus ⇒ byte = char, so
     //    the oracle recomputes via substr/ord from first principles) ──
+    // ── BPE tokenizer training: the DuckDB twin REPLAYS the full training —
+    //    word count, per-iteration pair count, argmax with tie-break, and
+    //    the relational leftmost-greedy merge (run-start + parity windows)
+    //    — as generated CTEs, so the learned merge table (data-dependent at
+    //    every step: each iteration's pairs depend on the previous merge)
+    //    hash-matches end-to-end. See [[graft.llm.Bpe]] for the scale
+    //    argument (iterations run over the VOCABULARY symbol table, not the
+    //    corpus). ──
+    q("lt24_bpe_merges", bpeOracle(8)) { (s, dir) =>
+      Bpe.trainMerges(Td.table(s, dir, "documents"), "text", nMerges = 8)
+    },
+
     q("lm2_frame_sample",
       """WITH nf AS (SELECT doc_id, text,
         |  greatest(CAST(ceil(length(text) / 64.0) AS INT), 1) AS n FROM documents),

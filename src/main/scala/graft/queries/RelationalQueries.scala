@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Td
 import graft.llm.Similarity
-import graft.ops.{AsOfJoin, Det, IntervalJoin, TimeOps, Upsert, ZOrder}
+import graft.ops.{AsOfJoin, Det, EventOps, IntervalJoin, TimeOps, Upsert, ZOrder}
 
 /** The relational operator inventory (SURVEY.md §2.2–2.6, §2.8, §2.9)
   * re-expressed over the driver's testdata tables, each with a DuckDB oracle.
@@ -1454,6 +1454,98 @@ object RelationalQueries {
       val old = o.filter(col("o_orderkey") % 10 < 8)
       val fresh = o.filter(col("o_orderkey") % 10 >= 5).withColumn("price", col("price") * 2)
       Upsert.merge(old, fresh, Seq("o_orderkey"))
+    },
+
+    // ── equi-width histogram: 20 data-driven bins over [min, max]. The
+    //    bounds ride the plan as a 1-row broadcast cross join (a11's
+    //    pattern — no driver round-trip), so the whole query is two scans
+    //    + one tiny agg; the binning arithmetic is written in the IDENTICAL
+    //    left-assoc op order in both engines, so the IEEE doubles (and
+    //    therefore floor) agree bit-for-bit. x = max lands in bin 19 via
+    //    least(). ──
+    q("a24_histogram",
+      """WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |  FROM lineitem)
+        |SELECT least(CAST(floor((l_extendedprice - lo) / (hi - lo) * 20) AS BIGINT),
+        |    19) AS bucket, count(*) AS n
+        |FROM lineitem, b GROUP BY 1""".stripMargin) { (s, dir) =>
+      val li = Td.table(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
+      val bounds = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      li.crossJoin(broadcast(bounds))
+        .select(least(
+          floor((col("x") - col("lo")) / (col("hi") - col("lo")) * 20)
+            .cast("long"),
+          lit(19L)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+    },
+
+    // ── per-key hourly gap-fill/resample with forward fill (time-series
+    //    staple the snapshot-append model needs for regular-grid charts).
+    //    Oracle forward-fills engine-portably via the fill-group trick
+    //    (count of non-nulls so far → max per group) — semantically
+    //    identical to Spark's last(ignoreNulls); values are CARRIED, never
+    //    recomputed, so equality is exact. ──
+    q("w6_gap_fill",
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+        |  FROM events),
+        |obs AS (SELECT user_id, hour, value FROM (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour, value,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM ev) WHERE rn = 1),
+        |spine AS (SELECT user_id,
+        |    unnest(generate_series(date_trunc('hour', mn), date_trunc('hour', mx),
+        |      INTERVAL 1 HOUR)) AS hour
+        |  FROM (SELECT user_id, min(ts) AS mn, max(ts) AS mx FROM ev GROUP BY 1)),
+        |j AS (SELECT s.user_id, s.hour, o.value,
+        |    o.value IS NOT NULL AS is_observed
+        |  FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.hour = o.hour),
+        |g AS (SELECT *, count(value) OVER (PARTITION BY user_id ORDER BY hour
+        |    ROWS UNBOUNDED PRECEDING) AS grp FROM j)
+        |SELECT user_id, hour,
+        |  max(value) OVER (PARTITION BY user_id, grp) AS value, is_observed
+        |FROM g""".stripMargin) { (s, dir) =>
+      EventOps.gapFillHourly(Td.table(s, dir, "events"),
+        "user_id", "ts", "value", tieCol = "event_id")
+    },
+
+    // ── strict-order funnel conversion (view → click-after-view →
+    //    purchase-after-that-click): the ordering constraint is the whole
+    //    point — a13's pivot counts co-occurrence, this counts causally
+    //    ordered progress. Three conditional-min windows stack over ONE
+    //    user exchange; the per-user collapse reuses it. ──
+    q("e2_funnel",
+      """SELECT user_id, CAST(CASE WHEN min(fp) IS NOT NULL THEN 3
+        |    WHEN min(fc) IS NOT NULL THEN 2
+        |    WHEN min(fv) IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage,
+        |  min(fv) AS first_view, min(fc) AS first_click,
+        |  min(fp) AS first_purchase
+        |FROM (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > fc
+        |      THEN ts END) OVER (PARTITION BY user_id) AS fp
+        |  FROM (SELECT *, min(CASE WHEN event_type = 'click' AND ts > fv
+        |        THEN ts END) OVER (PARTITION BY user_id) AS fc
+        |    FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |        min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END)
+        |          OVER (PARTITION BY user_id) AS fv
+        |      FROM events)))
+        |GROUP BY user_id""".stripMargin) { (s, dir) =>
+      EventOps.funnelStages(Td.table(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+    },
+
+    // ── weekly cohort retention: cohort = Monday-truncated week of first
+    //    event; offset = exact 7-day periods since the first event (integer
+    //    microsecond div — calendar-free, so both engines bucket
+    //    identically). One user-key window shuffle + one (cohort, offset)
+    //    exact-distinct agg whose cardinality is weeks², never data-sized. ──
+    q("e3_cohort",
+      """SELECT CAST(date_trunc('week', fts) AS TIMESTAMP) AS cohort_week,
+        |  (epoch_us(ts) - epoch_us(fts)) // 604800000000 AS week_offset,
+        |  count(DISTINCT user_id) AS active_users
+        |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    min(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id) AS fts
+        |  FROM events)
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      EventOps.cohortRetention(Td.table(s, dir, "events"), "user_id", "ts")
     }
   )
 }
