@@ -45,4 +45,61 @@ object Keywords {
       .filter(col("rank") <= k)
       .select("doc_id", "token", "tf", "score", "rank")
   }
+
+  /** Corpus collocations by document-level pointwise mutual information,
+    * with the log reduced to exact integers (same bitlen-log2 family as
+    * tf-idf above): pmi_q = floor(log2(N·c(a,b))) − floor(log2(c(a)·c(b)))
+    * ≈ log2 [ P(a,b) / (P(a)P(b)) ] — the standard phrase-mining /
+    * topic-association signal (a collocation scores high when the pair
+    * co-occurs far above independence).
+    *
+    * Counting is document-level (a pair co-occurs when both tokens appear
+    * in the same document, counted once — `array_distinct` before the
+    * explode), so a token repeated 100× in one doc can't inflate its pairs.
+    *
+    * Plan shape: the distinct (doc, token) table is built once and
+    * [[Caches]]-persisted (three consumers: unigram df, the pair self-join's
+    * two sides); the self-join keys on doc_id — doc-scoped, never viral,
+    * with per-doc pair fan-out bounded by maxDocTokens² (a loud
+    * `raise_error` guards degenerate mega-vocabulary docs, the IntervalJoin
+    * cap lesson); pair counts partial-aggregate; N rides the plan as a
+    * 1-row broadcast cross join; top-k plans as TakeOrderedAndProject.
+    * Count products stay < 2^62 for corpora < 2^31 docs — beyond that,
+    * split the bitlen difference per factor (documented, not needed here).
+    *
+    * Output: t1 < t2, n_pair, pmi_q, ranked (pmi_q DESC, n_pair DESC,
+    * t1, t2) top-k; pairs below `minPair` co-occurrences dropped (PMI is
+    * noise on singleton pairs). */
+  def pmiPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      minPair: Long, k: Int, maxDocTokens: Int = 100000): DataFrame = {
+    require(k >= 1 && minPair >= 1, s"pmiPairs: need k/minPair >= 1")
+    val dt = Caches.persist(docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+      .withColumn("nt", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("tok",
+        when(col("nt") <= maxDocTokens, col("tok"))
+          .otherwise(raise_error(concat(lit("pmiPairs: doc "),
+            col("doc_id").cast("string"),
+            lit(s" has more than $maxDocTokens distinct tokens — pair " +
+              "fan-out would be quadratic. Pre-truncate or raise the cap.")))))
+      .select("doc_id", "tok"))
+    val uni = dt.groupBy("tok").agg(count(lit(1)).as("c"))
+    val nd = dt.agg(count_distinct(col("doc_id")).as("n"))
+    dt.as("a")
+      .join(dt.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("t1"), col("b.tok").as("t2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPair)
+      .join(uni.select(col("tok").as("t1"), col("c").as("c1")), "t1")
+      .join(uni.select(col("tok").as("t2"), col("c").as("c2")), "t2")
+      .crossJoin(broadcast(nd))
+      .select(col("t1"), col("t2"), col("n_pair"),
+        (length(bin(col("n") * col("n_pair")))
+          - length(bin(col("c1") * col("c2")))).cast("long").as("pmi_q"))
+      .orderBy(col("pmi_q").desc, col("n_pair").desc, col("t1"), col("t2"))
+      .limit(k)
+  }
 }

@@ -32,6 +32,42 @@ object Upsert {
       .drop("__rn", PrecedenceCol)
   }
 
+  /** Slowly-changing-dimension Type 2 history build: collapse an ordered
+    * change stream into validity intervals. Consecutive rows with the SAME
+    * tracked value fold into one interval; a value change closes the open
+    * interval (valid_to = next version's start) and opens a new one; the
+    * key's last interval stays open (valid_to null, is_current true) — the
+    * warehouse-standard dimension-history shape the reference's
+    * upsert-overwrite model cannot answer ("what was this station's name
+    * LAST month?").
+    *
+    * Scale shape: both the change-detection lag and the interval-closing
+    * lead partition by the key — Catalyst stacks them over ONE exchange
+    * (the second window runs on the filtered version starts, same
+    * partitioning, no new shuffle). Ordering ties on `tsCol` break by
+    * `tieCol` so replayed logs build identical history.
+    *
+    * Output: key, tracked value, valid_from, valid_to, is_current. */
+  def scd2(
+      events: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy("k").orderBy(col("vf"), col("tie"))
+    events
+      .select(col(keyCol).as("k"), col(tsCol).as("vf"),
+        col(valueCol).as("v"), col(tieCol).as("tie"))
+      .withColumn("prev", lag(col("v"), 1).over(w))
+      // first-row marker distinct from "previous value was null": a stream
+      // opening with two null values must still collapse them into one
+      // interval, so has-no-predecessor is detected by lagging a constant
+      .withColumn("has_prev", lag(lit(1), 1).over(w))
+      // null-safe inequality: a null tracked value still versions correctly
+      .filter(col("has_prev").isNull || !(col("prev") <=> col("v")))
+      .withColumn("valid_to", lead(col("vf"), 1).over(w))
+      .select(col("k").as(keyCol), col("v").as(valueCol),
+        col("vf").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
   /** Atomically replace the parquet table at `target` with `df`:
     * write to a temp sibling dir, then rename over the old one. Readers see
     * either the old or the new table, never a partial write. */

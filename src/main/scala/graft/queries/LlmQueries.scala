@@ -1693,6 +1693,54 @@ object LlmQueries {
     // ── multimodal frame sampling: every 2nd 64-byte frame of the payload,
     //    stub features per kept frame (all-ASCII corpus ⇒ byte = char, so
     //    the oracle recomputes via substr/ord from first principles) ──
+    // ── document-level PMI collocations: pairs that co-occur far above
+    //    independence, with the log2 reduced to exact bitlen integers (the
+    //    lt19/lt20 recipe) so both engines rank identically. Top-k is a
+    //    total order (pmi, count, t1, t2 — pair key unique) so LIMIT is
+    //    deterministic. ──
+    q("lt25_pmi_pairs",
+      s"""WITH $toksCte,
+        |dt AS (SELECT DISTINCT doc_id, tok
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+        |uni AS (SELECT tok, count(*) AS c FROM dt GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n FROM dt),
+        |pr AS (SELECT a.tok AS t1, b.tok AS t2, count(*) AS n_pair
+        |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT t1, t2, n_pair,
+        |  CAST(length(bin(n * n_pair)) - length(bin(c1 * c2)) AS BIGINT) AS pmi_q
+        |FROM (SELECT pr.*, u1.c AS c1, u2.c AS c2, n FROM pr
+        |  JOIN uni u1 ON pr.t1 = u1.tok
+        |  JOIN uni u2 ON pr.t2 = u2.tok CROSS JOIN nd)
+        |ORDER BY pmi_q DESC, n_pair DESC, t1, t2 LIMIT 25""".stripMargin) { (s, dir) =>
+      Keywords.pmiPairs(Td.table(s, dir, "documents"), "doc_id", "text",
+        minPair = 5, k = 25)
+    },
+
+    // ── winnowing fingerprints (MOSS): min-hash-per-sliding-window over
+    //    k-gram hashes with rightmost tie-break — positionally COMPLETE
+    //    overlap detection (any shared w+k-1-token run shares a
+    //    fingerprint) at ~2/(w+1) density. Selection is one sortable
+    //    string key, so both engines elect identical fingerprints with
+    //    plain min() — no struct ordering dependence. ──
+    q("lt26_winnowing",
+      s"""WITH $toksCte,
+        |gr AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        |    array_to_string(t[i:i+2], ' ') AS g
+        |  FROM toks, UNNEST(range(1, greatest(len(t)-2, 1) + 1)) AS u(i)),
+        |ky AS (SELECT doc_id, pos, substr(md5(g), 1, 15) || '#' ||
+        |    lpad(CAST(9999999 - pos AS VARCHAR), 7, '0') AS key FROM gr),
+        |wn AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY doc_id) AS ng,
+        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        |  FROM ky)
+        |SELECT DISTINCT doc_id, substr(sel, 1, 15) AS fp,
+        |  CAST(9999999 - CAST(substr(sel, 17, 7) AS BIGINT) AS INT) AS pos
+        |FROM wn WHERE pos <= greatest(ng - 4, 0)""".stripMargin) { (s, dir) =>
+      Dedup.winnowingFingerprints(Td.table(s, dir, "documents"),
+        "doc_id", "text", k = 3, w = 4)
+    },
+
     // ── BPE tokenizer training: the DuckDB twin REPLAYS the full training —
     //    word count, per-iteration pair count, argmax with tie-break, and
     //    the relational leftmost-greedy merge (run-start + parity windows)

@@ -118,6 +118,37 @@ object RelationalQueries {
       |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
+  private val sql7Text =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(sum(vol_cents) AS DOUBLE) / 1E2 AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    year(l_shipdate) AS l_year,
+      |    CAST(floor((l_extendedprice * (1.0 - l_discount)) * 1E2 + 0.5) AS BIGINT)
+      |      AS vol_cents
+      |  FROM lineitem
+      |    JOIN orders ON l_orderkey = o_orderkey
+      |    JOIN customer ON o_custkey = c_custkey
+      |    JOIN supplier ON l_suppkey = s_suppkey
+      |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+      |      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01'
+      |) GROUP BY supp_nation, cust_nation, l_year""".stripMargin
+  private val sql11Text =
+    """WITH val AS (
+      |  SELECT l_partkey,
+      |    sum(CAST(floor(l_extendedprice * 1E2 + 0.5) AS BIGINT)) AS v_cents
+      |  FROM lineitem
+      |    JOIN supplier ON l_suppkey = s_suppkey
+      |    JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_3'
+      |  GROUP BY l_partkey),
+      |tot AS (SELECT sum(v_cents) AS t FROM val)
+      |SELECT l_partkey, v_cents FROM val, tot
+      |WHERE v_cents * 1000 > t""".stripMargin
   private val sql16Text =
     """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
       |FROM part JOIN lineitem ON p_partkey = l_partkey
@@ -1454,6 +1485,45 @@ object RelationalQueries {
       val old = o.filter(col("o_orderkey") % 10 < 8)
       val fresh = o.filter(col("o_orderkey") % 10 >= 5).withColumn("price", col("price") * 2)
       Upsert.merge(old, fresh, Seq("o_orderkey"))
+    },
+
+    // ── SCD Type-2 dimension history: collapse the per-user event-type
+    //    change stream into validity intervals (valid_from/valid_to/
+    //    is_current) — the warehouse answer to "what was the value LAST
+    //    month?" that the reference's upsert-overwrite model loses. Lag
+    //    (change detection) and lead (interval close) stack over ONE user
+    //    exchange; a lagged constant distinguishes "first row" from
+    //    "previous value was null". ──
+    q("m2_scd2_history",
+      """WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    event_type, lag(event_type) OVER w AS prev, lag(1) OVER w AS has_prev
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |v AS (SELECT user_id, event_type, ts AS valid_from, event_id FROM s
+        |  WHERE has_prev IS NULL OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER w2 AS valid_to,
+        |  lead(valid_from) OVER w2 IS NULL AS is_current
+        |FROM v WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)""".stripMargin) { (s, dir) =>
+      Upsert.scd2(Td.table(s, dir, "events"),
+        "user_id", "ts", "event_type", tieCol = "event_id")
+    },
+
+    // ── TPC-H Q7 shape (volume shipping): symmetric nation-pair predicate
+    //    over a 4-dim star join — both nation lookups broadcast, the OR'd
+    //    pair filter prunes at the dim side, revenue in exact integer
+    //    cents. Identical SQL text both engines. ──
+    q("sql7_volume_shipping", sql7Text) { (s, dir) =>
+      Td.registerAll(s, dir)
+      s.sql(sql7Text)
+    },
+
+    // ── TPC-H Q11 shape (important stock): per-part value with a
+    //    global-scalar HAVING threshold — the total rides the plan as a
+    //    1-row cross join and the comparison cross-multiplies into exact
+    //    integers (value > 0.1% of total ⟺ v*1000 > t). ──
+    q("sql11_important_parts", sql11Text) { (s, dir) =>
+      Td.registerAll(s, dir)
+      s.sql(sql11Text)
     },
 
     // ── equi-width histogram: 20 data-driven bins over [min, max]. The

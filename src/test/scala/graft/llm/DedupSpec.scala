@@ -279,4 +279,51 @@ class DedupSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](Dedup.dedupClusters(strPairs))
     assert(e.getMessage.contains("numeric"))
   }
+
+  test("winnowingFingerprints: every full window contributes a selection (coverage guarantee)") {
+    import spark.implicits._
+    val text = "q w e r t y u i o p a s d f g h j k l"
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val (k, w) = (3, 4)
+    val nGrams = text.split(" ").length - (k - 1)
+    val selected = Dedup.winnowingFingerprints(docs, "doc_id", "text", k, w)
+      .select("pos").as[Int].collect().toSet
+    // the winnowing invariant: each window [p, p+w-1] of gram positions
+    // contains at least one selected position
+    (0 to nGrams - w).foreach { p =>
+      assert((p until p + w).exists(selected.contains),
+        s"window starting at $p has no selected fingerprint")
+    }
+  }
+
+  test("winnowingFingerprints: shared long run between docs shares a fingerprint") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens >= w+k-1
+    val docs = Seq(
+      (1L, s"one two $shared three four"),
+      (2L, s"nine eight seven $shared")).toDF("doc_id", "text")
+    val fps = Dedup.winnowingFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .select("doc_id", "fp").as[(Long, String)].collect()
+    val f1 = fps.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fps.filter(_._1 == 2L).map(_._2).toSet
+    assert((f1 & f2).nonEmpty, "shared 6-token run must share a fingerprint")
+  }
+
+  test("winnowingFingerprints: ties select the RIGHTMOST minimal hash") {
+    import spark.implicits._
+    // identical tokens -> every gram hash equal; w=2 full windows start at
+    // 0..2 over 4 grams, each selecting its rightmost member: {1, 2, 3}
+    val docs = Seq((1L, "x x x x x x")).toDF("doc_id", "text")
+    val pos = Dedup.winnowingFingerprints(docs, "doc_id", "text", k = 3, w = 2)
+      .select("pos").as[Int].collect().toSet
+    assert(pos == Set(1, 2, 3))
+  }
+
+  test("winnowingFingerprints: docs shorter than one window still fingerprint once") {
+    import spark.implicits._
+    val docs = Seq((1L, "lone pair")).toDF("doc_id", "text")
+    val got = Dedup.winnowingFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .select("doc_id", "pos").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 0)))
+  }
 }

@@ -53,6 +53,54 @@ class RelationalOpsSpec extends SparkSpec {
     assert(shuffles.length == 1, s"expected 1 exchange, got ${shuffles.length}:\n$plan")
   }
 
+  private def planStats(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+    df.collect()
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(s.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val scans = nodes.count {
+      case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+      case _: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => true
+      case _ => false
+    }
+    val shuffles = nodes.count {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => true
+      case _ => false
+    }
+    (scans, shuffles)
+  }
+
+  test("e2 funnel plans one scan and one exchange (stacked windows + reused agg)") {
+    // the three conditional-min windows AND the per-user collapse must all
+    // ride one user_id exchange — a second exchange would mean the window
+    // chain broke partitioning reuse
+    val (scans, shuffles) = planStats(Registry.queries("e2_funnel")(spark, Sf0001))
+    assert(scans == 1, s"expected 1 scan, got $scans")
+    assert(shuffles == 1, s"expected 1 exchange, got $shuffles")
+  }
+
+  test("m2 scd2 plans one scan and one exchange (lag + lead stack on the key)") {
+    val (scans, shuffles) = planStats(Registry.queries("m2_scd2_history")(spark, Sf0001))
+    assert(scans == 1, s"expected 1 scan, got $scans")
+    assert(shuffles == 1, s"expected 1 exchange, got $shuffles")
+  }
+
+  test("lt26 winnowing plans one scan and one doc-key exchange") {
+    val (scans, shuffles) = planStats(Registry.queries("lt26_winnowing")(spark, Sf0001))
+    assert(scans == 1, s"expected 1 scan, got $scans")
+    // one exchange for the doc-partitioned windows + one for the final
+    // distinct's hash agg (partial/final) = at most 2
+    assert(shuffles <= 2, s"expected <= 2 exchanges, got $shuffles")
+  }
+
   test("a18 approx-quantile verdict holds under the GK rank guarantee at sf0.001") {
     val rows = Registry.queries("a18_approx_quantile")(spark, Sf0001)
       .as[(String, Long, Boolean)].collect()
