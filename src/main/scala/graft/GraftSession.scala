@@ -39,6 +39,13 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
       // read the raw int64 and convert in Td (truncate ns→us like DuckDB).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The testdata's timestamp columns are written isAdjustedToUTC=false;
+      // Spark 4 would infer TIMESTAMP_NTZ, which (a) rejects unix_micros/
+      // unix_seconds and (b) diverges from DuckDB's naive-timestamp reading.
+      // With the session timezone pinned UTC above, reading them as plain
+      // TIMESTAMP is value-identical and keeps the whole surface on one
+      // timestamp type.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests / ad-hoc runs. */
