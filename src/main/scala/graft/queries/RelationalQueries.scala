@@ -188,6 +188,146 @@ object RelationalQueries {
       |                    WHERE l_partkey = p_partkey)
       |ORDER BY p_partkey, s_name""".stripMargin
 
+  /** The remaining TPC-H shapes (Q6, Q8, Q9, Q10, Q12, Q14, Q15, Q17, Q19,
+    * Q20, Q21) adapted to the testdata's columns — with these the full
+    * 22-query dialect sweep is registered. The testdata has no partsupp
+    * table and no commit/receipt/shipmode/container columns, so Q9/Q12/
+    * Q17/Q19/Q20/Q21 keep their signature PLAN shape with predicates moved
+    * to columns that exist (noted per query). Money stays in exact integer
+    * cents until the final display division, as everywhere else. */
+  private val sql6Text =
+    """SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 1E2 + 0.5)
+      |    AS BIGINT)) AS DOUBLE) / 1E2 AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24.0""".stripMargin
+  private val sql8Text =
+    """SELECT o_year,
+      |  CAST(sum(CASE WHEN nation = 'NATION_3' THEN cents ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(cents) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT year(o_orderdate) AS o_year,
+      |    CAST(floor((l_extendedprice * (1.0 - l_discount)) * 1E2 + 0.5) AS BIGINT)
+      |      AS cents,
+      |    n2.n_name AS nation
+      |  FROM part
+      |    JOIN lineitem ON p_partkey = l_partkey
+      |    JOIN supplier ON s_suppkey = l_suppkey
+      |    JOIN orders ON l_orderkey = o_orderkey
+      |    JOIN customer ON o_custkey = c_custkey
+      |    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |    JOIN region ON n1.n_regionkey = r_regionkey
+      |    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01')
+      |GROUP BY o_year ORDER BY o_year""".stripMargin
+  private val sql9Text =
+    """SELECT nation, o_year, CAST(sum(cents) AS DOUBLE) / 1E2 AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+      |    CAST(floor((l_extendedprice * (1.0 - l_discount)) * 1E2 + 0.5) AS BIGINT)
+      |      AS cents
+      |  FROM part
+      |    JOIN lineitem ON p_partkey = l_partkey
+      |    JOIN supplier ON s_suppkey = l_suppkey
+      |    JOIN orders ON l_orderkey = o_orderkey
+      |    JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE p_name LIKE '%red%')
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+  private val sql10Text =
+    s"""SELECT c_custkey, c_name, $revenueSql AS revenue, c_acctbal, n_name
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01'
+       |  AND l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+  private val sql12Text =
+    """SELECT l_linestatus,
+      |  sum(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+      |      THEN 1 ELSE 0 END) AS high_line_count,
+      |  sum(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+      |      THEN 1 ELSE 0 END) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate > o_orderdate
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+  private val sql14Text =
+    """SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(floor((l_extendedprice * (1.0 - l_discount)) * 1E2 + 0.5)
+      |           AS BIGINT)
+      |      ELSE 0 END) AS DOUBLE) * 100.0
+      |  / CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 1E2 + 0.5)
+      |      AS BIGINT)) AS DOUBLE) AS promo_revenue_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin
+  private val sql15Text =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 1E2 + 0.5)
+      |      AS BIGINT)) AS total_cents
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_cents AS DOUBLE) / 1E2 AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+  private val sql17Text =
+    """SELECT CAST(sum(CAST(floor(l_extendedprice * 1E2 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / 1E2 / 7.0 AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#3'
+      |  AND l_quantity * 5.0 * (SELECT count(*) FROM lineitem l2
+      |                          WHERE l2.l_partkey = p_partkey)
+      |      < (SELECT sum(l_quantity) FROM lineitem l3
+      |         WHERE l3.l_partkey = p_partkey)""".stripMargin
+  private val sql19Text =
+    """SELECT CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 1E2 + 0.5)
+      |    AS BIGINT)) AS DOUBLE) / 1E2 AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size >= 1 AND p_size <= 10
+      |       AND l_quantity >= 1.0 AND l_quantity <= 11.0)
+      |   OR (p_brand = 'Brand#2' AND p_size >= 1 AND p_size <= 20
+      |       AND l_quantity >= 10.0 AND l_quantity <= 20.0)
+      |   OR (p_brand = 'Brand#3' AND p_size >= 1 AND p_size <= 30
+      |       AND l_quantity >= 20.0 AND l_quantity <= 30.0)""".stripMargin
+  private val sql20Text =
+    """SELECT s_name, s_acctbal FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_type = 'PROMO'
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY l_suppkey
+      |  HAVING sum(l_quantity) > 300.0)
+      |ORDER BY s_name""".stripMargin
+  private val sql21Text =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
   def entries: Seq[QueryDef] = Seq(
 
     // ── P1/P2: projection + not-null filter (reference utils.py:22-32) ──
@@ -1524,6 +1664,107 @@ object RelationalQueries {
     q("sql11_important_parts", sql11Text) { (s, dir) =>
       Td.registerAll(s, dir)
       s.sql(sql11Text)
+    },
+
+    // ── TPC-H Q6 (forecasting revenue change): the canonical
+    //    pushdown-showcase — every predicate and both referenced columns
+    //    reach the parquet scan, the agg is a 1-row partial/final pair.
+    //    At 100 TB this query is pure scan bandwidth. ──
+    q("sql6_revenue_change", sql6Text) { (s, dir) =>
+      Td.registerAll(s, dir)
+      s.sql(sql6Text)
+    },
+
+    // ── TPC-H Q8 (national market share): the widest star in the suite —
+    //    an 8-relation join where every dim (part, supplier, customer,
+    //    nation x2, region) broadcasts and the fact chain
+    //    lineitem→orders shuffles once on the order key. The share
+    //    division runs over exact integer cents. ──
+    q("sql8_market_share", sql8Text) { (s, dir) =>
+      Td.registerAll(s, dir)
+      s.sql(sql8Text)
+    },
+
+    // ── TPC-H Q9 (product-type profit) adapted: no partsupp table, so
+    //    profit = revenue; the signature stays — a LIKE-filtered part dim
+    //    pruning a 5-way join, grouped by supplier nation x order year. ──
+    q("sql9_product_profit", sql9Text) { (s, dir) =>
+      Td.registerAll(s, dir)
+      s.sql(sql9Text)
+    },
+
+    // ── TPC-H Q10 (returned items): quarter of orders x returnflag='R'
+    //    fact restriction, customer/nation dims broadcast, top-20 by
+    //    grouped revenue via TakeOrderedAndProject (c_custkey tiebreak
+    //    pins ties). ──
+    q("sql10_returned_items", sql10Text) { (s, dir) =>
+      Td.registerAll(s, dir)
+      s.sql(sql10Text)
+    },
+
+    // ── TPC-H Q12 (shipping modes) adapted: no l_shipmode/receiptdate
+    //    columns, so "late" = shipped after the order date; the signature
+    //    CASE-sum pair over a priority split survives intact. ──
+    q("sql12_late_lines", sql12Text) { (s, dir) =>
+      Td.registerAll(s, dir)
+      s.sql(sql12Text)
+    },
+
+    // ── TPC-H Q14 (promo effect): conditional share-of-total in one
+    //    aggregation pass — two exact-cents sums, one float division at
+    //    the end. ──
+    q("sql14_promo_effect", sql14Text) { (s, dir) =>
+      Td.registerAll(s, dir)
+      s.sql(sql14Text)
+    },
+
+    // ── TPC-H Q15 (top supplier): CTE referenced twice (join side +
+    //    scalar max) — Spark inlines both uses, so lineitem is scanned
+    //    twice by construction; the max comparison is on exact integer
+    //    cents, so "the" top supplier is well-defined without a float
+    //    ULP hazard. ──
+    q("sql15_top_supplier", sql15Text) { (s, dir) =>
+      Td.registerAll(s, dir)
+      s.sql(sql15Text)
+    },
+
+    // ── TPC-H Q17 (small-quantity revenue): correlated aggregate
+    //    threshold per part. The avg comparison is cross-multiplied into
+    //    two correlated scalars (qty*5*count < sum) so no float mean
+    //    exists; Spark de-correlates both into one aggregate + join over
+    //    the part key. ──
+    q("sql17_small_qty_revenue", sql17Text) { (s, dir) =>
+      Td.registerAll(s, dir)
+      s.sql(sql17Text)
+    },
+
+    // ── TPC-H Q19 (discounted revenue): disjunction of conjunctions
+    //    across both join sides — the planner must keep the p_partkey
+    //    equi-key out of the OR (hash join + post-join filter), not fall
+    //    back to a nested-loop over the cross space. ──
+    q("sql19_disjunctive_revenue", sql19Text) { (s, dir) =>
+      Td.registerAll(s, dir)
+      s.sql(sql19Text)
+    },
+
+    // ── TPC-H Q20 (promotion suppliers) adapted: no partsupp, so the
+    //    availability check becomes a shipped-quantity HAVING over the
+    //    promo-part join; the signature nested IN-over-aggregate →
+    //    left-semi join survives. ──
+    q("sql20_promo_suppliers", sql20Text) { (s, dir) =>
+      Td.registerAll(s, dir)
+      s.sql(sql20Text)
+    },
+
+    // ── TPC-H Q21 (waiting suppliers) adapted: no commit/receipt dates,
+    //    so "at fault" = sole supplier with a returned line on a finished
+    //    multi-supplier order. The signature survives exactly: correlated
+    //    EXISTS + NOT EXISTS self-joins on the fact with a non-equi
+    //    (suppkey <>) correlated conjunct — the hardest decorrelation in
+    //    the suite. ──
+    q("sql21_waiting_suppliers", sql21Text) { (s, dir) =>
+      Td.registerAll(s, dir)
+      s.sql(sql21Text)
     },
 
     // ── equi-width histogram: 20 data-driven bins over [min, max]. The

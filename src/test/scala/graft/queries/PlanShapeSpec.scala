@@ -16,7 +16,7 @@ class PlanShapeSpec extends SparkSpec {
 
   private final case class Shape(
       name: String, scans: Option[Int], shuffles: Option[Int],
-      mustContain: Seq[String] = Nil)
+      mustContain: Seq[String] = Nil, mustNotContain: Seq[String] = Nil)
 
   // expectations at sf0.001; AQE runs, so counts come from the
   // materialized adaptive plan
@@ -41,7 +41,23 @@ class PlanShapeSpec extends SparkSpec {
     Shape("j2_fact_dim_broadcast", scans = None, shuffles = Some(1),
       mustContain = Seq("BroadcastHashJoin")),
     Shape("j12_lateral_topn", scans = None, shuffles = Some(1),
-      mustContain = Seq("WindowGroupLimit", "BroadcastHashJoin")))
+      mustContain = Seq("WindowGroupLimit", "BroadcastHashJoin")),
+    // sql8: the 8-relation star must resolve every dim join as a hash
+    // join (dims broadcast); any fallback to a nested loop would be a
+    // 100 TB catastrophe
+    Shape("sql8_market_share", scans = None, shuffles = None,
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // sql19: the OR-of-ANDs predicate must NOT swallow the p_partkey
+    // equi-key — the join stays hash, the disjunction filters post-join
+    Shape("sql19_disjunctive_revenue", scans = None, shuffles = None,
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // sql21: EXISTS/NOT EXISTS with a non-equi correlated conjunct must
+    // decorrelate to hash semi/anti joins on the equi part, never a
+    // nested loop over the fact
+    Shape("sql21_waiting_suppliers", scans = None, shuffles = None,
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
 
   /** Flatten INCLUDING materialized AQE query stages (QueryStageExec is a
     * leaf whose real subtree hangs off `.plan`). */
@@ -72,6 +88,8 @@ class PlanShapeSpec extends SparkSpec {
           s"${sh.name}: expected $n shuffles, got $shuffleCount:\n${df.queryExecution.executedPlan}"))
         sh.mustContain.foreach(frag => assert(names.contains(frag),
           s"${sh.name}: plan lacks $frag:\n${df.queryExecution.executedPlan}"))
+        sh.mustNotContain.foreach(frag => assert(!names.contains(frag),
+          s"${sh.name}: plan contains forbidden $frag:\n${df.queryExecution.executedPlan}"))
       } finally graft.llm.Caches.releaseAll(spark)
     }
   }
