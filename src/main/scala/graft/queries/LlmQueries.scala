@@ -1753,6 +1753,94 @@ object LlmQueries {
       Bpe.trainMerges(Td.table(s, dir, "documents"), "text", nMerges = 8)
     },
 
+    // ── vocabulary coverage / OOV rate: train a top-K frequency vocab
+    //    (K=16, ties by token — deterministic), then score every doc's
+    //    out-of-vocab rate against it. Scale shape: the vocab build is one
+    //    explode+partial-agg scan ending in TakeOrdered(K); the SCORING
+    //    pass never shuffles — the vocab rides the plan as a 1-row
+    //    broadcast array and the per-doc counts are scan-stage HOFs (no
+    //    token-level explode/join for the encode, unlike a naive
+    //    tokenize-join-regroup which would shuffle the whole token
+    //    stream). ──
+    q("lt27_vocab_oov",
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |vocab AS (SELECT tok FROM (
+         |  SELECT tok, count(*) AS cnt FROM tok GROUP BY 1
+         |  ORDER BY cnt DESC, tok LIMIT 16)),
+         |oo AS (SELECT t.doc_id, count(*) AS n_tokens,
+         |    sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS oov_tokens
+         |  FROM tok t LEFT JOIN vocab v ON t.tok = v.tok GROUP BY 1)
+         |SELECT d.doc_id, d.source, CAST(n_tokens AS INT) AS n_tokens,
+         |  CAST(oov_tokens AS INT) AS oov_tokens,
+         |  CAST(oov_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+         |FROM oo JOIN documents d ON oo.doc_id = d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Td.table(s, dir, "documents")
+      val t = TextOps.tokens(col("text"))
+      val vocab = docs.select(explode(t).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(16)
+        .agg(sort_array(collect_list(col("tok"))).as("vlist"))
+      docs.crossJoin(broadcast(vocab))
+        .select(col("doc_id"), col("source"),
+          size(t).as("n_tokens"),
+          size(filter(t, x => not(array_contains(col("vlist"), x))))
+            .as("oov_tokens"))
+        .withColumn("oov_rate",
+          col("oov_tokens").cast("double") / col("n_tokens").cast("double"))
+    },
+
+    // ── temperature-weighted mixture resampling (the multilingual /
+    //    data-mixing staple: sample sources ∝ n^alpha, alpha=0.5, so
+    //    small sources are up-weighted). ALL allocation arithmetic is
+    //    integral — weights are floor(sqrt(n)*1e6) (IEEE sqrt is
+    //    correctly rounded, so both engines quantize identically),
+    //    targets are largest-remainder allocated in exact integer math,
+    //    and the within-source sample is a deterministic (md5(text),
+    //    doc_id) rank. Scale shape: the stats/allocation tables are
+    //    source-cardinality-sized (the one global window runs over ~20
+    //    rows); the doc-side work is one broadcast join + one
+    //    source-key window shuffle. ──
+    q("lt28_temperature_mix",
+      """WITH stats AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT source,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1E6) AS BIGINT) AS w FROM stats),
+        |tot AS (SELECT sum(w) AS wtot FROM w),
+        |t1 AS (SELECT source, w, (200 * w) // wtot AS base,
+        |    (200 * w) % wtot AS rem FROM w, tot),
+        |ex AS (SELECT 200 - sum(base) AS extra FROM t1),
+        |t2 AS (SELECT source, base + CASE WHEN
+        |      row_number() OVER (ORDER BY rem DESC, source) <= extra
+        |    THEN 1 ELSE 0 END AS target FROM t1, ex),
+        |rk AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id)
+        |      AS sample_rank
+        |  FROM documents)
+        |SELECT doc_id, rk.source, CAST(sample_rank AS INT) AS sample_rank
+        |FROM rk JOIN t2 ON rk.source = t2.source
+        |WHERE sample_rank <= target""".stripMargin) { (s, dir) =>
+      val docs = Td.table(s, dir, "documents")
+      val stats = docs.groupBy("source").agg(count(lit(1)).as("n"))
+        .withColumn("w", floor(sqrt(col("n").cast("double")) * 1e6).cast("long"))
+      val tot = stats.agg(sum("w").as("wtot"))
+      val t1 = stats.crossJoin(broadcast(tot))
+        .withColumn("base", expr("(CAST(200 AS BIGINT) * w) div wtot"))
+        .withColumn("rem", expr("(CAST(200 AS BIGINT) * w) % wtot"))
+      val extra = t1.agg((lit(200L) - sum("base")).as("extra"))
+      // the global window is over the SOURCE-STATS table (~|sources| rows,
+      // bounded by construction), not data-sized
+      val t2 = t1.crossJoin(broadcast(extra))
+        .withColumn("erank",
+          row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+        .withColumn("target",
+          col("base") + when(col("erank") <= col("extra"), 1L).otherwise(0L))
+      docs.join(broadcast(t2.select("source", "target")), Seq("source"))
+        .withColumn("sample_rank", row_number().over(
+          Window.partitionBy("source").orderBy(md5(col("text")), col("doc_id"))))
+        .filter(col("sample_rank") <= col("target"))
+        .select(col("doc_id"), col("source"), col("sample_rank"))
+    },
+
     q("lm2_frame_sample",
       """WITH nf AS (SELECT doc_id, text,
         |  greatest(CAST(ceil(length(text) / 64.0) AS INT), 1) AS n FROM documents),

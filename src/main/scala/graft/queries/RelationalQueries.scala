@@ -1767,6 +1767,59 @@ object RelationalQueries {
       s.sql(sql21Text)
     },
 
+    // ── UNPIVOT (a13's inverse): wide per-type counts back to long
+    //    (event_type, n) rows via stack() — a generator, not a shuffle;
+    //    the only exchange is the pivot aggregation's own. ──
+    q("a26_unpivot",
+      """WITH p AS (SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase
+        |FROM events GROUP BY 1)
+        |SELECT user_id, 'view' AS event_type, view AS n FROM p
+        |UNION ALL SELECT user_id, 'click', click FROM p
+        |UNION ALL SELECT user_id, 'purchase', purchase FROM p""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "events")
+        .groupBy("user_id").pivot("event_type", Seq("view", "click", "purchase"))
+        .count()
+        .na.fill(0L, Seq("view", "click", "purchase"))
+        .select(col("user_id"),
+          expr("stack(3, 'view', view, 'click', click, 'purchase', purchase)" +
+            " AS (event_type, n)"))
+    },
+
+    // ── longest consecutive-day streak per user (gaps-and-islands): the
+    //    run key is d - row_number() — consecutive days share it. The
+    //    distinct, the run window, the run rollup, and the best-run pick
+    //    all ride user-keyed exchanges; nothing is data-sized beyond the
+    //    per-user day list. Ties (equal-length runs) resolve to the
+    //    earliest start in both engines. ──
+    q("w7_streak",
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+        |g AS (SELECT user_id, d, d - CAST(row_number() OVER (
+        |    PARTITION BY user_id ORDER BY d) AS INT) AS grp FROM days),
+        |st AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS streak_days,
+        |    min(d) AS streak_start, max(d) AS streak_end FROM g GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY streak_days DESC, streak_start) AS rk FROM st)
+        |SELECT user_id, streak_days, streak_start, streak_end
+        |FROM r WHERE rk = 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val days = Td.table(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val runs = days.withColumn("grp",
+        expr("date_sub(d, row_number() OVER (PARTITION BY user_id ORDER BY d))"))
+      runs.groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("streak_days"),
+          min("d").as("streak_start"), max("d").as("streak_end"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("user_id")
+            .orderBy(col("streak_days").desc, col("streak_start"))))
+        .filter(col("rk") === 1)
+        .select("user_id", "streak_days", "streak_start", "streak_end")
+    },
+
     // ── equi-width histogram: 20 data-driven bins over [min, max]. The
     //    bounds ride the plan as a 1-row broadcast cross join (a11's
     //    pattern — no driver round-trip), so the whole query is two scans
