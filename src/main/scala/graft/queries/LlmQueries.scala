@@ -1790,6 +1790,37 @@ object LlmQueries {
           col("oov_tokens").cast("double") / col("n_tokens").cast("double"))
     },
 
+    // ── cross-document duplicate-n-gram fraction: per doc, the share of
+    //    3-gram POSITIONS whose shingle occurs in >= 2 distinct documents
+    //    (the boilerplate/template signal used alongside intra-doc
+    //    repetition lt9). Scale shape: doc-frequency is one distinct +
+    //    shingle-key agg; the position stream joins df on the shingle key
+    //    (1:1 fan-out — df is one row per shingle, so no quadratic blowup
+    //    on viral shingles, unlike a pair self-join) and rolls up per doc.
+    //    Three keyed exchanges, all linear in the token stream. ──
+    q("lt29_dup_ngram_frac",
+      s"""WITH $toksCte,
+         |pos AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+         |  FROM toks, UNNEST(range(1, greatest(len(t)-2, 1) + 1)) AS u(i)),
+         |dfq AS (SELECT s, count(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, s FROM pos) GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         |  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_ngrams,
+         |  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         |    AS dup_frac
+         |FROM pos JOIN dfq USING (s) GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val pos = Td.table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.ngramsAll(TextOps.tokens(col("text")), 3)).as("s"))
+      val dfq = pos.distinct().groupBy("s").agg(count(lit(1)).as("df"))
+      pos.join(dfq, Seq("s"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ngrams"),
+          sum(when(col("df") > 1, 1L).otherwise(0L)).as("dup_ngrams"))
+        .withColumn("dup_frac",
+          col("dup_ngrams").cast("double") / col("n_ngrams"))
+    },
+
     // ── temperature-weighted mixture resampling (the multilingual /
     //    data-mixing staple: sample sources ∝ n^alpha, alpha=0.5, so
     //    small sources are up-weighted). ALL allocation arithmetic is
