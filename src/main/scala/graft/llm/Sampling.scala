@@ -129,6 +129,61 @@ object Sampling {
         (col("__start") % ctxTokens).as("offset"))
   }
 
+  /** Temperature-weighted mixture allocation (the multilingual / data-
+    * mixing staple: sample strata ∝ n^alpha with alpha = 1/2, up-weighting
+    * small strata). Returns one row per stratum with an exact integer
+    * `target` such that Σ target == budget.
+    *
+    * Alpha is FIXED at 1/2 because IEEE-754 sqrt is correctly rounded —
+    * every engine/libm computes the identical double, so the quantized
+    * integer weights floor(sqrt(n)·1e6) are engine-independent. A general
+    * pow(n, alpha) is NOT correctly rounded and would make the allocation
+    * (and thus the sampled set) differ across engines by one ULP's worth
+    * of remainder ordering. Allocation is largest-remainder in pure
+    * integer arithmetic: base = ⌊B·w/W⌋, and the B − Σ base leftover
+    * units (< #strata of them) go to the largest B·w mod W, stratum-name
+    * tie-break.
+    *
+    * Scale shape: everything here is stratum-cardinality-sized; the one
+    * unpartitioned window runs over the stats table (~|strata| rows,
+    * bounded by construction), never data. */
+  def temperatureTargets(
+      stats: DataFrame, strataCol: String, nCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"temperatureTargets: budget must be positive, got $budget")
+    val w = stats.withColumn("__w",
+      floor(sqrt(col(nCol).cast("double")) * 1e6).cast("long"))
+    val tot = w.agg(sum("__w").as("__wtot"))
+    val t1 = w.crossJoin(broadcast(tot))
+      .withColumn("__base", expr(s"(CAST($budget AS BIGINT) * __w) div __wtot"))
+      .withColumn("__rem", expr(s"(CAST($budget AS BIGINT) * __w) % __wtot"))
+    val extra = t1.agg((lit(budget) - sum("__base")).as("__extra"))
+    t1.crossJoin(broadcast(extra))
+      .withColumn("__erank", row_number().over(
+        Window.orderBy(col("__rem").desc, col(strataCol))))
+      .withColumn("target",
+        col("__base") + when(col("__erank") <= col("__extra"), 1L).otherwise(0L))
+      .select(col(strataCol), col(nCol), col("target"))
+  }
+
+  /** Draw the [[temperatureTargets]] allocation from `df`: per stratum,
+    * the first `target` rows in `orderBy` order (callers pass a
+    * deterministic engine-independent key, e.g. (md5(text), id)). Emits
+    * `sample_rank` (1-based within stratum). One broadcast join + one
+    * stratum-key window shuffle on the doc side. */
+  def temperatureSample(
+      df: DataFrame, idCol: String, strataCol: String, budget: Long,
+      orderBy: Seq[Column]): DataFrame = {
+    val stats = df.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+    val targets = temperatureTargets(stats, strataCol, "__n", budget)
+      .select(col(strataCol), col("target"))
+    df.join(broadcast(targets), Seq(strataCol))
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(strataCol).orderBy(orderBy: _*)))
+      .filter(col("sample_rank") <= col("target"))
+      .drop("target")
+  }
+
   /** Exact global shuffle rank: a deterministic permutation index
     * 0..n-1 in md5 order (id tie-break) — the "shuffle the dataset once,
     * reproducibly" step every training dataloader wants. The naive form,

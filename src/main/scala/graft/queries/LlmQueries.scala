@@ -1850,25 +1850,9 @@ object LlmQueries {
         |SELECT doc_id, rk.source, CAST(sample_rank AS INT) AS sample_rank
         |FROM rk JOIN t2 ON rk.source = t2.source
         |WHERE sample_rank <= target""".stripMargin) { (s, dir) =>
-      val docs = Td.table(s, dir, "documents")
-      val stats = docs.groupBy("source").agg(count(lit(1)).as("n"))
-        .withColumn("w", floor(sqrt(col("n").cast("double")) * 1e6).cast("long"))
-      val tot = stats.agg(sum("w").as("wtot"))
-      val t1 = stats.crossJoin(broadcast(tot))
-        .withColumn("base", expr("(CAST(200 AS BIGINT) * w) div wtot"))
-        .withColumn("rem", expr("(CAST(200 AS BIGINT) * w) % wtot"))
-      val extra = t1.agg((lit(200L) - sum("base")).as("extra"))
-      // the global window is over the SOURCE-STATS table (~|sources| rows,
-      // bounded by construction), not data-sized
-      val t2 = t1.crossJoin(broadcast(extra))
-        .withColumn("erank",
-          row_number().over(Window.orderBy(col("rem").desc, col("source"))))
-        .withColumn("target",
-          col("base") + when(col("erank") <= col("extra"), 1L).otherwise(0L))
-      docs.join(broadcast(t2.select("source", "target")), Seq("source"))
-        .withColumn("sample_rank", row_number().over(
-          Window.partitionBy("source").orderBy(md5(col("text")), col("doc_id"))))
-        .filter(col("sample_rank") <= col("target"))
+      Sampling.temperatureSample(
+          Td.table(s, dir, "documents"), "doc_id", "source", budget = 200L,
+          orderBy = Seq(md5(col("text")), col("doc_id")))
         .select(col("doc_id"), col("source"), col("sample_rank"))
     },
 

@@ -149,4 +149,51 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(again == got.toSet)
   }
+
+  test("temperatureTargets: exact budget, floor-share lower bound, <1 deviation") {
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val nStrata = 2 + rng.nextInt(30)
+      val stats = (0 until nStrata)
+        .map(i => (f"s$i%02d", 1L + rng.nextInt(100000).toLong))
+      val budget = 1L + rng.nextInt(5000).toLong
+      val got = Sampling.temperatureTargets(
+          stats.toDF("source", "n"), "source", "n", budget)
+        .as[(String, Long, Long)].collect().sortBy(_._1)
+      assert(got.map(_._3).sum == budget, s"trial $trial: targets must sum to budget")
+      // each target is within 1 of the real-valued sqrt-share
+      val w = stats.map { case (_, n) => math.floor(math.sqrt(n.toDouble) * 1e6).toLong }
+      val wtot = w.sum
+      got.sortBy(_._1).zip(stats.sortBy(_._1)).zip(w).foreach {
+        case (((sName, _, target), (name, _)), wi) =>
+          assert(sName == name)
+          val share = budget.toDouble * wi / wtot
+          assert(math.abs(target - share) < 1.0,
+            s"trial $trial $name: target $target vs share $share")
+      }
+    }
+  }
+
+  test("temperatureSample: per-stratum counts = min(target, n); deterministic") {
+    val df = docs
+    val sampled = Sampling.temperatureSample(df, "doc_id", "source",
+      budget = 120L, orderBy = Seq(md5(col("text")), col("doc_id")))
+    val counts = sampled.groupBy("source").count().as[(String, Long)].collect().toMap
+    val stats = df.groupBy("source").agg(count(lit(1)).as("n"))
+    val targets = Sampling.temperatureTargets(stats, "source", "n", 120L)
+      .as[(String, Long, Long)].collect()
+    targets.foreach { case (src, n, target) =>
+      assert(counts.getOrElse(src, 0L) == math.min(target, n),
+        s"$src: got ${counts.getOrElse(src, 0L)}, target $target, n $n")
+    }
+    // small strata are up-weighted: sampled fraction decreases with n
+    val fracs = targets.filter(_._3 > 0)
+      .map { case (_, n, t) => (n, math.min(t, n).toDouble / n) }.sortBy(_._1)
+    assert(fracs.head._2 >= fracs.last._2,
+      s"sqrt temperature must favor small strata: $fracs")
+    val again = Sampling.temperatureSample(df, "doc_id", "source",
+      budget = 120L, orderBy = Seq(md5(col("text")), col("doc_id")))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == sampled.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
 }
