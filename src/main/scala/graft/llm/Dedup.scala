@@ -451,6 +451,32 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Cross-document duplicate-n-gram fraction: per doc, the share of
+    * n-gram POSITIONS whose shingle occurs in >= 2 distinct documents —
+    * the boilerplate/template signal complementing the INTRA-doc
+    * repetition ratio ([[TextOps.repetitionRatio]]).
+    *
+    * Scale shape: the position stream (doc_id, shingle — multiset, repeats
+    * kept) is [[Caches.persist]]ed for its two consumers (the distinct →
+    * doc-frequency aggregation and the probe side of the df join) so the
+    * tokenize+window+explode pass runs once, not twice. The df table is
+    * one row per shingle, so joining it back to positions fans out 1:1 —
+    * a viral shingle cannot blow up quadratically the way a pair
+    * self-join would. Three keyed exchanges, all linear in the token
+    * stream. Callers release the internal cache via [[Caches.release]]
+    * after consuming the result. */
+  def dupNgramFraction(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    val pos = Caches.persist(docs.select(col("doc_id"),
+      explode(TextOps.ngramsAll(TextOps.tokens(col(textCol)), n)).as("s")))
+    val dfq = pos.distinct().groupBy("s").agg(count(lit(1)).as("df"))
+    pos.join(dfq, Seq("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("dup_ngrams"))
+      .withColumn("dup_frac",
+        col("dup_ngrams").cast("double") / col("n_ngrams"))
+  }
+
   // ── cluster survivors ────────────────────────────────────────────────────
 
   /** Connected components over a near-dup pair graph (d1, d2 edges):

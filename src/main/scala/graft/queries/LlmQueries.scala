@@ -1809,16 +1809,7 @@ object LlmQueries {
          |  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
          |    AS dup_frac
          |FROM pos JOIN dfq USING (s) GROUP BY doc_id""".stripMargin) { (s, dir) =>
-      val pos = Td.table(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(TextOps.ngramsAll(TextOps.tokens(col("text")), 3)).as("s"))
-      val dfq = pos.distinct().groupBy("s").agg(count(lit(1)).as("df"))
-      pos.join(dfq, Seq("s"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_ngrams"),
-          sum(when(col("df") > 1, 1L).otherwise(0L)).as("dup_ngrams"))
-        .withColumn("dup_frac",
-          col("dup_ngrams").cast("double") / col("n_ngrams"))
+      Dedup.dupNgramFraction(Td.table(s, dir, "documents"), "text", n = 3)
     },
 
     // ── temperature-weighted mixture resampling (the multilingual /

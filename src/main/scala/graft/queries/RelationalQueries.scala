@@ -1767,9 +1767,12 @@ object RelationalQueries {
       s.sql(sql21Text)
     },
 
-    // ── UNPIVOT (a13's inverse): wide per-type counts back to long
-    //    (event_type, n) rows via stack() — a generator, not a shuffle;
-    //    the only exchange is the pivot aggregation's own. ──
+    // ── pivot round-trip via the stack() GENERATOR: a13's wide per-type
+    //    counts folded back to long (event_type, n) rows. Complements
+    //    a20_unpivot, which pins the Dataset.unpivot/Expand path — stack()
+    //    is the SQL-surface generator form (plans as Generate, fuses into
+    //    the pivot's output stage, no extra shuffle), and the oracle shows
+    //    the round-trip equals the direct conditional aggregation. ──
     q("a26_unpivot",
       """WITH p AS (SELECT user_id,
         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
