@@ -55,9 +55,49 @@ object Bpe {
     * Stops early (fewer rows) only if the vocabulary merges to single
     * symbols first — impossible unless nMerges ≳ Σ word lengths. */
   def trainMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val (merges, finalSyms) = trainCore(docs, textCol, nMerges)
+    Caches.unpersistCheckpoint(finalSyms) // merge table only; blocks dead
+    docs.sparkSession.createDataFrame(merges)
+      .select(col("merge_rank"), col("lhs"), col("rhs"), col("merged"),
+        col("pair_freq"))
+  }
+
+  /** ENCODE the corpus under its learned merge table — the apply half of
+    * the tokenizer pipeline (trainMerges learns; this tokenizes). Returns
+    * per-doc (n_words, n_bpe_tokens, fertility = tokens/word — the
+    * standard tokenizer-efficiency metric).
+    *
+    * The key scale property is FREE here: BPE merges never cross word
+    * boundaries, so words encode independently — and [[trainCore]]'s
+    * final symbol table already IS the encoded DISTINCT-WORD vocabulary
+    * (training applies each elected merge as it goes). Encoding the
+    * corpus is therefore one vocabulary-sized rollup (word → symbol
+    * count) joined back to the token stream: the expensive iterations
+    * stay corpus-independent, and the only corpus-scale work is the
+    * tokenize+explode scan and one word-keyed join (vocabulary side is
+    * the small side — AQE broadcasts it when it fits). Callers release
+    * the tier's internal checkpoint blocks via [[Caches.releaseAll]]
+    * after consuming the result (the result plan reads the final symbol
+    * table). */
+  def encodeDocs(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val (_, finalSyms) = trainCore(docs, textCol, nMerges)
+    val wordTok = finalSyms.groupBy("w").agg(count(lit(1)).as("n_sym"))
+    docs.select(col("doc_id"), explode(TextOps.tokens(col(textCol))).as("w"))
+      .join(wordTok, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_bpe_tokens"))
+      .withColumn("fertility",
+        col("n_bpe_tokens").cast("double") / col("n_words"))
+  }
+
+  /** Shared training loop: returns the merge list AND the final encoded
+    * symbol table (w, freq, pos, sym) — still checkpoint-pinned; callers
+    * either unpersist it (merge-table-only use) or consume it (encode). */
+  private def trainCore(
+      docs: DataFrame, textCol: String,
+      nMerges: Int): (Seq[MergeRow], DataFrame) = {
     require(nMerges >= 1 && nMerges <= 256,
       s"trainMerges: nMerges must be in [1, 256], got $nMerges")
-    val spark = docs.sparkSession
 
     val words = docs
       .select(explode(TextOps.tokens(col(textCol))).as("w"))
@@ -120,9 +160,6 @@ object Bpe {
       }
       r += 1
     }
-    Caches.unpersistCheckpoint(syms) // merge table is collected; blocks dead
-    spark.createDataFrame(merges.toSeq)
-      .select(col("merge_rank"), col("lhs"), col("rhs"), col("merged"),
-        col("pair_freq"))
+    (merges.toSeq, syms)
   }
 }

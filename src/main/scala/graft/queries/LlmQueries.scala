@@ -43,6 +43,29 @@ object LlmQueries {
     * merge (run-start running max + position parity + consumed-lag) the
     * Scala side runs — see Bpe's scaladoc for why parity-in-run IS greedy. */
   private def bpeOracle(n: Int): String = {
+    val union = (1 to n)
+      .map(k => s"SELECT $k AS merge_rank, lhs, rhs, lhs || rhs AS merged, pair_freq FROM best$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeCtes(n)}
+       |$union""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.llm.Bpe.encodeDocs]]: the SAME generated
+    * training chain as [[bpeOracle]] (the final syms$n CTE IS the encoded
+    * vocabulary), rolled up to word→symbol-count and joined back to the
+    * doc token stream. */
+  private def bpeEncodeOracle(n: Int): String =
+    s"""WITH ${bpeCtes(n)},
+       |wt AS (SELECT w, count(*) AS n_sym FROM syms$n GROUP BY 1),
+       |stream AS (SELECT doc_id, unnest(t) AS w FROM toks)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(n_sym) AS DOUBLE) / count(*) AS fertility
+       |FROM stream JOIN wt USING (w) GROUP BY doc_id""".stripMargin
+
+  /** The generated BPE training chain through `syms$n` (shared by the
+    * merge-table and encode oracles). */
+  private def bpeCtes(n: Int): String = {
     val iters = (1 to n).map { k =>
       val p = k - 1
       s"""nx$k AS (SELECT w, freq, pos, sym,
@@ -68,16 +91,12 @@ object LlmQueries {
          |      0) AS consumed FROM fl$k)
          |  WHERE consumed = 0)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to n)
-      .map(k => s"SELECT $k AS merge_rank, lhs, rhs, lhs || rhs AS merged, pair_freq FROM best$k")
-      .mkString("\nUNION ALL\n")
-    s"""WITH $toksCte,
+    s"""$toksCte,
        |words AS (SELECT w, count(*) AS freq FROM (SELECT unnest(t) AS w FROM toks)
        |  GROUP BY 1),
        |syms0 AS (SELECT w, freq, CAST(i - 1 AS BIGINT) AS pos, substr(w, CAST(i AS INT), 1) AS sym
        |  FROM words, UNNEST(range(1, length(w) + 1)) AS u(i)),
-       |$iters
-       |$union""".stripMargin
+       |$iters""".stripMargin
   }
 
   /** CTE chain ending in `jac` = exact all-pairs token-3-gram Jaccard pairs
@@ -1751,6 +1770,19 @@ object LlmQueries {
     //    corpus). ──
     q("lt24_bpe_merges", bpeOracle(8)) { (s, dir) =>
       Bpe.trainMerges(Td.table(s, dir, "documents"), "text", nMerges = 8)
+    },
+
+    // ── BPE tokenizer APPLY — the other half of lt24: encode the corpus
+    //    under its learned merges and report per-doc token counts +
+    //    fertility (tokens/word). Because merges never cross word
+    //    boundaries, the trained symbol table IS the encoded vocabulary,
+    //    so encode costs one vocabulary rollup + one word-keyed join over
+    //    the token stream — the iterations stay corpus-independent (see
+    //    Bpe.encodeDocs). The oracle replays the full training chain and
+    //    the encode join, so the data-dependent token counts hash-match
+    //    end-to-end. ──
+    q("lt30_bpe_encode", bpeEncodeOracle(8)) { (s, dir) =>
+      Bpe.encodeDocs(Td.table(s, dir, "documents"), "text", nMerges = 8)
     },
 
     // ── vocabulary coverage / OOV rate: train a top-K frequency vocab

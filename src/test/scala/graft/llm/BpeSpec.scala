@@ -57,4 +57,37 @@ class BpeSpec extends SparkSpec {
     val got = merges(Seq("ab ab"), 5)
     assert(got == Seq((1, "a", "b", "ab", 2L)))
   }
+
+  test("encodeDocs: hand-computed token counts and fertility") {
+    // corpus: doc0 = "aaaa aa", doc1 = "aaaa aaaa ab"
+    // round 1: (a,a) = 3x3 [aaaa, freq 3, overlaps] + 1 [aa] = 10 beats
+    //   (a,b) 1 -> merge "aa": aaaa -> [aa, aa], aa -> [aa], ab -> [a, b]
+    // round 2: (aa,aa) 3 beats (a,b) 1 -> merge "aaaa": aaaa -> [aaaa]
+    // encoded symbol counts: aaaa=1, aa=1, ab=2
+    val df = Seq((0L, "aaaa aa"), (1L, "aaaa aaaa ab")).toDF("doc_id", "text")
+    val got = Bpe.encodeDocs(df, "text", nMerges = 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    Caches.releaseAll(spark)
+    assert(got == Seq(
+      (0L, 2L, 2L, 1.0),
+      (1L, 3L, 4L, 4.0 / 3.0)))
+  }
+
+  test("encodeDocs: zero merges would be char count; n merges never increases tokens") {
+    val df = Seq((0L, "low lower newest"), (1L, "widest low")).toDF("doc_id", "text")
+    val enc1 = Bpe.encodeDocs(df, "text", nMerges = 1)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    Caches.releaseAll(spark)
+    val enc3 = Bpe.encodeDocs(df, "text", nMerges = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    Caches.releaseAll(spark)
+    enc1.zip(enc3).foreach { case ((_, w1, t1, _), (_, w3, t3, _)) =>
+      assert(w1 == w3)          // word counts are merge-independent
+      assert(t3 <= t1, s"more merges cannot add tokens: $t1 -> $t3")
+    }
+    // tokens are bounded below by word count (a word is >= 1 symbol)
+    enc3.foreach { case (_, w, t, f) =>
+      assert(t >= w); assert(f >= 1.0)
+    }
+  }
 }
