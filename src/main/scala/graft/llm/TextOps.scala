@@ -77,6 +77,22 @@ object TextOps {
   def countIn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
 
+  /** Count of the most common token — the Gopher "top token fraction"
+    * numerator — as a ZERO-shuffle scan-stage fold: max run length over
+    * the sorted token array (equal tokens are adjacent after array_sort),
+    * instead of an exploded wordcount that would shuffle per doc. */
+  def topTokenCount(toks: Column): Column = {
+    val runState = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    aggregate(array_sort(toks), runState,
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(run, acc.getField("best")).as("best"))
+      },
+      acc => acc.getField("best"))
+  }
+
   /** Stopword lists per language for the n-gram/stopword lang-ID heuristic.
     * Tiny on purpose: a real deployment swaps in a bigger lexicon; the
     * engine mechanics (score per language, deterministic argmax) are what

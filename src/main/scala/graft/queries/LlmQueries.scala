@@ -1305,19 +1305,10 @@ object LlmQueries {
       val toked = Td.table(s, dir, "documents")
         .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       // max run length over the sorted token array = most-common count
-      val runState = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
-      val topCnt = aggregate(array_sort(col("t")), runState,
-        (acc, x) => {
-          val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
-            .otherwise(lit(1L))
-          struct(x.as("prev"), run.as("run"),
-            greatest(run, acc.getField("best")).as("best"))
-        },
-        acc => acc.getField("best"))
       val d = toked.select(
         col("doc_id"),
         size(col("t")).cast("long").as("n_tok"),
-        topCnt.as("top_cnt"),
+        TextOps.topTokenCount(col("t")).as("top_cnt"),
         size(filter(col("t"), w => w === "the" || w === "a")).cast("long").as("n_stop"),
         aggregate(col("t"), lit(0L), (acc, w) => acc + length(w)).as("sum_len"))
         // a zero-token doc has no quality ratios; the oracle's unnest CTE
@@ -1783,6 +1774,85 @@ object LlmQueries {
     //    end-to-end. ──
     q("lt30_bpe_encode", bpeEncodeOracle(8)) { (s, dir) =>
       Bpe.encodeDocs(Td.table(s, dir, "documents"), "text", nMerges = 8)
+    },
+
+    // ── curation scorecard: EVERY scan-stage quality signal (token count,
+    //    heuristic quality, bigram repetition, Gopher top/stop/length
+    //    measures, language ID) plus the fused keep verdict, in ONE pass —
+    //    1 scan, 0 shuffles, plan-asserted. The point vs running lt1 +
+    //    lt9 + lt13 + lt2 as separate pipelines: at 100 TB each extra
+    //    pipeline is another full corpus read, while every signal here is
+    //    scan-stage column work sharing one tokenization (t and the
+    //    bigram array are materialized aliases — multi-referenced
+    //    non-cheap projections that CollapseProject keeps, so neither is
+    //    re-inlined per consumer). Thresholds split the corpus
+    //    non-trivially at sf0.01 (quality median 0.53, rep2 median 0.03).
+    //    The oracle recomputes each signal with the exact lt1/lt9/lt13/
+    //    lt2 oracle formulas, so the booleans agree bit-for-bit. ──
+    q("lt31_curation_scorecard", {
+      val scoreSql = TextOps.StopwordLists.map { case (lang, words) =>
+        val inList = words.map(w => s"'$w'").mkString(", ")
+        lang -> s"len(list_filter(t, x -> x IN ($inList)))"
+      }
+      val caseChain = scoreSql.init.zipWithIndex.map { case ((lang, score), i) =>
+        val later = scoreSql.drop(i + 1).map(_._2)
+        val laterMax = if (later.size == 1) later.head else s"greatest(${later.mkString(", ")})"
+        s"WHEN $score >= $laterMax THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH $toksCte,
+         |g AS (SELECT doc_id, list_transform(range(1, greatest(len(t)-1, 1) + 1),
+         |    i -> array_to_string(t[i:i+1], ' ')) AS g FROM toks),
+         |tok AS (SELECT doc_id, unnest(t) AS w, len(t) AS n FROM toks),
+         |tc AS (SELECT doc_id, w, n, count(*) AS c FROM tok GROUP BY 1, 2, 3),
+         |gop AS (SELECT doc_id,
+         |    max(c) AS top_cnt, max(n) AS n_tok,
+         |    sum(CASE WHEN w IN ('the', 'a') THEN c ELSE 0 END) AS n_stop,
+         |    sum(c * length(w)) AS sum_len
+         |  FROM tc GROUP BY 1),
+         |sig AS (SELECT tk.doc_id,
+         |    CAST(len(t) AS INT) AS n_tokens,
+         |    0.4 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
+         |      + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE))
+         |      + 0.3 * least(((CAST(length(text) AS DOUBLE) + 1.0)
+         |          / CAST(len(t) AS DOUBLE) - 1.0) / 8.0, 1.0) AS quality,
+         |    1.0 - CAST(len(list_distinct(g.g)) AS DOUBLE) / CAST(len(g.g) AS DOUBLE)
+         |      AS rep2,
+         |    (CASE $caseChain ELSE '${scoreSql.last._1}' END) AS lang_pred
+         |  FROM toks tk JOIN g ON tk.doc_id = g.doc_id)
+         |SELECT s.doc_id, s.n_tokens, s.quality, s.rep2,
+         |  CAST(a.top_cnt AS DOUBLE) / CAST(a.n_tok AS DOUBLE) AS top_frac,
+         |  CAST(a.n_stop AS DOUBLE) / CAST(a.n_tok AS DOUBLE) AS stop_frac,
+         |  CAST(a.sum_len AS DOUBLE) / CAST(a.n_tok AS DOUBLE) AS mean_tok_len,
+         |  s.lang_pred,
+         |  s.quality >= 0.5 AND s.rep2 <= 0.08
+         |    AND CAST(a.top_cnt AS DOUBLE) / CAST(a.n_tok AS DOUBLE) <= 0.2
+         |    AND CAST(a.n_stop AS DOUBLE) / CAST(a.n_tok AS DOUBLE) >= 0.01
+         |    AND CAST(a.sum_len AS DOUBLE) / CAST(a.n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0
+         |    AND s.lang_pred = 'en' AS keep
+         |FROM sig s JOIN gop a ON s.doc_id = a.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val toked = Td.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("t"))
+        .withColumn("g2", TextOps.ngramsAll(col("t"), 2))
+        .filter(size(col("t")) > 0)
+      val nTokD = size(col("t")).cast("double")
+      toked.select(
+          col("doc_id"),
+          size(col("t")).cast("int").as("n_tokens"),
+          TextOps.qualityScore(col("t"), col("text")).as("quality"),
+          (lit(1.0) - size(array_distinct(col("g2"))).cast("double")
+            / size(col("g2")).cast("double")).as("rep2"),
+          (TextOps.topTokenCount(col("t")).cast("double") / nTokD).as("top_frac"),
+          (TextOps.countIn(col("t"), Seq("the", "a")).cast("double") / nTokD)
+            .as("stop_frac"),
+          (aggregate(col("t"), lit(0L), (acc, w) => acc + length(w)).cast("double")
+            / nTokD).as("mean_tok_len"),
+          TextOps.langId(col("t")).as("lang_pred"))
+        .withColumn("keep",
+          col("quality") >= 0.5 && col("rep2") <= 0.08 &&
+            col("top_frac") <= 0.2 && col("stop_frac") >= 0.01 &&
+            col("mean_tok_len") >= 3.0 && col("mean_tok_len") <= 10.0 &&
+            col("lang_pred") === "en")
     },
 
     // ── vocabulary coverage / OOV rate: train a top-K frequency vocab

@@ -22,6 +22,9 @@ class PlanShapeSpec extends SparkSpec {
   // materialized adaptive plan
   private val shapes = Seq(
     Shape("lt13_gopher_rules", scans = Some(1), shuffles = Some(0)),
+    // lt31: the whole scorecard (5 signal families + fused verdict) is
+    // one scan-stage pass — the claim that justifies its existence
+    Shape("lt31_curation_scorecard", scans = Some(1), shuffles = Some(0)),
     Shape("f_hof_pack", scans = Some(1), shuffles = Some(0)),
     Shape("f_map_pack", scans = Some(1), shuffles = Some(0)),
     Shape("f_try_pack", scans = Some(1), shuffles = Some(0)),
