@@ -254,6 +254,31 @@ object BikeShapeQueries {
         .select(col("station_id"), col("name"), round(dist, 3).as("dist_m"))
     },
 
+    // ── distributed spatial SELF-JOIN (station adjacency graph): all
+    //    station pairs within 3 km via GRID-CELL blocking — the shape
+    //    where neither side can broadcast (a billion points against
+    //    themselves). Cells sized conservatively from the radius and the
+    //    declared latitude band, left side probes its 3x3 neighborhood,
+    //    both sides shuffle on the cell key only, exact haversine confirm.
+    //    The oracle is the BRUTE-FORCE all-pairs join — an exhaustiveness
+    //    proof of the blocking, not a sample (the ld11 pattern). ──
+    q("bgeo_pair_join",
+      s"""WITH $mappingSql
+         |SELECT a.station_id AS id_l, b.station_id AS id_r,
+         |  round(2.0 * 6371000.0 * asin(sqrt(
+         |    pow(sin(radians(b.lat - a.lat) / 2), 2) +
+         |    cos(radians(a.lat)) * cos(radians(b.lat)) *
+         |    pow(sin(radians(b.lon - a.lon) / 2), 2))), 3) AS dist_m
+         |FROM st a JOIN st b ON a.station_id < b.station_id
+         |WHERE 2.0 * 6371000.0 * asin(sqrt(
+         |    pow(sin(radians(b.lat - a.lat) / 2), 2) +
+         |    cos(radians(a.lat)) * cos(radians(b.lat)) *
+         |    pow(sin(radians(b.lon - a.lon) / 2), 2))) <= 3000.0""".stripMargin) { (s, dir) =>
+      graft.ops.GeoOps.withinRadiusPairs(stations(s, dir),
+          "station_id", "lat", "lon", radiusM = 3000.0, maxAbsLatDeg = 32.0)
+        .select(col("id_l"), col("id_r"), round(col("dist_m"), 3).as("dist_m"))
+    },
+
     // ── §2.7: greedy OD flow inference (od_inference.py:46-77). Not
     //    SQL-expressible (stateful greedy loop) → driver rows-only check;
     //    exact semantics are pinned by OdInferenceSpec property tests. ──

@@ -68,4 +68,40 @@ class TimeGeoOpsSpec extends SparkSpec {
       .as[Double].head()
     assert(math.abs(viaCol - d) < 1e-6)
   }
+
+  test("withinRadiusPairs: cell blocking is COMPLETE vs brute force on random points") {
+    val rng = new scala.util.Random(7)
+    // clustered + scattered points around a band edge so plenty of pairs
+    // straddle cell boundaries
+    val pts = (0 until 300).map { i =>
+      (i.toLong, -30.0 - rng.nextDouble() * 0.5, -51.0 - rng.nextDouble() * 0.5)
+    }
+    val r = 4000.0
+    val got = GeoOps.withinRadiusPairs(
+        pts.toDF("id", "lat", "lon"), "id", "lat", "lon", r, maxAbsLatDeg = 31.0)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    val brute = (for {
+      a <- pts; b <- pts if a._1 < b._1
+      if GeoOps.haversineMeters(a._2, a._3, b._2, b._3) <= r
+    } yield (a._1, b._1)).toSet
+    assert(got == brute, s"cell-blocked ${got.size} vs brute ${brute.size}")
+    assert(brute.nonEmpty) // the fixture actually exercises pairs
+  }
+
+  test("withinRadiusPairs: each pair appears exactly once, symmetric inputs") {
+    val pts = Seq((1L, -30.001, -51.001), (2L, -30.001, -51.0012),
+      (3L, -30.5, -51.5)).toDF("id", "lat", "lon")
+    val got = GeoOps.withinRadiusPairs(pts, "id", "lat", "lon", 1000.0, 31.0)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L))) // one pair, once, canonical order
+  }
+
+  test("withinRadiusPairs: a point outside the declared band raises loudly") {
+    val pts = Seq((1L, -30.0, -51.0), (2L, -35.0, -51.0)).toDF("id", "lat", "lon")
+    val e = intercept[Exception] {
+      GeoOps.withinRadiusPairs(pts, "id", "lat", "lon", 1000.0, maxAbsLatDeg = 31.0)
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
