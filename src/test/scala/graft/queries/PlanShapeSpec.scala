@@ -60,6 +60,11 @@ class PlanShapeSpec extends SparkSpec {
     // decorrelate to hash semi/anti joins on the equi part, never a
     // nested loop over the fact
     Shape("sql21_waiting_suppliers", scans = None, shuffles = None,
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // bgeo_pair_join: the planner must extract the (cell, cell) equi keys
+    // from the mixed join condition — a nested loop over points x points
+    // is exactly what the cell blocking exists to prevent
+    Shape("bgeo_pair_join", scans = None, shuffles = None,
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
 
   /** Flatten INCLUDING materialized AQE query stages (QueryStageExec is a
