@@ -279,6 +279,43 @@ object BikeShapeQueries {
         .select(col("id_l"), col("id_r"), round(col("dist_m"), 3).as("dist_m"))
     },
 
+    // ── nearest-neighbor graph (radius-bounded 1-NN per station),
+    //    composed from the cell-blocked pair join: symmetrize the pairs,
+    //    one id-keyed window picks each station's closest neighbor
+    //    (distance, then id, so ties are pinned). Stations with no
+    //    neighbor within the radius are absent — the bounded-search
+    //    contract that keeps the join cell-local at scale (an unbounded
+    //    global NN would need expanding-ring probes). ──
+    q("bgeo_nn_graph",
+      s"""WITH $mappingSql,
+         |p AS (SELECT a.station_id AS id, b.station_id AS nbr,
+         |  2.0 * 6371000.0 * asin(sqrt(
+         |    pow(sin(radians(b.lat - a.lat) / 2), 2) +
+         |    cos(radians(a.lat)) * cos(radians(b.lat)) *
+         |    pow(sin(radians(b.lon - a.lon) / 2), 2))) AS dist_m
+         |FROM st a JOIN st b ON a.station_id <> b.station_id
+         |WHERE 2.0 * 6371000.0 * asin(sqrt(
+         |    pow(sin(radians(b.lat - a.lat) / 2), 2) +
+         |    cos(radians(a.lat)) * cos(radians(b.lat)) *
+         |    pow(sin(radians(b.lon - a.lon) / 2), 2))) <= 3000.0),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY id
+         |    ORDER BY dist_m, nbr) AS rk FROM p)
+         |SELECT id AS station_id, nbr AS nearest_id, round(dist_m, 3) AS dist_m
+         |FROM r WHERE rk = 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val pairs = graft.ops.GeoOps.withinRadiusPairs(stations(s, dir),
+        "station_id", "lat", "lon", radiusM = 3000.0, maxAbsLatDeg = 32.0)
+      val sym = pairs
+        .select(col("id_l").as("id"), col("id_r").as("nbr"), col("dist_m"))
+        .unionByName(pairs
+          .select(col("id_r").as("id"), col("id_l").as("nbr"), col("dist_m")))
+      sym.withColumn("rk", row_number().over(
+          Window.partitionBy("id").orderBy(col("dist_m"), col("nbr"))))
+        .filter(col("rk") === 1)
+        .select(col("id").as("station_id"), col("nbr").as("nearest_id"),
+          round(col("dist_m"), 3).as("dist_m"))
+    },
+
     // ── §2.7: greedy OD flow inference (od_inference.py:46-77). Not
     //    SQL-expressible (stateful greedy loop) → driver rows-only check;
     //    exact semantics are pinned by OdInferenceSpec property tests. ──
