@@ -33,7 +33,7 @@ object Caches {
   private val trackedCkpt = new ConcurrentLinkedQueue[DataFrame]()
 
   /** Persist `df` and register it for the next [[release]]. */
-  private[llm] def persist(df: DataFrame): DataFrame = {
+  private[graft] def persist(df: DataFrame): DataFrame = {
     tracked.add(df.persist())
     df
   }

@@ -83,4 +83,79 @@ object GeoOps {
       .select(col("__id").as("id_l"), col("__idR").as("id_r"),
         dist.as("dist_m"))
   }
+
+  /** Distributed DBSCAN(epsM, minPts) over a point set, composed entirely
+    * from bounded-radius primitives — no all-pairs stage anywhere:
+    *
+    *   1. neighbor pairs within epsM via [[withinRadiusPairs]] (grid-cell
+    *      blocking: both sides shuffle on the cell key only);
+    *   2. core points = |N_eps(p)| >= minPts, with N_eps counting the
+    *      point itself (the standard DBSCAN definition) — one count
+    *      aggregation over the symmetrized pair stream;
+    *   3. clusters = connected components of the core-core subgraph
+    *      (min-core-id label via [[graft.llm.Dedup.dedupClusters]]'s
+    *      pointer-doubled label propagation, O(log diameter) rounds);
+    *      cores with no core neighbor are their own singleton cluster;
+    *   4. border points (non-core with a core neighbor) attach to their
+    *      NEAREST core's cluster — distance rounded to mm then neighbor id,
+    *      so the assignment is deterministic even when two cores from
+    *      different clusters are equidistant (plain DBSCAN leaves that
+    *      order-dependent; a scan-order-dependent answer cannot be
+    *      hash-checked across engines);
+    *   5. everything else is noise (cluster NULL).
+    *
+    * The symmetrized neighbor stream feeds three consumers (counts,
+    * core-core edges, border assignment), so it is persisted through the
+    * llm-tier cache registry; the harness releases it after the consuming
+    * action. Scale shape: every stage is a keyed shuffle on point ids or
+    * cell keys — cluster count, density, and component diameter bound the
+    * work, never n². Output: (id, role core|border|noise, cluster = min
+    * core id of the containing cluster, NULL for noise). */
+  def dbscan(
+      points: org.apache.spark.sql.DataFrame, idCol: String,
+      latCol: String, lonCol: String, epsM: Double, minPts: Int,
+      maxAbsLatDeg: Double): org.apache.spark.sql.DataFrame = {
+    require(minPts >= 2, s"dbscan: minPts must be >= 2, got $minPts")
+    require(points.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"dbscan: $idCol must be numeric (cluster labels are min core ids), " +
+        s"got ${points.schema(idCol).dataType.simpleString}")
+    import org.apache.spark.sql.expressions.Window
+    val pairs = withinRadiusPairs(points, idCol, latCol, lonCol, epsM, maxAbsLatDeg)
+    // Symmetrize via explode (one pass over the pair stream, not a
+    // two-legged union that would run the cell join twice), then persist:
+    // counts, the core-core edge build, and border assignment all read it.
+    val sym = graft.llm.Caches.persist(pairs.select(explode(array(
+        struct(col("id_l").as("id"), col("id_r").as("nbr"), col("dist_m")),
+        struct(col("id_r").as("id"), col("id_l").as("nbr"), col("dist_m")))).as("e"))
+      .select(col("e.id").as("id"), col("e.nbr").as("nbr"), col("e.dist_m").as("dist_m")))
+    val core = sym.groupBy("id").agg(count(lit(1)).as("__nbrs"))
+      .filter(col("__nbrs") + 1 >= minPts).select("id")
+    // Core-core edges in canonical id < nbr form for the component labeler.
+    val corePairs = sym.filter(col("id") < col("nbr"))
+      .join(core, Seq("id"), "left_semi")
+      .join(core.select(col("id").as("nbr")), Seq("nbr"), "left_semi")
+      .select(col("id").as("d1"), col("nbr").as("d2"))
+    val linked = graft.llm.Dedup.dedupClusters(corePairs)
+      .select(col("doc_id").as("id"), col("survivor_id").as("cluster"))
+    // Cores whose neighborhood holds no other core form singleton clusters.
+    val coreClusters = linked.unionByName(
+      core.join(linked, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("cluster")))
+    val borderRanked = sym
+      .join(core, Seq("id"), "left_anti")
+      .join(coreClusters.select(col("id").as("nbr"), col("cluster")), Seq("nbr"))
+      .withColumn("__rk", row_number().over(Window.partitionBy("id")
+        .orderBy(round(col("dist_m"), 3), col("nbr"))))
+      .filter(col("__rk") === 1)
+      .select(col("id"), col("cluster"))
+    val labeled = coreClusters.select(col("id"), lit("core").as("role"), col("cluster"))
+      .unionByName(borderRanked.select(col("id"), lit("border").as("role"), col("cluster")))
+    points.select(col(idCol).as("id"))
+      .join(labeled, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("role"), lit("noise")).as("role"),
+        col("cluster"))
+  }
+
 }

@@ -1700,6 +1700,71 @@ object LlmQueries {
         .select("cluster", "doc_id", "qq", "n_members")
     },
 
+    // ── Corpus drift monitor (PSI): release-over-release distribution
+    //    shift of a document signal (here doc-length buckets, n_chars DIV
+    //    100) between the lq3 snapshot pair — the gate a training-data
+    //    pipeline puts in front of "retrain on the new crawl". Per-bucket
+    //    population-stability contributions with EVERYTHING in exact
+    //    integers: add-one-smoothed counts, parts-per-million shares by
+    //    integer DIV, and the log ratio as floor(log2) via length(bin(n))
+    //    over the BOUNDED ppm values (<= 1e6 at any corpus size — the
+    //    count-product form would overflow BIGINT at 1e12-doc scale), so
+    //    no transcendental or overflow can diverge between engines. Scale
+    //    shape: ONE bucket-keyed shuffle with map-side combine for the
+    //    histogram (the two releases union into one pass), a 1-row totals
+    //    agg broadcast back — output is O(buckets). ──
+    q("lq5_drift_psi",
+      """WITH newv AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 2 THEN n_chars + 3 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 7 <> 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, n_chars FROM documents WHERE doc_id % 7 = 3),
+        |h AS (SELECT bucket, CAST(sum(a) AS BIGINT) AS c_old,
+        |    CAST(sum(b) AS BIGINT) AS c_new
+        |  FROM (SELECT n_chars // 100 AS bucket, 1 AS a, 0 AS b FROM documents
+        |        UNION ALL
+        |        SELECT n_chars // 100, 0, 1 FROM newv)
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(c_old) AS n_old, sum(c_new) AS n_new,
+        |    count(*) AS k FROM h),
+        |s AS (SELECT bucket, c_old, c_new,
+        |    CAST((c_old + 1) * 1000000 // (n_old + k) AS BIGINT) AS p_old_ppm,
+        |    CAST((c_new + 1) * 1000000 // (n_new + k) AS BIGINT) AS p_new_ppm
+        |  FROM h, tot)
+        |SELECT bucket, c_old, c_new, p_old_ppm, p_new_ppm,
+        |  CAST(length(bin(p_old_ppm + 1)) - length(bin(p_new_ppm + 1)) AS BIGINT)
+        |    AS log2_ratio,
+        |  CAST((p_old_ppm - p_new_ppm) *
+        |    (length(bin(p_old_ppm + 1)) - length(bin(p_new_ppm + 1))) AS BIGINT)
+        |    AS psi_contrib
+        |FROM s""".stripMargin) { (s, dir) =>
+      val old = Td.table(s, dir, "documents").select("doc_id", "n_chars")
+      val mod7 = col("doc_id") % 7
+      val newV = old.filter(mod7 =!= 1)
+        .select(when(mod7 === 2, col("n_chars") + 3)
+          .otherwise(col("n_chars")).as("n_chars"))
+        .unionByName(old.filter(mod7 === 3).select(col("n_chars")))
+      val hist = old.select(expr("n_chars DIV 100").as("bucket"),
+          lit(1L).as("a"), lit(0L).as("b"))
+        .unionByName(newV.select(expr("n_chars DIV 100").as("bucket"),
+          lit(0L).as("a"), lit(1L).as("b")))
+        .groupBy("bucket")
+        .agg(sum("a").as("c_old"), sum("b").as("c_new"))
+      val tot = hist.agg(sum("c_old").as("n_old"), sum("c_new").as("n_new"),
+        count(lit(1)).as("k"))
+      val shares = hist.crossJoin(broadcast(tot))
+        .withColumn("p_old_ppm",
+          expr("(c_old + 1) * 1000000 DIV (n_old + k)"))
+        .withColumn("p_new_ppm",
+          expr("(c_new + 1) * 1000000 DIV (n_new + k)"))
+      val l2 = (length(bin(col("p_old_ppm") + 1)) -
+        length(bin(col("p_new_ppm") + 1))).cast("long")
+      shares.select(col("bucket"), col("c_old"), col("c_new"),
+        col("p_old_ppm"), col("p_new_ppm"), l2.as("log2_ratio"),
+        ((col("p_old_ppm") - col("p_new_ppm")) * l2).cast("long").as("psi_contrib"))
+    },
+
     // ── multimodal frame sampling: every 2nd 64-byte frame of the payload,
     //    stub features per kept frame (all-ASCII corpus ⇒ byte = char, so
     //    the oracle recomputes via substr/ord from first principles) ──

@@ -104,4 +104,100 @@ class TimeGeoOpsSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  // ── DBSCAN ────────────────────────────────────────────────────────────────
+
+  private def runDbscan(pts: Seq[(Long, Double, Double)], epsM: Double,
+      minPts: Int): Map[Long, (String, Option[Long])] =
+    GeoOps.dbscan(pts.toDF("id", "lat", "lon"), "id", "lat", "lon",
+        epsM, minPts, maxAbsLatDeg = 32.0)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+
+  test("dbscan: cores, borders, noise, and singleton-core clusters on a hand fixture") {
+    // 0.002 deg lat ~ 222 m; eps 500 m, minPts 3 (self + 2 neighbors).
+    val pts = Seq(
+      // blob A: mutual triangle -> all core, cluster = min id 1; 4 hangs
+      // off 3 only (one neighbor) -> border of A
+      (1L, -30.000, -51.0), (2L, -30.002, -51.0), (3L, -30.004, -51.0),
+      (4L, -30.008, -51.0),
+      // lone point far away -> noise
+      (5L, -30.200, -51.0),
+      // blob B: second cluster, 55 km from A
+      (6L, -30.500, -51.0), (7L, -30.502, -51.0), (8L, -30.504, -51.0),
+      // 9 is core via two BORDER-only neighbors (10, 11 are 445 m away on
+      // opposite sides, 890 m from each other): no core neighbor -> 9 is a
+      // singleton-core cluster and both wings attach to it as borders
+      (9L, -31.000, -51.0), (10L, -31.004, -51.0), (11L, -30.996, -51.0))
+    val got = runDbscan(pts, 500.0, 3)
+    val expected = Map(
+      1L -> ("core", Some(1L)), 2L -> ("core", Some(1L)), 3L -> ("core", Some(1L)),
+      4L -> ("border", Some(1L)), 5L -> ("noise", None),
+      6L -> ("core", Some(6L)), 7L -> ("core", Some(6L)), 8L -> ("core", Some(6L)),
+      9L -> ("core", Some(9L)), 10L -> ("border", Some(9L)), 11L -> ("border", Some(9L)))
+    assert(got == expected)
+  }
+
+  test("dbscan: equidistant border between two clusters attaches to the smaller core id") {
+    // Two tight 4-point columns (111 m spacing: every member sees 3
+    // neighbors -> core at minPts 4) whose facing ends are 890 m apart
+    // (not neighbors at eps 500), with a border EXACTLY midway between
+    // core 4 and core 7 (same meridian, 445 m each; only those 2 neighbors,
+    // so it stays non-core): the (rounded-distance, neighbor-id) order must
+    // pin the assignment to core 4's cluster.
+    val pts = Seq(
+      (1L, -30.000, -51.0), (2L, -30.001, -51.0), (3L, -30.002, -51.0),
+      (4L, -30.003, -51.0),
+      (5L, -30.007, -51.0), // the contested border
+      (7L, -30.011, -51.0), (8L, -30.012, -51.0), (9L, -30.013, -51.0),
+      (10L, -30.014, -51.0))
+    val got = runDbscan(pts, 500.0, 4)
+    assert(got(4L) == ("core", Some(1L)) && got(7L) == ("core", Some(7L)))
+    assert(got(5L) == ("border", Some(1L)))
+  }
+
+  test("dbscan: full labeling matches an in-memory reference DBSCAN on random points") {
+    val rng = new scala.util.Random(11)
+    val pts = (0 until 250).map { i =>
+      (i.toLong, -30.0 - rng.nextDouble() * 0.4, -51.0 - rng.nextDouble() * 0.4)
+    }
+    val eps = 3000.0
+    val minPts = 4
+    // reference: brute-force neighbors, union-find components, nearest-core
+    // borders with the same (mm-rounded distance, id) tie-break
+    val nbrs: Map[Long, Seq[(Long, Double)]] = (for {
+      a <- pts; b <- pts if a._1 != b._1
+      d = GeoOps.haversineMeters(a._2, a._3, b._2, b._3) if d <= eps
+    } yield (a._1, (b._1, d))).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSeq }
+      .withDefaultValue(Seq.empty)
+    val core = pts.map(_._1).filter(id => nbrs(id).size + 1 >= minPts).toSet
+    val parent = scala.collection.mutable.Map(core.toSeq.map(c => c -> c): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (c <- core; (n, _) <- nbrs(c) if core(n)) {
+      val (ra, rb) = (find(c), find(n))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val clusterOf: Map[Long, Long] =
+      core.map(c => c -> find(c)).toMap // min-id root by construction above
+    def mm(d: Double): BigDecimal =
+      BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val expected: Map[Long, (String, Option[Long])] = pts.map { case (id, _, _) =>
+      if (core(id)) id -> ("core", Some(clusterOf(id)))
+      else {
+        val coreNbrs = nbrs(id).filter { case (n, _) => core(n) }
+        if (coreNbrs.isEmpty) id -> ("noise", None)
+        else {
+          val (bestN, _) = coreNbrs.minBy { case (n, d) => (mm(d), n) }
+          id -> ("border", Some(clusterOf(bestN)))
+        }
+      }
+    }.toMap
+    assert(runDbscan(pts, eps, minPts) == expected)
+    assert(core.nonEmpty && expected.values.exists(_._1 == "border") &&
+      expected.values.exists(_._1 == "noise")) // the fixture exercises all roles
+  }
 }
