@@ -108,4 +108,50 @@ object GraphOps {
     nodes.join(perCorner, Seq("id"), "left")
       .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
+
+  /** DETERMINISTIC label-propagation community detection (fixed-iteration,
+    * synchronous, self-inclusive) over a SYMMETRIZED edge list (src, dst).
+    *
+    * Each round every node adopts the most frequent label among its
+    * neighbors' current labels PLUS its own — argmax by (count DESC,
+    * label ASC). The self-vote kills the two-node oscillation that makes
+    * textbook synchronous LPA non-convergent, and the min-label tie-break
+    * replaces the textbook's random choice (an order-dependent answer
+    * cannot be hash-checked). Ties therefore lean toward smaller labels,
+    * but only where no label holds a strict majority — dense regions
+    * out-vote a bridge edge, which is the property that separates LPA
+    * communities from plain connected components (ld6): two cliques
+    * joined by one edge keep distinct communities here and collapse to
+    * one component there.
+    *
+    * Shape per round: one dst-keyed join to fetch neighbor labels, one
+    * (node, label) count shuffle with map-side combine, one node-keyed
+    * window argmax — all bounded by E. `iters` is fixed and small so the
+    * oracle can unroll the rounds as generated CTEs; per-round
+    * localCheckpoint keeps the plan from nesting (the pagerank
+    * discipline). Output: (id, community = converged-ish label). */
+  def labelPropagation(edges: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    import org.apache.spark.sql.expressions.Window
+    val e = Caches.persist(edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")))
+    val nodes = Caches.persist(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    var lbl = nodes.select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to iters) {
+      val votes = e.join(lbl, e("dst") === lbl("id"))
+        .select(e("src").as("node"), col("lbl"))
+        .unionByName(lbl.select(col("id").as("node"), col("lbl")))
+      val next = votes.groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+        .withColumn("__rn", row_number().over(Window.partitionBy("node")
+          .orderBy(col("c").desc, col("lbl"))))
+        .filter(col("__rn") === 1)
+        .select(col("node").as("id"), col("lbl"))
+        .localCheckpoint()
+      Caches.trackCheckpoint(next)
+      Caches.unpersistCheckpoint(lbl)
+      lbl = next
+    }
+    lbl.select(col("id"), col("lbl").as("community"))
+  }
 }

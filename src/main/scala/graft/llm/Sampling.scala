@@ -211,4 +211,51 @@ object Sampling {
     }
     spark.createDataFrame(rows, schema)
   }
+
+  /** WEIGHTED sampling without replacement (top-k, P(pick) ∝ weight) with
+    * EXACT integer keys — no transcendentals anywhere, so the draw is
+    * bit-reproducible on any engine. The classic Efraimidis–Spirakis key
+    * u^(1/w) is realized by its order-statistic identity instead of by
+    * computing it: the max of w iid uniforms has CDF x^w, so each row
+    * draws `weight` 60-bit md5 uniforms (one per (id, j) pair, all
+    * scan-stage) and keeps their MAX as its key; the k largest integer
+    * keys are the sample. One partial-aggregated max per row, one
+    * TakeOrderedAndProject for the top-k — no full sort, no shuffle of
+    * the draw stream beyond the id-keyed combine.
+    *
+    * Cost is O(Σ weights) draws, the right trade for integer-exact
+    * reproducibility when weights are bounded (token counts, byte sizes /
+    * bucket): `maxWeight` guards the explode loudly — a runaway weight
+    * (the IntervalJoin dirty-span lesson) would otherwise build a huge
+    * per-row array. For unbounded weights switch to the -ln(u)/w float
+    * key and accept engine-dependent ulps; that variant is deliberately
+    * not registered.
+    *
+    * `seed` folds into every draw so disjoint samples replay
+    * independently. Output: (id, weight, key, rank), rank 1..k by
+    * (key DESC, id). */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String, k: Int,
+      seed: String = "", maxWeight: Long = 1000000L): DataFrame = {
+    require(k > 0, s"weightedSample: k must be positive, got $k")
+    val w = col(weightCol).cast("long")
+    val guarded = when(w <= maxWeight, w).otherwise(raise_error(concat(
+      lit(s"weightedSample: $weightCol exceeds maxWeight $maxWeight: "),
+      w.cast("string"))))
+    val keys = df
+      .select(col(idCol).as("id"), guarded.as("weight"))
+      .filter(col("weight") > 0)
+      .select(col("id"), col("weight"),
+        explode(sequence(lit(1L), col("weight"))).as("j"))
+      .select(col("id"), col("weight"),
+        Dedup.md5Hash60(concat_ws(":", lit(seed), col("id").cast("string"),
+          col("j").cast("string"))).as("u"))
+      .groupBy("id", "weight").agg(max("u").as("key"))
+    // Window AFTER the top-k cut: ranking k rows in one task is O(k);
+    // ranking before the cut would single-partition the whole corpus.
+    keys.orderBy(col("key").desc, col("id")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("key").desc, col("id")))
+          .cast("long"))
+  }
 }

@@ -460,6 +460,30 @@ object LlmQueries {
        |SELECT id AS doc_id, pr FROM r$iters""".stripMargin
   }
 
+  /** lg3 oracle: the LPA rounds unrolled as generated CTEs (the lg1
+    * recipe) — each round recomputes neighbor+self vote counts and the
+    * (count DESC, label ASC) argmax exactly as
+    * [[graft.llm.GraphOps.labelPropagation]] does. */
+  private def lg3Oracle(iters: Int, minJ: Double): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""l$i AS (SELECT node AS id, lbl FROM (
+         |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |      ORDER BY c DESC, lbl) AS rn
+         |  FROM (SELECT node, lbl, count(*) AS c FROM (
+         |      SELECT e.src AS node, p.lbl FROM edges e
+         |      JOIN l${i - 1} p ON p.id = e.dst
+         |      UNION ALL SELECT id, lbl FROM l${i - 1})
+         |    GROUP BY 1, 2)) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${jacCtes(minJ)},
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM jac
+       |  UNION ALL SELECT d2, d1 FROM jac),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |l0 AS (SELECT id, id AS lbl FROM nodes),
+       |$iterCtes
+       |SELECT id AS doc_id, lbl AS community FROM l$iters""".stripMargin
+  }
+
   private def q(name: String, oracle: String)(
       f: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, f, Some(oracle))
@@ -629,6 +653,22 @@ object LlmQueries {
         .unionByName(jac.select(col("d2").as("src"), col("d1").as("dst")))
       GraphOps.pagerank(edges, iters = 5)
         .select(col("id").as("doc_id"), col("pr"))
+    },
+
+    // ── deterministic label-propagation communities over the near-dup
+    //    graph: unlike ld6's connected components (one bridge edge merges
+    //    two clusters), LPA's majority vote keeps densely-linked template
+    //    families distinct across incidental links — the granularity a
+    //    curation policy actually wants to act on. Self-inclusive votes +
+    //    min-label ties make the fixed 4 rounds bit-deterministic, so the
+    //    oracle replays the whole iteration as generated CTEs. ──
+    q("lg3_communities", lg3Oracle(iters = 4, minJ = 0.8)) { (s, dir) =>
+      val jac = Dedup.jaccardPairs(
+        Dedup.shingleTable(Td.table(s, dir, "documents"), "doc_id", "text", 3), 0.8)
+      val edges = jac.select(col("d1").as("src"), col("d2").as("dst"))
+        .unionByName(jac.select(col("d2").as("src"), col("d1").as("dst")))
+      GraphOps.labelPropagation(edges, iters = 4)
+        .select(col("id").as("doc_id"), col("community"))
     },
 
     // ── edit-distance-1 entity near-dups via complete deletion-signature
@@ -1763,6 +1803,30 @@ object LlmQueries {
       shares.select(col("bucket"), col("c_old"), col("c_new"),
         col("p_old_ppm"), col("p_new_ppm"), l2.as("log2_ratio"),
         ((col("p_old_ppm") - col("p_new_ppm")) * l2).cast("long").as("psi_contrib"))
+    },
+
+    // ── weighted sampling WITHOUT replacement, P(pick) ∝ n_chars —
+    //    Efraimidis–Spirakis via the order-statistic identity (max of w
+    //    uniforms ~ u^(1/w)) so the keys are 60-bit INTEGERS: both engines
+    //    draw the same md5 uniforms and the top-k is bit-identical, no
+    //    transcendental ulps to diverge on (the -ln(u)/w float form is the
+    //    documented unbounded-weight fallback, deliberately unregistered).
+    //    O(Σ weights) scan-stage draws + map-side max combine + one
+    //    TakeOrderedAndProject. ──
+    q("lt32_weighted_sample",
+      """WITH d AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS weight
+        |  FROM documents WHERE n_chars > 0),
+        |u AS (SELECT id, weight,
+        |    CAST(('0x' || substr(md5('r5' || ':' || CAST(id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) AS u
+        |  FROM d, UNNEST(range(1, weight + 1)) AS t(j)),
+        |k AS (SELECT id, weight, max(u) AS key FROM u GROUP BY 1, 2),
+        |r AS (SELECT id, weight, key,
+        |    CAST(row_number() OVER (ORDER BY key DESC, id) AS BIGINT) AS rank
+        |  FROM k)
+        |SELECT id, weight, key, rank FROM r WHERE rank <= 100""".stripMargin) {
+      (s, dir) =>
+      Sampling.weightedSample(Td.table(s, dir, "documents"),
+        "doc_id", "n_chars", k = 100, seed = "r5")
     },
 
     // ── multimodal frame sampling: every 2nd 64-byte frame of the payload,

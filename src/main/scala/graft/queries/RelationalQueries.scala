@@ -1024,6 +1024,34 @@ object RelationalQueries {
         .unionByName(counted("except_all", big.exceptAll(late)))
     },
 
+    // ── recursive CTE (WITH RECURSIVE): ancestor closure over a
+    //    deterministic binary forest on customer keys (parent = key DIV 2,
+    //    key 1 the root) — the hierarchy walk (org charts, category trees,
+    //    BOM explosions) that plain joins cannot express for unbounded
+    //    depth. Spark 4 plans this as UnionLoop: each level is ONE
+    //    distributed join of the frontier against the (static, broadcast)
+    //    parent map, so the work per round is the frontier size, the round
+    //    count is the tree DEPTH (log n here, ~21 at 1e12-customer scale),
+    //    and nothing ever materializes the full closure on the driver.
+    //    Both engines run the same text modulo integer-division spelling
+    //    (Spark DIV, DuckDB //). ──
+    q("s5_recursive_closure",
+      """WITH RECURSIVE anc AS (
+        |  SELECT c_custkey AS node, c_custkey AS anc, CAST(0 AS BIGINT) AS depth
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT node, anc // 2 AS anc, depth + 1 FROM anc WHERE anc > 1)
+        |SELECT node, anc, depth FROM anc""".stripMargin) { (s, dir) =>
+      Td.registerAll(s, dir)
+      s.sql(
+        """WITH RECURSIVE anc AS (
+          |  SELECT c_custkey AS node, c_custkey AS anc, CAST(0 AS BIGINT) AS depth
+          |  FROM customer WHERE c_custkey % 7 = 0
+          |  UNION ALL
+          |  SELECT node, anc DIV 2 AS anc, depth + 1 FROM anc WHERE anc > 1)
+          |SELECT node, anc, depth FROM anc""".stripMargin)
+    },
+
     // ── unpivot (wide → long melt) — the inverse of a13's pivot;
     //    Dataset.unpivot plans a single Expand (one output row per
     //    measure per input row), no shuffle at all until the consumer

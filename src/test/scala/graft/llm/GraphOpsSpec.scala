@@ -63,4 +63,60 @@ class GraphOpsSpec extends SparkSpec {
       assert(bc == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
     } finally Caches.releaseAll(spark) // triangleCount persists its edge frame
   }
+
+  private def sym(pairs: Seq[(Long, Long)]) =
+    (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+
+  private def runLpa(edges: org.apache.spark.sql.DataFrame, iters: Int) =
+    try GraphOps.labelPropagation(edges, iters).as[(Long, Long)].collect().toMap
+    finally Caches.releaseAll(spark)
+
+  test("labelPropagation: two cliques across a bridge stay DISTINCT communities " +
+      "(where connected components would merge them)") {
+    val tri1 = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val tri2 = Seq((4L, 5L), (4L, 6L), (5L, 6L))
+    val got = runLpa(sym(tri1 ++ tri2 :+ (3L -> 4L)), iters = 4)
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(4L) == got(5L) && got(5L) == got(6L))
+    assert(got(1L) != got(4L),
+      s"bridge must not merge the cliques: $got")
+    // the same edge list IS one connected component — the contrast claim
+    val cc = Dedup.dedupClusters(
+      (tri1 ++ tri2 :+ (3L -> 4L)).toDF("d1", "d2")).as[(Long, Long)]
+      .collect().toMap
+    assert(cc.values.toSet.size == 1)
+  }
+
+  test("labelPropagation: a star collapses to one community; 2-node pairs do not oscillate") {
+    val star = runLpa(sym(Seq((10L, 1L), (10L, 2L), (10L, 3L))), iters = 4)
+    assert(star.values.toSet == Set(1L), s"star: $star")
+    val pair = runLpa(sym(Seq((7L, 8L))), iters = 4)
+    assert(pair == Map(7L -> 7L, 8L -> 7L), s"pair: $pair")
+  }
+
+  test("labelPropagation: matches a local synchronous replay on a random graph; deterministic") {
+    val rng = new scala.util.Random(23)
+    val pairs = (0 until 150).map { _ =>
+      (rng.nextInt(60).toLong, rng.nextInt(60).toLong)
+    }.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val edges = sym(pairs)
+    val iters = 4
+    val adj: Map[Long, Seq[Long]] = (pairs ++ pairs.map(_.swap)).distinct
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    val nodes = adj.keySet
+    var lbl: Map[Long, Long] = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      lbl = nodes.map { n =>
+        val votes = (adj(n).map(lbl) :+ lbl(n)).groupBy(identity)
+          .map { case (l, vs) => (l, vs.size) }
+        n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    // edge list has duplicate undirected pairs removed, so vote counts are
+    // one per neighbor — same multiset the distributed version aggregates
+    val got = runLpa(edges, iters)
+    assert(got == lbl)
+    assert(got == runLpa(edges, iters)) // bit-stable across invocations
+  }
 }

@@ -196,4 +196,47 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(again == sampled.select("doc_id").as[Long].collect().sorted.toSeq)
   }
+
+  test("weightedSample: matches a local exact replay; zero weights excluded") {
+    val df = (1L to 60L).map(i => (i, (i % 7))).toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", k = 10, seed = "t")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    def h60(s: String): BigInt = BigInt(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    val expected = (1L to 60L).map(i => (i, i % 7)).filter(_._2 > 0)
+      .map { case (id, w) =>
+        val key = (1L to w).map(j => h60(s"t:$id:$j")).max
+        (id, w, key.toLong)
+      }
+      .sortBy { case (id, _, key) => (-key, id) }
+      .take(10).zipWithIndex
+      .map { case ((id, w, key), i) => (id, w, key, i + 1L) }
+    assert(got == expected)
+    assert(got.forall(_._2 > 0)) // w == 0 rows (id % 7 == 0) never sampled
+  }
+
+  test("weightedSample: heavy weights dominate the sample; disjoint seeds differ") {
+    // 50 heavy docs (w=200) vs 150 light (w=2): heavy mass is 10000 of
+    // 10300 total, so a 20-doc sample is overwhelmingly heavy under ANY
+    // seed; the realized composition is pinned by determinism.
+    val df = ((1L to 50L).map(i => (i, 200L)) ++
+      (101L to 250L).map(i => (i, 2L))).toDF("id", "w")
+    val heavy = Sampling.weightedSample(df, "id", "w", k = 20, seed = "a")
+      .as[(Long, Long, Long, Long)].collect().count(_._1 <= 50L)
+    assert(heavy >= 17, s"only $heavy/20 sampled docs were heavy")
+    val a = Sampling.weightedSample(df, "id", "w", k = 20, seed = "a")
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.weightedSample(df, "id", "w", k = 20, seed = "b")
+      .select("id").as[Long].collect().toSet
+    assert(a != b, "different seeds must draw different samples")
+  }
+
+  test("weightedSample: a weight above maxWeight raises loudly") {
+    val df = Seq((1L, 5L), (2L, 50L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedSample(df, "id", "w", k = 2, maxWeight = 10L).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
