@@ -68,6 +68,51 @@ object Multimodal {
       .toDF()
   }
 
+  /** One audio frame's energy row. */
+  final case class AudioFrame(
+      item_id: Long, frame_idx: Int, n_bytes: Int, energy: Long, silent: Boolean)
+
+  /** Audio-pipeline analog over a binary payload: treat bytes as unsigned
+    * 8-bit PCM samples centered at 128, split into fixed-size frames
+    * (every frame, stride 1 — this is the VAD/silence-trim preprocessing
+    * shape, not lm2's sampled-frames shape), and per frame compute the
+    * EXACT integer energy Σ(b−128)² plus a silence verdict
+    * energy < meanSqThreshold·n_bytes (the cross-multiplied form of
+    * mean-square < threshold — no division, no floats). The frame split
+    * stays declarative in the scan stage; only the per-frame sample loop
+    * runs in the partition-batched kernel where a real resampler/VAD
+    * model would amortize its init. Exact integers end to end, so the
+    * oracle replays energy and verdict byte-for-byte. */
+  def audioEnergy(binarized: DataFrame, frameSize: Int,
+      meanSqThreshold: Int): DataFrame = {
+    val spark = binarized.sparkSession
+    import spark.implicits._
+    require(frameSize > 0, s"audioEnergy: frameSize must be positive, got $frameSize")
+    val nFrames = greatest(
+      ceil(col("meta.n_bytes").cast("double") / frameSize).cast("int"), lit(1))
+    binarized
+      .select(col("item_id").cast("long").as("item_id"), col("payload"), nFrames.as("nf"))
+      .withColumn("frame_idx", explode(sequence(lit(0), col("nf") - 1)))
+      .select(col("item_id"), col("frame_idx"),
+        expr(s"substring(payload, frame_idx * $frameSize + 1, $frameSize)").as("frame"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { iter =>
+        // per-partition codec/VAD-model init would happen here (stubbed)
+        iter.map { case (id, idx, bytes) =>
+          var e = 0L
+          var i = 0
+          while (i < bytes.length) {
+            val d = (bytes(i) & 0xFF) - 128
+            e += d.toLong * d
+            i += 1
+          }
+          AudioFrame(id, idx, bytes.length, e,
+            e < meanSqThreshold.toLong * bytes.length)
+        }
+      }
+      .toDF()
+  }
+
   /** One resized item's stub features. */
   final case class ResizedFeatures(
       item_id: Long, n_bytes_resized: Int, checksum_mod: Long)

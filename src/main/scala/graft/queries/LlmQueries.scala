@@ -2091,6 +2091,31 @@ object LlmQueries {
       Multimodal.sampleFrames(
         Multimodal.binarize(Td.table(s, dir, "documents"), "doc_id", "text"),
         frameSize = 64, stride = 2)
+    },
+
+    // ── audio-modality preprocessing (VAD/silence-trim shape): bytes as
+    //    unsigned 8-bit PCM centered at 128, EVERY 64-byte frame scored
+    //    with exact integer energy Σ(b−128)² and a cross-multiplied
+    //    silence verdict (energy < 2000·n_bytes ⇔ mean-square < 2000) —
+    //    no division, no floats, so the oracle replays both bit-for-bit
+    //    from the all-ASCII corpus (byte = char). ──
+    q("lm5_audio_energy",
+      """WITH nf AS (SELECT doc_id, text,
+        |  greatest(CAST(ceil(length(text) / 64.0) AS INT), 1) AS n FROM documents),
+        |fr AS (SELECT doc_id, text, unnest(range(0, n)) AS frame_idx FROM nf),
+        |e AS (SELECT doc_id, frame_idx,
+        |  substr(text, frame_idx * 64 + 1, 64) AS f FROM fr)
+        |SELECT doc_id AS item_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(length(f) AS INT) AS n_bytes,
+        |  CAST(coalesce(list_sum(list_transform(string_split(f, ''),
+        |    x -> (ord(x) - 128) * (ord(x) - 128))), 0) AS BIGINT) AS energy,
+        |  CAST(coalesce(list_sum(list_transform(string_split(f, ''),
+        |    x -> (ord(x) - 128) * (ord(x) - 128))), 0) < 2000 * length(f)
+        |    AS BOOLEAN) AS silent
+        |FROM e""".stripMargin) { (s, dir) =>
+      Multimodal.audioEnergy(
+        Multimodal.binarize(Td.table(s, dir, "documents"), "doc_id", "text"),
+        frameSize = 64, meanSqThreshold = 2000)
     }
   )
 }

@@ -1941,6 +1941,70 @@ object RelationalQueries {
         |  FROM events)
         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       EventOps.cohortRetention(Td.table(s, dir, "events"), "user_id", "ts")
+    },
+
+    // ── first-order Markov transition matrix over per-user event streams:
+    //    the behavioral fingerprint (what follows what, with probability)
+    //    behind funnel drop-off and anomaly detection. lead() per user
+    //    (one user-keyed window shuffle), count per (cur, nxt), and the
+    //    per-source normalizer via a window over the O(|types|²) count
+    //    table — probabilities as exact integer ppm (n·1e6 DIV Σn), so no
+    //    float division diverges. ──
+    q("e4_markov_transitions",
+      """WITH p AS (SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |c AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n FROM p
+        |  WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        |SELECT cur, nxt, n,
+        |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY cur) AS BIGINT)
+        |    AS p_ppm
+        |FROM c""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val counts = Td.table(s, dir, "events")
+        .select(col("event_type").as("cur"),
+          lead(col("event_type"), 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+      counts.withColumn("p_ppm",
+        expr("n * 1000000 DIV sum(n) OVER (PARTITION BY cur)"))
+    },
+
+    // ── reset-on-event running total: per user, cumulative value that
+    //    restarts after each 'purchase' (cart-style accumulation). The
+    //    classic two-window composition over ONE user-keyed exchange:
+    //    epoch = running count of preceding resets, then a running sum
+    //    within (user, epoch) — Spark reuses the exchange because both
+    //    windows share the partition prefix. Values quantized to integer
+    //    cents BEFORE summing, so the running total is exact under any
+    //    engine's arithmetic. ──
+    q("w8_reset_cumsum",
+      """SELECT event_id, user_id, epoch,
+        |  CAST(sum(vc) OVER (PARTITION BY user_id, epoch
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS run_cents
+        |FROM (SELECT event_id, user_id, ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS epoch
+        |  FROM events)""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val order = Seq(col("ts"), col("event_id"))
+      val wEpoch = Window.partitionBy("user_id").orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val base = Td.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          floor(col("value") * 100 + 0.5).cast("long").as("vc"),
+          coalesce(sum(when(col("event_type") === "purchase", 1L)).over(wEpoch),
+            lit(0L)).as("epoch"))
+      val wRun = Window.partitionBy("user_id", "epoch").orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.select(col("event_id"), col("user_id"), col("epoch"),
+        sum(col("vc")).over(wRun).cast("long").as("run_cents"))
     }
   )
 }

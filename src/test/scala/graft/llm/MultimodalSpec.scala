@@ -70,4 +70,26 @@ class MultimodalSpec extends SparkSpec {
     // 200 bytes -> 4 frames of 64/64/64/8; stride 2 keeps frames 0 and 2
     assert(frames == Seq((0, 64), (2, 64)))
   }
+
+  test("audioEnergy: exact per-frame energy and silence verdicts on hand-computed bytes") {
+    // 'a' = 97: (97-128)^2 = 961 per byte. 80 bytes of 'a' at frameSize 64:
+    // frame 0 = 64 bytes -> energy 61504, frame 1 = 16 bytes -> 15376.
+    // Threshold 1000 (mean-square): 961 < 1000, so both frames are silent;
+    // threshold 900 flips both to non-silent — the verdict is the
+    // cross-multiplied mean square, not a per-frame absolute.
+    val got = Multimodal.audioEnergy(mm(1L -> ("a" * 80)), frameSize = 64,
+        meanSqThreshold = 1000)
+      .as[(Long, Int, Int, Long, Boolean)].collect().sortBy(_._2).toSeq
+    assert(got == Seq((1L, 0, 64, 961L * 64, true), (1L, 1, 16, 961L * 16, true)))
+    val loud = Multimodal.audioEnergy(mm(1L -> ("a" * 80)), frameSize = 64,
+        meanSqThreshold = 900)
+      .as[(Long, Int, Int, Long, Boolean)].collect()
+    assert(loud.forall(!_._5))
+    // space-heavy frame: ' ' = 32 -> (32-128)^2 = 9216 per byte, loud at
+    // either threshold (spaces are the far-from-center samples)
+    val sp = Multimodal.audioEnergy(mm(2L -> (" " * 64)), frameSize = 64,
+        meanSqThreshold = 1000)
+      .as[(Long, Int, Int, Long, Boolean)].head()
+    assert(sp == ((2L, 0, 64, 9216L * 64, false)))
+  }
 }
