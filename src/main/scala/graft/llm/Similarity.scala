@@ -1234,4 +1234,32 @@ object Similarity {
       }
     }.toDF("d1", "d2", "cosine")
   }
+
+  /** Reciprocal-rank fusion of N retrieval rankings — the hybrid-search
+    * merge (dense ANN + lexical/BM25-style lists) every RAG stack runs.
+    * Each input must carry (query_id, neighbor_id, rank); a candidate's
+    * fused score is Σ over the lists that retrieved it of
+    * 1e6 DIV (c + rank) — the standard RRF with the 1/(c+r) weights
+    * scaled to EXACT integer ppm, so cross-engine float division cannot
+    * reorder ties. Output: top-`k` per query by (rrf_ppm DESC,
+    * neighbor_id), with the fused rank.
+    *
+    * Shape: one union (no recompute — inputs arrive already ranked), one
+    * (query, neighbor) combine with map-side partial aggregation, one
+    * query-keyed window for the final top-k. Nothing depends on list
+    * sizes beyond the candidate union. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: need at least one ranking")
+    require(k > 0 && c >= 0, s"rrfFuse: bad k=$k or c=$c")
+    import org.apache.spark.sql.expressions.Window
+    val all = rankings
+      .map(_.select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank")))
+      .reduce(_ unionByName _)
+    all.groupBy("query_id", "neighbor_id")
+      .agg(sum(expr(s"1000000 DIV ($c + rank)")).as("rrf_ppm"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("rrf_ppm").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
 }

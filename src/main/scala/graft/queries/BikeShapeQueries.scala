@@ -403,16 +403,26 @@ object BikeShapeQueries {
     //    same hash both engines compute, so the geometry is identical and
     //    the full (role, cluster) labeling hash-checks: at sf0.01 this is
     //    264 cores + 288 borders across 111 clusters and 1448 noise points.
-    //    The oracle derives clusters by TRANSITIVE CLOSURE over brute-force
-    //    pairs (recursive CTE) — an independent formulation of both the
-    //    blocking's completeness and the label propagation's fixpoint. ──
+    //    The scatter grid's side scales with sqrt(n) (IEEE sqrt is
+    //    correctly rounded, so both engines floor the same integer), which
+    //    keeps DENSITY constant across scale factors: the radius graph
+    //    never percolates into one giant component at bigger SFs, so
+    //    component diameter — and with it the CC round count and the
+    //    oracle's transitive-closure size — stays O(local cluster), not
+    //    O(corpus). The oracle derives clusters by TRANSITIVE CLOSURE over
+    //    brute-force pairs (recursive CTE) — an independent formulation of
+    //    both the blocking's completeness and the label propagation's
+    //    fixpoint. ──
     q("bgeo_dbscan",
-      s"""WITH RECURSIVE poi AS (SELECT p_partkey AS id,
-         |  -30.5 + CAST(CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15))
-         |    AS BIGINT) % 1000 AS DOUBLE) * 0.001 AS lat,
-         |  -51.5 + CAST(CAST(('0x' || substr(md5(concat(CAST(p_partkey AS VARCHAR), ':y')), 1, 15))
-         |    AS BIGINT) % 1000 AS DOUBLE) * 0.001 AS lon
+      s"""WITH RECURSIVE gm AS (SELECT
+         |  CAST(floor(sqrt(CAST(count(*) * 500 AS DOUBLE))) AS BIGINT) AS m
          |  FROM part),
+         |poi AS (SELECT p_partkey AS id,
+         |  -30.5 + CAST(CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15))
+         |    AS BIGINT) % m AS DOUBLE) * 0.001 AS lat,
+         |  -51.5 + CAST(CAST(('0x' || substr(md5(concat(CAST(p_partkey AS VARCHAR), ':y')), 1, 15))
+         |    AS BIGINT) % m AS DOUBLE) * 0.001 AS lon
+         |  FROM part CROSS JOIN gm),
          |pr AS (SELECT a.id AS id_l, b.id AS id_r,
          |  2.0 * 6371000.0 * asin(sqrt(
          |    pow(sin(radians(b.lat - a.lat) / 2), 2) +
@@ -445,16 +455,19 @@ object BikeShapeQueries {
          |FROM poi p LEFT JOIN core k ON p.id = k.id
          |  LEFT JOIN clus c2 ON p.id = c2.id
          |  LEFT JOIN border b ON p.id = b.id""".stripMargin) { (s, dir) =>
-      val pois = Td.table(s, dir, "part").select(
+      val part = Td.table(s, dir, "part")
+      val m = part.agg(floor(sqrt(count(lit(1)).cast("double") * 500.0))
+        .cast("long").as("__m"))
+      val pois = part.crossJoin(broadcast(m)).select(
         col("p_partkey").as("id"),
         (lit(-30.5) + pmod(graft.llm.Dedup.md5Hash60(
-          col("p_partkey").cast("string")), lit(1000L)).cast("double") * 0.001)
+          col("p_partkey").cast("string")), col("__m")).cast("double") * 0.001)
           .as("lat"),
         (lit(-51.5) + pmod(graft.llm.Dedup.md5Hash60(
-          concat(col("p_partkey").cast("string"), lit(":y"))), lit(1000L))
+          concat(col("p_partkey").cast("string"), lit(":y"))), col("__m"))
           .cast("double") * 0.001).as("lon"))
       graft.ops.GeoOps.dbscan(pois, "id", "lat", "lon",
-        epsM = 1500.0, minPts = 4, maxAbsLatDeg = 32.0)
+        epsM = 1500.0, minPts = 4, maxAbsLatDeg = 35.0)
     }
   )
 }

@@ -879,6 +879,66 @@ object LlmQueries {
         vecs.filter(col("vec_id") % 40 === 0), vecs, "vec_id", "embedding", 10)
     },
 
+    // ── HYBRID retrieval with reciprocal-rank fusion: the RAG-stack merge
+    //    of a dense list (ls1's exact-cosine top-10 over embeddings) and a
+    //    lexical list (3-gram shingle-overlap top-10 over the paired
+    //    documents — the BM25 seat) into one ranking by Σ 1e6 DIV
+    //    (60 + rank), RRF's 1/(c+r) weights scaled to exact integer ppm so
+    //    no float division can reorder ties. Both legs and the fusion are
+    //    replayed relationally; at scale the lexical self-join takes the
+    //    shingle DF cap (viral-boilerplate bound) like every other
+    //    shingle-keyed join in the dedup tier. ──
+    q("ls10_hybrid_rrf",
+      s"""WITH $quantCtes,
+         |$toksCte,
+         |$shinglesCte,
+         |dot AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    sum(a.x * b.x) AS dp
+         |  FROM qc a JOIN qc b ON a.i = b.i AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 40 = 0 GROUP BY 1, 2),
+         |sims AS (SELECT query_id, neighbor_id,
+         |    CAST(dp AS DOUBLE) / (sqrt(CAST(x.nn AS DOUBLE)) * sqrt(CAST(y.nn AS DOUBLE)))
+         |      AS cosine
+         |  FROM dot JOIN nrm x ON query_id = x.vec_id JOIN nrm y ON neighbor_id = y.vec_id),
+         |dense AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rank FROM sims) WHERE rank <= 10),
+         |ovl AS (SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+         |    count(*) AS ov
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  WHERE a.doc_id % 40 = 0 GROUP BY 1, 2),
+         |lex AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY ov DESC, neighbor_id) AS rank FROM ovl) WHERE rank <= 10),
+         |fused AS (SELECT query_id, neighbor_id,
+         |    CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm
+         |  FROM (SELECT * FROM dense UNION ALL SELECT * FROM lex) GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, rrf_ppm, rank FROM (
+         |  SELECT query_id, neighbor_id, rrf_ppm,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_ppm DESC, neighbor_id) AS INT) AS rank
+         |  FROM fused) WHERE rank <= 10""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val vecs = Td.table(s, dir, "embeddings")
+      val dense = Similarity.bruteForceTopK(
+          vecs.filter(col("vec_id") % 40 === 0), vecs, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val sh = Dedup.shingleTable(Td.table(s, dir, "documents"),
+          "doc_id", "text", 3)
+        .select(col("doc_id"), col("shingle")).distinct()
+      val lex = sh.as("a").filter(col("a.doc_id") % 40 === 0)
+        .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("query_id"),
+          col("b.doc_id").as("neighbor_id"))
+        .agg(count(lit(1)).as("ov"))
+        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("ov").desc, col("neighbor_id"))))
+        .filter(col("rank") <= 10)
+        .select("query_id", "neighbor_id", "rank")
+      Similarity.rrfFuse(Seq(dense, lex), k = 10)
+    },
+
     // ── IVF ANN with a LEARNED coarse quantizer (second scale path beside
     //    LSH; the distributed cell-join shape). Centroids are trained
     //    k-means-lite from the corpus itself — deterministic seeds + one

@@ -376,4 +376,26 @@ class SimilaritySpec extends SparkSpec {
     val pos = signs.count(_ > 0).toDouble / signs.size
     assert(pos > 0.4 && pos < 0.6, s"positive fraction $pos")
   }
+
+  test("rrfFuse: hand-computed integer scores; list agreement beats either list alone") {
+    import spark.implicits._
+    // query 1: dense ranks A=1 B=2 C=3; lexical ranks B=1 D=2.
+    // 1e6 DIV (60+r): r1->16393, r2->16129, r3->15873.
+    // B = 16129 + 16393 = 32522 tops A = 16393; D = 16129 beats C = 15873.
+    val dense = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val lex = Seq((1L, 20L, 1), (1L, 40L, 2))
+      .toDF("query_id", "neighbor_id", "rank")
+    val got = Similarity.rrfFuse(Seq(dense, lex), k = 4)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4).toSeq
+    assert(got == Seq(
+      (1L, 20L, 32522L, 1), (1L, 10L, 16393L, 2),
+      (1L, 40L, 16129L, 3), (1L, 30L, 15873L, 4)))
+    // equal fused scores tie-break on neighbor id
+    val tied = Similarity.rrfFuse(Seq(
+      Seq((1L, 5L, 1), (1L, 3L, 2)).toDF("query_id", "neighbor_id", "rank"),
+      Seq((1L, 3L, 1), (1L, 5L, 2)).toDF("query_id", "neighbor_id", "rank")), k = 2)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4).toSeq
+    assert(tied.map(_._2) == Seq(3L, 5L) && tied.map(_._3).distinct.size == 1)
+  }
 }
