@@ -1557,6 +1557,73 @@ object LlmQueries {
           (floor(col("q") * 1e6 + 0.5) / 1e6).as("quality"))
     },
 
+    // ── TRAINING MANIFEST — the exportable per-document decision ledger a
+    //    data pipeline hands to auditors and the trainer: every doc gets a
+    //    verdict (first failing rule in precedence: too_short < too_long <
+    //    low_quality < exact_dup < keep — lt6's exact thresholds) and kept
+    //    docs get their lt21-style per-language EXACT train/val/test
+    //    assignment. ONE scan, TWO keyed exchanges: the dup election is a
+    //    min-over-md5(text) window restricted to rule-passing rows via a
+    //    conditional min (no self-join), and the split rank/size share one
+    //    (is_keep, lang) window spec. A drop reason is attributable row by
+    //    row — the difference between a reproducible corpus and a filter
+    //    soup. ──
+    q("lq6_train_manifest",
+      s"""WITH t AS (SELECT doc_id, lang, source, text,
+         |  $nTokSql AS n_tok,
+         |  $qualitySql AS q
+         |  FROM documents),
+         |d AS (SELECT *, min(CASE WHEN n_tok BETWEEN 10 AND 5000 AND q >= 0.5
+         |    THEN doc_id END) OVER (PARTITION BY md5(text)) AS dup_min FROM t),
+         |v AS (SELECT doc_id, lang, source,
+         |  CASE WHEN n_tok < 10 THEN 'too_short'
+         |       WHEN n_tok > 5000 THEN 'too_long'
+         |       WHEN q < 0.5 THEN 'low_quality'
+         |       WHEN doc_id <> dup_min THEN 'exact_dup'
+         |       ELSE 'keep' END AS verdict FROM d),
+         |w AS (SELECT *,
+         |  row_number() OVER (PARTITION BY (verdict = 'keep'), lang
+         |    ORDER BY CAST(('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000,
+         |      doc_id) AS rn,
+         |  count(*) OVER (PARTITION BY (verdict = 'keep'), lang) AS n
+         |  FROM v)
+         |SELECT doc_id, lang, source, verdict,
+         |  CASE WHEN verdict <> 'keep' THEN NULL
+         |       WHEN rn * 100 <= n * 80 THEN 'train'
+         |       WHEN rn * 100 <= n * 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM w""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = TextOps.tokens(col("text"))
+      val passes = col("n_tok").between(10, 5000) && col("q") >= 0.5
+      // is_keep must be a MATERIALIZED column: partitioning two windows by
+      // the raw (verdict = 'keep') expression aliases it per window
+      // (_w0#a vs _w0#b), the partitionings stop being equal, and the
+      // planner inserts a third exchange (plan-shape-spec'd at 2)
+      val byKeepLang = Window.partitionBy(col("is_keep"), col("lang"))
+      val wSplit = byKeepLang
+        .orderBy(Sampling.keepHash(col("doc_id"), col("lang")), col("doc_id"))
+      Td.table(s, dir, "documents")
+        .withColumn("n_tok", size(toks))
+        .withColumn("q", TextOps.qualityScore(toks, col("text")))
+        .withColumn("dup_min", min(when(passes, col("doc_id")))
+          .over(Window.partitionBy(md5(col("text")))))
+        .withColumn("verdict",
+          when(col("n_tok") < 10, "too_short")
+            .when(col("n_tok") > 5000, "too_long")
+            .when(col("q") < 0.5, "low_quality")
+            .when(col("doc_id") =!= col("dup_min"), "exact_dup")
+            .otherwise("keep"))
+        .withColumn("is_keep", col("verdict") === "keep")
+        .withColumn("rn", row_number().over(wSplit))
+        .withColumn("n", count(lit(1)).over(byKeepLang))
+        .select(col("doc_id"), col("lang"), col("source"), col("verdict"),
+          when(col("verdict") =!= "keep", lit(null).cast("string"))
+            .when(col("rn") * 100 <= col("n") * 80, "train")
+            .when(col("rn") * 100 <= col("n") * 90, "val")
+            .otherwise("test").as("split"))
+    },
+
     // ── multimodal plumbing: binary payload + partition-batched (stub)
     //    feature extraction; oracle recomputes the deterministic fake
     //    features from first principles (all-ASCII corpus ⇒ byte = char) ──

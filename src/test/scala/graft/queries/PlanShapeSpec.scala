@@ -65,6 +65,13 @@ class PlanShapeSpec extends SparkSpec {
     // from the mixed join condition — a nested loop over points x points
     // is exactly what the cell blocking exists to prevent
     Shape("bgeo_pair_join", scans = None, shuffles = None,
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // lq6: the whole manifest (verdict + dup election + split) must stay
+    // ONE documents scan and exactly two keyed exchanges — md5(text) for
+    // the dup window, (is_keep, lang) for the split windows; a third
+    // exchange or second scan means the ledger regressed to the lt6
+    // agg+self-join anti-pattern
+    Shape("lq6_train_manifest", scans = Some(1), shuffles = Some(2),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
 
   /** Flatten INCLUDING materialized AQE query stages (QueryStageExec is a
