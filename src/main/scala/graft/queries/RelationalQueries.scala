@@ -690,6 +690,36 @@ object RelationalQueries {
           count(lit(1)).over(w)).as("moving_avg"))
     },
 
+    // ── W9: exponentially-decayed running score (EWMA-style, alpha = 1/2)
+    //    with EVERY BIT deterministic: the usual recursive EWMA is a
+    //    float recursion whose value depends on where the stream was cut,
+    //    so it can never hash-check; instead the decayed sum is the
+    //    16-term closed form Σ lag(v_cents, k)·2⁻ᵏ. Each term is a
+    //    dyadic rational with ≤ 33 significant bits (integer cents ≤ 2¹⁷
+    //    times an exact power of two), so every partial sum is EXACT in
+    //    an IEEE double — no rounding anywhere, any evaluation order,
+    //    both engines. All 16 lags ride ONE window exchange. ──
+    q("w9_ewma_decay", {
+      val terms = (0 until 16).map(k =>
+        s"coalesce(lag(vc, $k) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) * power(2.0, -$k)")
+        .mkString(" + ")
+      s"""SELECT event_id, user_id, $terms AS decayed
+         |FROM (SELECT event_id, user_id, ts,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+         |  FROM events)""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val decayed = (0 until 16).map(k =>
+          coalesce(lag(col("vc"), k).over(w), lit(0L)).cast("double") *
+            math.pow(2.0, -k))
+        .reduce(_ + _)
+      Td.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+        .select(col("event_id"), col("user_id"), decayed.as("decayed"))
+    },
+
     // ── W4: ranking-function pack (dense_rank / ntile / percent_rank /
     //    cume_dist) — the remaining window breadth a real Spark user
     //    reaches for. One shuffle on the partition key; the ORDER BY is a

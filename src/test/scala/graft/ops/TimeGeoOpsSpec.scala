@@ -109,12 +109,13 @@ class TimeGeoOpsSpec extends SparkSpec {
 
   private def runDbscan(pts: Seq[(Long, Double, Double)], epsM: Double,
       minPts: Int): Map[Long, (String, Option[Long])] =
-    GeoOps.dbscan(pts.toDF("id", "lat", "lon"), "id", "lat", "lon",
+    try GeoOps.dbscan(pts.toDF("id", "lat", "lon"), "id", "lat", "lon",
         epsM, minPts, maxAbsLatDeg = 32.0)
       .collect()
       .map(r => r.getLong(0) ->
         (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
       .toMap
+    finally graft.llm.Caches.releaseAll(spark) // dbscan persists its pair stream
 
   test("dbscan: cores, borders, noise, and singleton-core clusters on a hand fixture") {
     // 0.002 deg lat ~ 222 m; eps 500 m, minPts 3 (self + 2 neighbors).
