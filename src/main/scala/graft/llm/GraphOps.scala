@@ -135,8 +135,11 @@ object GraphOps {
     import org.apache.spark.sql.expressions.Window
     val e = Caches.persist(edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")))
-    val nodes = Caches.persist(e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct())
+    // nodes has exactly ONE consumer (the l0 seed below — the self-votes
+    // carry every node through later rounds), so unlike pagerank's
+    // per-iteration node join there is nothing to persist here
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
     var lbl = nodes.select(col("id"), col("id").as("lbl"))
     for (_ <- 1 to iters) {
       val votes = e.join(lbl, e("dst") === lbl("id"))

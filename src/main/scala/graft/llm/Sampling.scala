@@ -239,7 +239,10 @@ object Sampling {
       seed: String = "", maxWeight: Long = 1000000L): DataFrame = {
     require(k > 0, s"weightedSample: k must be positive, got $k")
     val w = col(weightCol).cast("long")
-    val guarded = when(w <= maxWeight, w).otherwise(raise_error(concat(
+    // NULL must pass THROUGH the guard (the weight > 0 filter below drops
+    // it like zero/negative weights): `w <= maxWeight` is NULL for NULL w,
+    // and a bare when/otherwise would route that into raise_error
+    val guarded = when(w.isNull || w <= maxWeight, w).otherwise(raise_error(concat(
       lit(s"weightedSample: $weightCol exceeds maxWeight $maxWeight: "),
       w.cast("string"))))
     val keys = df

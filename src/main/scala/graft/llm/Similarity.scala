@@ -1250,11 +1250,20 @@ object Similarity {
     * sizes beyond the candidate union. */
   def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse: need at least one ranking")
-    require(k > 0 && c >= 0, s"rrfFuse: bad k=$k or c=$c")
+    // c >= 1, not >= 0: with c = 0 a (nonstandard but common) 0-based rank
+    // would divide by zero, which non-ANSI Spark evaluates to NULL and
+    // sum() then silently DROPS the list's best hit from the fused score
+    require(k > 0 && c >= 1, s"rrfFuse: bad k=$k or c=$c (c must be >= 1)")
     import org.apache.spark.sql.expressions.Window
+    // ranks are 1-based by contract; a 0-based list would silently shift
+    // every weight, so fail loudly instead (scan-stage check, no extra pass)
+    val rankChecked = when(col("rank") >= 1, col("rank").cast("long"))
+      .otherwise(raise_error(concat(
+        lit("rrfFuse: ranks must be >= 1 (1-based), got "),
+        col("rank").cast("string"))))
     val all = rankings
       .map(_.select(col("query_id"), col("neighbor_id"),
-        col("rank").cast("long").as("rank")))
+        rankChecked.as("rank")))
       .reduce(_ unionByName _)
     all.groupBy("query_id", "neighbor_id")
       .agg(sum(expr(s"1000000 DIV ($c + rank)")).as("rrf_ppm"))

@@ -414,14 +414,15 @@ object BikeShapeQueries {
     //    both the blocking's completeness and the label propagation's
     //    fixpoint. ──
     q("bgeo_dbscan",
-      s"""WITH RECURSIVE gm AS (SELECT
-         |  CAST(floor(sqrt(CAST(count(*) * 500 AS DOUBLE))) AS BIGINT) AS m
-         |  FROM part),
+      s"""WITH RECURSIVE gm AS (SELECT least(m, 4000) AS mlat,
+         |  (m * m) // least(m, 4000) AS mlon
+         |  FROM (SELECT CAST(floor(sqrt(CAST(count(*) * 500 AS DOUBLE)))
+         |    AS BIGINT) AS m FROM part)),
          |poi AS (SELECT p_partkey AS id,
          |  -30.5 + CAST(CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15))
-         |    AS BIGINT) % m AS DOUBLE) * 0.001 AS lat,
+         |    AS BIGINT) % mlat AS DOUBLE) * 0.001 AS lat,
          |  -51.5 + CAST(CAST(('0x' || substr(md5(concat(CAST(p_partkey AS VARCHAR), ':y')), 1, 15))
-         |    AS BIGINT) % m AS DOUBLE) * 0.001 AS lon
+         |    AS BIGINT) % mlon AS DOUBLE) * 0.001 AS lon
          |  FROM part CROSS JOIN gm),
          |pr AS (SELECT a.id AS id_l, b.id AS id_r,
          |  2.0 * 6371000.0 * asin(sqrt(
@@ -456,15 +457,25 @@ object BikeShapeQueries {
          |  LEFT JOIN clus c2 ON p.id = c2.id
          |  LEFT JOIN border b ON p.id = b.id""".stripMargin) { (s, dir) =>
       val part = Td.table(s, dir, "part")
+      // Band-safe sqrt(n) scaling: latitude indices cap at 4000 (a 4-deg
+      // band, comfortably inside the declared 35-deg guard) and the excess
+      // area spills into LONGITUDE (mlat*mlon ~ m^2, density unchanged).
+      // For every test SF m <= 4000 so mlat = mlon = m (the original
+      // square grid, outputs identical); the capacity bound before
+      // longitude would wrap is ~2.9e9 points (TPC-H sf ~ 14,000) — the
+      // uncapped single-modulus form escaped the latitude band at
+      // sf ~ 43 and raise_error'd despite the any-scale claim.
       val m = part.agg(floor(sqrt(count(lit(1)).cast("double") * 500.0))
         .cast("long").as("__m"))
+        .select(least(col("__m"), lit(4000L)).as("__mlat"),
+          expr("(__m * __m) DIV least(__m, 4000)").as("__mlon"))
       val pois = part.crossJoin(broadcast(m)).select(
         col("p_partkey").as("id"),
         (lit(-30.5) + pmod(graft.llm.Dedup.md5Hash60(
-          col("p_partkey").cast("string")), col("__m")).cast("double") * 0.001)
+          col("p_partkey").cast("string")), col("__mlat")).cast("double") * 0.001)
           .as("lat"),
         (lit(-51.5) + pmod(graft.llm.Dedup.md5Hash60(
-          concat(col("p_partkey").cast("string"), lit(":y"))), col("__m"))
+          concat(col("p_partkey").cast("string"), lit(":y"))), col("__mlon"))
           .cast("double") * 0.001).as("lon"))
       graft.ops.GeoOps.dbscan(pois, "id", "lat", "lon",
         epsM = 1500.0, minPts = 4, maxAbsLatDeg = 35.0)

@@ -1906,16 +1906,27 @@ object LlmQueries {
         |    (length(bin(p_old_ppm + 1)) - length(bin(p_new_ppm + 1))) AS BIGINT)
         |    AS psi_contrib
         |FROM s""".stripMargin) { (s, dir) =>
-      val old = Td.table(s, dir, "documents").select("doc_id", "n_chars")
+      // ONE corpus scan, not three: each row emits its old-release
+      // contribution plus its (up to two) new-release contributions as a
+      // conditional struct array exploded in the scan stage — the
+      // three-legged union form read `documents` once per leg, two extra
+      // full corpus reads at 1e12-doc scale. Bucket = floor(n_chars/100);
+      // an integer quotient divides exactly in a double, so the
+      // floor-of-division matches the oracle's integer `//` bit-for-bit.
       val mod7 = col("doc_id") % 7
-      val newV = old.filter(mod7 =!= 1)
-        .select(when(mod7 === 2, col("n_chars") + 3)
-          .otherwise(col("n_chars")).as("n_chars"))
-        .unionByName(old.filter(mod7 === 3).select(col("n_chars")))
-      val hist = old.select(expr("n_chars DIV 100").as("bucket"),
-          lit(1L).as("a"), lit(0L).as("b"))
-        .unionByName(newV.select(expr("n_chars DIV 100").as("bucket"),
-          lit(0L).as("a"), lit(1L).as("b")))
+      def bucketOf(c: org.apache.spark.sql.Column) =
+        floor(c / 100.0).cast("long")
+      val ncNew = when(mod7 === 2, col("n_chars") + 3).otherwise(col("n_chars"))
+      val hist = Td.table(s, dir, "documents")
+        .select(explode(filter(array(
+          struct(bucketOf(col("n_chars")).as("bucket"),
+            lit(1L).as("a"), lit(0L).as("b")),
+          when(mod7 =!= 1, struct(bucketOf(ncNew).as("bucket"),
+            lit(0L).as("a"), lit(1L).as("b"))),
+          when(mod7 === 3, struct(bucketOf(col("n_chars")).as("bucket"),
+            lit(0L).as("a"), lit(1L).as("b")))),
+          x => x.isNotNull)).as("e"))
+        .select(col("e.bucket").as("bucket"), col("e.a").as("a"), col("e.b").as("b"))
         .groupBy("bucket")
         .agg(sum("a").as("c_old"), sum("b").as("c_new"))
       val tot = hist.agg(sum("c_old").as("n_old"), sum("c_new").as("n_new"),

@@ -239,4 +239,13 @@ class SamplingSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("weightedSample: NULL weights are excluded like zero, not crashed on") {
+    // the guard must let NULL through to the weight > 0 filter — a bare
+    // when(w <= max) routes NULL into the raise_error branch
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(3L))).toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", k = 3)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L))
+  }
 }
