@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Td
-import graft.llm.{Bpe, Chunking, Dedup, GraphOps, Importance, Keywords, Multimodal, Sampling, Similarity, Sketches, Surprisal, TextOps}
+import graft.llm.{Bpe, Chunking, Classifier, Dedup, GraphOps, Importance, Keywords, Multimodal, Sampling, Similarity, Sketches, Surprisal, TextOps}
 import graft.sources.LlmLake
 
 /** LLM-training-data pipeline operators over the driver's documents /
@@ -498,6 +498,41 @@ object LlmQueries {
       |             / CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE))
       |    + 0.3 * least(((CAST(length(text) AS DOUBLE) + 1.0)
       |             / CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE) - 1.0) / 8.0, 1.0)""".stripMargin
+
+  /** DuckDB replay of [[graft.llm.Classifier.nbScores]] over documents with
+    * weak label = quality >= 0.5 and the md5(doc_id) % 5 test split: ends
+    * with `fin` (doc_id, y, score) — the exact integer NB log-ratio score
+    * of every held-out doc. Shared by lt33 (confusion) and lt34 (AUC). */
+  private lazy val nbScoreCtes: String =
+    s"""$toksCte,
+       |lab AS (SELECT doc_id,
+       |    CASE WHEN $qualitySql >= 0.5 THEN 1 ELSE 0 END AS y,
+       |    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5 = 0) AS is_test
+       |  FROM documents),
+       |tf AS (SELECT t.doc_id, l.y, l.is_test, u.tk AS tok, count(*) AS m
+       |  FROM toks t JOIN lab l ON l.doc_id = t.doc_id, UNNEST(t.t) AS u(tk)
+       |  GROUP BY 1, 2, 3, 4),
+       |model AS (SELECT tok,
+       |    sum(CASE WHEN y = 1 THEN m ELSE 0 END) AS c1,
+       |    sum(CASE WHEN y = 0 THEN m ELSE 0 END) AS c0
+       |  FROM tf WHERE NOT is_test GROUP BY 1),
+       |tot AS (SELECT
+       |    sum(CASE WHEN y = 1 THEN m ELSE 0 END) AS t1,
+       |    sum(CASE WHEN y = 0 THEN m ELSE 0 END) AS t0,
+       |    count(DISTINCT tok) AS v,
+       |    count(DISTINCT CASE WHEN y = 1 THEN doc_id END) AS n1,
+       |    count(DISTINCT CASE WHEN y = 0 THEN doc_id END) AS n0
+       |  FROM tf WHERE NOT is_test),
+       |sc AS (SELECT f.doc_id, f.y,
+       |    sum(f.m * (length(bin(coalesce(mo.c1, 0) + 1))
+       |             - length(bin(coalesce(mo.c0, 0) + 1)))) AS s_tok,
+       |    sum(f.m) AS n_tok
+       |  FROM tf f LEFT JOIN model mo ON mo.tok = f.tok
+       |  WHERE f.is_test GROUP BY 1, 2),
+       |fin AS (SELECT doc_id, y,
+       |    CAST(s_tok - n_tok * (length(bin(t1 + v)) - length(bin(t0 + v)))
+       |      + (length(bin(n1 + 1)) - length(bin(n0 + 1))) AS BIGINT) AS score
+       |  FROM sc, tot)""".stripMargin
 
   /** Oracle for the bucketed-lake chain: near-dup clusters (exact Jaccard
     * transitive closure — the same equivalence ld6's oracle rests on),
@@ -2254,6 +2289,123 @@ object LlmQueries {
       Multimodal.audioEnergy(
         Multimodal.binarize(Td.table(s, dir, "documents"), "doc_id", "text"),
         frameSize = 64, meanSqThreshold = 2000)
+    },
+
+    // ── model-based quality filter (fastText/CCNet classifier shape):
+    //    multinomial Naive Bayes TRAINED IN-QUERY on the md5-train split
+    //    (weak label = heuristic quality >= 0.5), evaluated on the held-out
+    //    split. All-integer log-ratios (bitlen-log2), so the oracle replays
+    //    training AND scoring — sum_score pins the per-cell score mass, not
+    //    just verdict counts. One corpus scan (persisted doc-token counts
+    //    feed both the model fit and the test scoring), vocab-sized model
+    //    aggregate, one vocab-keyed scoring join, one doc rollup. ──
+    q("lt33_nb_classifier",
+      s"""WITH $nbScoreCtes
+        |SELECT y AS y_true, CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INT) AS y_pred,
+        |  count(*) AS n_docs, CAST(sum(score) AS BIGINT) AS sum_score
+        |FROM fin GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Classifier.nbTrainEval(nbLabeled(s, dir), "doc_id", "text", "y", testMod = 5)
+    },
+
+    // ── threshold-free ranking eval of the same scorer: EXACT Mann–Whitney
+    //    ROC-AUC over the integer NB scores, ties by midrank, AUC as an
+    //    integer-division ppm — no float anywhere, so the oracle pins the
+    //    statistic itself. The corpus-sized score table collapses to
+    //    distinct-score rows BEFORE the ordering window (score range is
+    //    bitlen-bounded — thousands of rows, not corpus-sized), so the
+    //    single-partition window is safe at any corpus size. ──
+    q("lt34_auc_eval",
+      s"""WITH $nbScoreCtes,
+        |bysc AS (SELECT score, sum(y) AS np, count(*) AS na FROM fin GROUP BY 1),
+        |rk AS (SELECT np, na,
+        |    2 * (coalesce(sum(na) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1)
+        |      + (na - 1) AS mr2
+        |  FROM bysc),
+        |agg AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        |    CAST(sum(na) - sum(np) AS BIGINT) AS n_neg,
+        |    CAST(sum(np * mr2) - sum(np) * (sum(np) + 1) AS BIGINT) AS u2
+        |  FROM rk)
+        |SELECT n_pos, n_neg, u2,
+        |  CAST(u2 * 1000000 // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+        |FROM agg""".stripMargin) { (s, dir) =>
+      Classifier.aucEval(
+        Classifier.nbScores(nbLabeled(s, dir), "doc_id", "text", "y", testMod = 5))
+    },
+
+    // ── calibration / reliability bins over the same NB scores: clamp to
+    //    [-40, 39], 8-wide bins (all nonnegative after the +40 shift, so
+    //    Spark's truncating DIV and DuckDB's flooring // agree), per-bin
+    //    empirical positive rate as an integer ppm division. The curve a
+    //    threshold-picker reads before turning scores into keep/drop. ──
+    q("lt35_calibration",
+      s"""WITH $nbScoreCtes,
+        |b AS (SELECT CAST((greatest(least(score, 39), -40) + 40) // 8 AS INT) AS bin, y
+        |  FROM fin)
+        |SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+        |  CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS pos_rate_ppm
+        |FROM b GROUP BY 1""".stripMargin) { (s, dir) =>
+      Classifier.calibrationBins(
+        Classifier.nbScores(nbLabeled(s, dir), "doc_id", "text", "y", testMod = 5))
+    },
+
+    // ── k-anonymity with one-step generalization (governance tier): group
+    //    sizes over the (lang, source) quasi-identifier; groups under k=5
+    //    generalize source → '*' and pool per lang (the Mondrian lattice's
+    //    first cut). Output = per original group its generalized key, final
+    //    pooled size, and whether it now clears k. Plan: one group agg +
+    //    one lang-keyed window over the GROUP table (quasi-identifier
+    //    cardinality, not corpus rows) — corpus is scanned once. ──
+    q("lq7_k_anonymity",
+      """WITH g AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+        |w AS (SELECT lang, source, n,
+        |    sum(CASE WHEN n < 5 THEN n ELSE 0 END) OVER (PARTITION BY lang) AS small_n
+        |  FROM g)
+        |SELECT lang, source,
+        |  CASE WHEN n >= 5 THEN source ELSE '*' END AS gen_source,
+        |  CAST(CASE WHEN n >= 5 THEN n ELSE small_n END AS BIGINT) AS n_final,
+        |  CAST(CASE WHEN n >= 5 THEN n ELSE small_n END >= 5 AS BOOLEAN) AS anonymous
+        |FROM w""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val g = Td.table(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      val pooled = sum(when(col("n") < 5, col("n")).otherwise(0L))
+        .over(Window.partitionBy("lang"))
+      g.select(col("lang"), col("source"),
+          when(col("n") >= 5, col("source")).otherwise(lit("*")).as("gen_source"),
+          when(col("n") >= 5, col("n")).otherwise(pooled).cast("long").as("n_final"))
+        .withColumn("anonymous", col("n_final") >= 5)
+    },
+
+    // ── retention wipe / right-to-be-forgotten audit (governance tier):
+    //    deterministic tombstone predicate (user_id % 97 = 0 stands in for
+    //    the deletion-request list), ONE scan of events with conditional
+    //    aggregation — per event_type the before/wiped/after row counts and
+    //    distinct wiped users. With an external tombstone table the flag
+    //    becomes a broadcast semi-join and the wipe itself a partition-
+    //    pruned anti-join rewrite on the user-bucketed lake (the LlmLake
+    //    layout); the audit stays this one scan either way. ──
+    q("lq8_retention_wipe",
+      """SELECT event_type, count(*) AS n_before,
+        |  CAST(sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_wiped,
+        |  CAST(count(*) - sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+        |  CAST(count(DISTINCT CASE WHEN user_id % 97 = 0 THEN user_id END) AS BIGINT) AS n_users_wiped
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      val wiped = col("user_id") % 97 === 0
+      Td.table(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_before"),
+          sum(when(wiped, 1L).otherwise(0L)).as("n_wiped"),
+          (count(lit(1)) - sum(when(wiped, 1L).otherwise(0L))).as("n_after"),
+          count_distinct(when(wiped, col("user_id"))).as("n_users_wiped"))
     }
   )
+
+  /** Shared weak-label input for lt33/lt34: documents + y = heuristic
+    * quality >= 0.5 (the lt6 threshold). */
+  private def nbLabeled(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    Td.table(s, dir, "documents").withColumn("y",
+      when(TextOps.qualityScore(toks, col("text")) >= 0.5, 1).otherwise(0))
+  }
 }
