@@ -72,7 +72,16 @@ class PlanShapeSpec extends SparkSpec {
     // exchange or second scan means the ledger regressed to the lt6
     // agg+self-join anti-pattern
     Shape("lq6_train_manifest", scans = Some(1), shuffles = Some(2),
-      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // lq8: the wipe audit is ONE scan; the exact-distinct wiped-user
+    // count expands to Spark's standard two-phase distinct aggregate
+    // (an extra (event_type, user) keyed exchange with map-side partials
+    // — skew-safe) — a semi/anti-join formulation would triple-scan events
+    Shape("lq8_retention_wipe", scans = Some(1), shuffles = Some(2)),
+    // lq7: one corpus scan; the group agg and the lang-keyed
+    // generalization window each cost one exchange over GROUP-cardinality
+    // rows only
+    Shape("lq7_k_anonymity", scans = Some(1), shuffles = Some(2)))
 
   /** Flatten INCLUDING materialized AQE query stages (QueryStageExec is a
     * leaf whose real subtree hangs off `.plan`). */
