@@ -2035,6 +2035,191 @@ object RelationalQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       base.select(col("event_id"), col("user_id"), col("epoch"),
         sum(col("vc")).over(wRun).cast("long").as("run_cents"))
+    },
+
+    // ── Deequ-style data-quality constraint suite: completeness,
+    //    uniqueness, value-range, referential integrity, and freshness
+    //    over orders, each as (constraint, metric, pass). ONE orders scan:
+    //    the FK check rides a broadcast left join with the customer key
+    //    set, every other metric folds into the same 1-row aggregate,
+    //    and stack() pivots the row into the constraint table. The shape
+    //    that matters at 100 TB: N constraints must not mean N scans. ──
+    q("dq1_constraint_suite",
+      """WITH j AS (SELECT o.*, c.c_custkey AS ck
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+        |m AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS nn,
+        |    count(DISTINCT o_orderkey) AS nd,
+        |    sum(CASE WHEN o_totalprice > 0 AND o_totalprice <= 1000000 THEN 1 ELSE 0 END) AS nr,
+        |    sum(CASE WHEN ck IS NOT NULL THEN 1 ELSE 0 END) AS nf,
+        |    CAST(strftime(max(o_orderdate), '%Y%m%d') AS BIGINT) AS fresh
+        |  FROM j)
+        |SELECT 'completeness_custkey' AS con, CAST(nn * 1000000 // n AS BIGINT) AS metric,
+        |  nn = n AS pass FROM m
+        |UNION ALL SELECT 'uniqueness_orderkey', CAST(nd * 1000000 // n AS BIGINT), nd = n FROM m
+        |UNION ALL SELECT 'range_totalprice', CAST(nr * 1000000 // n AS BIGINT), nr = n FROM m
+        |UNION ALL SELECT 'fk_orders_customer', CAST(nf * 1000000 // n AS BIGINT), nf = n FROM m
+        |UNION ALL SELECT 'freshness_orderdate', fresh, fresh >= 19980101 FROM m""".stripMargin) { (s, dir) =>
+      val o = Td.table(s, dir, "orders")
+      val c = Td.table(s, dir, "customer").select(col("c_custkey").as("ck")).distinct()
+      val m = o.join(broadcast(c), col("o_custkey") === col("ck"), "left")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L)).as("nn"),
+          count_distinct(col("o_orderkey")).as("nd"),
+          sum(when(col("o_totalprice") > 0 && col("o_totalprice") <= 1000000, 1L)
+            .otherwise(0L)).as("nr"),
+          sum(when(col("ck").isNotNull, 1L).otherwise(0L)).as("nf"),
+          date_format(max(col("o_orderdate")), "yyyyMMdd").cast("long").as("fresh"))
+      m.select(expr(
+        """stack(5,
+          |  'completeness_custkey', nn * 1000000 DIV n, nn = n,
+          |  'uniqueness_orderkey', nd * 1000000 DIV n, nd = n,
+          |  'range_totalprice', nr * 1000000 DIV n, nr = n,
+          |  'fk_orders_customer', nf * 1000000 DIV n, nf = n,
+          |  'freshness_orderdate', fresh, fresh >= 19980101
+          |) AS (con, metric, pass)""".stripMargin))
+    },
+
+    // ── KMV (k-minimum-values) distinct sketch with SET-EXPRESSION
+    //    estimates: per event_type keep the k=256 smallest md5 hashes of
+    //    user_id (one group-limit window over a type-keyed exchange — the
+    //    sketch is k rows per group REGARDLESS of stream size), then
+    //    estimate pairwise distinct-user INTERSECTIONS from merged
+    //    sketches — the "users who did A and B" family that exact
+    //    COUNT(DISTINCT) re-shuffles the full stream per pair to answer.
+    //    The sketch is DETERMINISTIC (md5 order), so unlike sampled
+    //    sketches the oracle replays it exactly. union_est = floor(
+    //    (k−1)·2^60 / kth) evaluated in IEEE doubles spelled identically
+    //    on both engines (one multiply, one divide, one floor — correctly
+    //    rounded everywhere); inter_est = n_both · union_est DIV k stays
+    //    integer. Exact intersections ride beside the estimates (the a11
+    //    pattern) — at 100 TB that exact leg is the cost the sketch
+    //    avoids; everything downstream of `sk` is k·|groups| rows. ──
+    q("a25_kmv_sketch",
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM events),
+        |sk AS (SELECT event_type, hv FROM (
+        |    SELECT event_type, hv,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        |    FROM h) WHERE rn <= 256),
+        |ty AS (SELECT DISTINCT event_type FROM sk),
+        |p AS (
+        |  SELECT a.event_type AS t1, b.event_type AS t2, a.hv, 1 AS in1, 0 AS in2
+        |  FROM sk a JOIN ty b ON b.event_type > a.event_type
+        |  UNION ALL
+        |  SELECT a.event_type, b.event_type, b.hv, 0, 1
+        |  FROM ty a JOIN sk b ON b.event_type > a.event_type),
+        |mrg AS (SELECT t1, t2, hv, max(in1) AS in1, max(in2) AS in2
+        |  FROM p GROUP BY 1, 2, 3),
+        |rk AS (SELECT t1, t2, hv, in1, in2,
+        |    row_number() OVER (PARTITION BY t1, t2 ORDER BY hv) AS rn FROM mrg),
+        |est AS (SELECT t1, t2, count(*) AS n_u, max(hv) AS kth,
+        |    CAST(sum(in1 * in2) AS BIGINT) AS n_both
+        |  FROM rk WHERE rn <= 256 GROUP BY 1, 2),
+        |ex AS (SELECT a.event_type AS t1, b.event_type AS t2,
+        |    count(*) AS exact_inter
+        |  FROM h a JOIN h b ON b.event_type > a.event_type AND b.hv = a.hv
+        |  GROUP BY 1, 2)
+        |SELECT e.t1, e.t2, e.n_both,
+        |  CAST(CASE WHEN e.n_u < 256 THEN e.n_u
+        |    ELSE CAST(floor(255.0 * 1152921504606846976.0 / e.kth) AS BIGINT)
+        |    END AS BIGINT) AS union_est,
+        |  CAST(e.n_both * (CASE WHEN e.n_u < 256 THEN e.n_u
+        |    ELSE CAST(floor(255.0 * 1152921504606846976.0 / e.kth) AS BIGINT)
+        |    END) // 256 AS BIGINT) AS inter_est,
+        |  CAST(coalesce(x.exact_inter, 0) AS BIGINT) AS exact_inter
+        |FROM est e LEFT JOIN ex x ON x.t1 = e.t1 AND x.t2 = e.t2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val k = 256
+      val h = Td.table(s, dir, "events")
+        .select(col("event_type"),
+          graft.llm.Dedup.md5Hash60(col("user_id").cast("string")).as("hv"))
+        .distinct()
+      val sk = h
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("hv")))
+        .filter(col("rn") <= k).select("event_type", "hv")
+      val ty = sk.select(col("event_type")).distinct()
+      val p1 = sk.as("a")
+        .join(broadcast(ty.select(col("event_type").as("t2"))),
+          col("t2") > col("event_type"))
+        .select(col("event_type").as("t1"), col("t2"), col("hv"),
+          lit(1).as("in1"), lit(0).as("in2"))
+      val p2 = sk.as("b")
+        .join(broadcast(ty.select(col("event_type").as("t1"))),
+          col("event_type") > col("t1"))
+        .select(col("t1"), col("event_type").as("t2"), col("hv"),
+          lit(0).as("in1"), lit(1).as("in2"))
+      val mrg = p1.union(p2).groupBy("t1", "t2", "hv")
+        .agg(max(col("in1")).as("in1"), max(col("in2")).as("in2"))
+      val rk = mrg.withColumn("rn", row_number().over(
+        Window.partitionBy("t1", "t2").orderBy("hv")))
+      val est = rk.filter(col("rn") <= k).groupBy("t1", "t2")
+        .agg(count(lit(1)).as("n_u"), max(col("hv")).as("kth"),
+          sum(col("in1") * col("in2")).cast("long").as("n_both"))
+        .withColumn("union_est",
+          when(col("n_u") < k, col("n_u")).otherwise(
+            floor(lit(255.0) * lit(1152921504606846976.0) / col("kth"))
+              .cast("long")).cast("long"))
+      val ex = h.as("x").join(h.as("y"),
+          col("y.event_type") > col("x.event_type") && col("y.hv") === col("x.hv"))
+        .groupBy(col("x.event_type").as("t1"), col("y.event_type").as("t2"))
+        .agg(count(lit(1)).as("exact_inter"))
+      est.join(ex, Seq("t1", "t2"), "left")
+        .select(col("t1"), col("t2"), col("n_both"), col("union_est"),
+          expr("CAST(n_both * union_est DIV 256 AS BIGINT)").as("inter_est"),
+          coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+    },
+
+    // ── lag-1 autocorrelation per user (time-series diagnostics: is a
+    //    user's value stream trending/mean-reverting or noise?): Pearson r
+    //    over consecutive (x_t, x_{t+1}) pairs. Values quantize to integer
+    //    cents FIRST, all six sufficient statistics (n, Σx, Σy, Σxx, Σyy,
+    //    Σxy) accumulate as exact BIGINTs (order-independent), and only
+    //    the final r touches floats — via int64→double casts (exact below
+    //    2^53; holds to ~millions of events/user at cent scale), one
+    //    multiply, one correctly-rounded sqrt, one divide, one floor to
+    //    micro-units: the identical IEEE sequence on both engines. One
+    //    user-keyed exchange carries the lead window AND the rollup.
+    //    Zero-variance or single-event users drop (r undefined). ──
+    q("w10_autocorr",
+      """WITH pr AS (SELECT user_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+        |    lead(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS y
+        |  FROM events),
+        |s AS (SELECT user_id, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM pr WHERE y IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n AS n_pairs,
+        |  CAST(floor(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)))
+        |    AS BIGINT) AS r_micro
+        |FROM s
+        |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
+      val pr = Td.table(s, dir, "events")
+        .select(col("user_id"), cents.as("x"),
+          lead(cents, 1).over(
+            Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))).as("y"))
+        .filter(col("y").isNotNull)
+      val st = pr.groupBy("user_id").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("long").as("sx"), sum(col("y")).cast("long").as("sy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("y") * col("y")).cast("long").as("syy"),
+        sum(col("x") * col("y")).cast("long").as("sxy"))
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      st.filter(vx > 0 && vy > 0)
+        .select(col("user_id"), col("n").as("n_pairs"),
+          floor(lit(1000000.0) * (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / sqrt(vx.cast("double") * vy.cast("double"))).cast("long").as("r_micro"))
     }
   )
 }
