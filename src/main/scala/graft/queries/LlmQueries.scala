@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Td
-import graft.llm.{Bpe, Chunking, Classifier, Dedup, GraphOps, Importance, Keywords, Multimodal, Sampling, Similarity, Sketches, Surprisal, TextOps}
+import graft.llm.{Bpe, Chunking, Classifier, Dedup, GraphOps, Importance, Keywords, Multimodal, Pca, Sampling, Similarity, Sketches, Surprisal, TextOps}
 import graft.sources.LlmLake
 
 /** LLM-training-data pipeline operators over the driver's documents /
@@ -498,6 +498,48 @@ object LlmQueries {
       |             / CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE))
       |    + 0.3 * least(((CAST(length(text) AS DOUBLE) + 1.0)
       |             / CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE) - 1.0) / 8.0, 1.0)""".stripMargin
+
+  /** DuckDB replay of [[graft.llm.Pca.projectTop]]: covariance from one
+    * pass of sufficient statistics (C = n²·Σxxᵀ − n·ssᵀ over quantized
+    * vectors), sign-preserving 12-bit shift, `iters` power-iteration rounds
+    * unrolled as CTEs (exact milli-unit integers; the float step is the
+    * identical multiply/sqrt/divide/floor), first-nonzero sign pin, exact
+    * integer projections. Every data-dependent intermediate hash-matches. */
+  private def pcaOracle(iters: Int): String = {
+    // every iterate is referenced twice (next iterate + its normalizer) —
+    // MATERIALIZED stops DuckDB 1.0's default inlining from expanding the
+    // chain exponentially back to the parquet scan
+    val iterCtes = (1 to iters).map { k =>
+      s"""w$k AS MATERIALIZED (SELECT c.i, CAST(sum(c.c * p.v) AS BIGINT) AS w
+         |  FROM cq c JOIN v${k - 1} p ON p.i = c.j GROUP BY 1),
+         |n$k AS (SELECT CAST(sum(w * w) AS BIGINT) AS n2 FROM w$k),
+         |v$k AS MATERIALIZED (SELECT w.i, CASE WHEN n.n2 = 0 THEN p.v
+         |    ELSE CAST(floor(w.w * 1000.0 / sqrt(CAST(n.n2 AS DOUBLE))) AS BIGINT)
+         |    END AS v
+         |  FROM w$k w JOIN v${k - 1} p ON p.i = w.i CROSS JOIN n$k n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qc AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
+       |  FROM embeddings),
+       |nn AS (SELECT count(DISTINCT vec_id) AS n FROM qc),
+       |sums AS (SELECT i, CAST(sum(x) AS BIGINT) AS s FROM qc GROUP BY 1),
+       |r AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS r
+       |  FROM qc a JOIN qc b ON b.vec_id = a.vec_id GROUP BY 1, 2),
+       |cov AS (SELECT r.i, r.j, nn.n * nn.n * r.r - nn.n * sa.s * sb.s AS cv
+       |  FROM r JOIN sums sa ON sa.i = r.i JOIN sums sb ON sb.i = r.j
+       |  CROSS JOIN nn),
+       |sh AS (SELECT greatest(length(bin(max(abs(cv)))) - 12, 0) AS s FROM cov),
+       |cq AS MATERIALIZED (SELECT i, j, CASE WHEN cv < 0 THEN -(abs(cv) >> s)
+       |    ELSE abs(cv) >> s END AS c
+       |  FROM cov CROSS JOIN sh),
+       |v0 AS (SELECT DISTINCT i, CAST(353 AS BIGINT) AS v FROM qc),
+       |$iterCtes,
+       |sg AS (SELECT coalesce((SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END
+       |    FROM v$iters WHERE v <> 0 ORDER BY i LIMIT 1), 1) AS g),
+       |vf AS (SELECT i, v * g AS v FROM v$iters CROSS JOIN sg)
+       |SELECT q.vec_id, CAST(sum(q.x * vf.v) AS BIGINT) AS proj
+       |FROM qc q JOIN vf ON vf.i = q.i GROUP BY 1""".stripMargin
+  }
 
   /** DuckDB replay of [[graft.llm.Classifier.nbScores]] over documents with
     * weak label = quality >= 0.5 and the md5(doc_id) % 5 test split: ends
@@ -2289,6 +2331,22 @@ object LlmQueries {
       Multimodal.audioEnergy(
         Multimodal.binarize(Td.table(s, dir, "documents"), "doc_id", "text"),
         frameSize = 64, meanSqThreshold = 2000)
+    },
+
+    // ── top-principal-component projection ("All-but-the-Top" embedding
+    //    postprocessing / PCA compression step 1): covariance from ONE
+    //    sufficient-statistics pass (C = n²·Σxxᵀ − n·ssᵀ, exact integers),
+    //    d² matrix collected under the bounded-by-construction contract,
+    //    power iteration in milli-unit integers with the float step pinned
+    //    to one identical IEEE multiply/sqrt/divide/floor, sign pinned by
+    //    first nonzero component, projections exact integer dots streamed
+    //    through a flat codegen expression (zero shuffles on the corpus
+    //    pass). Training samples via trainMod at scale — the ivfLearned
+    //    pattern. The ORACLE REPLAYS THE TRAINING: all 24 power-iteration
+    //    rounds unroll as CTEs and every intermediate hash-matches. ──
+    q("ls11_pca_project", pcaOracle(iters = 24)) { (s, dir) =>
+      Pca.projectTop(Td.table(s, dir, "embeddings"), "vec_id", "embedding",
+        dims = 64, iters = 24, trainMod = 1)
     },
 
     // ── model-based quality filter (fastText/CCNet classifier shape):

@@ -2220,6 +2220,68 @@ object RelationalQueries {
         .select(col("user_id"), col("n").as("n_pairs"),
           floor(lit(1000000.0) * (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
             / sqrt(vx.cast("double") * vy.cast("double"))).cast("long").as("r_micro"))
+    },
+
+    // ── robust outlier detection per group: EXACT lower median + MAD over
+    //    integer cents, outlier when |x−med|·10⁴ > 44478·MAD (3σ via the
+    //    1.4826 normal-consistency factor, scaled to stay integer). The
+    //    skew-robust exact-median shape: corpus-scale work is ONE
+    //    (group, value)-keyed histogram aggregate (map-side combine
+    //    absorbs hot groups — the lt19 lesson); medians come from
+    //    cumulative windows over HISTOGRAM rows (value cardinality, not
+    //    stream size), so no single-reducer window ever sees raw rows.
+    //    A hot group costs its distinct-value count, nothing more. ──
+    q("a27_robust_outliers",
+      """WITH hist AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c, count(*) AS m
+        |  FROM events GROUP BY 1, 2),
+        |h1 AS (SELECT event_type, c, m,
+        |    sum(m) OVER (PARTITION BY event_type ORDER BY c
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(m) OVER (PARTITION BY event_type) AS n FROM hist),
+        |med AS (SELECT event_type, min(c) AS med, max(n) AS n
+        |  FROM h1 WHERE cum >= (n + 1) // 2 GROUP BY 1),
+        |dh AS (SELECT h.event_type, abs(h.c - md.med) AS d, sum(h.m) AS m
+        |  FROM hist h JOIN med md ON md.event_type = h.event_type GROUP BY 1, 2),
+        |d1 AS (SELECT event_type, d, m,
+        |    sum(m) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(m) OVER (PARTITION BY event_type) AS n FROM dh),
+        |mad AS (SELECT event_type, min(d) AS mad
+        |  FROM d1 WHERE cum >= (n + 1) // 2 GROUP BY 1)
+        |SELECT md.event_type, CAST(md.n AS BIGINT) AS n,
+        |  md.med AS med_cents, ma.mad AS mad_cents,
+        |  CAST(sum(CASE WHEN dh.d * 10000 > 44478 * ma.mad THEN dh.m ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM med md
+        |JOIN mad ma ON ma.event_type = md.event_type
+        |JOIN dh ON dh.event_type = md.event_type
+        |GROUP BY 1, 2, 3, 4""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wCum = (c: String) => Window.partitionBy("event_type").orderBy(c)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("event_type")
+      val hist = Td.table(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .agg(count(lit(1)).as("m"))
+      def lowerMedian(h: org.apache.spark.sql.DataFrame, v: String, out: String) =
+        h.select(col("event_type"), col(v), col("m"),
+            sum("m").over(wCum(v)).as("cum"), sum("m").over(wAll).as("n"))
+          .filter(col("cum") >= expr("(n + 1) DIV 2"))
+          .groupBy("event_type").agg(min(col(v)).as(out), max(col("n")).as("n"))
+      val med = lowerMedian(hist, "c", "med")
+      val devHist = hist
+        .join(broadcast(med.select("event_type", "med")), Seq("event_type"))
+        .groupBy(col("event_type"), abs(col("c") - col("med")).as("d"))
+        .agg(sum("m").as("m"))
+      val mad = lowerMedian(devHist, "d", "mad").drop("n")
+      med.join(mad, Seq("event_type"))
+        .join(devHist, Seq("event_type"))
+        .groupBy(col("event_type"), col("n"),
+          col("med").as("med_cents"), col("mad").as("mad_cents"))
+        .agg(sum(when(col("d") * 10000 > lit(44478L) * col("mad"), col("m"))
+          .otherwise(0L)).cast("long").as("n_outliers"))
     }
   )
 }

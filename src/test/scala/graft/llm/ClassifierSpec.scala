@@ -81,6 +81,25 @@ class ClassifierSpec extends SparkSpec {
     assert(Classifier.aucEval(inverted).select("auc_ppm").as[Long].head() == 0L)
   }
 
+  test("aucEval: matches brute-force pair counting on seeded random data") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val data = Seq.fill(60)((if (rnd.nextBoolean()) 1 else 0,
+        (rnd.nextInt(21) - 10).toLong))
+      val (np, nn, _, ppm) = Classifier.aucEval(data.toDF("y", "score"))
+        .as[(Long, Long, Long, Long)].collect().head
+      val pos = data.filter(_._1 == 1).map(_._2)
+      val neg = data.filter(_._1 == 0).map(_._2)
+      // brute force: concordant pairs count 2, tied pairs count 1
+      val u2 = (for (p <- pos; q <- neg) yield {
+        if (p > q) 2L else if (p == q) 1L else 0L
+      }).sum
+      assert(np == pos.size && nn == neg.size)
+      assert(ppm == u2 * 1000000L / (2L * pos.size * neg.size),
+        s"trial $trial: ppm=$ppm u2=$u2")
+    }
+  }
+
   test("calibrationBins: clamping, bin edges, and ppm rates are exact") {
     // lo=-40, width=8: score -100 clamps to -40 -> bin 0; -1 -> bin 4
     // (39//8=4 after +40); 0 -> bin 5; 100 clamps to 39 -> bin 9
