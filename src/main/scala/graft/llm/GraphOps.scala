@@ -157,4 +157,33 @@ object GraphOps {
     }
     lbl.select(col("id"), col("lbl").as("community"))
   }
+
+  /** Multi-source BFS hop distance: every node's distance (in hops) to the
+    * nearest source, out to `rounds` hops — the reachability/influence
+    * radius primitive (contamination blast radius over a near-dup graph,
+    * seed-set expansion). Per round ONE src-keyed join propagates the
+    * frontier + ONE node-keyed min aggregate folds it in (map-side
+    * combinable — hub nodes partial-aggregate in the map stage, no hot
+    * window partitions). min() makes every round order-independent, so the
+    * result is deterministic and an oracle replays rounds as CTEs.
+    * Lineage truncated per round (the dedupClusters checkpoint pattern).
+    * Nodes farther than `rounds` hops (or unreachable) emit no row. */
+  def bfsHops(edges: DataFrame, sources: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = Caches.persist(edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")))
+    var dist = sources.select(col("id").cast("long").as("id"),
+      lit(0L).as("dist"))
+    for (_ <- 1 to rounds) {
+      val prop = e.join(dist, e("src") === dist("id"))
+        .select(e("dst").as("id"), (col("dist") + 1L).as("dist"))
+      val next = dist.unionByName(prop)
+        .groupBy("id").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      Caches.trackCheckpoint(next)
+      Caches.unpersistCheckpoint(dist)
+      dist = next
+    }
+    dist
+  }
 }

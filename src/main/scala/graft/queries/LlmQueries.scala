@@ -484,6 +484,27 @@ object LlmQueries {
        |SELECT id AS doc_id, lbl AS community FROM l$iters""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.llm.GraphOps.bfsHops]] over the Jaccard
+    * near-dup graph: `rounds` frontier expansions unrolled as CTEs, each
+    * one propagate-join + one min fold — min() is order-independent, so
+    * every round hash-matches. Sources: graph nodes with id % srcMod = 0. */
+  private def lg4Oracle(rounds: Int, minJ: Double, srcMod: Int): String = {
+    val iterCtes = (1 to rounds).map { i =>
+      s"""d$i AS (SELECT id, min(dist) AS dist FROM (
+         |  SELECT e.dst AS id, p.dist + 1 AS dist
+         |  FROM edges e JOIN d${i - 1} p ON p.id = e.src
+         |  UNION ALL SELECT id, dist FROM d${i - 1}) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${jacCtes(minJ)},
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM jac
+       |  UNION ALL SELECT d2, d1 FROM jac),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |d0 AS (SELECT id, CAST(0 AS BIGINT) AS dist FROM nodes
+       |  WHERE id % $srcMod = 0),
+       |$iterCtes
+       |SELECT id AS doc_id, dist AS hops FROM d$rounds""".stripMargin
+  }
+
   private def q(name: String, oracle: String)(
       f: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, f, Some(oracle))
@@ -746,6 +767,23 @@ object LlmQueries {
         .unionByName(jac.select(col("d2").as("src"), col("d1").as("dst")))
       GraphOps.labelPropagation(edges, iters = 4)
         .select(col("id").as("doc_id"), col("community"))
+    },
+
+    // ── multi-source BFS hop distance over the near-dup graph: how far
+    //    does influence/contamination spread from a seed set (here: graph
+    //    nodes with id % 10 = 0)? Per round one src-keyed propagate join +
+    //    one node-keyed min fold (map-side combinable — hub nodes never
+    //    hot-spot a window partition); rounds = hop radius. min() is
+    //    order-independent, so all 4 rounds replay as oracle CTEs. ──
+    q("lg4_bfs_hops", lg4Oracle(rounds = 4, minJ = 0.8, srcMod = 10)) { (s, dir) =>
+      val jac = Dedup.jaccardPairs(
+        Dedup.shingleTable(Td.table(s, dir, "documents"), "doc_id", "text", 3), 0.8)
+      val edges = jac.select(col("d1").as("src"), col("d2").as("dst"))
+        .unionByName(jac.select(col("d2").as("src"), col("d1").as("dst")))
+      val sources = edges.select(col("src").as("id")).distinct()
+        .filter(col("id") % 10 === 0)
+      GraphOps.bfsHops(edges, sources, rounds = 4)
+        .select(col("id").as("doc_id"), col("dist").as("hops"))
     },
 
     // ── edit-distance-1 entity near-dups via complete deletion-signature
@@ -2347,6 +2385,42 @@ object LlmQueries {
     q("ls11_pca_project", pcaOracle(iters = 24)) { (s, dir) =>
       Pca.projectTop(Td.table(s, dir, "embeddings"), "vec_id", "embedding",
         dims = 64, iters = 24, trainMod = 1)
+    },
+
+    // ── per-dimension embedding standardization (z-score whitening — the
+    //    preprocessing normalize before ANN/clustering): one sufficient-
+    //    statistics pass (per-dim Σx, Σx², n over quantized components —
+    //    64 rows out, map-side combined), then z = (n·x − s)/√(n·q − s²)
+    //    computed scan-stage with the dim-stats table BROADCAST onto the
+    //    exploded corpus — no corpus shuffle. Numerator exact BIGINT; the
+    //    one float step (multiply/sqrt/divide/floor to micro-units) is
+    //    IEEE-identical on both engines. Zero-variance dims pin z = 0. ──
+    q("ls12_embed_standardize",
+      """WITH qc AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
+        |  FROM embeddings),
+        |st AS (SELECT i, count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+        |    CAST(sum(x * x) AS BIGINT) AS q FROM qc GROUP BY 1)
+        |SELECT qc.vec_id, CAST(qc.i AS INT) AS dim,
+        |  CAST(CASE WHEN st.n * st.q - st.s * st.s > 0
+        |    THEN floor((st.n * qc.x - st.s) * 1000000.0
+        |      / sqrt(CAST(st.n * st.q - st.s * st.s AS DOUBLE)))
+        |    ELSE 0 END AS BIGINT) AS z_micro
+        |FROM qc JOIN st ON st.i = qc.i""".stripMargin) { (s, dir) =>
+      val qc = Td.table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(Similarity.quantize(col("embedding"))).as(Seq("i0", "x")))
+        .select(col("vec_id"), (col("i0") + 1).as("i"), col("x"))
+      val st = qc.groupBy("i").agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("long").as("s"),
+        sum(col("x") * col("x")).cast("long").as("q"))
+      val variance = col("n") * col("q") - col("s") * col("s")
+      qc.join(broadcast(st), Seq("i"))
+        .select(col("vec_id"), col("i").cast("int").as("dim"),
+          when(variance > 0,
+            floor((col("n") * col("x") - col("s")).cast("double") * lit(1000000.0)
+              / sqrt(variance.cast("double"))))
+            .otherwise(lit(0L)).cast("long").as("z_micro"))
     },
 
     // ── model-based quality filter (fastText/CCNet classifier shape):

@@ -119,4 +119,33 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == lbl)
     assert(got == runLpa(edges, iters)) // bit-stable across invocations
   }
+
+  test("bfsHops: path graph distances, radius cutoff, and two-source min") {
+    // path 1-2-3-4-5-6 (symmetric), sources {1, 6}: dist = min to either
+    // end; with rounds = 2, node 3 gets 2 (from 1), node 4 gets 2 (from 6)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val edges = (path ++ path.map(_.swap)).toDF("src", "dst")
+    val sources = Seq(1L, 6L).toDF("id")
+    val got = GraphOps.bfsHops(edges, sources, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    Caches.release()
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L, 6L -> 0L))
+    // radius cutoff: single source 1, rounds = 2 -> nodes 4..6 absent
+    val one = GraphOps.bfsHops(edges, Seq(1L).toDF("id"), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    Caches.release()
+    assert(one == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("bfsHops: disconnected component stays unreached; deterministic") {
+    val edges = Seq((1L, 2L), (2L, 1L), (8L, 9L), (9L, 8L)).toDF("src", "dst")
+    val a = GraphOps.bfsHops(edges, Seq(1L).toDF("id"), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    Caches.release()
+    val b = GraphOps.bfsHops(edges, Seq(1L).toDF("id"), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    Caches.release()
+    assert(a == Map(1L -> 0L, 2L -> 1L))
+    assert(a == b)
+  }
 }
