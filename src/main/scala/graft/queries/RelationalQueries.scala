@@ -2282,6 +2282,127 @@ object RelationalQueries {
           col("med").as("med_cents"), col("mad").as("mad_cents"))
         .agg(sum(when(col("d") * 10000 > lit(44478L) * col("mad"), col("m"))
           .otherwise(0L)).cast("long").as("n_outliers"))
+    },
+
+    // ── Poisson bootstrap confidence interval — THE distributed bootstrap
+    //    (per replicate, each row's resample multiplicity is an iid
+    //    Poisson(1) draw, so replicates need no global n and fold into ONE
+    //    scan with map-side combine; classic multinomial bootstrap needs a
+    //    pass per replicate). Determinism: the Poisson draw inverts fixed
+    //    integer ppm thresholds of the Poisson(1) CDF against a per-
+    //    (replicate, row) md5 uniform — both engines draw the same
+    //    weights. B=50 replicates of mean(o_totalprice) in milli-cents;
+    //    CI = exact 3rd / 48th order statistics of the replicate means
+    //    (~90% coverage). The replicate explode is scan-stage (50× compute,
+    //    B rows out per partition); the order-statistic window sees 50
+    //    rows. Full-sample mean rides the b=1 leg of the same scan. ──
+    q("a28_poisson_bootstrap",
+      """WITH d AS (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    unnest(range(1, 51)) AS b
+        |  FROM orders),
+        |du AS (SELECT b, cents,
+        |    CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || ':'
+        |      || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS u
+        |  FROM d),
+        |w AS (SELECT b, cents,
+        |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+        |      WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+        |      WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5 ELSE 6 END AS wt
+        |  FROM du),
+        |reps AS (SELECT b,
+        |    CAST(sum(wt * cents) * 1000 // sum(wt) AS BIGINT) AS m_milli,
+        |    CAST(sum(CASE WHEN b = 1 THEN cents ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM w GROUP BY 1),
+        |rk AS (SELECT m_milli, row_number() OVER (ORDER BY m_milli) AS rn,
+        |    sum(s1) OVER () AS s, sum(n1) OVER () AS n
+        |  FROM reps)
+        |SELECT CAST(max(s) * 1000 // max(n) AS BIGINT) AS mean_milli,
+        |  CAST(max(CASE WHEN rn = 3 THEN m_milli END) AS BIGINT) AS ci_lo_milli,
+        |  CAST(max(CASE WHEN rn = 48 THEN m_milli END) AS BIGINT) AS ci_hi_milli,
+        |  count(*) AS n_replicates
+        |FROM rk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val u = pmod(graft.llm.Dedup.md5Hash60(
+        concat(col("b").cast("string"), lit(":"), col("o_orderkey").cast("string"))),
+        lit(1000000L))
+      val wt = when(u < 367879, 0L).when(u < 735759, 1L).when(u < 919699, 2L)
+        .when(u < 981012, 3L).when(u < 996340, 4L).when(u < 999406, 5L)
+        .otherwise(6L)
+      val reps = Td.table(s, dir, "orders")
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+          explode(sequence(lit(1), lit(50))).as("b"))
+        .withColumn("wt", wt)
+        .groupBy("b")
+        .agg(expr("CAST(sum(wt * cents) * 1000 DIV sum(wt) AS BIGINT)").as("m_milli"),
+          sum(when(col("b") === 1, col("cents")).otherwise(0L)).cast("long").as("s1"),
+          sum(when(col("b") === 1, 1L).otherwise(0L)).cast("long").as("n1"))
+      val rk = reps.select(col("m_milli"),
+        row_number().over(Window.orderBy("m_milli")).as("rn"),
+        sum("s1").over(Window.partitionBy()).as("s"),
+        sum("n1").over(Window.partitionBy()).as("n"))
+      rk.agg(
+        expr("CAST(max(s) * 1000 DIV max(n) AS BIGINT)").as("mean_milli"),
+        max(when(col("rn") === 3, col("m_milli"))).cast("long").as("ci_lo_milli"),
+        max(when(col("rn") === 48, col("m_milli"))).cast("long").as("ci_hi_milli"),
+        count(lit(1)).as("n_replicates"))
+    },
+
+    // ── Welch two-sample t statistic (A/B-test primitive, unequal
+    //    variances): urgent vs low-priority order values. All sufficient
+    //    statistics (n, Σx, Σx² per arm) are exact BIGINTs over cents from
+    //    ONE conditional-aggregation scan; only the final t touches floats
+    //    — sample means and variances derived in doubles from exact
+    //    integers through one identically-spelled IEEE sequence, output
+    //    floored to micro-units. ──
+    q("a29_ab_welch",
+      """WITH s AS (SELECT
+        |    sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n1,
+        |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |      THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |      THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |         * CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS q1,
+        |    sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS n2,
+        |    CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+        |      THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS s2,
+        |    CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+        |      THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |         * CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS q2
+        |  FROM orders)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(s1 * 1000 // n1 AS BIGINT) AS mean1_milli,
+        |  CAST(s2 * 1000 // n2 AS BIGINT) AS mean2_milli,
+        |  CAST(floor(1000000.0 *
+        |    (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+        |    / sqrt(
+        |      (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / n1
+        |      + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) / n2))
+        |    AS BIGINT) AS t_micro
+        |FROM s""".stripMargin) { (s, dir) =>
+      val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      def arm(p: String, suffix: String) = Seq(
+        sum(when(col("o_orderpriority") === p, 1L).otherwise(0L)).as(s"n$suffix"),
+        sum(when(col("o_orderpriority") === p, cents).otherwise(0L))
+          .cast("long").as(s"s$suffix"),
+        sum(when(col("o_orderpriority") === p, cents * cents).otherwise(0L))
+          .cast("long").as(s"q$suffix"))
+      val aggs = arm("1-URGENT", "1") ++ arm("5-LOW", "2")
+      Td.table(s, dir, "orders")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+          expr("CAST(s1 * 1000 DIV n1 AS BIGINT)").as("mean1_milli"),
+          expr("CAST(s2 * 1000 DIV n2 AS BIGINT)").as("mean2_milli"),
+          floor(lit(1000000.0) *
+            (col("s1").cast("double") / col("n1") - col("s2").cast("double") / col("n2"))
+            / sqrt(
+              (col("q1").cast("double") - col("s1").cast("double") * col("s1") / col("n1"))
+                / (col("n1") - 1) / col("n1")
+              + (col("q2").cast("double") - col("s2").cast("double") * col("s2") / col("n2"))
+                / (col("n2") - 1) / col("n2")))
+            .cast("long").as("t_micro"))
     }
   )
 }
