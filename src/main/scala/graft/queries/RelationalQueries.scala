@@ -2350,6 +2350,87 @@ object RelationalQueries {
         count(lit(1)).as("n_replicates"))
     },
 
+    // ── CUSUM drift statistic per user (change-point/monitoring shape):
+    //    center each user's value stream on its own mean WITHOUT division
+    //    (scaled deviations n·c − S stay integer), then drift = running
+    //    sum minus its running minimum; report each user's maximum drift.
+    //    All four windows (unordered mean pair + running sum + running
+    //    min) share ONE user-keyed exchange; order pinned by (ts,
+    //    event_id). A mean-shifted segment shows as max_drift ≫ 0 at the
+    //    n·cents scale. ──
+    q("w11_cusum_drift",
+      """WITH b AS (SELECT user_id, ts, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+        |    count(*) OVER (PARTITION BY user_id) AS n,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      OVER (PARTITION BY user_id) AS BIGINT) AS s
+        |  FROM events),
+        |r AS (SELECT user_id, ts, event_id, n,
+        |    CAST(sum(n * c - s) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |  FROM b),
+        |d AS (SELECT user_id, n, run,
+        |    CAST(min(run) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS mn
+        |  FROM r)
+        |SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(run - mn) AS BIGINT) AS max_drift
+        |FROM d GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.partitionBy("user_id")
+      val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
+      val base = Td.table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), cents.as("c"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("c"),
+          count(lit(1)).over(wAll).as("n"),
+          sum(col("c")).over(wAll).cast("long").as("s"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("n"),
+          sum(col("n") * col("c") - col("s")).over(wOrd).cast("long").as("run"))
+        .select(col("user_id"), col("n"), col("run"),
+          min(col("run")).over(wOrd).cast("long").as("mn"))
+      base.groupBy("user_id")
+        .agg(max(col("n")).cast("long").as("n"),
+          max(col("run") - col("mn")).cast("long").as("max_drift"))
+    },
+
+    // ── seasonal-naive forecast backtest: train period (first three
+    //    weeks) learns a per-(event_type, hour-of-day) mean in exact
+    //    milli-cents; the holdout week scores MAE against it — the
+    //    model-eval loop for the classic seasonal baseline. Train
+    //    aggregate is (types × 24) rows and BROADCASTS onto the test
+    //    scan; MAE accumulates as exact scaled integers (one conditional
+    //    split of a single events scan — no second pass). ──
+    q("w12_seasonal_backtest",
+      """WITH tr AS (SELECT event_type, CAST(strftime(ts, '%H') AS INT) AS h,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 1000
+        |      // count(*) AS BIGINT) AS f_milli
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-22 00:00:00' GROUP BY 1, 2)
+        |SELECT e.event_type, count(*) AS n_test,
+        |  CAST(sum(abs(1000 * CAST(floor(e.value * 100 + 0.5) AS BIGINT)
+        |    - t.f_milli)) // count(*) AS BIGINT) AS mae_milli
+        |FROM events e
+        |JOIN tr t ON t.event_type = e.event_type
+        |  AND t.h = CAST(strftime(e.ts, '%H') AS INT)
+        |WHERE e.ts >= TIMESTAMP '2024-01-22 00:00:00'
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
+      val cut = lit(java.sql.Timestamp.valueOf("2024-01-22 00:00:00"))
+      val ev = Td.table(s, dir, "events")
+        .select(col("event_type"), col("ts"), cents.as("c"),
+          date_format(col("ts"), "HH").cast("int").as("h"))
+      val tr = ev.filter(col("ts") < cut)
+        .groupBy("event_type", "h")
+        .agg(expr("CAST(sum(c) * 1000 DIV count(1) AS BIGINT)").as("f_milli"))
+      ev.filter(col("ts") >= cut)
+        .join(broadcast(tr), Seq("event_type", "h"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_test"),
+          expr("CAST(sum(abs(1000 * c - f_milli)) DIV count(1) AS BIGINT)")
+            .as("mae_milli"))
+    },
+
     // ── Welch two-sample t statistic (A/B-test primitive, unequal
     //    variances): urgent vs low-priority order values. All sufficient
     //    statistics (n, Σx, Σx² per arm) are exact BIGINTs over cents from
