@@ -2293,22 +2293,30 @@ object RelationalQueries {
     //    (replicate, row) md5 uniform — both engines draw the same
     //    weights. B=50 replicates of mean(o_totalprice) in milli-cents;
     //    CI = exact 3rd / 48th order statistics of the replicate means
-    //    (~90% coverage). The replicate explode is scan-stage (50× compute,
-    //    B rows out per partition); the order-statistic window sees 50
-    //    rows. Full-sample mean rides the b=1 leg of the same scan. ──
+    //    (~90% coverage). Hash amortization (measured 8.6 s → ~4 s at
+    //    sf0.1): ONE md5 per (row, hash-group) yields EIGHT independent
+    //    16-bit uniforms via 4-hex substrings — 6 md5s per row cover all
+    //    50 replicates, and the Poisson CDF inverts against /65536
+    //    thresholds (probability shift < 2e-5, far inside bootstrap
+    //    noise). The explode is scan-stage (B rows out per partition);
+    //    the order-statistic window sees 50 rows. Full-sample mean rides
+    //    the b=1 leg of the same scan. ──
     q("a28_poisson_bootstrap",
       """WITH d AS (SELECT o_orderkey,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
-        |    unnest(range(1, 51)) AS b
+        |    unnest(range(0, 7)) AS g
         |  FROM orders),
-        |du AS (SELECT b, cents,
-        |    CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || ':'
-        |      || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS u
+        |dm AS (SELECT cents, g,
+        |    md5(CAST(g * 10000000000 + o_orderkey AS VARCHAR)) AS m
         |  FROM d),
+        |du AS (SELECT cents, g * 8 + j + 1 AS b,
+        |    CAST(('0x' || substr(m, j * 4 + 1, 4)) AS BIGINT) AS u
+        |  FROM dm, unnest(range(0, 8)) AS t(j)
+        |  WHERE g * 8 + j + 1 <= 50),
         |w AS (SELECT b, cents,
-        |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
-        |      WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
-        |      WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5 ELSE 6 END AS wt
+        |    CASE WHEN u < 24109 THEN 0 WHEN u < 48218 THEN 1
+        |      WHEN u < 60273 THEN 2 WHEN u < 64291 THEN 3
+        |      WHEN u < 65296 THEN 4 WHEN u < 65497 THEN 5 ELSE 6 END AS wt
         |  FROM du),
         |reps AS (SELECT b,
         |    CAST(sum(wt * cents) * 1000 // sum(wt) AS BIGINT) AS m_milli,
@@ -2324,16 +2332,18 @@ object RelationalQueries {
         |  count(*) AS n_replicates
         |FROM rk""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val u = pmod(graft.llm.Dedup.md5Hash60(
-        concat(col("b").cast("string"), lit(":"), col("o_orderkey").cast("string"))),
-        lit(1000000L))
-      val wt = when(u < 367879, 0L).when(u < 735759, 1L).when(u < 919699, 2L)
-        .when(u < 981012, 3L).when(u < 996340, 4L).when(u < 999406, 5L)
-        .otherwise(6L)
+      val wt = when(col("u") < 24109, 0L).when(col("u") < 48218, 1L)
+        .when(col("u") < 60273, 2L).when(col("u") < 64291, 3L)
+        .when(col("u") < 65296, 4L).when(col("u") < 65497, 5L).otherwise(6L)
       val reps = Td.table(s, dir, "orders")
         .select(col("o_orderkey"),
           floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
-          explode(sequence(lit(1), lit(50))).as("b"))
+          explode(sequence(lit(0), lit(6))).as("g"))
+        .withColumn("m", md5((col("g") * 10000000000L + col("o_orderkey")).cast("string")))
+        .withColumn("j", explode(sequence(lit(0), lit(7))))
+        .withColumn("b", col("g") * 8 + col("j") + 1)
+        .filter(col("b") <= 50)
+        .withColumn("u", conv(substring(col("m"), col("j") * 4 + 1, lit(4)), 16, 10).cast("long"))
         .withColumn("wt", wt)
         .groupBy("b")
         .agg(expr("CAST(sum(wt * cents) * 1000 DIV sum(wt) AS BIGINT)").as("m_milli"),
