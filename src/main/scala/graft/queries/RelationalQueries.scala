@@ -2284,6 +2284,51 @@ object RelationalQueries {
           .otherwise(0L)).cast("long").as("n_outliers"))
     },
 
+    // ── exact 5% trimmed mean per group (robust mean, the a27 histogram
+    //    shape): corpus-scale work is ONE (group, value)-keyed histogram
+    //    aggregate; rank arithmetic happens on cumulative windows over
+    //    HISTOGRAM rows. Boundary bins are PARTIALLY included by exact
+    //    rank-overlap arithmetic (overlap = clamp of [cb, cb+m) against
+    //    the kept rank range) — no row-level second pass, no approximate
+    //    percentile. ──
+    q("a30_trimmed_mean",
+      """WITH hist AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c, count(*) AS m
+        |  FROM events GROUP BY 1, 2),
+        |h1 AS (SELECT event_type, c, m,
+        |    CAST(coalesce(sum(m) OVER (PARTITION BY event_type ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb,
+        |    CAST(sum(m) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM hist),
+        |k AS (SELECT event_type, c, m, n, n // 20 AS lo,
+        |    greatest(least(cb + m, n - n // 20) - greatest(cb, n // 20), 0) AS keep
+        |  FROM h1)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(sum(keep) AS BIGINT) AS n_kept,
+        |  CAST(sum(c * keep) * 1000 // sum(keep) AS BIGINT) AS tmean_milli
+        |FROM k GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wCum = Window.partitionBy("event_type").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy("event_type")
+      val hist = Td.table(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .agg(count(lit(1)).as("m"))
+      val h1 = hist.select(col("event_type"), col("c"), col("m"),
+        coalesce(sum("m").over(wCum), lit(0L)).cast("long").as("cb"),
+        sum("m").over(wAll).cast("long").as("n"))
+      h1.select(col("event_type"), col("c"), col("m"), col("n"),
+          greatest(
+            least(col("cb") + col("m"), col("n") - expr("n DIV 20"))
+              - greatest(col("cb"), expr("n DIV 20")),
+            lit(0L)).as("keep"))
+        .groupBy("event_type")
+        .agg(max(col("n")).cast("long").as("n"),
+          sum(col("keep")).cast("long").as("n_kept"),
+          expr("CAST(sum(c * keep) * 1000 DIV sum(keep) AS BIGINT)").as("tmean_milli"))
+    },
+
     // ── Poisson bootstrap confidence interval — THE distributed bootstrap
     //    (per replicate, each row's resample multiplicity is an iid
     //    Poisson(1) draw, so replicates need no global n and fold into ONE
@@ -2358,6 +2403,45 @@ object RelationalQueries {
         max(when(col("rn") === 3, col("m_milli"))).cast("long").as("ci_lo_milli"),
         max(when(col("rn") === 48, col("m_milli"))).cast("long").as("ci_hi_milli"),
         count(lit(1)).as("n_replicates"))
+    },
+
+    // ── last-touch attribution (marketing-analytics shape): each
+    //    'purchase' credits the most recent PRIOR non-purchase event of
+    //    the same user — last_value(... IGNORE NULLS) over the user-
+    //    ordered frame ending one row back, then a credit rollup per
+    //    attributed channel with exact cent revenue. One user-keyed
+    //    exchange carries the window; the rollup reuses nothing bigger
+    //    than the conversion rows. Purchases with no prior touch count
+    //    under channel 'none' (the unattributable bucket stays visible
+    //    instead of silently dropping). ──
+    q("e5_attribution",
+      """SELECT channel, count(*) AS n_conversions,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM (SELECT
+        |    coalesce(last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'none')
+        |      AS channel,
+        |    event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events)
+        |WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Td.table(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+          coalesce(
+            last(when(col("event_type") =!= "purchase", col("event_type")),
+              ignoreNulls = true).over(w),
+            lit("none")).as("channel"))
+        .filter(col("event_type") === "purchase")
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_conversions"),
+          sum(col("cents")).cast("long").as("revenue_cents"))
     },
 
     // ── CUSUM drift statistic per user (change-point/monitoring shape):
