@@ -2284,6 +2284,102 @@ object RelationalQueries {
           .otherwise(0L)).cast("long").as("n_outliers"))
     },
 
+    // ── chi-square independence test (contingency analytics): event_type
+    //    × user-hash-quartile table from ONE scan; χ² accumulates as
+    //    per-cell integer floors of 1e6·(O·n − r·c)²/(r·c·n) — the one
+    //    float division per cell is IEEE-pinned and the cross-cell SUM is
+    //    over exact integers, so no summation-order nondeterminism ever
+    //    touches a double. Margins ride the cell table via windows over
+    //    CELL-cardinality rows. ──
+    q("a31_chisq_independence",
+      """WITH cells AS (SELECT event_type AS rk, user_id % 4 AS ck,
+        |    count(*) AS o FROM events GROUP BY 1, 2),
+        |m AS (SELECT rk, ck, o,
+        |    CAST(sum(o) OVER (PARTITION BY rk) AS BIGINT) AS r,
+        |    CAST(sum(o) OVER (PARTITION BY ck) AS BIGINT) AS c,
+        |    CAST(sum(o) OVER () AS BIGINT) AS n
+        |  FROM cells)
+        |SELECT CAST(max(n) AS BIGINT) AS n, count(*) AS n_cells,
+        |  CAST(sum(CAST(floor(1000000.0
+        |    * CAST((o * n - r * c) AS DOUBLE) * (o * n - r * c)
+        |    / (CAST(r AS DOUBLE) * c * n)) AS BIGINT)) AS BIGINT) AS chisq_micro
+        |FROM m""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cells = Td.table(s, dir, "events")
+        .groupBy(col("event_type").as("rk"), (col("user_id") % 4).as("ck"))
+        .agg(count(lit(1)).as("o"))
+      val m = cells.select(col("o"),
+        sum("o").over(Window.partitionBy("rk")).cast("long").as("r"),
+        sum("o").over(Window.partitionBy("ck")).cast("long").as("c"),
+        sum("o").over(Window.partitionBy()).cast("long").as("n"))
+      m.agg(max(col("n")).cast("long").as("n"), count(lit(1)).as("n_cells"),
+        sum(floor(lit(1000000.0)
+          * (col("o") * col("n") - col("r") * col("c")).cast("double")
+          * (col("o") * col("n") - col("r") * col("c"))
+          / (col("r").cast("double") * col("c") * col("n"))).cast("long"))
+          .cast("long").as("chisq_micro"))
+    },
+
+    // ── pairwise correlation matrix over lineitem measures: all three
+    //    Pearson correlations (quantity/price/discount) from ONE scan of
+    //    exact integer sufficient statistics — the w10 shape generalized
+    //    to cross-column pairs; one 1-row aggregate, three pinned IEEE
+    //    final steps. ──
+    q("a32_corr_matrix",
+      """WITH s AS (SELECT count(*) AS n,
+        |    CAST(sum(q) AS BIGINT) AS sq, CAST(sum(p) AS BIGINT) AS sp,
+        |    CAST(sum(d) AS BIGINT) AS sd,
+        |    CAST(sum(q * q) AS BIGINT) AS sqq, CAST(sum(p * p) AS BIGINT) AS spp,
+        |    CAST(sum(d * d) AS BIGINT) AS sdd,
+        |    CAST(sum(q * p) AS BIGINT) AS sqp, CAST(sum(q * d) AS BIGINT) AS sqd,
+        |    CAST(sum(p * d) AS BIGINT) AS spd
+        |  FROM (SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+        |      CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS p,
+        |      CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d
+        |    FROM lineitem))
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(floor(1000000.0 * (CAST(n AS DOUBLE) * sqp - CAST(sq AS DOUBLE) * sp)
+        |    / sqrt((CAST(n AS DOUBLE) * sqq - CAST(sq AS DOUBLE) * sq)
+        |         * (CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp)))
+        |    AS BIGINT) AS r_qty_price_micro,
+        |  CAST(floor(1000000.0 * (CAST(n AS DOUBLE) * sqd - CAST(sq AS DOUBLE) * sd)
+        |    / sqrt((CAST(n AS DOUBLE) * sqq - CAST(sq AS DOUBLE) * sq)
+        |         * (CAST(n AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd)))
+        |    AS BIGINT) AS r_qty_disc_micro,
+        |  CAST(floor(1000000.0 * (CAST(n AS DOUBLE) * spd - CAST(sp AS DOUBLE) * sd)
+        |    / sqrt((CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp)
+        |         * (CAST(n AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd)))
+        |    AS BIGINT) AS r_price_disc_micro
+        |FROM s""".stripMargin) { (s, dir) =>
+      // units/dollars/percent (not cents): sum of squared price cents
+      // would overflow BIGINT by sf0.1; whole dollars hold to ~1e9 rows
+      val li = Td.table(s, dir, "lineitem").select(
+        floor(col("l_quantity") + 0.5).cast("long").as("q"),
+        floor(col("l_extendedprice") + 0.5).cast("long").as("p"),
+        floor(col("l_discount") * 100 + 0.5).cast("long").as("d"))
+      val st = li.agg(count(lit(1)).as("n"),
+        sum(col("q")).cast("long").as("sq"), sum(col("p")).cast("long").as("sp"),
+        sum(col("d")).cast("long").as("sd"),
+        sum(col("q") * col("q")).cast("long").as("sqq"),
+        sum(col("p") * col("p")).cast("long").as("spp"),
+        sum(col("d") * col("d")).cast("long").as("sdd"),
+        sum(col("q") * col("p")).cast("long").as("sqp"),
+        sum(col("q") * col("d")).cast("long").as("sqd"),
+        sum(col("p") * col("d")).cast("long").as("spd"))
+      // the n*Sxx products overflow BIGINT (n*spp > 2^63 already at
+      // sf0.01), so the final step converts each SUFFICIENT STATISTIC to
+      // double first — spelled identically in the oracle, IEEE-pinned
+      def corr(xy: String, x: String, y: String, xx: String, yy: String, sx: String, sy: String) =
+        floor(lit(1000000.0)
+          * (col("n").cast("double") * col(xy) - col(sx).cast("double") * col(sy))
+          / sqrt((col("n").cast("double") * col(xx) - col(sx).cast("double") * col(sx))
+            * (col("n").cast("double") * col(yy) - col(sy).cast("double") * col(sy)))).cast("long")
+      st.select(col("n").cast("long").as("n"),
+        corr("sqp", "q", "p", "sqq", "spp", "sq", "sp").as("r_qty_price_micro"),
+        corr("sqd", "q", "d", "sqq", "sdd", "sq", "sd").as("r_qty_disc_micro"),
+        corr("spd", "p", "d", "spp", "sdd", "sp", "sd").as("r_price_disc_micro"))
+    },
+
     // ── exact 5% trimmed mean per group (robust mean, the a27 histogram
     //    shape): corpus-scale work is ONE (group, value)-keyed histogram
     //    aggregate; rank arithmetic happens on cumulative windows over
@@ -2536,16 +2632,16 @@ object RelationalQueries {
       """WITH s AS (SELECT
         |    sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n1,
         |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
-        |      THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS s1,
+        |      THEN CAST(floor(o_totalprice + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS s1,
         |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
-        |      THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-        |         * CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS q1,
+        |      THEN CAST(floor(o_totalprice + 0.5) AS BIGINT)
+        |         * CAST(floor(o_totalprice + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS q1,
         |    sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS n2,
         |    CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
-        |      THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS s2,
+        |      THEN CAST(floor(o_totalprice + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS s2,
         |    CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
-        |      THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-        |         * CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS q2
+        |      THEN CAST(floor(o_totalprice + 0.5) AS BIGINT)
+        |         * CAST(floor(o_totalprice + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS q2
         |  FROM orders)
         |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
         |  CAST(s1 * 1000 // n1 AS BIGINT) AS mean1_milli,
@@ -2557,7 +2653,9 @@ object RelationalQueries {
         |      + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) / n2))
         |    AS BIGINT) AS t_micro
         |FROM s""".stripMargin) { (s, dir) =>
-      val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      // whole DOLLARS: the sum of squared cents overflows BIGINT at sf0.1
+      // (n·c² past 2^63); dollars hold the exact path to ~3e7 rows/arm
+      val cents = floor(col("o_totalprice") + 0.5).cast("long")
       def arm(p: String, suffix: String) = Seq(
         sum(when(col("o_orderpriority") === p, 1L).otherwise(0L)).as(s"n$suffix"),
         sum(when(col("o_orderpriority") === p, cents).otherwise(0L))
