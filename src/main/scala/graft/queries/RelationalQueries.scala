@@ -2501,6 +2501,57 @@ object RelationalQueries {
         count(lit(1)).as("n_replicates"))
     },
 
+    // ── rolling regression slope per user (trend detection): least-
+    //    squares slope of value-cents against the row index over a
+    //    trailing 20-row frame. ALL five frame sums are exact BIGINTs
+    //    (row index bounded per user ⇒ Σrn² tiny); one pinned IEEE
+    //    multiply/divide/floor per row; rows with a degenerate frame
+    //    (n < 2 ⇒ zero denominator) pin slope to NULL-free 0 via the
+    //    guard. Both windows (index + frame sums) share the user-keyed
+    //    exchange. ──
+    q("w13_rolling_slope",
+      """WITH b AS (SELECT user_id, ts, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS BIGINT) AS rn
+        |  FROM events),
+        |f AS (SELECT user_id, event_id, rn,
+        |    count(*) OVER w AS n,
+        |    CAST(sum(rn) OVER w AS BIGINT) AS st,
+        |    CAST(sum(c) OVER w AS BIGINT) AS sy,
+        |    CAST(sum(rn * rn) OVER w AS BIGINT) AS stt,
+        |    CAST(sum(rn * c) OVER w AS BIGINT) AS sty
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id,
+        |  CAST(CASE WHEN n * stt - st * st > 0
+        |    THEN floor(1000000.0 * (n * sty - st * sy) / (n * stt - st * st))
+        |    ELSE 0 END AS BIGINT) AS slope_micro
+        |FROM f""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val order = Seq(col("ts"), col("event_id"))
+      val wIdx = Window.partitionBy("user_id").orderBy(order: _*)
+      val wFrame = Window.partitionBy("user_id").orderBy(order: _*)
+        .rowsBetween(-19, Window.currentRow)
+      val b = Td.table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .withColumn("rn", row_number().over(wIdx).cast("long"))
+      val f = b.select(col("user_id"), col("event_id"),
+        count(lit(1)).over(wFrame).as("n"),
+        sum(col("rn")).over(wFrame).cast("long").as("st"),
+        sum(col("c")).over(wFrame).cast("long").as("sy"),
+        sum(col("rn") * col("rn")).over(wFrame).cast("long").as("stt"),
+        sum(col("rn") * col("c")).over(wFrame).cast("long").as("sty"))
+      val den = col("n") * col("stt") - col("st") * col("st")
+      f.select(col("user_id"), col("event_id"),
+        when(den > 0,
+          floor(lit(1000000.0) * (col("n") * col("sty") - col("st") * col("sy"))
+            / den))
+          .otherwise(lit(0L)).cast("long").as("slope_micro"))
+    },
+
     // ── last-touch attribution (marketing-analytics shape): each
     //    'purchase' credits the most recent PRIOR non-purchase event of
     //    the same user — last_value(... IGNORE NULLS) over the user-
