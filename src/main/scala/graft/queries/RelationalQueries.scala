@@ -2501,6 +2501,31 @@ object RelationalQueries {
         count(lit(1)).as("n_replicates"))
     },
 
+    // ── incremental aggregate maintenance (materialized-view refresh
+    //    shape): the engine computes per-type counts/sums by MERGING a
+    //    base-period aggregate with a delta-period aggregate (sum/count
+    //    are mergeable states — the algebra that lets a 100 TB rollup
+    //    refresh from yesterday's materialization plus today's partition
+    //    instead of rescanning history). The ORACLE aggregates the full
+    //    stream directly, so the hash-match IS the proof that the merge
+    //    law holds exactly (integer cents — no float reassociation). ──
+    q("m3_incremental_agg",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      val cut = lit(java.sql.Timestamp.valueOf("2024-01-22 00:00:00"))
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
+      def agg(f: org.apache.spark.sql.DataFrame) = f
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(cents).cast("long").as("sum_cents"))
+      val ev = Td.table(s, dir, "events")
+      agg(ev.filter(col("ts") < cut))
+        .unionByName(agg(ev.filter(col("ts") >= cut)))
+        .groupBy("event_type")
+        .agg(sum(col("n")).cast("long").as("n"),
+          sum(col("sum_cents")).cast("long").as("sum_cents"))
+    },
+
     // ── rolling regression slope per user (trend detection): least-
     //    squares slope of value-cents against the row index over a
     //    trailing 20-row frame. ALL five frame sums are exact BIGINTs
