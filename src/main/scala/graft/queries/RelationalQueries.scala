@@ -2501,6 +2501,30 @@ object RelationalQueries {
         count(lit(1)).as("n_replicates"))
     },
 
+    // ── exact mode per group (most frequent value, tie → smallest): the
+    //    histogram + group-limit shape — corpus work is one (group,
+    //    value)-keyed hash aggregate; the argmax window sees histogram
+    //    rows and plans WindowGroupLimit (rank pushed into the shuffle). ──
+    q("a33_mode",
+      """SELECT event_type, c AS mode_cents, CAST(m AS BIGINT) AS m
+        |FROM (SELECT event_type, c, m,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY m DESC, c) AS rn
+        |  FROM (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+        |      count(*) AS m
+        |    FROM events GROUP BY 1, 2))
+        |WHERE rn = 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Td.table(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .agg(count(lit(1)).as("m"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("m").desc, col("c"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("c").as("mode_cents"),
+          col("m").cast("long").as("m"))
+    },
+
     // ── incremental aggregate maintenance (materialized-view refresh
     //    shape): the engine computes per-type counts/sums by MERGING a
     //    base-period aggregate with a delta-period aggregate (sum/count
