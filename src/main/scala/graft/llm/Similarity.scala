@@ -96,16 +96,17 @@ object Similarity {
   /** Brute-force cosine top-k: every query row (small side, broadcast) vs
     * the full corpus, ranked per query. The corpus side never shuffles for
     * the join; the only shuffle is the per-query window (key = query id). */
-  def bruteForceTopK(
+  /** Shared brute-force scoring kernel: (query_id, neighbor_id, cosine)
+    * for every (query, corpus) pair. Query side (small by contract)
+    * broadcasts as a plain array; scoring is the same raw-JVM kernel as
+    * embeddingNearDups — exact integer dots and the oracle's
+    * `dp / (sqrt(nn_q) * sqrt(nn_c))` IEEE sequence. The corpus streams
+    * partition-wise (never shuffles for the scoring). */
+  private def bfScores(
       queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
-      k: Int, dims: Int = 64): DataFrame = {
+      dims: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    // Query side (small by contract) broadcasts as a plain array; scoring
-    // is the same raw-JVM kernel as embeddingNearDups — exact integer dots
-    // and the oracle's `dp / (sqrt(nn_q) * sqrt(nn_c))` IEEE sequence. The
-    // corpus streams partition-wise (never shuffles for the scoring); the
-    // only shuffle is the per-query top-k window.
     val qRows = queries
       .select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("e"))
       .as[(Long, Array[Long])].limit(MaxBroadcastRows + 1).collect()
@@ -117,7 +118,7 @@ object Similarity {
       (id, e, math.sqrt(Qv.dot(e, e).toDouble))
     }
     val bcast = spark.sparkContext.broadcast(qArr)
-    val scored = corpus
+    corpus
       .select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("e"))
       .as[(Long, Array[Long])]
       .mapPartitions { iter =>
@@ -131,9 +132,35 @@ object Similarity {
         }
       }
       .toDF("query_id", "neighbor_id", "cosine")
+  }
+
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, dims: Int = 64): DataFrame = {
+    // the only shuffle is the per-query top-k window
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    bfScores(queries, corpus, idCol, embCol, dims)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Hard-negative mining (contrastive-training data): per query the
+    * top-k most similar corpus items whose cosine lies in [lo, hi) —
+    * similar enough to be informative negatives, strictly below the
+    * near-dup band (>= hi) that would poison training with false
+    * negatives. The band filter runs in the scan stage BEFORE the
+    * per-query top-k shuffle, so the exchange only carries in-band
+    * pairs. */
+  def hardNegativesTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, lo: Double, hi: Double, dims: Int = 64): DataFrame = {
+    require(lo < hi, s"empty band [$lo, $hi)")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    bfScores(queries, corpus, idCol, embCol, dims)
+      .filter(col("cosine") >= lo && col("cosine") < hi)
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 

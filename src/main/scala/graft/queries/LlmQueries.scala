@@ -2387,6 +2387,35 @@ object LlmQueries {
         dims = 64, iters = 24, trainMod = 1)
     },
 
+    // ── hard-negative mining (contrastive-training data): per query the
+    //    top-5 corpus items with cosine in [0.1, 0.8) — informative
+    //    negatives strictly below the near-dup band that would poison
+    //    training as false negatives. Band filter runs scan-stage BEFORE
+    //    the top-k shuffle; same exact-integer-dot + IEEE-cosine kernel
+    //    as ls1, so the oracle replays the band and ranks bit-for-bit. ──
+    q("ls13_hard_negatives",
+      s"""WITH $quantCtes,
+        |dot AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    sum(a.x * b.x) AS dp
+        |  FROM qc a JOIN qc b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id % 40 = 0 GROUP BY 1, 2),
+        |sims AS (SELECT query_id, neighbor_id,
+        |    CAST(dp AS DOUBLE) / (sqrt(CAST(x.nn AS DOUBLE)) * sqrt(CAST(y.nn AS DOUBLE)))
+        |      AS cosine
+        |  FROM dot JOIN nrm x ON query_id = x.vec_id JOIN nrm y ON neighbor_id = y.vec_id),
+        |band AS (SELECT * FROM sims WHERE cosine >= 0.1 AND cosine < 0.8)
+        |SELECT * FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |  FROM band)
+        |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val emb = Td.table(s, dir, "embeddings")
+      Similarity.hardNegativesTopK(
+        emb.filter(col("vec_id") % 40 === 0), emb, "vec_id", "embedding",
+        k = 5, lo = 0.1, hi = 0.8)
+    },
+
     // ── per-dimension embedding standardization (z-score whitening — the
     //    preprocessing normalize before ANN/clustering): one sufficient-
     //    statistics pass (per-dim Σx, Σx², n over quantized components —
