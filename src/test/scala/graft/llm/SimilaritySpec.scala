@@ -22,6 +22,25 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(2) + 1.0) < 1e-12)
   }
 
+  test("hardNegativesTopK honors the band and equals band-filtered brute force") {
+    val vecs = graft.Td.table(spark, Sf0001, "embeddings")
+    val q = vecs.filter(col("vec_id") % 100 === 0)
+    val hard = Similarity.hardNegativesTopK(
+      q, vecs, "vec_id", "embedding", k = 5, lo = 0.1, hi = 0.8)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(hard.nonEmpty)
+    assert(hard.forall { case (_, _, c, _) => c >= 0.1 && c < 0.8 })
+    // equivalence: top-k of the band == band-applied-then-ranked full scores
+    val all = Similarity.bruteForceTopK(
+      q, vecs, "vec_id", "embedding", k = Int.MaxValue)
+      .as[(Long, Long, Double, Int)].collect()
+    val expect = all.toSeq.filter { case (_, _, c, _) => c >= 0.1 && c < 0.8 }
+      .groupBy(_._1).values.flatMap(rs =>
+        rs.sortBy(r => (-r._3, r._2)).take(5))
+      .map(r => (r._1, r._2)).toSet
+    assert(hard.map(r => (r._1, r._2)).toSet == expect)
+  }
+
   test("bruteForceTopK returns k ranked neighbors per query, best first") {
     val vecs = graft.Td.table(spark, Sf0001, "embeddings")
     val topk = Similarity.bruteForceTopK(
