@@ -2501,6 +2501,52 @@ object RelationalQueries {
         count(lit(1)).as("n_replicates"))
     },
 
+    // ── join-key skew report (the pre-join diagnostic that decides
+    //    salting/AQE-skew handling at 100 TB): distribution of per-key
+    //    group sizes for lineitem's join keys. Shape: one (key)-count
+    //    aggregate, then a count-of-counts HISTOGRAM (rows = distinct
+    //    group sizes — tiny), exact p50/p99 via cumulative windows over
+    //    that histogram, and skew = max/mean as integer ppm. The raw
+    //    key-count table never leaves the exchange it was built on. ──
+    q("s4_skew_report",
+      """WITH kc AS (SELECT l_orderkey AS k, count(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |h AS (SELECT n, count(*) AS keys FROM kc GROUP BY 1),
+        |c AS (SELECT n, keys,
+        |    CAST(sum(keys) OVER (ORDER BY n ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(keys) OVER () AS BIGINT) AS nk,
+        |    CAST(sum(n * keys) OVER () AS BIGINT) AS rows_total,
+        |    CAST(max(n) OVER () AS BIGINT) AS max_n
+        |  FROM h)
+        |SELECT CAST(max(nk) AS BIGINT) AS n_keys,
+        |  CAST(max(rows_total) AS BIGINT) AS n_rows,
+        |  CAST(max(max_n) AS BIGINT) AS max_n,
+        |  CAST(min(CASE WHEN cum * 2 >= nk THEN n END) AS BIGINT) AS p50_n,
+        |  CAST(min(CASE WHEN cum * 100 >= nk * 99 THEN n END) AS BIGINT) AS p99_n,
+        |  CAST(max(max_n) * max(nk) * 1000000 // max(rows_total) AS BIGINT)
+        |    AS skew_ratio_ppm
+        |FROM c""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val kc = Td.table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("n"))
+      val h = kc.groupBy("n").agg(count(lit(1)).as("keys"))
+      val wCum = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      val c = h.select(col("n"), col("keys"),
+        sum("keys").over(wCum).cast("long").as("cum"),
+        sum("keys").over(wAll).cast("long").as("nk"),
+        sum(col("n") * col("keys")).over(wAll).cast("long").as("rows_total"),
+        max("n").over(wAll).cast("long").as("max_n"))
+      c.agg(
+        max(col("nk")).cast("long").as("n_keys"),
+        max(col("rows_total")).cast("long").as("n_rows"),
+        max(col("max_n")).cast("long").as("max_n"),
+        min(when(col("cum") * 2 >= col("nk"), col("n"))).cast("long").as("p50_n"),
+        min(when(col("cum") * 100 >= col("nk") * 99, col("n"))).cast("long").as("p99_n"),
+        expr("CAST(max(max_n) * max(nk) * 1000000 DIV max(rows_total) AS BIGINT)")
+          .as("skew_ratio_ppm"))
+    },
+
     // ── exact mode per group (most frequent value, tie → smallest): the
     //    histogram + group-limit shape — corpus work is one (group,
     //    value)-keyed hash aggregate; the argmax window sees histogram
