@@ -2387,6 +2387,65 @@ object LlmQueries {
         dims = 64, iters = 24, trainMod = 1)
     },
 
+    // ── retrieval-quality eval AS A QUERY: per-query recall@10 of the
+    //    LSH candidate path (ls2's geometry) against the exact top-10
+    //    (ls1's kernel) — the ANN quality loop run as data, not as a
+    //    test. Both legs replay relationally (the projection geometry is
+    //    literal SQL), so even the recall numbers hash-match. The rank
+    //    windows see candidate rows only. ──
+    q("ls14_retrieval_recall",
+      s"""WITH $quantCtes,
+        |${lshCodesCte(16, 4, 64, 8)},
+        |ecand AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    sum(a.x * b.x) AS dp
+        |  FROM qc a JOIN qc b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id % 40 = 0 GROUP BY 1, 2),
+        |esims AS (SELECT query_id, neighbor_id,
+        |    CAST(dp AS DOUBLE) / (sqrt(CAST(x.nn AS DOUBLE)) * sqrt(CAST(y.nn AS DOUBLE)))
+        |      AS cosine
+        |  FROM ecand JOIN nrm x ON query_id = x.vec_id
+        |  JOIN nrm y ON neighbor_id = y.vec_id),
+        |etop AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, neighbor_id) AS rn
+        |    FROM esims) WHERE rn <= 10),
+        |lcand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        |  FROM codes a JOIN codes b ON a.t = b.t AND a.code = b.code
+        |  WHERE a.vec_id % 40 = 0 AND a.vec_id <> b.vec_id),
+        |ldot AS (SELECT query_id, neighbor_id, sum(x.x * y.x) AS dp
+        |  FROM lcand JOIN qc x ON x.vec_id = query_id
+        |  JOIN qc y ON y.vec_id = neighbor_id AND y.i = x.i
+        |  GROUP BY 1, 2),
+        |lsims AS (SELECT query_id, neighbor_id,
+        |    CAST(dp AS DOUBLE) / (sqrt(CAST(x.nn AS DOUBLE)) * sqrt(CAST(y.nn AS DOUBLE)))
+        |      AS cosine
+        |  FROM ldot JOIN nrm x ON query_id = x.vec_id
+        |  JOIN nrm y ON neighbor_id = y.vec_id),
+        |ltop AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, neighbor_id) AS rn
+        |    FROM lsims) WHERE rn <= 10)
+        |SELECT e.query_id,
+        |  CAST(count(l.neighbor_id) AS BIGINT) AS n_matched,
+        |  CAST(count(l.neighbor_id) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+        |FROM etop e LEFT JOIN ltop l
+        |  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val vecs = Td.table(s, dir, "embeddings")
+      val q = vecs.filter(col("vec_id") % 40 === 0)
+      val exact = Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val lsh = Similarity.lshTopK(q, vecs, "vec_id", "embedding", 10)
+        .select(col("query_id").as("lq"), col("neighbor_id").as("ln"))
+      exact.join(lsh,
+          col("lq") === col("query_id") && col("ln") === col("neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("ln")).cast("long").as("n_matched"),
+          expr("CAST(count(ln) * 1000000 DIV count(1) AS BIGINT)").as("recall_ppm"))
+    },
+
     // ── hard-negative mining (contrastive-training data): per query the
     //    top-5 corpus items with cosine in [0.1, 0.8) — informative
     //    negatives strictly below the near-dup band that would poison
