@@ -81,7 +81,27 @@ class PlanShapeSpec extends SparkSpec {
     // lq7: one corpus scan; the group agg and the lang-keyed
     // generalization window each cost one exchange over GROUP-cardinality
     // rows only
-    Shape("lq7_k_anonymity", scans = Some(1), shuffles = Some(2)))
+    Shape("lq7_k_anonymity", scans = Some(1), shuffles = Some(2)),
+    // w13: both windows (row index + frame sums) must share the single
+    // user-keyed exchange
+    Shape("w13_rolling_slope", scans = Some(1), shuffles = Some(1)),
+    // a33: histogram + argmax; the rank filter must push into the
+    // shuffle as a group-limit
+    Shape("a33_mode", scans = Some(1), shuffles = None,
+      mustContain = Seq("WindowGroupLimit")),
+    // m3: the merge-law demo reads base and delta as separate scans BY
+    // DESIGN (at scale the base is a materialization, not a rescan)
+    Shape("m3_incremental_agg", scans = Some(2), shuffles = None),
+    // ls12: the 64-row dim-stats table must broadcast onto the corpus —
+    // a shuffle join here would re-shuffle the whole exploded corpus
+    Shape("ls12_embed_standardize", scans = None, shuffles = None,
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // w12: the (type, hour) forecast table must broadcast onto the
+    // holdout scan
+    Shape("w12_seasonal_backtest", scans = None, shuffles = None,
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
 
   /** Flatten INCLUDING materialized AQE query stages (QueryStageExec is a
     * leaf whose real subtree hangs off `.plan`). */
