@@ -2501,6 +2501,71 @@ object RelationalQueries {
         count(lit(1)).as("n_replicates"))
     },
 
+    // ── market-basket co-occurrence with lift (recommender primitive):
+    //    distinct (customer, brand) baskets from lineitem⋈orders (brand
+    //    level keeps the pair space honest), customer-scoped self-join for
+    //    within-basket pairs (fan-out bounded by brands-per-customer — the
+    //    PMI-pairs contract; a viral customer would need the same loud
+    //    cap), lift = n·c(a,b)/(c(a)·c(b)) in exact integer ppm. Top-20
+    //    pairs by (support desc, pair) via TakeOrderedAndProject. ──
+    q("j15_market_basket",
+      """WITH cb AS (SELECT DISTINCT o.o_custkey AS c, p.p_brand AS b
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN part p ON p.p_partkey = l.l_partkey),
+        |nb AS (SELECT b, count(*) AS n FROM cb GROUP BY 1),
+        |nc AS (SELECT count(DISTINCT c) AS n FROM cb),
+        |pr AS (SELECT a.b AS b1, x.b AS b2, count(*) AS support
+        |  FROM cb a JOIN cb x ON x.c = a.c AND x.b > a.b GROUP BY 1, 2)
+        |SELECT b1, b2, CAST(support AS BIGINT) AS support,
+        |  CAST(support * nc.n * 1000000 // (na.n * nx.n) AS BIGINT) AS lift_ppm
+        |FROM pr JOIN nb na ON na.b = pr.b1 JOIN nb nx ON nx.b = pr.b2
+        |CROSS JOIN nc
+        |ORDER BY support DESC, b1, b2 LIMIT 20""".stripMargin) { (s, dir) =>
+      val cb = Td.table(s, dir, "lineitem")
+        .join(Td.table(s, dir, "orders"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Td.table(s, dir, "part")),
+          col("p_partkey") === col("l_partkey"))
+        .select(col("o_custkey").as("c"), col("p_brand").as("b")).distinct()
+      val nb = cb.groupBy("b").agg(count(lit(1)).as("n"))
+      val nc = cb.agg(count_distinct(col("c")).as("ntot"))
+      val pr = cb.as("a")
+        .join(cb.as("x"), col("x.c") === col("a.c") && col("x.b") > col("a.b"))
+        .groupBy(col("a.b").as("b1"), col("x.b").as("b2"))
+        .agg(count(lit(1)).as("support"))
+      pr.join(broadcast(nb.select(col("b").as("b1"), col("n").as("n1"))), Seq("b1"))
+        .join(broadcast(nb.select(col("b").as("b2"), col("n").as("n2"))), Seq("b2"))
+        .crossJoin(broadcast(nc))
+        .select(col("b1"), col("b2"), col("support").cast("long").as("support"),
+          expr("CAST(support * ntot * 1000000 DIV (n1 * n2) AS BIGINT)").as("lift_ppm"))
+        .orderBy(col("support").desc, col("b1"), col("b2")).limit(20)
+    },
+
+    // ── top behavioral path trigrams (product-analytics path analysis):
+    //    per user the ordered event stream yields (t, t+1, t+2) trigram
+    //    counts via two lead windows sharing ONE user-keyed exchange;
+    //    global top-15 via TakeOrderedAndProject. The trigram table is
+    //    |types|³-bounded regardless of stream size. ──
+    q("e6_path_trigrams",
+      """SELECT e1, e2, e3, count(*) AS n FROM (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        |  FROM events)
+        |WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, e1, e2, e3 LIMIT 15""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Td.table(s, dir, "events")
+        .select(col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3")).limit(15)
+    },
+
     // ── join-key skew report (the pre-join diagnostic that decides
     //    salting/AQE-skew handling at 100 TB): distribution of per-key
     //    group sizes for lineitem's join keys. Shape: one (key)-count
