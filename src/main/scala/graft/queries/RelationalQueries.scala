@@ -2126,9 +2126,9 @@ object RelationalQueries {
         |  CAST(CASE WHEN e.n_u < 256 THEN e.n_u
         |    ELSE CAST(floor(255.0 * 1152921504606846976.0 / e.kth) AS BIGINT)
         |    END AS BIGINT) AS union_est,
-        |  CAST(e.n_both * (CASE WHEN e.n_u < 256 THEN e.n_u
-        |    ELSE CAST(floor(255.0 * 1152921504606846976.0 / e.kth) AS BIGINT)
-        |    END) // 256 AS BIGINT) AS inter_est,
+        |  CAST(CASE WHEN e.n_u < 256 THEN e.n_both
+        |    ELSE e.n_both * CAST(floor(255.0 * 1152921504606846976.0 / e.kth) AS BIGINT) // 256
+        |    END AS BIGINT) AS inter_est,
         |  CAST(coalesce(x.exact_inter, 0) AS BIGINT) AS exact_inter
         |FROM est e LEFT JOIN ex x ON x.t1 = e.t1 AND x.t2 = e.t2""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
@@ -2167,9 +2167,13 @@ object RelationalQueries {
           col("y.event_type") > col("x.event_type") && col("y.hv") === col("x.hv"))
         .groupBy(col("x.event_type").as("t1"), col("y.event_type").as("t2"))
         .agg(count(lit(1)).as("exact_inter"))
+      // below the sketch capacity BOTH sketches are complete, so n_both IS
+      // the exact intersection — only the full-sketch regime scales by
+      // union_est/k
       est.join(ex, Seq("t1", "t2"), "left")
         .select(col("t1"), col("t2"), col("n_both"), col("union_est"),
-          expr("CAST(n_both * union_est DIV 256 AS BIGINT)").as("inter_est"),
+          expr("CAST(CASE WHEN n_u < 256 THEN n_both" +
+            " ELSE n_both * union_est DIV 256 END AS BIGINT)").as("inter_est"),
           coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
     },
 
