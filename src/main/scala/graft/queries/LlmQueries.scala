@@ -2387,6 +2387,48 @@ object LlmQueries {
         dims = 64, iters = 24, trainMod = 1)
     },
 
+    // ── cross-source quantile normalization (feature engineering: map
+    //    each source's quality distribution onto the GLOBAL one, so a
+    //    threshold means the same thing in every source). Per-source rank
+    //    via a stratum-keyed window; target global position by exact
+    //    ceil cross-multiplication; the mapped value comes from an EQUI
+    //    join against the global rank table built with the lt17-shape
+    //    range-partitioned sort + zipWithIndex (never a single-partition
+    //    row_number over the corpus). All integers; ties pinned by
+    //    (score, doc_id) on both sides. ──
+    q("lt36_quantile_norm",
+      s"""WITH sc AS (SELECT doc_id, source,
+        |    CAST(floor(($qualitySql) * 1000000) AS BIGINT) AS s
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, s,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY s, doc_id) AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n,
+        |    CAST(count(*) OVER () AS BIGINT) AS ntot
+        |  FROM sc),
+        |gr AS (SELECT s AS gs,
+        |    CAST(row_number() OVER (ORDER BY s, doc_id) AS BIGINT) AS gpos
+        |  FROM sc)
+        |SELECT r.doc_id, r.source, r.s AS q_micro, g.gs AS qnorm_micro
+        |FROM r JOIN gr g ON g.gpos = (r.r * r.ntot + r.n - 1) // r.n""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = TextOps.tokens(col("text"))
+      val sc = Td.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          floor(TextOps.qualityScore(toks, col("text")) * 1000000).cast("long").as("s"))
+      val r = sc.select(col("doc_id"), col("source"), col("s"),
+        row_number().over(Window.partitionBy("source").orderBy(col("s"), col("doc_id")))
+          .cast("long").as("r"),
+        count(lit(1)).over(Window.partitionBy("source")).cast("long").as("n"),
+        count(lit(1)).over(Window.partitionBy()).cast("long").as("ntot"))
+      val gr = Sampling.globalOrderedRank(
+          sc.select(col("s"), col("doc_id")), Seq(col("s"), col("doc_id")))
+        .select(col("s").as("gs"), col("gpos"))
+      r.withColumn("pos", expr("(r * ntot + n - 1) DIV n"))
+        .join(gr, col("gpos") === col("pos"))
+        .select(col("doc_id"), col("source"), col("s").as("q_micro"),
+          col("gs").as("qnorm_micro"))
+    },
+
     // ── retrieval-quality eval AS A QUERY: per-query recall@10 of the
     //    LSH candidate path (ls2's geometry) against the exact top-10
     //    (ls1's kernel) — the ANN quality loop run as data, not as a
