@@ -2505,6 +2505,112 @@ object RelationalQueries {
         count(lit(1)).as("n_replicates"))
     },
 
+    // ── RFM customer segmentation (marketing analytics): per customer
+    //    recency (days from last order to the corpus horizon), frequency
+    //    (order count), monetary (exact cents); each dimension scored
+    //    1–5 by exact rank-quintile cross-multiplication (rn·5 ≤ i·n —
+    //    the lt18 integer-boundary idiom, no percent_rank floats), then
+    //    the classic segment label. Three windows share nothing — but
+    //    each partitions the CUSTOMER-grain table (one row per customer),
+    //    not orders. One orders scan. ──
+    q("e7_rfm_segmentation",
+      """WITH c AS (SELECT o_custkey AS ck,
+        |    CAST(date_diff('day', max(o_orderdate), TIMESTAMP '1998-08-02 00:00:00') AS BIGINT) AS rec,
+        |    count(*) AS freq,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS mon
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT ck, rec, freq, mon,
+        |    row_number() OVER (ORDER BY rec DESC, ck) AS rr,
+        |    row_number() OVER (ORDER BY freq, ck) AS rf,
+        |    row_number() OVER (ORDER BY mon, ck) AS rm,
+        |    count(*) OVER () AS n
+        |  FROM c),
+        |s AS (SELECT ck, rec, freq, mon,
+        |    CAST(least((rr * 5 - 1) // n + 1, 5) AS INT) AS r_score,
+        |    CAST(least((rf * 5 - 1) // n + 1, 5) AS INT) AS f_score,
+        |    CAST(least((rm * 5 - 1) // n + 1, 5) AS INT) AS m_score
+        |  FROM r)
+        |SELECT ck AS custkey, rec AS recency_days, CAST(freq AS BIGINT) AS frequency,
+        |  mon AS monetary_cents, r_score, f_score, m_score,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+        |    WHEN r_score >= 4 THEN 'recent'
+        |    WHEN f_score >= 4 THEN 'loyal'
+        |    WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
+        |    ELSE 'regular' END AS segment
+        |FROM s""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val horizon = lit(java.sql.Timestamp.valueOf("1998-08-02 00:00:00"))
+      val c = Td.table(s, dir, "orders")
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(datediff(horizon, max(col("o_orderdate"))).cast("long").as("rec"),
+          count(lit(1)).as("freq"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long").as("mon"))
+      val r = c.select(col("ck"), col("rec"), col("freq"), col("mon"),
+        row_number().over(Window.orderBy(col("rec").desc, col("ck"))).as("rr"),
+        row_number().over(Window.orderBy(col("freq"), col("ck"))).as("rf"),
+        row_number().over(Window.orderBy(col("mon"), col("ck"))).as("rm"),
+        count(lit(1)).over(Window.partitionBy()).as("n"))
+      def score(rn: String) =
+        least(expr(s"($rn * 5 - 1) DIV n + 1"), lit(5)).cast("int")
+      val sc = r.select(col("ck"), col("rec"), col("freq"), col("mon"),
+        score("rr").as("r_score"), score("rf").as("f_score"),
+        score("rm").as("m_score"))
+      sc.select(col("ck").as("custkey"), col("rec").as("recency_days"),
+        col("freq").cast("long").as("frequency"),
+        col("mon").as("monetary_cents"),
+        col("r_score"), col("f_score"), col("m_score"),
+        when(col("r_score") >= 4 && col("f_score") >= 4, "champion")
+          .when(col("r_score") >= 4, "recent")
+          .when(col("f_score") >= 4, "loyal")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "at_risk")
+          .otherwise("regular").as("segment"))
+    },
+
+    // ── Gini coefficient per group (inequality/concentration measure):
+    //    from the value HISTOGRAM with cumulative sums — with tied values
+    //    grouped, Σi·x_i becomes Σ over distinct values of
+    //    x·(cum_n·m − (m−1)·m/2-free form): using rank-sum identity
+    //    Σ ranks of a tied block = m·cb + m(m+1)/2, the numerator
+    //    2Σr_i·x_i stays exact integer. One (group, value) histogram
+    //    aggregate; cumulative windows over histogram rows; one final
+    //    pinned division to ppm. ──
+    q("a34_gini",
+      """WITH h AS (SELECT o_orderpriority AS g,
+        |    CAST(floor(o_totalprice + 0.5) AS BIGINT) AS v, count(*) AS m
+        |  FROM orders GROUP BY 1, 2),
+        |c AS (SELECT g, v, m,
+        |    CAST(coalesce(sum(m) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb,
+        |    CAST(sum(m) OVER (PARTITION BY g) AS BIGINT) AS n,
+        |    CAST(sum(v * m) OVER (PARTITION BY g) AS BIGINT) AS tot
+        |  FROM h)
+        |SELECT g AS o_orderpriority, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(floor(1000000.0 *
+        |    (CAST(sum(v * (2 * m * cb + m * (m + 1)) - v * m) AS DOUBLE)
+        |       / (CAST(max(n) AS DOUBLE) * max(tot)) - 1.0)) AS BIGINT) AS gini_ppm
+        |FROM c GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = Td.table(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("g"),
+          floor(col("o_totalprice") + 0.5).cast("long").as("v"))
+        .agg(count(lit(1)).as("m"))
+      val wCb = Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy("g")
+      val c = h.select(col("g"), col("v"), col("m"),
+        coalesce(sum("m").over(wCb), lit(0L)).cast("long").as("cb"),
+        sum("m").over(wAll).cast("long").as("n"),
+        sum(col("v") * col("m")).over(wAll).cast("long").as("tot"))
+      c.groupBy(col("g").as("o_orderpriority"))
+        .agg(max(col("n")).cast("long").as("n"),
+          floor(lit(1000000.0) *
+            (sum(col("v") * (lit(2) * col("m") * col("cb") + col("m") * (col("m") + 1))
+              - col("v") * col("m")).cast("double")
+              / (max(col("n")).cast("double") * max(col("tot"))) - lit(1.0)))
+            .cast("long").as("gini_ppm"))
+    },
+
     // ── market-basket co-occurrence with lift (recommender primitive):
     //    distinct (customer, brand) baskets from lineitem⋈orders (brand
     //    level keeps the pair space honest), customer-scoped self-join for
