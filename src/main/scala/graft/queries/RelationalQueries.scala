@@ -2574,7 +2574,9 @@ object RelationalQueries {
     //    Σ ranks of a tied block = m·cb + m(m+1)/2, the numerator
     //    2Σr_i·x_i stays exact integer. One (group, value) histogram
     //    aggregate; cumulative windows over histogram rows; one final
-    //    pinned division to ppm. ──
+    //    pinned division to ppm. Exact-integer bound: Σv·2m·cb ≈ v̄·n²
+    //    per group < 2^63 ⇒ ~4e6 rows/group at dollar scale — stratify
+    //    finer (e.g. per month) past that, Ginis don't merge anyway. ──
     q("a34_gini",
       """WITH h AS (SELECT o_orderpriority AS g,
         |    CAST(floor(o_totalprice + 0.5) AS BIGINT) AS v, count(*) AS m
