@@ -65,11 +65,21 @@ object Caches {
     * on the RDD inside the frame's LogicalRDD leaf, not in the
     * CacheManager — so iterative/streaming code that checkpoints per
     * round/batch must release through this or the blocks accumulate
-    * until the driver GCs the frame reference. */
+    * until the driver GCs the frame reference.
+    *
+    * Acts ONLY when the frame's whole analyzed plan IS the checkpoint
+    * leaf (the shape `localCheckpoint()` returns). An iterative loop's
+    * round-1 state is typically a projection OVER caller-provided frames;
+    * collecting every LogicalRDD in such a plan would also unpersist a
+    * checkpoint-backed frame the CALLER passed in — storage a truncated
+    * lineage can never recompute. Those composite frames are skipped:
+    * nothing in them is storage this call site created. */
   def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Harness variant ([[graft.Bench]]/[[graft.Verify]]/[[graft.RunOne]] call
     * this between queries): [[release]] plus the tier's TRACKED

@@ -117,7 +117,10 @@ object Classifier {
     * aggregate to distinct-score rows (cardinality bounded by the score
     * range — thousands, not corpus-sized), and only that tiny frame crosses
     * the single-partition ordering window; the final rollup is one row.
-    * Returns (n_pos, n_neg, u2, auc_ppm). */
+    * Returns (n_pos, n_neg, u2, auc_ppm). Single-class contract: with
+    * n_pos = 0 or n_neg = 0 the AUC is undefined and `auc_ppm` is NULL
+    * (integer division by zero is NULL on both engines, deliberately not
+    * masked to a fake value) — consumers should check n_pos/n_neg. */
   def aucEval(scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byScore = scored.groupBy("score").agg(

@@ -195,22 +195,6 @@ object Sampling {
     * the counts leaves the executors). `monotonically_increasing_id`
     * is NOT a substitute: its ids are per-partition-prefixed,
     * non-contiguous, and not a permutation. */
-  /** [[globalShuffleRank]] generalized to an arbitrary deterministic sort
-    * key: 1-based global rank in `order` order via the same scale-correct
-    * range-partitioned sort + zipWithIndex two-pass (callers must pass a
-    * TOTAL order — include a unique tie-break column). */
-  def globalOrderedRank(df: DataFrame, order: Seq[Column]): DataFrame = {
-    val sorted = df.orderBy(order: _*)
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+
-        org.apache.spark.sql.types.StructField(
-          "gpos", org.apache.spark.sql.types.LongType, nullable = false))
-    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    df.sparkSession.createDataFrame(rows, schema)
-  }
-
   def globalShuffleRank(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     val keyed = df
@@ -227,6 +211,23 @@ object Sampling {
     }
     spark.createDataFrame(rows, schema)
   }
+
+  /** [[globalShuffleRank]] generalized to an arbitrary deterministic sort
+    * key: 1-based global rank in `order` order via the same scale-correct
+    * range-partitioned sort + zipWithIndex two-pass (callers must pass a
+    * TOTAL order — include a unique tie-break column). */
+  def globalOrderedRank(df: DataFrame, order: Seq[Column]): DataFrame = {
+    val sorted = df.orderBy(order: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          "gpos", org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    df.sparkSession.createDataFrame(rows, schema)
+  }
+
 
   /** WEIGHTED sampling without replacement (top-k, P(pick) ∝ weight) with
     * EXACT integer keys — no transcendentals anywhere, so the draw is

@@ -2412,14 +2412,22 @@ object LlmQueries {
         |FROM r JOIN gr g ON g.gpos = (r.r * r.ntot + r.n - 1) // r.n""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val toks = TextOps.tokens(col("text"))
-      val sc = Td.table(s, dir, "documents")
+      // persisted: the per-source rank leg and the global rank leg both
+      // consume the scored table — without it the tokenize+score scan
+      // runs twice
+      val sc = graft.llm.Caches.persist(Td.table(s, dir, "documents")
         .select(col("doc_id"), col("source"),
-          floor(TextOps.qualityScore(toks, col("text")) * 1000000).cast("long").as("s"))
+          floor(TextOps.qualityScore(toks, col("text")) * 1000000).cast("long").as("s")))
+      // the corpus total rides the plan as a 1-row broadcast (the
+      // nbScores `tot` idiom) — an unpartitioned count(*) window here
+      // would drag the whole corpus through one partition just to
+      // attach a constant
+      val ntot = sc.agg(count(lit(1)).as("ntot"))
       val r = sc.select(col("doc_id"), col("source"), col("s"),
-        row_number().over(Window.partitionBy("source").orderBy(col("s"), col("doc_id")))
-          .cast("long").as("r"),
-        count(lit(1)).over(Window.partitionBy("source")).cast("long").as("n"),
-        count(lit(1)).over(Window.partitionBy()).cast("long").as("ntot"))
+          row_number().over(Window.partitionBy("source").orderBy(col("s"), col("doc_id")))
+            .cast("long").as("r"),
+          count(lit(1)).over(Window.partitionBy("source")).cast("long").as("n"))
+        .crossJoin(broadcast(ntot))
       val gr = Sampling.globalOrderedRank(
           sc.select(col("s"), col("doc_id")), Seq(col("s"), col("doc_id")))
         .select(col("s").as("gs"), col("gpos"))

@@ -2506,7 +2506,8 @@ object RelationalQueries {
     },
 
     // ── RFM customer segmentation (marketing analytics): per customer
-    //    recency (days from last order to the corpus horizon), frequency
+    //    recency (days from last order to the corpus horizon — the day
+    //    after the fixture's last orderdate, so recency >= 1), frequency
     //    (order count), monetary (exact cents); each dimension scored
     //    1–5 by exact rank-quintile cross-multiplication (rn·5 ≤ i·n —
     //    the lt18 integer-boundary idiom, no percent_rank floats), then
@@ -2515,7 +2516,7 @@ object RelationalQueries {
     //    not orders. One orders scan. ──
     q("e7_rfm_segmentation",
       """WITH c AS (SELECT o_custkey AS ck,
-        |    CAST(date_diff('day', max(o_orderdate), TIMESTAMP '1998-08-02 00:00:00') AS BIGINT) AS rec,
+        |    CAST(date_diff('day', max(o_orderdate), TIMESTAMP '2001-08-02 00:00:00') AS BIGINT) AS rec,
         |    count(*) AS freq,
         |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS mon
         |  FROM orders GROUP BY 1),
@@ -2539,7 +2540,7 @@ object RelationalQueries {
         |    ELSE 'regular' END AS segment
         |FROM s""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val horizon = lit(java.sql.Timestamp.valueOf("1998-08-02 00:00:00"))
+      val horizon = lit(java.sql.Timestamp.valueOf("2001-08-02 00:00:00"))
       val c = Td.table(s, dir, "orders")
         .groupBy(col("o_custkey").as("ck"))
         .agg(datediff(horizon, max(col("o_orderdate"))).cast("long").as("rec"),
