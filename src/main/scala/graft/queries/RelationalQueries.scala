@@ -2864,6 +2864,84 @@ object RelationalQueries {
           sum(col("cents")).cast("long").as("revenue_cents"))
     },
 
+    // ── one-way ANOVA F statistic across ALL order priorities (the
+    //    k-group generalization of a29's two-arm test): between/within
+    //    mean squares from exact per-group BIGINT sufficient statistics
+    //    (whole dollars — the a29 overflow lesson), one grouped scan,
+    //    one pinned IEEE float tail floored to micro-units. Group stats
+    //    are |groups| rows; the final fold is a 1-row aggregate. ──
+    q("a35_anova_f",
+      """WITH g AS (SELECT o_orderpriority AS p, count(*) AS n,
+        |    CAST(sum(CAST(floor(o_totalprice + 0.5) AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(sum(CAST(floor(o_totalprice + 0.5) AS BIGINT)
+        |       * CAST(floor(o_totalprice + 0.5) AS BIGINT)) AS BIGINT) AS q
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(sum(s) AS BIGINT) AS st,
+        |    CAST(sum(q) AS BIGINT) AS qt,
+        |    sum(CAST(s AS DOUBLE) * s / n) AS ssb_raw
+        |  FROM g)
+        |SELECT CAST(k AS BIGINT) AS k, nt AS n_total,
+        |  CAST(floor(1000000.0 *
+        |    ((ssb_raw - CAST(st AS DOUBLE) * st / nt) / (k - 1))
+        |    / ((CAST(qt AS DOUBLE) - ssb_raw) / (nt - k))) AS BIGINT) AS f_micro
+        |FROM t""".stripMargin) { (s, dir) =>
+      val d = floor(col("o_totalprice") + 0.5).cast("long")
+      val g = Td.table(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("p"))
+        .agg(count(lit(1)).as("n"), sum(d).cast("long").as("s"),
+          sum(d * d).cast("long").as("q"))
+      val t = g.agg(count(lit(1)).as("k"), sum(col("n")).cast("long").as("nt"),
+        sum(col("s")).cast("long").as("st"), sum(col("q")).cast("long").as("qt"),
+        sum(col("s").cast("double") * col("s") / col("n")).as("ssb_raw"))
+      t.select(col("k").cast("long").as("k"), col("nt").as("n_total"),
+        floor(lit(1000000.0) *
+          ((col("ssb_raw") - col("st").cast("double") * col("st") / col("nt"))
+            / (col("k") - 1))
+          / ((col("qt").cast("double") - col("ssb_raw")) / (col("nt") - col("k"))))
+          .cast("long").as("f_micro"))
+    },
+
+    // ── Benford first-digit audit (fraud/data-authenticity check):
+    //    distribution of leading digits of order values vs Benford's
+    //    log10(1+1/d) expectation (fixed ppm literals — no runtime
+    //    transcendental), per-digit observed ppm and absolute deviation,
+    //    all integer arithmetic from one scan. Synthetic uniform-ish
+    //    values FAIL Benford — that is the point of the audit column. ──
+    q("dq2_benford_audit",
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders WHERE o_totalprice >= 1),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c),
+        |e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |    (4, 96910), (5, 79181), (6, 66947), (7, 57992),
+        |    (8, 51153), (9, 45757)) AS v(digit, expected_ppm))
+        |SELECT e.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+        |  CAST(coalesce(c.n, 0) * 1000000 // t.nt AS BIGINT) AS observed_ppm,
+        |  CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+        |  CAST(abs(coalesce(c.n, 0) * 1000000 // t.nt - e.expected_ppm) AS BIGINT)
+        |    AS abs_dev_ppm
+        |FROM e LEFT JOIN c ON c.digit = e.digit CROSS JOIN t""".stripMargin) { (s, dir) =>
+      val benford = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L,
+        5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+      val spark = s
+      import spark.implicits._
+      val c = Td.table(s, dir, "orders")
+        .filter(col("o_totalprice") >= 1)
+        .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val t = c.agg(sum(col("n")).cast("long").as("nt"))
+      val e = benford.toDF("digit", "expected_ppm")
+      e.join(c, Seq("digit"), "left").crossJoin(broadcast(t))
+        .select(col("digit"), coalesce(col("n"), lit(0L)).cast("long").as("n"),
+          expr("CAST(coalesce(n, 0) * 1000000 DIV nt AS BIGINT)").as("observed_ppm"),
+          col("expected_ppm").cast("long").as("expected_ppm"),
+          expr("CAST(abs(coalesce(n, 0) * 1000000 DIV nt - expected_ppm) AS BIGINT)")
+            .as("abs_dev_ppm"))
+    },
+
     // ── CUSUM drift statistic per user (change-point/monitoring shape):
     //    center each user's value stream on its own mean WITHOUT division
     //    (scaled deviations n·c − S stay integer), then drift = running
