@@ -2387,6 +2387,50 @@ object LlmQueries {
         dims = 64, iters = 24, trainMod = 1)
     },
 
+    // ── dedup threshold tuning curve AS DATA: Jaccard pair counts per
+    //    0.1-wide similarity band above a 0.5 floor — the sweep a curation
+    //    engineer reads before pinning the near-dup threshold. ONE pair
+    //    computation at the floor serves every band (the DF cap depends
+    //    only on shingle document frequency, not the threshold, so the
+    //    candidate set is identical to running each threshold alone). ──
+    q("lt38_threshold_sweep",
+      s"""WITH ${jacCtes(0.5)}
+        |SELECT CAST(floor(jaccard * 10) AS INT) AS band,
+        |  count(*) AS n_pairs,
+        |  CAST(min(n_inter) AS BIGINT) AS min_overlap
+        |FROM jac GROUP BY 1""".stripMargin) { (s, dir) =>
+      Dedup.jaccardPairs(
+          Dedup.shingleTable(Td.table(s, dir, "documents"), "doc_id", "text", 3), 0.5)
+        .groupBy(floor(col("jaccard") * 10).cast("int").as("band"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("n_inter")).cast("long").as("min_overlap"))
+    },
+
+    // ── cross-source duplication matrix (provenance analytics: which
+    //    sources copy from which): near-dup pairs at the ld2 threshold
+    //    joined back to each side's source, rolled up per unordered
+    //    source pair. The doc→source lookup broadcasts; the pair table is
+    //    already small. The "src A mirrors src B" signal that drives
+    //    source-level dedup priorities. ──
+    q("lq9_cross_source_dups",
+      s"""WITH ${jacCtes(0.8)},
+        |ds AS (SELECT doc_id, source FROM documents)
+        |SELECT least(a.source, b.source) AS src1,
+        |  greatest(a.source, b.source) AS src2,
+        |  count(*) AS n_pairs
+        |FROM jac JOIN ds a ON a.doc_id = jac.d1 JOIN ds b ON b.doc_id = jac.d2
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val docs = Td.table(s, dir, "documents")
+      val ds = docs.select(col("doc_id"), col("source"))
+      val jac = Dedup.jaccardPairs(
+        Dedup.shingleTable(docs, "doc_id", "text", 3), 0.8)
+      jac.join(broadcast(ds.select(col("doc_id").as("d1"), col("source").as("s1"))), Seq("d1"))
+        .join(broadcast(ds.select(col("doc_id").as("d2"), col("source").as("s2"))), Seq("d2"))
+        .groupBy(least(col("s1"), col("s2")).as("src1"),
+          greatest(col("s1"), col("s2")).as("src2"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+
     // ── cross-source quantile normalization (feature engineering: map
     //    each source's quality distribution onto the GLOBAL one, so a
     //    threshold means the same thing in every source). Per-source rank

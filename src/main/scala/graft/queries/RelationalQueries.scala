@@ -2864,6 +2864,41 @@ object RelationalQueries {
           sum(col("cents")).cast("long").as("revenue_cents"))
     },
 
+    // ── session-duration histogram (product analytics over e1's
+    //    sessionization): duration = last−first event epoch seconds per
+    //    session, bucketed DIV 600 (10-minute bins). The session rollup
+    //    and the histogram are two aggregates over the one user-keyed
+    //    window exchange; output is O(buckets). ──
+    q("e8_session_duration_hist",
+      """WITH flags AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+        |           - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800
+        |         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_n
+        |  FROM flags),
+        |dur AS (SELECT user_id, session_n,
+        |    CAST(floor(epoch(CAST(max(ts) AS TIMESTAMP)))
+        |       - floor(epoch(CAST(min(ts) AS TIMESTAMP))) AS BIGINT) AS dur_s
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT CAST(dur_s // 600 AS INT) AS bucket_10min,
+        |  count(*) AS n_sessions,
+        |  CAST(sum(dur_s) AS BIGINT) AS total_dur_s
+        |FROM dur GROUP BY 1""".stripMargin) { (s, dir) =>
+      graft.ops.TimeOps.sessionize(Td.table(s, dir, "events"),
+          "user_id", "ts", gapMinutes = 30, orderTieBreak = Seq(col("event_id")))
+        .groupBy("session_id")
+        .agg((unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .cast("long").as("dur_s"))
+        .groupBy(expr("CAST(dur_s DIV 600 AS INT)").as("bucket_10min"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("dur_s")).cast("long").as("total_dur_s"))
+    },
+
     // ── one-way ANOVA F statistic across ALL order priorities (the
     //    k-group generalization of a29's two-arm test): between/within
     //    mean squares from exact per-group BIGINT sufficient statistics
