@@ -2937,6 +2937,54 @@ object RelationalQueries {
           .cast("long").as("f_micro"))
     },
 
+    // ── column profiler (the Deequ-profiler counterpart to dq1's
+    //    constraint suite): per tracked orders column its null count,
+    //    exact distinct count, and min/max rendered as strings — the
+    //    first thing a data engineer pulls on an unknown table. ONE scan:
+    //    all per-column measures fold into a single aggregate row and
+    //    stack() pivots to (column, n_null, n_distinct, min_s, max_s). ──
+    q("dq3_schema_profile",
+      """WITH m AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS null_st,
+        |    count(DISTINCT o_orderstatus) AS nd_st,
+        |    CAST(min(o_orderstatus) AS VARCHAR) AS min_st,
+        |    CAST(max(o_orderstatus) AS VARCHAR) AS max_st,
+        |    sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_tp,
+        |    count(DISTINCT o_totalprice) AS nd_tp,
+        |    CAST(CAST(floor(min(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR) AS min_tp,
+        |    CAST(CAST(floor(max(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR) AS max_tp,
+        |    sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS null_op,
+        |    count(DISTINCT o_orderpriority) AS nd_op,
+        |    CAST(min(o_orderpriority) AS VARCHAR) AS min_op,
+        |    CAST(max(o_orderpriority) AS VARCHAR) AS max_op
+        |  FROM orders)
+        |SELECT 'o_orderstatus' AS col_name, CAST(null_st AS BIGINT) AS n_null,
+        |  CAST(nd_st AS BIGINT) AS n_distinct, min_st AS min_s, max_st AS max_s FROM m
+        |UNION ALL SELECT 'o_totalprice', CAST(null_tp AS BIGINT),
+        |  CAST(nd_tp AS BIGINT), min_tp, max_tp FROM m
+        |UNION ALL SELECT 'o_orderpriority', CAST(null_op AS BIGINT),
+        |  CAST(nd_op AS BIGINT), min_op, max_op FROM m""".stripMargin) { (s, dir) =>
+      val m = Td.table(s, dir, "orders").agg(
+        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("null_st"),
+        count_distinct(col("o_orderstatus")).as("nd_st"),
+        min(col("o_orderstatus")).cast("string").as("min_st"),
+        max(col("o_orderstatus")).cast("string").as("max_st"),
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("null_tp"),
+        count_distinct(col("o_totalprice")).as("nd_tp"),
+        floor(min(col("o_totalprice")) * 100 + 0.5).cast("long").cast("string").as("min_tp"),
+        floor(max(col("o_totalprice")) * 100 + 0.5).cast("long").cast("string").as("max_tp"),
+        sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("null_op"),
+        count_distinct(col("o_orderpriority")).as("nd_op"),
+        min(col("o_orderpriority")).cast("string").as("min_op"),
+        max(col("o_orderpriority")).cast("string").as("max_op"))
+      m.select(expr(
+        """stack(3,
+          |  'o_orderstatus', null_st, nd_st, min_st, max_st,
+          |  'o_totalprice', null_tp, nd_tp, min_tp, max_tp,
+          |  'o_orderpriority', null_op, nd_op, min_op, max_op
+          |) AS (col_name, n_null, n_distinct, min_s, max_s)""".stripMargin))
+    },
+
     // ── Benford first-digit audit (fraud/data-authenticity check):
     //    distribution of leading digits of order values vs Benford's
     //    log10(1+1/d) expectation (fixed ppm literals — no runtime
