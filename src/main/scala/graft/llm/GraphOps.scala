@@ -174,19 +174,17 @@ object GraphOps {
       col("dst").cast("long").as("dst")))
     var dist = sources.select(col("id").cast("long").as("id"),
       lit(0L).as("dist"))
-    for (round <- 1 to rounds) {
+    for (_ <- 1 to rounds) {
       val prop = e.join(dist, e("src") === dist("id"))
         .select(e("dst").as("id"), (col("dist") + 1L).as("dist"))
       val next = dist.unionByName(prop)
         .groupBy("id").agg(min(col("dist")).as("dist"))
         .localCheckpoint()
       Caches.trackCheckpoint(next)
-      // only drop checkpoints THIS loop created: round 1's `dist` is a
-      // projection of the caller's sources frame — if the caller handed
-      // in a checkpoint-backed seed set (a dedupClusters result, say),
-      // unpersisting it here would kill storage a truncated lineage
-      // cannot recompute
-      if (round > 1) Caches.unpersistCheckpoint(dist)
+      // safe on round 1: dist is then a Project over the caller's sources
+      // frame, and unpersistCheckpoint only acts on bare checkpoint
+      // leaves — caller-owned storage is never touched
+      Caches.unpersistCheckpoint(dist)
       dist = next
     }
     dist

@@ -1398,8 +1398,8 @@ object RelationalQueries {
     q("e1_sessionize",
       s"""WITH flags AS (
          |  SELECT user_id, ts, event_id, value,
-         |    CASE WHEN epoch(CAST(ts AS TIMESTAMP))
-         |           - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800
+         |    CASE WHEN floor(epoch(CAST(ts AS TIMESTAMP)))
+         |           - floor(epoch(lag(CAST(ts AS TIMESTAMP)) OVER w)) > 1800
          |         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          |sess AS (
@@ -2872,8 +2872,8 @@ object RelationalQueries {
     q("e8_session_duration_hist",
       """WITH flags AS (
         |  SELECT user_id, ts, event_id,
-        |    CASE WHEN epoch(CAST(ts AS TIMESTAMP))
-        |           - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800
+        |    CASE WHEN floor(epoch(CAST(ts AS TIMESTAMP)))
+        |           - floor(epoch(lag(CAST(ts AS TIMESTAMP)) OVER w)) > 1800
         |         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (
@@ -2913,23 +2913,36 @@ object RelationalQueries {
         |  FROM orders GROUP BY 1),
         |t AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nt,
         |    CAST(sum(s) AS BIGINT) AS st,
-        |    CAST(sum(q) AS BIGINT) AS qt,
-        |    sum(CAST(s AS DOUBLE) * s / n) AS ssb_raw
-        |  FROM g)
+        |    CAST(sum(q) AS BIGINT) AS qt
+        |  FROM g),
+        |sb AS (SELECT max(cum) AS ssb_raw FROM (
+        |  SELECT sum(CAST(s AS DOUBLE) * s / n)
+        |      OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS cum
+        |    FROM g)),
+        |tt AS (SELECT * FROM t CROSS JOIN sb)
         |SELECT CAST(k AS BIGINT) AS k, nt AS n_total,
         |  CAST(floor(1000000.0 *
         |    ((ssb_raw - CAST(st AS DOUBLE) * st / nt) / (k - 1))
         |    / ((CAST(qt AS DOUBLE) - ssb_raw) / (nt - k))) AS BIGINT) AS f_micro
-        |FROM t""".stripMargin) { (s, dir) =>
+        |FROM tt""".stripMargin) { (s, dir) =>
       val d = floor(col("o_totalprice") + 0.5).cast("long")
       val g = Td.table(s, dir, "orders")
         .groupBy(col("o_orderpriority").as("p"))
         .agg(count(lit(1)).as("n"), sum(d).cast("long").as("s"),
           sum(d * d).cast("long").as("q"))
+      // the cross-group SSB sum is FLOAT, so it must not ride an
+      // order-undefined aggregate: a cumulative window ORDERED BY group
+      // pins the addition sequence on both engines (the integer totals
+      // stay in plain aggregates - integer sums commute)
       val t = g.agg(count(lit(1)).as("k"), sum(col("n")).cast("long").as("nt"),
-        sum(col("s")).cast("long").as("st"), sum(col("q")).cast("long").as("qt"),
-        sum(col("s").cast("double") * col("s") / col("n")).as("ssb_raw"))
-      t.select(col("k").cast("long").as("k"), col("nt").as("n_total"),
+        sum(col("s")).cast("long").as("st"), sum(col("q")).cast("long").as("qt"))
+      val wOrd = org.apache.spark.sql.expressions.Window.orderBy("p")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val sb = g.select(sum(col("s").cast("double") * col("s") / col("n"))
+          .over(wOrd).as("cum"))
+        .agg(max(col("cum")).as("ssb_raw"))
+      t.crossJoin(sb).select(col("k").cast("long").as("k"), col("nt").as("n_total"),
         floor(lit(1000000.0) *
           ((col("ssb_raw") - col("st").cast("double") * col("st") / col("nt"))
             / (col("k") - 1))
@@ -2944,7 +2957,7 @@ object RelationalQueries {
     //    all per-column measures fold into a single aggregate row and
     //    stack() pivots to (column, n_null, n_distinct, min_s, max_s). ──
     q("dq3_schema_profile",
-      """WITH m AS (SELECT count(*) AS n,
+      """WITH m AS (SELECT
         |    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS null_st,
         |    count(DISTINCT o_orderstatus) AS nd_st,
         |    CAST(min(o_orderstatus) AS VARCHAR) AS min_st,
@@ -3015,9 +3028,14 @@ object RelationalQueries {
         .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
           .cast("int").as("digit"))
         .groupBy("digit").agg(count(lit(1)).as("n"))
-      val t = c.agg(sum(col("n")).cast("long").as("nt"))
+        // total via a window over the 9-row digit frame: a separate
+        // aggregate subtree would re-scan orders
+        .withColumn("nt", sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()).cast("long"))
       val e = benford.toDF("digit", "expected_ppm")
-      e.join(c, Seq("digit"), "left").crossJoin(broadcast(t))
+      e.join(c, Seq("digit"), "left")
+        .withColumn("nt", max(col("nt")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
         .select(col("digit"), coalesce(col("n"), lit(0L)).cast("long").as("n"),
           expr("CAST(coalesce(n, 0) * 1000000 DIV nt AS BIGINT)").as("observed_ppm"),
           col("expected_ppm").cast("long").as("expected_ppm"),
