@@ -2899,6 +2899,51 @@ object RelationalQueries {
           sum(col("dur_s")).cast("long").as("total_dur_s"))
     },
 
+    // ── two-sample Kolmogorov–Smirnov statistic, EXACT: D = sup|F1−F2|
+    //    computed as max over distinct values of |c1·n2 − c2·n1| (the
+    //    cross-multiplied ECDF difference — no division until the final
+    //    ppm rendering, so the supremum itself is an integer comparison
+    //    with no float ties). One conditional scan builds the shared
+    //    value histogram with both arms' counts; cumulative windows run
+    //    over HISTOGRAM rows. The nonparametric "did the distribution
+    //    shift" test that needs no normality assumption. ──
+    q("a36_ks_test",
+      """WITH h AS (SELECT CAST(floor(o_totalprice + 0.5) AS BIGINT) AS v,
+        |    sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS m1,
+        |    sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS m2
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        |  GROUP BY 1),
+        |c AS (SELECT v,
+        |    CAST(sum(m1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1,
+        |    CAST(sum(m2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c2,
+        |    CAST(sum(m1) OVER () AS BIGINT) AS n1,
+        |    CAST(sum(m2) OVER () AS BIGINT) AS n2
+        |  FROM h)
+        |SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+        |  CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS d_scaled,
+        |  CAST(max(abs(c1 * n2 - c2 * n1)) * 1000000 // (max(n1) * max(n2)) AS BIGINT)
+        |    AS d_ppm
+        |FROM c""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wCum = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      val h = Td.table(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .groupBy(floor(col("o_totalprice") + 0.5).cast("long").as("v"))
+        .agg(sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("m1"),
+          sum(when(col("o_orderpriority") === "5-LOW", 1L).otherwise(0L)).as("m2"))
+      val c = h.select(
+        sum("m1").over(wCum).cast("long").as("c1"),
+        sum("m2").over(wCum).cast("long").as("c2"),
+        sum("m1").over(wAll).cast("long").as("n1"),
+        sum("m2").over(wAll).cast("long").as("n2"))
+      c.agg(max(col("n1")).cast("long").as("n1"), max(col("n2")).cast("long").as("n2"),
+          max(abs(col("c1") * col("n2") - col("c2") * col("n1"))).cast("long").as("d_scaled"))
+        .select(col("n1"), col("n2"), col("d_scaled"),
+          expr("CAST(d_scaled * 1000000 DIV (n1 * n2) AS BIGINT)").as("d_ppm"))
+    },
+
     // ── one-way ANOVA F statistic across ALL order priorities (the
     //    k-group generalization of a29's two-arm test): between/within
     //    mean squares from exact per-group BIGINT sufficient statistics
