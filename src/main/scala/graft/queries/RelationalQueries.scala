@@ -2899,6 +2899,95 @@ object RelationalQueries {
           sum(col("dur_s")).cast("long").as("total_dur_s"))
     },
 
+    // ── randomization test for the two-arm mean difference (the
+    //    permutation-test shape, closing the inference suite beside
+    //    t/F/χ²/KS/bootstrap): 50 deterministic random re-allocations of
+    //    arm labels (md5(b, key) % ntot < n1 — binomial with the observed
+    //    arm fraction; an exact permutation would need a global sort per
+    //    replicate), p = smoothed fraction of replicates whose |mean
+    //    diff| ≥ the observed one. All sums exact BIGINT dollars; the
+    //    mean-diff comparisons run in identically-spelled doubles.
+    //    Replicates fold into ONE scan (the a28 shape); the observed
+    //    stat and arm counts ride a 1-row broadcast from a first tiny
+    //    aggregate pass. Degenerate single-arm replicates are excluded
+    //    from the denominator rather than silently counted. ──
+    q("a37_permutation_test",
+      """WITH base AS (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice + 0.5) AS BIGINT) AS d,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS arm
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |obs AS (SELECT CAST(sum(arm) AS BIGINT) AS n1,
+        |    CAST(count(*) AS BIGINT) AS ntot,
+        |    CAST(sum(CASE WHEN arm = 1 THEN d ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN arm = 0 THEN d ELSE 0 END) AS BIGINT) AS s2
+        |  FROM base),
+        |r AS (SELECT b.b, base.d, obs.n1, obs.ntot, obs.s1, obs.s2,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(b.b AS VARCHAR) || ':'
+        |        || CAST(base.o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % obs.ntot < obs.n1 THEN 1 ELSE 0 END AS parm
+        |  FROM base CROSS JOIN obs CROSS JOIN (SELECT unnest(range(1, 51)) AS b) b),
+        |reps AS (SELECT b, max(n1) AS n1, max(ntot) AS ntot,
+        |    max(s1) AS s1, max(s2) AS s2,
+        |    CAST(sum(parm) AS BIGINT) AS pn1,
+        |    CAST(sum(CASE WHEN parm = 1 THEN d ELSE 0 END) AS BIGINT) AS ps1,
+        |    CAST(sum(CASE WHEN parm = 0 THEN d ELSE 0 END) AS BIGINT) AS ps2
+        |  FROM r GROUP BY 1),
+        |v AS (SELECT b, n1, ntot, s1, s2, pn1, ps1, ps2 FROM reps
+        |  WHERE pn1 > 0 AND pn1 < ntot),
+        |f AS (SELECT count(*) AS n_valid,
+        |    CAST(sum(CASE WHEN abs(CAST(ps1 AS DOUBLE) / pn1
+        |          - CAST(ps2 AS DOUBLE) / (ntot - pn1))
+        |        >= abs(CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / (ntot - n1))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+        |    max(n1) AS n1, max(ntot) AS ntot, max(s1) AS s1, max(s2) AS s2
+        |  FROM v)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(ntot - n1 AS BIGINT) AS n2,
+        |  CAST(floor(1000000.0 * abs(CAST(s1 AS DOUBLE) / n1
+        |    - CAST(s2 AS DOUBLE) / (ntot - n1))) AS BIGINT) AS d_obs_micro,
+        |  CAST(n_valid AS BIGINT) AS n_valid, n_extreme,
+        |  CAST((n_extreme + 1) * 1000000 // (n_valid + 1) AS BIGINT) AS p_ppm
+        |FROM f""".stripMargin) { (s, dir) =>
+      val base = Td.table(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") + 0.5).cast("long").as("d"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("arm"))
+      val obs = base.agg(
+        sum(col("arm")).cast("long").as("n1"),
+        count(lit(1)).as("ntot"),
+        sum(when(col("arm") === 1, col("d")).otherwise(0L)).cast("long").as("s1"),
+        sum(when(col("arm") === 0, col("d")).otherwise(0L)).cast("long").as("s2"))
+      val parm = when(
+        pmod(graft.llm.Dedup.md5Hash60(
+          concat(col("b").cast("string"), lit(":"), col("o_orderkey").cast("string"))),
+          col("ntot")) < col("n1"), 1L).otherwise(0L)
+      val reps = base
+        .crossJoin(broadcast(obs))
+        .select(col("o_orderkey"), col("d"), col("n1"), col("ntot"),
+          col("s1"), col("s2"), explode(sequence(lit(1), lit(50))).as("b"))
+        .withColumn("parm", parm)
+        .groupBy("b")
+        .agg(max(col("n1")).as("n1"), max(col("ntot")).as("ntot"),
+          max(col("s1")).as("s1"), max(col("s2")).as("s2"),
+          sum(col("parm")).cast("long").as("pn1"),
+          sum(when(col("parm") === 1, col("d")).otherwise(0L)).cast("long").as("ps1"),
+          sum(when(col("parm") === 0, col("d")).otherwise(0L)).cast("long").as("ps2"))
+      val dObs = abs(col("s1").cast("double") / col("n1")
+        - col("s2").cast("double") / (col("ntot") - col("n1")))
+      val dRep = abs(col("ps1").cast("double") / col("pn1")
+        - col("ps2").cast("double") / (col("ntot") - col("pn1")))
+      reps.filter(col("pn1") > 0 && col("pn1") < col("ntot"))
+        .agg(count(lit(1)).as("n_valid"),
+          sum(when(dRep >= dObs, 1L).otherwise(0L)).cast("long").as("n_extreme"),
+          max(col("n1")).as("n1"), max(col("ntot")).as("ntot"),
+          max(col("s1")).as("s1"), max(col("s2")).as("s2"))
+        .select(col("n1").cast("long").as("n1"),
+          (col("ntot") - col("n1")).cast("long").as("n2"),
+          floor(lit(1000000.0) * dObs).cast("long").as("d_obs_micro"),
+          col("n_valid").cast("long").as("n_valid"), col("n_extreme"),
+          expr("CAST((n_extreme + 1) * 1000000 DIV (n_valid + 1) AS BIGINT)").as("p_ppm"))
+    },
+
     // ── two-sample Kolmogorov–Smirnov statistic, EXACT: D = sup|F1−F2|
     //    computed as max over distinct values of |c1·n2 − c2·n1| (the
     //    cross-multiplied ECDF difference — no division until the final
