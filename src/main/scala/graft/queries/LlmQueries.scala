@@ -2387,6 +2387,39 @@ object LlmQueries {
         dims = 64, iters = 24, trainMod = 1)
     },
 
+    // ── canonical prefix-fingerprint dedup (boilerplate/template
+    //    grouping): lowercase, strip non-alphanumerics, squeeze
+    //    whitespace, take the first 80 canonical characters, hash —
+    //    grouping documents that OPEN identically (template families,
+    //    mirrored boilerplate) that exact dedup keeps apart because the
+    //    tails differ. Per group the survivor, member count, and distinct
+    //    full-text count (n_full_variants > 1 = same opener, different
+    //    bodies — the template signal). Same single digest shuffle as
+    //    ld1; the normalize chain is scan-stage regex in the RE2∩Java
+    //    common dialect (the lt11 contract). ──
+    q("ld16_canonical_dedup",
+      """WITH n AS (SELECT doc_id,
+        |    md5(substr(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g')), 1, 80)) AS prefix_hash,
+        |    md5(text) AS raw_hash
+        |  FROM documents)
+        |SELECT prefix_hash, CAST(min(doc_id) AS BIGINT) AS survivor_id,
+        |  count(*) AS n_docs,
+        |  CAST(count(DISTINCT raw_hash) AS BIGINT) AS n_full_variants
+        |FROM n GROUP BY 1
+        |HAVING count(*) > 1""".stripMargin) { (s, dir) =>
+      Td.table(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(substring(trim(regexp_replace(regexp_replace(lower(col("text")),
+            "[^a-z0-9 ]", " "), " +", " ")), 1, 80)).as("prefix_hash"),
+          md5(col("text")).as("raw_hash"))
+        .groupBy("prefix_hash")
+        .agg(min(col("doc_id")).cast("long").as("survivor_id"),
+          count(lit(1)).as("n_docs"),
+          count_distinct(col("raw_hash")).as("n_full_variants"))
+        .filter(col("n_docs") > 1)
+    },
+
     // ── dedup threshold tuning curve AS DATA: Jaccard pair counts per
     //    0.1-wide similarity band above a 0.5 floor — the sweep a curation
     //    engineer reads before pinning the near-dup threshold. ONE pair
