@@ -2387,6 +2387,48 @@ object LlmQueries {
         dims = 64, iters = 24, trainMod = 1)
     },
 
+    // ── perceptual hash (aHash) over binary payloads — the image-dedup
+    //    shape run on the byte plumbing: nearest-neighbor-resample every
+    //    payload to 64 bytes (the lm3 kernel arithmetic), threshold each
+    //    byte against the payload mean WITHOUT division (b·64 > Σb), and
+    //    pack the 63 usable bits into a BIGINT fingerprint (bit 63 stays
+    //    clear of the sign). Same-hash groups are byte-pattern near-dups
+    //    — template families land together here even when their exact
+    //    hashes differ. Scan-stage unrolled integer expressions; one
+    //    hash-keyed window for the group size. ──
+    q("lm6_perceptual_hash", {
+      val bytes = (0 until 64).map(i =>
+        s"ord(substr(text, CAST(($i * length(text)) // 64 AS INT) + 1, 1)) AS b$i")
+        .mkString(", ")
+      val tot = (0 until 64).map(i => s"b$i").mkString(" + ")
+      val bits = (0 until 63).map(i =>
+        s"(CASE WHEN b$i * 64 > tot THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+        .mkString("\n        | + ")
+      s"""WITH b AS (SELECT doc_id, $bytes
+        |  FROM documents WHERE length(text) > 0),
+        |t AS (SELECT doc_id, ${(0 until 64).map(i => s"b$i").mkString(", ")},
+        |    $tot AS tot FROM b),
+        |h AS (SELECT doc_id, $bits AS phash FROM t)
+        |SELECT doc_id AS item_id, phash,
+        |  CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same
+        |FROM h""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Td.table(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+      val byteExprs = (0 until 64).map(i =>
+        s"ascii(substr(text, CAST(($i * length(text)) DIV 64 AS INT) + 1, 1)) AS b$i")
+      val withBytes = base.selectExpr(Seq("doc_id") ++ byteExprs: _*)
+      val tot = (0 until 64).map(i => col(s"b$i")).reduce(_ + _)
+      val withTot = withBytes.withColumn("tot", tot)
+      val phash = (0 until 63).map(i =>
+        when(col(s"b$i") * 64 > col("tot"), lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      withTot.select(col("doc_id").as("item_id"), phash.as("phash"))
+        .withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy("phash")).cast("long"))
+    },
+
     // ── canonical prefix-fingerprint dedup (boilerplate/template
     //    grouping): lowercase, strip non-alphanumerics, squeeze
     //    whitespace, take the first 80 canonical characters, hash —
