@@ -2387,6 +2387,55 @@ object LlmQueries {
         dims = 64, iters = 24, trainMod = 1)
     },
 
+    // ── MDM golden record (entity resolution end-to-end): ED≤1 name
+    //    pairs from the SymSpell deletion-signature blocking (ld11's
+    //    provably exhaustive machinery) → pointer-doubled connected
+    //    components (ld6's labeler) → one golden row per entity cluster:
+    //    smallest key wins the identity, name via min_by (deterministic —
+    //    keys are unique), best attribute (max balance cents) merged
+    //    across members; singletons pass through as their own cluster.
+    //    The master-data-management shape: every stage a bounded keyed
+    //    shuffle, the closure O(log diameter) rounds. NOTE the fixture's
+    //    serial names (…#1, …#2) differ by one digit, so ED-1 transitively
+    //    chains the WHOLE table into one cluster (n_members = all) — the
+    //    textbook over-merge failure of edit-distance linkage on serial
+    //    identifiers, surfaced (not hidden) by the member count; real
+    //    deployments add a blocking key on the non-serial name part. ──
+    q("ld17_golden_record",
+      """WITH RECURSIVE p AS (SELECT a.s_suppkey AS src, b.s_suppkey AS dst
+        |  FROM supplier a JOIN supplier b
+        |  ON a.s_suppkey <> b.s_suppkey
+        |  AND abs(length(a.s_name) - length(b.s_name)) <= 1
+        |  AND levenshtein(a.s_name, b.s_name) <= 1),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM p
+        |  UNION
+        |  SELECT p.src, reach.r FROM p JOIN reach ON p.dst = reach.id),
+        |clu AS (SELECT id, min(r) AS c FROM reach GROUP BY 1),
+        |m AS (SELECT s.s_suppkey AS id,
+        |    CAST(coalesce(clu.c, s.s_suppkey) AS BIGINT) AS c,
+        |    s.s_name, s.s_acctbal
+        |  FROM supplier s LEFT JOIN clu ON clu.id = s.s_suppkey)
+        |SELECT c AS cluster_id, CAST(min(id) AS BIGINT) AS golden_key,
+        |  arg_min(s_name, id) AS golden_name, count(*) AS n_members,
+        |  CAST(max(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS max_acctbal_cents
+        |FROM m GROUP BY 1""".stripMargin) { (s, dir) =>
+      val sup = Td.table(s, dir, "supplier")
+      val pairs = Dedup.editNeighborPairs(sup, "s_suppkey", "s_name")
+        .select(col("id1").cast("long").as("d1"), col("id2").cast("long").as("d2"))
+      val clu = Dedup.dedupClusters(pairs)
+      sup.select(col("s_suppkey").cast("long").as("id"), col("s_name"), col("s_acctbal"))
+        .join(clu.select(col("doc_id").as("id"), col("survivor_id")), Seq("id"), "left")
+        .withColumn("c", coalesce(col("survivor_id"), col("id")))
+        .groupBy(col("c").as("cluster_id"))
+        .agg(min(col("id")).cast("long").as("golden_key"),
+          min_by(col("s_name"), col("id")).as("golden_name"),
+          count(lit(1)).as("n_members"),
+          max(floor(col("s_acctbal") * 100 + 0.5).cast("long")).cast("long")
+            .as("max_acctbal_cents"))
+    },
+
     // ── perceptual hash (aHash) over binary payloads — the image-dedup
     //    shape run on the byte plumbing: nearest-neighbor-resample every
     //    payload to 64 bytes (the lm3 kernel arithmetic), threshold each
