@@ -2387,6 +2387,86 @@ object LlmQueries {
         dims = 64, iters = 24, trainMod = 1)
     },
 
+    // ── export shard manifest (the dataset-packaging step: write the
+    //    kept corpus as size-balanced shards + a manifest consumers trust
+    //    without re-reading the data): kept docs in deterministic md5
+    //    order, shard = running-byte total DIV 64 KiB (the lt14 running-
+    //    sum shape at byte grain — one ordering window), manifest row per
+    //    shard with doc count, byte total, and an order-independent
+    //    checksum (Σ md5-hash60 of members mod 2^31). At 100 TB the
+    //    window runs per md5 SUPER-shard like lt14; here one partition
+    //    suffices and the shape is documented. ──
+    q("lq10_shard_manifest",
+      """WITH kept AS (SELECT doc_id, n_chars,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 2147483648 AS chk
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_chars, chk,
+        |    CAST(sum(n_chars) OVER (ORDER BY hk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS bytes_before
+        |  FROM kept),
+        |a AS (SELECT doc_id, n_chars, chk,
+        |    CAST(coalesce(bytes_before, 0) // 65536 AS BIGINT) AS shard_id FROM r)
+        |SELECT shard_id, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+        |  CAST(sum(chk) % 2147483648 AS BIGINT) AS checksum_mod
+        |FROM a GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("hk"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Td.table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          graft.llm.Dedup.md5Hash60(col("doc_id").cast("string")).as("hk"),
+          pmod(graft.llm.Dedup.md5Hash60(col("text")), lit(2147483648L)).as("chk"))
+        .withColumn("shard_id",
+          expr("CAST(coalesce(sum(n_chars) OVER (ORDER BY hk, doc_id" +
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)" +
+            " DIV 65536 AS BIGINT)"))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("n_bytes"),
+          expr("CAST(sum(chk) % 2147483648 AS BIGINT)").as("checksum_mod"))
+    },
+
+    // ── n-gram NOVELTY rate (the complement of lt10's contamination
+    //    overlap): per held-out doc, what fraction of its 3-gram shingles
+    //    never appears in the train split — the generalization-gap signal
+    //    eval designers read (a low-novelty eval set measures memory, not
+    //    ability). Split = the lt5 text-hash buckets; one hashed-shingle
+    //    left join against the distinct train shingle set, per-doc
+    //    rollup, novelty as integer ppm. ──
+    q("lt44_ngram_novelty",
+      s"""WITH $toksCte,
+        |$shinglesCte,
+        |lab AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 100 < 80 AS is_train
+        |  FROM documents),
+        |tr AS (SELECT DISTINCT s FROM sh JOIN lab ON lab.doc_id = sh.doc_id
+        |  WHERE is_train),
+        |te AS (SELECT sh.doc_id, sh.s FROM sh JOIN lab ON lab.doc_id = sh.doc_id
+        |  WHERE NOT is_train)
+        |SELECT te.doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN tr.s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(sum(CASE WHEN tr.s IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*)
+        |    AS BIGINT) AS novelty_ppm
+        |FROM te LEFT JOIN tr ON tr.s = te.s
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val docs = Td.table(s, dir, "documents")
+      val sh = Dedup.shingleTable(docs, "doc_id", "text", 3)
+        .select(col("doc_id"), col("shingle").as("sh")).distinct()
+      val lab = docs.select(col("doc_id"),
+        (pmod(graft.llm.Dedup.md5Hash60(col("text")), lit(100L)) < 80).as("is_train"))
+      val tr = sh.join(lab, Seq("doc_id")).filter(col("is_train"))
+        .select(col("sh").as("ts")).distinct()
+      val te = sh.join(lab, Seq("doc_id")).filter(!col("is_train"))
+      te.join(tr, col("ts") === col("sh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("ts").isNull, 1L).otherwise(0L)).cast("long").as("n_novel"),
+          expr("CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) * 1000000" +
+            " DIV count(1) AS BIGINT)").as("novelty_ppm"))
+    },
+
     // ── MDM golden record (entity resolution end-to-end): ED≤1 name
     //    pairs from the SymSpell deletion-signature blocking (ld11's
     //    provably exhaustive machinery) → pointer-doubled connected
