@@ -2411,9 +2411,9 @@ object LlmQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS n_bytes,
         |  CAST(sum(chk) % 2147483648 AS BIGINT) AS checksum_mod
         |FROM a GROUP BY 1""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("hk"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+      // n_chars stands in for bytes (all-ASCII corpus => byte == char,
+      // the lm1 contract); a real exporter uses octet_length of the
+      // encoded payload
       Td.table(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"),
           graft.llm.Dedup.md5Hash60(col("doc_id").cast("string")).as("hk"),
@@ -2452,13 +2452,17 @@ object LlmQueries {
         |FROM te LEFT JOIN tr ON tr.s = te.s
         |GROUP BY 1""".stripMargin) { (s, dir) =>
       val docs = Td.table(s, dir, "documents")
-      val sh = Dedup.shingleTable(docs, "doc_id", "text", 3)
-        .select(col("doc_id"), col("shingle").as("sh")).distinct()
       val lab = docs.select(col("doc_id"),
         (pmod(graft.llm.Dedup.md5Hash60(col("text")), lit(100L)) < 80).as("is_train"))
-      val tr = sh.join(lab, Seq("doc_id")).filter(col("is_train"))
-        .select(col("sh").as("ts")).distinct()
-      val te = sh.join(lab, Seq("doc_id")).filter(!col("is_train"))
+      // persisted: tr and te both consume the labeled shingle stream —
+      // two independent plans would re-run the interpreted shingle HOF
+      // over the full corpus (the Dedup.shingleTable cost note)
+      val sh = graft.llm.Caches.persist(
+        Dedup.shingleTable(docs, "doc_id", "text", 3)
+          .select(col("doc_id"), col("shingle").as("sh")).distinct()
+          .join(lab, Seq("doc_id")))
+      val tr = sh.filter(col("is_train")).select(col("sh").as("ts")).distinct()
+      val te = sh.filter(!col("is_train"))
       te.join(tr, col("ts") === col("sh"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"),
@@ -2524,7 +2528,10 @@ object LlmQueries {
     //    clear of the sign). Same-hash groups are byte-pattern near-dups
     //    — template families land together here even when their exact
     //    hashes differ. Scan-stage unrolled integer expressions; one
-    //    hash-keyed window for the group size. ──
+    //    hash-keyed window for the group size. Positions/values are
+    //    char/codepoint-based — identical to bytes on this all-ASCII
+    //    corpus (the lm1 contract); real image bytes arrive pre-decoded
+    //    as unsigned ints. ──
     q("lm6_perceptual_hash", {
       val bytes = (0 until 64).map(i =>
         s"ord(substr(text, CAST(($i * length(text)) // 64 AS INT) + 1, 1)) AS b$i")

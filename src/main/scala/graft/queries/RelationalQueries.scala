@@ -3010,8 +3010,8 @@ object RelationalQueries {
         |  FROM h)
         |SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
         |  CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS d_scaled,
-        |  CAST(max(abs(c1 * n2 - c2 * n1)) * 1000000 // (max(n1) * max(n2)) AS BIGINT)
-        |    AS d_ppm
+        |  CAST(floor(1000000.0 * CAST(max(abs(c1 * n2 - c2 * n1)) AS DOUBLE)
+        |    / (CAST(max(n1) AS DOUBLE) * max(n2))) AS BIGINT) AS d_ppm
         |FROM c""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val wCum = Window.orderBy("v")
@@ -3027,10 +3027,14 @@ object RelationalQueries {
         sum("m2").over(wCum).cast("long").as("c2"),
         sum("m1").over(wAll).cast("long").as("n1"),
         sum("m2").over(wAll).cast("long").as("n2"))
+      // the ppm render goes through identically-spelled doubles: d_scaled
+      // is bounded only by n1*n2, so d_scaled*1e6 would overflow BIGINT
+      // past ~3M rows/arm — the supremum itself stays an exact integer
       c.agg(max(col("n1")).cast("long").as("n1"), max(col("n2")).cast("long").as("n2"),
           max(abs(col("c1") * col("n2") - col("c2") * col("n1"))).cast("long").as("d_scaled"))
         .select(col("n1"), col("n2"), col("d_scaled"),
-          expr("CAST(d_scaled * 1000000 DIV (n1 * n2) AS BIGINT)").as("d_ppm"))
+          floor(lit(1000000.0) * col("d_scaled").cast("double")
+            / (col("n1").cast("double") * col("n2"))).cast("long").as("d_ppm"))
     },
 
     // ── one-way ANOVA F statistic across ALL order priorities (the
