@@ -95,6 +95,30 @@ object OdInference {
       .groupBy("o", "d")
       .agg(sum("flow").as("flow"))
 
+  /** The matcher's FIRST decision per bucket — the greedy loop's seed step,
+    * which IS relationally expressible: before any flow is emitted, the
+    * chosen departure is the bucket-global argmax of supply (ties → first
+    * in the station-string sort order the matcher processes rows in), its
+    * match the argmin of haversine distance over the bucket's arrivals
+    * (ties → same station-string order), and the emitted flow
+    * min(supply, demand). A DuckDB twin (two row_number windows over the
+    * delta table + the identically-spelled IEEE haversine) therefore
+    * hash-checks the seed decision of every bucket, narrowing the
+    * golden-only surface to the iteration TAIL (decisions 2..n, whose
+    * inputs depend on prior decrements). Runs the real matcher — not a
+    * reimplementation — so a semantics drift in [[greedyMatch]] shows up
+    * here first. Output: bucket, o, d, flow; buckets with no match emit
+    * nothing. */
+  def firstMatches(deltas: Dataset[StationDelta]): DataFrame = {
+    val spark = deltas.sparkSession
+    import spark.implicits._
+    deltas
+      .groupByKey(_.bucket)
+      .flatMapGroups((b: Long, it: Iterator[StationDelta]) =>
+        greedyMatch(it.toSeq).headOption.map(f => (b, f.o, f.d, f.flow)).iterator)
+      .toDF("bucket", "o", "d", "flow")
+  }
+
   /** Per-bucket conservation summary — the matcher's oracle-checkable
     * surface. For every bucket: total arrival demand (Σ delta>0), total
     * departure supply (Σ -delta for delta<0), and the total flow the greedy

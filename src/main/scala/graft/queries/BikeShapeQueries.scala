@@ -66,6 +66,29 @@ object BikeShapeQueries {
       f: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, f, Some(oracle))
 
+  /** Shared OD-pipeline input (§2.7): minute-bucket floor → last snapshot
+    * per (station, bucket) → per-station lag-diff → station coordinate
+    * join, typed for the matcher. One definition so the three OD queries
+    * (flows, invariants, first-match) provably run the same upstream. */
+  private def odDeltas(s: SparkSession, dir: String): Dataset[StationDelta] = {
+    import s.implicits._
+    val ss = status(s, dir)
+      .withColumn("bucket", TimeOps.bucketFloor(col("ts"), 60))
+    val lastPerBucket = TimeOps.lastPerGroup(ss,
+      Seq("station_id", "bucket"), Seq(col("ts"), col("event_id")))
+    val deltas = TimeOps.lagDiff(lastPerBucket,
+      Seq("station_id"), Seq(col("bucket")), "bikes")
+    val st = stations(s, dir).select("station_id", "lat", "lon")
+    deltas
+      .join(broadcast(st), "station_id")
+      .select(
+        unix_timestamp(col("bucket")).as("bucket"),
+        col("station_id").cast("string").as("station"),
+        col("delta").cast("long").as("delta"),
+        col("lat"), col("lon"))
+      .as[StationDelta]
+  }
+
   def entries: Seq[QueryDef] = Seq(
 
     // ── Q1: network summary at the latest snapshot (queries.sql:3-14).
@@ -320,26 +343,56 @@ object BikeShapeQueries {
     //    SQL-expressible (stateful greedy loop) → driver rows-only check;
     //    exact semantics are pinned by OdInferenceSpec property tests. ──
     QueryDef("bod_flows_greedy", (s: SparkSession, dir: String) => {
-      import s.implicits._
-      val ss = status(s, dir)
-        .withColumn("bucket", TimeOps.bucketFloor(col("ts"), 60))
-      val lastPerBucket = TimeOps.lastPerGroup(ss,
-        Seq("station_id", "bucket"), Seq(col("ts"), col("event_id")))
-      val deltas = TimeOps.lagDiff(lastPerBucket,
-        Seq("station_id"), Seq(col("bucket")), "bikes")
-      val st = stations(s, dir).select("station_id", "lat", "lon")
-      val input: Dataset[StationDelta] = deltas
-        .join(broadcast(st), "station_id")
-        .select(
-          unix_timestamp(col("bucket")).as("bucket"),
-          col("station_id").cast("string").as("station"),
-          col("delta").cast("long").as("delta"),
-          col("lat"), col("lon"))
-        .as[StationDelta]
-      OdInference.inferFlows(input)
+      OdInference.inferFlows(odDeltas(s, dir))
         .orderBy(col("flow").desc, col("o"), col("d"))
         .limit(200)
     }, None),
+
+    // ── the greedy matcher's FIRST decision per bucket, oracle-checked:
+    //    before any decrement happens, the seed pick is pure relational
+    //    algebra — argmax supply (ties → station-string order, the order
+    //    the matcher scans in), argmin haversine over that bucket's
+    //    arrivals (same tie order), flow = least(supply, demand). The
+    //    Spark side runs the REAL matcher (head of its emission stream),
+    //    so this hash-pins greedyMatch's seed semantics against an
+    //    independent DuckDB twin; only the decrement-dependent tail
+    //    (decisions 2..n) remains on golden/property evidence. ──
+    q("bod_first_match",
+      s"""WITH $mappingSql,
+         |b AS (SELECT station_id, ts, event_id, bikes,
+         |  ${O.bucketFloor("ts", 60)} AS bucket FROM ss),
+         |last AS (SELECT station_id, bucket, bikes FROM (
+         |  SELECT station_id, bucket, bikes,
+         |    row_number() OVER (PARTITION BY station_id, bucket
+         |      ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM b) t WHERE rn = 1),
+         |d AS (SELECT station_id, bucket,
+         |  CAST(coalesce(bikes - lag(bikes) OVER (
+         |    PARTITION BY station_id ORDER BY bucket), 0) AS BIGINT) AS delta
+         |  FROM last),
+         |dj AS (SELECT d.station_id, d.bucket, d.delta, st.lat, st.lon
+         |  FROM d JOIN st ON st.station_id = d.station_id),
+         |dep AS (SELECT bucket, station_id, -delta AS supply, lat, lon,
+         |    row_number() OVER (PARTITION BY bucket
+         |      ORDER BY -delta DESC, CAST(station_id AS VARCHAR)) AS rk
+         |  FROM dj WHERE delta < 0),
+         |arr AS (SELECT bucket, station_id, delta AS demand, lat, lon
+         |  FROM dj WHERE delta > 0),
+         |best AS (SELECT dep.bucket, dep.station_id AS o_id,
+         |    arr.station_id AS d_id, least(dep.supply, arr.demand) AS flow,
+         |    row_number() OVER (PARTITION BY dep.bucket ORDER BY
+         |      2.0 * 6371000.0 * asin(sqrt(
+         |        pow(sin(radians(arr.lat - dep.lat) / 2), 2) +
+         |        cos(radians(dep.lat)) * cos(radians(arr.lat)) *
+         |        pow(sin(radians(arr.lon - dep.lon) / 2), 2))),
+         |      CAST(arr.station_id AS VARCHAR)) AS rk
+         |  FROM dep JOIN arr ON dep.bucket = arr.bucket AND dep.rk = 1)
+         |SELECT CAST(epoch(bucket) AS BIGINT) AS bucket,
+         |  CAST(o_id AS VARCHAR) AS o, CAST(d_id AS VARCHAR) AS d,
+         |  CAST(flow AS BIGINT) AS flow
+         |FROM best WHERE rk = 1""".stripMargin) { (s, dir) =>
+      OdInference.firstMatches(odDeltas(s, dir))
+    },
 
     // ── OD conservation invariants — the oracle-checkable face of the
     //    greedy matcher. The matcher's per-bucket emitted total is EXACTLY
@@ -374,23 +427,7 @@ object BikeShapeQueries {
          |             sum(CASE WHEN delta < 0 THEN -delta ELSE 0 END))
          |    AS BIGINT) AS flow_total
          |FROM dj GROUP BY 1""".stripMargin) { (s, dir) =>
-      import s.implicits._
-      val ss = status(s, dir)
-        .withColumn("bucket", TimeOps.bucketFloor(col("ts"), 60))
-      val lastPerBucket = TimeOps.lastPerGroup(ss,
-        Seq("station_id", "bucket"), Seq(col("ts"), col("event_id")))
-      val deltas = TimeOps.lagDiff(lastPerBucket,
-        Seq("station_id"), Seq(col("bucket")), "bikes")
-      val st = stations(s, dir).select("station_id", "lat", "lon")
-      val input: Dataset[StationDelta] = deltas
-        .join(broadcast(st), "station_id")
-        .select(
-          unix_timestamp(col("bucket")).as("bucket"),
-          col("station_id").cast("string").as("station"),
-          col("delta").cast("long").as("delta"),
-          col("lat"), col("lon"))
-        .as[StationDelta]
-      OdInference.flowInvariants(input)
+      OdInference.flowInvariants(odDeltas(s, dir))
     },
 
     // ── DBSCAN density clustering over a scattered POI set (hub detection:

@@ -1252,8 +1252,8 @@ object LlmQueries {
         |    CAST(('0x' || substr(md5(CAST(shard AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS hk
         |  FROM t),
         |c AS (SELECT doc_id, shard,
-        |    sum(n_tok) OVER (PARTITION BY shard ORDER BY hk, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS strt
+        |    CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY hk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tok AS strt
         |  FROM h)
         |SELECT doc_id, shard, strt // 512 AS bin, strt % 512 AS bin_off
         |FROM c""".stripMargin) { (s, dir) =>

@@ -123,7 +123,7 @@ object RelationalQueries {
       |  CAST(sum(vol_cents) AS DOUBLE) / 1E2 AS revenue
       |FROM (
       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-      |    year(l_shipdate) AS l_year,
+      |    CAST(year(l_shipdate) AS INTEGER) AS l_year,
       |    CAST(floor((l_extendedprice * (1.0 - l_discount)) * 1E2 + 0.5) AS BIGINT)
       |      AS vol_cents
       |  FROM lineitem
@@ -140,7 +140,7 @@ object RelationalQueries {
   private val sql11Text =
     """WITH val AS (
       |  SELECT l_partkey,
-      |    sum(CAST(floor(l_extendedprice * 1E2 + 0.5) AS BIGINT)) AS v_cents
+      |    CAST(sum(CAST(floor(l_extendedprice * 1E2 + 0.5) AS BIGINT)) AS BIGINT) AS v_cents
       |  FROM lineitem
       |    JOIN supplier ON l_suppkey = s_suppkey
       |    JOIN nation ON s_nationkey = n_nationkey
@@ -208,7 +208,7 @@ object RelationalQueries {
       |  CAST(sum(CASE WHEN nation = 'NATION_3' THEN cents ELSE 0 END) AS DOUBLE)
       |    / CAST(sum(cents) AS DOUBLE) AS mkt_share
       |FROM (
-      |  SELECT year(o_orderdate) AS o_year,
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
       |    CAST(floor((l_extendedprice * (1.0 - l_discount)) * 1E2 + 0.5) AS BIGINT)
       |      AS cents,
       |    n2.n_name AS nation
@@ -227,7 +227,7 @@ object RelationalQueries {
   private val sql9Text =
     """SELECT nation, o_year, CAST(sum(cents) AS DOUBLE) / 1E2 AS sum_profit
       |FROM (
-      |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+      |  SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
       |    CAST(floor((l_extendedprice * (1.0 - l_discount)) * 1E2 + 0.5) AS BIGINT)
       |      AS cents
       |  FROM part
@@ -251,10 +251,10 @@ object RelationalQueries {
        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
   private val sql12Text =
     """SELECT l_linestatus,
-      |  sum(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
-      |      THEN 1 ELSE 0 END) AS high_line_count,
-      |  sum(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
-      |      THEN 1 ELSE 0 END) AS low_line_count
+      |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |WHERE l_shipdate > o_orderdate
       |  AND l_shipdate >= TIMESTAMP '1996-01-01'
@@ -728,8 +728,8 @@ object RelationalQueries {
     //    engines (single IEEE division — bit-identical). ──
     q("w4_rank_pack",
       """SELECT event_id, user_id,
-        |  dense_rank() OVER w AS drank,
-        |  ntile(4) OVER w AS quartile,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drank,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
         |  percent_rank() OVER w AS prank,
         |  cume_dist() OVER w AS cdist
         |FROM events WHERE event_type = 'purchase'

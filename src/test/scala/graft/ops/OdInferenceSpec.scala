@@ -79,6 +79,43 @@ class OdInferenceSpec extends SparkSpec {
     assert(got.size == rows.map(_.bucket).distinct.size)
   }
 
+  test("first decision equals the relational seed rule (bod_first_match oracle twin)") {
+    // The bod_first_match oracle recomputes the matcher's seed step as two
+    // row_number windows; this pins that formulation against the REAL
+    // matcher on random unique-station buckets (the post-dedup shape the
+    // query feeds it).
+    val rnd = new Random(11)
+    val cases = Seq.fill(300) {
+      rnd.shuffle((1 to 20).toList).take(12).map(st => delta(
+        st.toString, rnd.nextLong(61) - 30,
+        -31.0 + rnd.nextDouble() * 2, -52.0 + rnd.nextDouble() * 2))
+    }
+    cases.foreach { rows =>
+      val deps = rows.filter(_.delta < 0)
+      val arrs = rows.filter(_.delta > 0)
+      val want =
+        if (deps.isEmpty || arrs.isEmpty) None
+        else {
+          val dep = deps.minBy(r => (r.delta, r.station)) // delta asc = supply desc
+          val arr = arrs.minBy(a => (GeoOps.haversineMeters(
+            dep.lat, dep.lon, a.lat, a.lon), a.station))
+          Some(Flow(dep.station, arr.station, math.min(-dep.delta, arr.delta)))
+        }
+      assert(OdInference.greedyMatch(rows).headOption == want)
+    }
+  }
+
+  test("firstMatches: one seed row per matchable bucket, distributed") {
+    import spark.implicits._
+    val rows = Seq(
+      StationDelta(0L, "a", -3, 0, 0), StationDelta(0L, "b", 3, 1, 1),
+      StationDelta(60L, "a", 5, 0, 0), StationDelta(60L, "c", -2, 2, 2),
+      StationDelta(120L, "a", 4, 0, 0)) // arrivals only: no match emitted
+    val got = OdInference.firstMatches(rows.toDS())
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(got == Set((0L, "a", "b", 3L), (60L, "c", "a", 2L)))
+  }
+
   test("distributed pipeline equals per-bucket local matcher") {
     import spark.implicits._
     val rows = Seq(

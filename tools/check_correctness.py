@@ -33,6 +33,19 @@ def main(sf_dir: str, out_dir: str) -> int:
             if spark_cols != oracle_cols:
                 status.append(f"SCHEMA spark={spark_cols} oracle={oracle_cols}")
             else:
+                # The driver's hash is TYPE-sensitive: DuckDB widens e.g.
+                # sum(BIGINT) to HUGEINT, which hash-mismatches a BIGINT
+                # Spark column even when every value is identical. Compare
+                # declared types so the local gate predicts the driver's.
+                s_types = dict(zip(spark_rel.columns, (str(t) for t in spark_rel.types)))
+                o_types = dict(zip(oracle_rel.columns, (str(t) for t in oracle_rel.types)))
+                type_diff = [
+                    f"{c}: spark={s_types[c]} oracle={o_types[c]}"
+                    for c in spark_cols if s_types[c] != o_types[c]
+                ]
+                if type_diff:
+                    status.append(f"TYPES {'; '.join(type_diff)}")
+            if not status:
                 cols = ", ".join(f'"{c}"' for c in spark_cols)
                 order = ", ".join(f'"{c}"' for c in spark_cols)
                 s_rows = con.sql(f"SELECT {cols} FROM spark_rel ORDER BY {order}").fetchall()
