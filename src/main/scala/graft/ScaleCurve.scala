@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve tooling: derive a larger scale factor from the driver's
+  * testdata by key-shifted replication, then time the heavy tier across
+  * scale factors in one JVM (`graft.ScaleRun`). The derived data is for
+  * WALL-TIME SLOPE measurement only — correctness stays pinned at the
+  * driver's own SFs by Verify/check_correctness.
+  *
+  * Replication preserves each workload's per-replica structure exactly:
+  *  - `documents`: replica r > 0 suffixes every whitespace token with
+  *    `_r` — a bijective token-space isomorphism, so in-replica shingle
+  *    Jaccard (the near-dup/graph workloads' input structure) is IDENTICAL
+  *    to the original while cross-replica shingle overlap is zero. Pair
+  *    counts, component sizes and graph shape therefore scale exactly
+  *    linearly with replicas, which is the regime a 10x corpus actually
+  *    exhibits (new data is mostly new).
+  *  - `embeddings`/`events`/`part`: id keys shifted by r * (max+1);
+  *    payloads unchanged (events keep their time span — series count
+  *    grows, per-series length doesn't; part's md5-scattered DBSCAN
+  *    geometry re-derives from the new keys at constant density by the
+  *    sqrt-grid construction).
+  * Remaining tables are copied as-is (dims don't drive the heavy tier).
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val replicas = args(2).toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"),
+      shufflePartitions = cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(out).mkdirs()
+
+    def replicate(t: String, key: String)(perReplica: (DataFrame, Int, Long) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      val shift = base.agg(max(col(key))).head().getLong(0) + 1L
+      val all = (0 until replicas).map(r => perReplica(base, r, shift)).reduce(_ unionByName _)
+      all.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scalegen] $t x$replicas -> ${all.count()} rows")
+    }
+
+    replicate("documents", "doc_id") { (df, r, shift) =>
+      val text =
+        if (r == 0) col("text")
+        else array_join(
+          transform(filter(split(col("text"), "\\s+"), x => x =!= ""),
+            x => concat(x, lit(s"_$r"))), " ")
+      df.select((col("doc_id") + lit(r * shift)).as("doc_id"), text.as("text"),
+        col("lang"), col("source"), length(text).cast("long").as("n_chars"))
+    }
+    replicate("embeddings", "vec_id") { (df, r, shift) =>
+      df.select((col("vec_id") + lit(r * shift)).as("vec_id"), col("embedding"), col("label"))
+    }
+    replicate("events", "event_id") { (df, r, shift) =>
+      // user_id shift rides on the event-id space too: any value beyond
+      // every replica's ids works, and event_id's max is one.
+      df.select((col("event_id") + lit(r * shift)).as("event_id"), col("ts"),
+        (col("user_id") + lit(r * shift)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+    replicate("part", "p_partkey") { (df, r, shift) =>
+      df.select((col("p_partkey") + lit(r * shift)).as("p_partkey"), col("p_name"),
+        col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
+    }
+    Seq("region", "nation", "customer", "supplier", "orders", "lineitem").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    spark.stop()
+  }
+}
+
+/** Time a comma-separated query list over comma-separated sf dirs in ONE
+  * JVM: `runMain graft.ScaleRun <dir1,dir2,...> <q1,q2,...> [repeat]`.
+  * Prints one line per (dir, query, run); judge by the min run (run 1 is
+  * JIT-cold). Matches Bench's cache hygiene between runs. */
+object ScaleRun {
+  def main(args: Array[String]): Unit = {
+    val dirs = args(0).split(",").map(_.trim).filter(_.nonEmpty)
+    val names = args(1).split(",").map(_.trim).filter(_.nonEmpty)
+    val repeat = if (args.length > 2) args(2).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"),
+      shufflePartitions = cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (dir <- dirs; name <- names) {
+      val times = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.llm.Caches.releaseAll(spark)
+        dt
+      }
+      println(f"[scalerun] dir=$dir q=$name min=${times.min}%.2f s runs=" +
+        times.map(t => f"$t%.2f").mkString(","))
+    }
+    spark.stop()
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Td
-import graft.llm.{Bpe, Chunking, Classifier, Dedup, GraphOps, Importance, Keywords, Multimodal, Pca, Sampling, Similarity, Sketches, Surprisal, TextOps}
+import graft.llm.{Bpe, Chunking, Classifier, Curation, Dedup, GraphOps, Importance, Keywords, Multimodal, Pca, Sampling, Similarity, Sketches, Surprisal, TextOps}
 import graft.sources.LlmLake
 
 /** LLM-training-data pipeline operators over the driver's documents /
@@ -2213,28 +2213,8 @@ object LlmQueries {
          |    AND s.lang_pred = 'en' AS keep
          |FROM sig s JOIN gop a ON s.doc_id = a.doc_id""".stripMargin
     }) { (s, dir) =>
-      val toked = Td.table(s, dir, "documents")
-        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("t"))
-        .withColumn("g2", TextOps.ngramsAll(col("t"), 2))
-        .filter(size(col("t")) > 0)
-      val nTokD = size(col("t")).cast("double")
-      toked.select(
-          col("doc_id"),
-          size(col("t")).cast("int").as("n_tokens"),
-          TextOps.qualityScore(col("t"), col("text")).as("quality"),
-          (lit(1.0) - size(array_distinct(col("g2"))).cast("double")
-            / size(col("g2")).cast("double")).as("rep2"),
-          (TextOps.topTokenCount(col("t")).cast("double") / nTokD).as("top_frac"),
-          (TextOps.countIn(col("t"), Seq("the", "a")).cast("double") / nTokD)
-            .as("stop_frac"),
-          (aggregate(col("t"), lit(0L), (acc, w) => acc + length(w)).cast("double")
-            / nTokD).as("mean_tok_len"),
-          TextOps.langId(col("t")).as("lang_pred"))
-        .withColumn("keep",
-          col("quality") >= 0.5 && col("rep2") <= 0.08 &&
-            col("top_frac") <= 0.2 && col("stop_frac") >= 0.01 &&
-            col("mean_tok_len") >= 3.0 && col("mean_tok_len") <= 10.0 &&
-            col("lang_pred") === "en")
+      // shared with the streaming curation chain — see Curation.scorecard
+      Curation.scorecard(Td.table(s, dir, "documents"))
     },
 
     // ── vocabulary coverage / OOV rate: train a top-K frequency vocab

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.llm.{Curation, Sampling, TextOps}
+
+/** One document surviving the chain's curation stage, carrying what the
+  * packing stage needs (`n_tok`) so downstream never re-reads text. */
+final case class ChainCurated(doc_id: Long, text: String, n_tok: Long)
+
+/** The FULL curation chain — lt31 scorecard → ld1 exact dedup → lt14
+  * sequence packing — run INCREMENTALLY as a two-stage streaming pipeline
+  * (the bronze→silver→gold shape a 100 TB ingest actually uses):
+  *
+  *   landing JSONL ─(stage 1: scorecard filter + first-seen dedup)→
+  *   curated parquet ─(stage 2: stateful sequence packing)→ packed parquet
+  *
+  * Two QUERIES, not one: the dedup state is keyed by content hash and the
+  * packing state by shard — Structured Streaming cannot chain two
+  * arbitrary-keyed `flatMapGroupsWithState` operators in one query, and at
+  * scale you would not want to (the intermediate curated tier is the
+  * restart/inspect/backfill point). Each stage owns a checkpoint; replays
+  * of the chain (new drops → run both stages with AvailableNow) resume
+  * both states.
+  *
+  * Stream/batch contract (pinned by ChainStreamSpec):
+  *  - the scorecard is [[Curation.scorecard]] — the SAME code the batch
+  *    lt31 query runs, applied per micro-batch (stateless column work);
+  *  - dedup is first-seen-wins on md5(text), the batch ld1 key. It equals
+  *    the batch min-id survivor rule whenever drops arrive in id order
+  *    (see [[CurationStream]] for why first-arrival is the streaming-
+  *    correct rule);
+  *  - packing continues each shard's token cursor across drops (see
+  *    [[PackingStream]]); a single-drop replay equals the batch
+  *    [[Sampling.sequencePack]] exactly.
+  *
+  * The curated sink appends plain parquet (unique per-batch task files);
+  * the exactly-once-under-replay hardening (per-batch_id dynamic
+  * partition overwrite) is the [[CurationStream.writeBatch]] idiom and is
+  * orthogonal to the chain shape spec'd here. */
+object ChainStream {
+
+  /** Stage 1 transform: scorecard keep-filter + first-seen content dedup.
+    * The verdict comes from [[Curation.withVerdict]] — the shared batch
+    * scorecard code in its column-appending (join-free) form, since a
+    * stream cannot self-join in Update mode. */
+  def curate(docs: Dataset[(Long, String, String, String)]): Dataset[ChainCurated] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val df = docs.toDF("doc_id", "lang", "source", "text")
+    val kept = Curation.withVerdict(df)
+      .where(col("keep"))
+      .select(col("doc_id"), col("text"),
+        col("n_tokens").cast("long").as("n_tok"),
+        md5(col("text")).as("content_hash"))
+      .as[(Long, String, Long, String)]
+    kept
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[Boolean, ChainCurated](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(Long, String, Long, String)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val r = rows.minBy(_._1) // min id within the batch, like ld1
+            Iterator.single(ChainCurated(r._1, r._2, r._3))
+          }
+      }
+  }
+
+  /** Run one incremental round of the whole chain over whatever is new in
+    * `landingDir`: stage 1 (curate) drains into `workDir/curated`, then
+    * stage 2 (pack) drains the new curated files into `workDir/packed`.
+    * Both AvailableNow against persistent checkpoints — calling this after
+    * each drop IS the incremental replay. */
+  def runChainRound(
+      spark: SparkSession, landingDir: String, workDir: String,
+      ctxTokens: Long, shards: Int): Unit = {
+    import spark.implicits._
+    val curatedDir = s"$workDir/curated"
+    val packedDir = s"$workDir/packed"
+
+    val landed = spark.readStream
+      .schema(CurationStream.docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .json(landingDir)
+      .as[(Long, String, String, String)]
+    val q1 = curate(landed).writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[ChainCurated], _: Long) =>
+        batch.write.mode("append").parquet(curatedDir)
+      }
+      .option("checkpointLocation", s"$workDir/ckpt_curate")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q1.awaitTermination()
+
+    val curated = spark.readStream
+      .schema("doc_id LONG, text STRING, n_tok LONG")
+      .parquet(curatedDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+    val q2 = PackingStream.pack(curated, ctxTokens, shards).writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[PackedDoc], batchId: Long) =>
+        PackingStream.writeBatch(batch, batchId, packedDir)
+      }
+      .option("checkpointLocation", s"$workDir/ckpt_pack")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+  }
+
+  /** The BATCH twin of the whole chain, for equivalence testing: shared
+    * scorecard → min-id survivor per md5(text) → batch sequencePack. */
+  def batchChain(
+      docs: Dataset[(Long, String, String, String)],
+      ctxTokens: Long, shards: Int): Dataset[(Long, Long, Long, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val df = docs.toDF("doc_id", "lang", "source", "text")
+    val kept = Curation.withVerdict(df).where(col("keep"))
+    val survivors = kept
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("content_hash").orderBy("doc_id")))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("text"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+    Sampling.sequencePack(survivors, "doc_id", "n_tok", ctxTokens, shards)
+      .select(col("doc_id"), col("shard"), col("bin"), col("offset"))
+      .as[(Long, Long, Long, Long)]
+  }
+}
