@@ -1013,7 +1013,15 @@ object Similarity {
     * `broadcastCap`; past the cap, fail fast — the distributed composition
     * is the ls3-style cell join for candidates followed by the ls6-style
     * (s, c) LUT join for scoring, both already implemented and oracle-
-    * pinned individually. */
+    * pinned individually.
+    *
+    * Sizing: per-query scan cost is ~`nprobe/kCells` of the corpus, so
+    * `kCells` must GROW with the corpus — the standard IVF operating point
+    * is kCells ≈ √N (per-cell size and cell count balance), which keeps
+    * per-query work O(√N) instead of O(N). The registered ls7 query holds
+    * kCells fixed across scale factors so its oracle stays replayable;
+    * its measured wall-time therefore grows with (queries × corpus/kCells)
+    * by construction — see the round-6 scaling table in PLANS.md. */
   def ivfPqTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
       k: Int, kCells: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
