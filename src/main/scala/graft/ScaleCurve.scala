@@ -25,6 +25,21 @@ import org.apache.spark.sql.functions._
   * Remaining tables are copied as-is (dims don't drive the heavy tier).
   */
 object ScaleGen {
+
+  /** One documents replica: ids shifted by `r * shift`; for r > 0 every
+    * whitespace token gets the `_r` suffix — a bijective token rename, so
+    * in-replica shingle/Jaccard structure is EXACTLY the original's while
+    * cross-replica shingle overlap is zero (pinned by ScaleGenSpec). */
+  def documentsReplica(base: DataFrame, r: Int, shift: Long): DataFrame = {
+    val text =
+      if (r == 0) col("text")
+      else array_join(
+        transform(filter(split(col("text"), "\\s+"), x => x =!= ""),
+          x => concat(x, lit(s"_$r"))), " ")
+    base.select((col("doc_id") + lit(r * shift)).as("doc_id"), text.as("text"),
+      col("lang"), col("source"), length(text).cast("long").as("n_chars"))
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
@@ -44,15 +59,7 @@ object ScaleGen {
       println(s"[scalegen] $t x$replicas -> ${all.count()} rows")
     }
 
-    replicate("documents", "doc_id") { (df, r, shift) =>
-      val text =
-        if (r == 0) col("text")
-        else array_join(
-          transform(filter(split(col("text"), "\\s+"), x => x =!= ""),
-            x => concat(x, lit(s"_$r"))), " ")
-      df.select((col("doc_id") + lit(r * shift)).as("doc_id"), text.as("text"),
-        col("lang"), col("source"), length(text).cast("long").as("n_chars"))
-    }
+    replicate("documents", "doc_id")(documentsReplica)
     replicate("embeddings", "vec_id") { (df, r, shift) =>
       df.select((col("vec_id") + lit(r * shift)).as("vec_id"), col("embedding"), col("label"))
     }
