@@ -97,6 +97,10 @@ object ChainStream {
       .start()
     q1.awaitTermination()
 
+    // a round whose drops all filtered out (or an empty landing dir) may
+    // leave the curated tier unborn — stage 2 has nothing to drain then
+    if (!new java.io.File(curatedDir).exists()) return
+
     val curated = spark.readStream
       .schema("doc_id LONG, text STRING, n_tok LONG")
       .parquet(curatedDir)
