@@ -278,4 +278,81 @@ object Sampling {
         row_number().over(Window.orderBy(col("key").desc, col("id")))
           .cast("long"))
   }
+
+  /** Length-bucketed dynamic batching — the pad-efficiency primitive
+    * training/serving loaders use when sequences are NOT concat-packed
+    * (contrast [[sequencePack]], which splits docs across context
+    * windows; here each doc stays whole and similar-length docs batch
+    * together so padding waste is bounded by construction).
+    *
+    * Band = floor(log2(weight)) (the `length(bin(w)) - 1` idiom — both
+    * engines render binary without leading zeros), so a band's members
+    * differ in length by at most 2x. Capacity per batch =
+    * max(tokenBudget DIV bandMaxLen, 1) with bandMaxLen = 2^(band+1) - 1:
+    * padded batch size (capacity x bandMaxLen) never exceeds the budget,
+    * except the forced singleton batches of docs individually over it.
+    * Within (band, shard) docs order by the deterministic md5 key and
+    * fill batches by integer division — exact, engine-portable.
+    *
+    * Scale shape: ONE exchange on (band, shard). Band alone (~log-many
+    * distinct values) would hot-spot a window partition at 100 TB; the
+    * shard sub-key bounds every partition and scales with the cluster,
+    * exactly the [[sequencePack]] contract. Rows with weight < 1 carry no
+    * batchable content and are dropped.
+    * Output: id, band, shard, batch_idx, slot. */
+  def lengthBatches(
+      df: DataFrame, idCol: String, weightCol: String,
+      tokenBudget: Long, shards: Int): DataFrame = {
+    require(tokenBudget >= 1, s"lengthBatches: tokenBudget must be >= 1, got $tokenBudget")
+    require(shards >= 1, s"lengthBatches: shards must be >= 1, got $shards")
+    val w = col(weightCol).cast("long")
+    df
+      .select(col(idCol).as("id"), w.as("w"))
+      .filter(col("w") >= 1L)
+      .withColumn("band", (length(bin(col("w"))) - 1).cast("int"))
+      .withColumn("shard",
+        pmod(Dedup.md5Hash60(col("id").cast("string")), lit(shards.toLong)))
+      .withColumn("__cap", greatest(
+        expr(s"${tokenBudget}L DIV (shiftleft(CAST(1 AS BIGINT), band + 1) - 1)"),
+        lit(1L)))
+      .withColumn("__hk", Dedup.md5Hash60(concat_ws(":",
+        col("band").cast("string"), col("shard").cast("string"),
+        col("id").cast("string"))))
+      .withColumn("__pos",
+        (row_number().over(Window.partitionBy("band", "shard")
+          .orderBy(col("__hk"), col("id"))) - 1).cast("long"))
+      .select(col("id"), col("band"), col("shard"),
+        expr("__pos DIV __cap").as("batch_idx"),
+        (col("__pos") % col("__cap")).as("slot"))
+  }
+
+  /** Seeded per-epoch corpus reshuffle — the training-order primitive: a
+    * deterministic pseudorandom permutation of the corpus per epoch
+    * (different epochs, different order; same epoch, same order on any
+    * engine/cluster/run — reproducible data loading without materializing
+    * a shuffled copy). Each (epoch, id) hashes to a 60-bit key; the key's
+    * shard residue places the doc, and its rank within (epoch, shard)
+    * is the read position.
+    *
+    * Scale shape: the epoch table is a broadcast literal; ONE exchange on
+    * (epoch, shard), window partitions bounded because shard count scales
+    * with the cluster. At 100 TB the shard files are written once per
+    * epoch in (pos) order and readers stream them sequentially.
+    * Output: id, epoch, shard, pos. */
+  def epochShuffle(
+      df: DataFrame, idCol: String, epochs: Int, shards: Int): DataFrame = {
+    require(epochs >= 1, s"epochShuffle: epochs must be >= 1, got $epochs")
+    require(shards >= 1, s"epochShuffle: shards must be >= 1, got $shards")
+    val spark = df.sparkSession
+    val e = spark.range(epochs).select(col("id").cast("int").as("epoch"))
+    df.select(col(idCol).as("id"))
+      .crossJoin(broadcast(e))
+      .withColumn("__hk", Dedup.md5Hash60(concat_ws(":",
+        col("epoch").cast("string"), col("id").cast("string"))))
+      .withColumn("shard", pmod(col("__hk"), lit(shards.toLong)))
+      .withColumn("pos",
+        (row_number().over(Window.partitionBy("epoch", "shard")
+          .orderBy(col("__hk"), col("id"))) - 1).cast("long"))
+      .select(col("id"), col("epoch"), col("shard"), col("pos"))
+  }
 }

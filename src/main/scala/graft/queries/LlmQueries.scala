@@ -1263,6 +1263,54 @@ object LlmQueries {
         .withColumnRenamed("offset", "bin_off")
     },
 
+    // ── length-bucketed dynamic batching (the pad-efficiency loader
+    //    shape, vs lt14's concat-packing): band = floor-log2(n_tok) via
+    //    the length(bin(w))-1 idiom, per-batch capacity
+    //    budget DIV (2^(band+1)-1) so padded batch size never exceeds
+    //    the budget, fill order by md5 key. One (band, shard) exchange —
+    //    shard sub-key stops the ~log-many bands from hot-spotting a
+    //    window partition at scale. ──
+    q("lt45_length_batches",
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS w
+        |  FROM documents),
+        |b AS (SELECT doc_id, w,
+        |    CAST(length(bin(w)) - 1 AS INT) AS band,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard
+        |  FROM t WHERE w >= 1),
+        |c AS (SELECT doc_id, band, shard,
+        |    greatest(4096 // ((CAST(1 AS BIGINT) << (band + 1)) - 1), 1) AS cap,
+        |    CAST(('0x' || substr(md5(CAST(band AS VARCHAR) || ':' || CAST(shard AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+        |  FROM b),
+        |p AS (SELECT doc_id, band, shard, cap,
+        |    CAST(row_number() OVER (PARTITION BY band, shard ORDER BY hk, doc_id) - 1 AS BIGINT) AS pos
+        |  FROM c)
+        |SELECT doc_id, band, shard, pos // cap AS batch_idx, pos % cap AS slot
+        |FROM p""".stripMargin) { (s, dir) =>
+      val withTok = Td.table(s, dir, "documents")
+        .withColumn("n_tok", size(TextOps.tokens(col("text"))).cast("long"))
+      Sampling.lengthBatches(withTok, "doc_id", "n_tok", tokenBudget = 4096L, shards = 8)
+        .withColumnRenamed("id", "doc_id")
+    },
+
+    // ── seeded per-epoch corpus reshuffle (training-order primitive):
+    //    deterministic pseudorandom permutation per epoch — (epoch, id)
+    //    md5 key gives shard + read position; different epochs get
+    //    provably different orders, same epoch is identical on any
+    //    engine/run. One (epoch, shard) exchange; the epoch table is a
+    //    broadcast literal. ──
+    q("lt46_epoch_shuffle",
+      """WITH e AS (SELECT CAST(range AS INT) AS epoch FROM range(3)),
+        |h AS (SELECT d.doc_id, e.epoch,
+        |    CAST(('0x' || substr(md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+        |  FROM documents d CROSS JOIN e)
+        |SELECT doc_id, epoch, hk % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY epoch, hk % 8 ORDER BY hk, doc_id) - 1 AS BIGINT) AS pos
+        |FROM h""".stripMargin) { (s, dir) =>
+      Sampling.epochShuffle(Td.table(s, dir, "documents"), "doc_id", epochs = 3, shards = 8)
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // ── DSIR-style importance weights: score each doc by Σ over its
     //    tokens of (target_bucket_count+1)*1e6 DIV (raw_bucket_count+1)
     //    over 64 hashed unigram buckets (target = the 'en' slice). The

@@ -248,4 +248,55 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(got == Set(1L, 3L))
   }
+
+  test("lengthBatches: padded batch size within budget; bands coherent; batches fill densely") {
+    val budget = 256L
+    val withTok = docs.withColumn("n_tok",
+      size(TextOps.tokens(col("text"))).cast("long"))
+    val nTok = withTok.select("doc_id", "n_tok").as[(Long, Long)].collect().toMap
+    val out = Sampling.lengthBatches(withTok, "doc_id", "n_tok", budget, shards = 4)
+      .as[(Long, Int, Long, Long, Long)].collect()
+    assert(out.length == nTok.count(_._2 >= 1))
+    out.foreach { case (id, band, _, _, slot) =>
+      val w = nTok(id)
+      // band really is floor(log2(w)), and slot respects the capacity
+      assert((1L << band) <= w && w < (2L << band), s"doc $id w=$w band=$band")
+      val cap = math.max(budget / ((2L << band) - 1), 1L)
+      assert(slot >= 0 && slot < cap)
+      // padded size (cap x band max len) within budget unless forced singleton
+      if (cap > 1) assert(cap * ((2L << band) - 1) <= budget)
+    }
+    // batches fill densely: within (band, shard), batch b is full before
+    // b+1 opens, and slots within a batch are 0..k-1 with no gaps
+    out.groupBy { case (_, band, shard, _, _) => (band, shard) }.foreach {
+      case ((band, _), rows) =>
+        val cap = math.max(budget / ((2L << band) - 1), 1L)
+        val byBatch = rows.groupBy(_._4)
+        val maxB = byBatch.keys.max
+        byBatch.foreach { case (b, rs) =>
+          val slots = rs.map(_._5).sorted
+          assert(slots.sameElements(slots.indices.map(_.toLong)), s"gap in batch $b")
+          if (b < maxB) assert(rs.length == cap, s"batch $b not full before $maxB opened")
+        }
+    }
+  }
+
+  test("epochShuffle: per-(epoch, shard) positions are a dense 0..n-1 permutation; epochs differ") {
+    val out = Sampling.epochShuffle(docs, "doc_id", epochs = 2, shards = 4)
+      .as[(Long, Int, Long, Long)].collect()
+    val n = docs.count()
+    assert(out.length == 2 * n)
+    out.groupBy(r => (r._2, r._3)).foreach { case (_, rows) =>
+      val pos = rows.map(_._4).sorted
+      assert(pos.sameElements(pos.indices.map(_.toLong)))
+    }
+    // the two epochs order the corpus differently (overwhelmingly likely
+    // for any non-trivial corpus; deterministic given the fixed hash)
+    def order(e: Int) = out.filter(_._2 == e).sortBy(r => (r._3, r._4)).map(_._1).toSeq
+    assert(order(0) != order(1))
+    // and each epoch is itself reproducible
+    val again = Sampling.epochShuffle(docs, "doc_id", epochs = 2, shards = 4)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(out.sorted.sameElements(again.sorted))
+  }
 }
