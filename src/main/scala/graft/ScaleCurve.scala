@@ -31,13 +31,18 @@ object ScaleGen {
     * in-replica shingle/Jaccard structure is EXACTLY the original's while
     * cross-replica shingle overlap is zero (pinned by ScaleGenSpec). */
   def documentsReplica(base: DataFrame, r: Int, shift: Long): DataFrame = {
-    val text =
-      if (r == 0) col("text")
-      else array_join(
+    if (r == 0) {
+      // true identity (modulo nothing): carry every column as-is, so even
+      // a corpus whose declared n_chars deliberately differs from
+      // length(text) survives replica 0 unchanged
+      base.select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    } else {
+      val text = array_join(
         transform(filter(split(col("text"), "\\s+"), x => x =!= ""),
           x => concat(x, lit(s"_$r"))), " ")
-    base.select((col("doc_id") + lit(r * shift)).as("doc_id"), text.as("text"),
-      col("lang"), col("source"), length(text).cast("long").as("n_chars"))
+      base.select((col("doc_id") + lit(r * shift)).as("doc_id"), text.as("text"),
+        col("lang"), col("source"), length(text).cast("long").as("n_chars"))
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -53,7 +58,9 @@ object ScaleGen {
 
     def replicate(t: String, key: String)(perReplica: (DataFrame, Int, Long) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$t.parquet")
-      val shift = base.agg(max(col(key))).head().getLong(0) + 1L
+      val maxKey = base.agg(max(col(key).cast("long"))).head()
+      require(!maxKey.isNullAt(0), s"scalegen: $t is empty or $key all-null")
+      val shift = maxKey.getLong(0) + 1L
       val all = (0 until replicas).map(r => perReplica(base, r, shift)).reduce(_ unionByName _)
       all.write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[scalegen] $t x$replicas -> ${all.count()} rows")
@@ -64,8 +71,15 @@ object ScaleGen {
       df.select((col("vec_id") + lit(r * shift)).as("vec_id"), col("embedding"), col("label"))
     }
     replicate("events", "event_id") { (df, r, shift) =>
-      // user_id shift rides on the event-id space too: any value beyond
-      // every replica's ids works, and event_id's max is one.
+      // user_id shift rides on the event-id space: that keeps replicas'
+      // user populations disjoint ONLY if every user_id is below the
+      // event-id shift — assert it, the exactly-linear-scaling premise of
+      // the user-keyed workloads rests on it
+      if (r == 0) {
+        val maxUser = df.agg(max(col("user_id").cast("long"))).head().getLong(0)
+        require(maxUser < shift,
+          s"scalegen: max(user_id)=$maxUser >= event shift $shift — replicas' users would overlap")
+      }
       df.select((col("event_id") + lit(r * shift)).as("event_id"), col("ts"),
         (col("user_id") + lit(r * shift)).as("user_id"),
         col("event_type"), col("value"), col("props"))

@@ -36,10 +36,14 @@ final case class ChainCurated(doc_id: Long, text: String, n_tok: Long)
   *    [[PackingStream]]); a single-drop replay equals the batch
   *    [[Sampling.sequencePack]] exactly.
   *
-  * The curated sink appends plain parquet (unique per-batch task files);
-  * the exactly-once-under-replay hardening (per-batch_id dynamic
-  * partition overwrite) is the [[CurationStream.writeBatch]] idiom and is
-  * orthogonal to the chain shape spec'd here. */
+  * Crash-replay safety at the curated seam: stage 1 writes each batch
+  * into its own `batch_id` partition with dynamic overwrite (the
+  * [[CurationStream.writeBatch]] idiom), so a replayed micro-batch
+  * REPLACES itself instead of double-appending. That suffices for
+  * end-to-end exactly-once here because the orchestration is sequential:
+  * stage 2 only starts after stage 1's checkpoint commits, so any batch
+  * stage 1 could still replay is one stage 2 has provably never read —
+  * the rewritten files are new to its file-source log exactly once. */
 object ChainStream {
 
   /** Stage 1 transform: scorecard keep-filter + first-seen content dedup.
@@ -89,8 +93,13 @@ object ChainStream {
       .as[(Long, String, String, String)]
     val q1 = curate(landed).writeStream
       .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: Dataset[ChainCurated], _: Long) =>
-        batch.write.mode("append").parquet(curatedDir)
+      .foreachBatch { (batch: Dataset[ChainCurated], batchId: Long) =>
+        // idempotent under replay: the batch owns its partition (scaladoc)
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(curatedDir)
       }
       .option("checkpointLocation", s"$workDir/ckpt_curate")
       .trigger(Trigger.AvailableNow())
@@ -98,15 +107,20 @@ object ChainStream {
     q1.awaitTermination()
 
     // a round whose drops all filtered out (or an empty landing dir) may
-    // leave the curated tier unborn — stage 2 has nothing to drain then
-    if (!new java.io.File(curatedDir).exists()) return
+    // leave the curated tier unborn — stage 2 has nothing to drain then.
+    // Hadoop FS, not java.io: workDir may be hdfs://, s3a://, ...
+    val curatedPath = new org.apache.hadoop.fs.Path(curatedDir)
+    val fs = curatedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(curatedPath)) return
 
+    // weights only — the curated tier already tokenized; text never
+    // enters the packing shuffle
     val curated = spark.readStream
-      .schema("doc_id LONG, text STRING, n_tok LONG")
+      .schema("doc_id LONG, text STRING, n_tok LONG, batch_id LONG")
       .parquet(curatedDir)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-    val q2 = PackingStream.pack(curated, ctxTokens, shards).writeStream
+      .select(col("doc_id"), col("n_tok"))
+      .as[(Long, Long)]
+    val q2 = PackingStream.packWeighted(curated, ctxTokens, shards).writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: Dataset[PackedDoc], batchId: Long) =>
         PackingStream.writeBatch(batch, batchId, packedDir)

@@ -38,18 +38,35 @@ final case class PackedDoc(
 object PackingStream {
 
   /** Assign (shard, bin, offset) to each arriving doc, carrying each
-    * shard's running token total in keyed state. */
+    * shard's running token total in keyed state. Tokenizes `text`; a
+    * caller that already carries the token count (e.g. the curated tier
+    * of [[ChainStream]]) should use [[packWeighted]] and never ship text
+    * through this operator at all. */
   def pack(
       docs: Dataset[(Long, String)], // (doc_id, text)
+      ctxTokens: Long, shards: Int): Dataset[PackedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    packWeighted(
+      docs.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        .as[(Long, Long)],
+      ctxTokens, shards)
+  }
+
+  /** [[pack]] over precomputed (doc_id, n_tok) weights — the form for
+    * upstream stages that already tokenized (no text in the shuffle). */
+  def packWeighted(
+      docs: Dataset[(Long, Long)], // (doc_id, n_tok)
       ctxTokens: Long, shards: Int): Dataset[PackedDoc] = {
     require(ctxTokens > 0, s"pack: ctxTokens must be positive, got $ctxTokens")
     require(shards > 0, s"pack: shards must be positive, got $shards")
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.toDF("doc_id", "text")
+    docs.toDF("doc_id", "n_tok")
       .withColumn("shard",
         pmod(Dedup.md5Hash60(col("doc_id").cast("string")), lit(shards.toLong)))
-      .withColumn("n_tok", size(TextOps.tokens(col("text"))).cast("long"))
       .withColumn("hk", Sampling.keepHash(col("doc_id"), col("shard")))
       .select("doc_id", "shard", "n_tok", "hk")
       .as[(Long, Long, Long, Long)]
