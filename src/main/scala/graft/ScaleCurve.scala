@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   *
   * Replication preserves each workload's per-replica structure exactly:
   *  - `documents`: replica r > 0 suffixes every whitespace token with
-  *    `_r` — a bijective token-space isomorphism, so in-replica shingle
+  *    `<U+0001>r` — a bijective token-space isomorphism, so in-replica shingle
   *    Jaccard (the near-dup/graph workloads' input structure) is IDENTICAL
   *    to the original while cross-replica shingle overlap is zero. Pair
   *    counts, component sizes and graph shape therefore scale exactly
@@ -26,10 +26,20 @@ import org.apache.spark.sql.functions._
   */
 object ScaleGen {
 
+  /** Separator between a base token and its replica tag. U+0001 is a
+    * non-whitespace control char that natural-language corpora don't
+    * contain — and `main` ASSERTS the base corpus is free of it, so the
+    * rename is bijective BY CONSTRUCTION (a base token can never equal
+    * another token's tagged form), not just on well-behaved data. A plain
+    * `_r` suffix lacked that guarantee: a base token literally ending in
+    * `_1` would collide with replica 1's rename of its prefix. */
+  val ReplicaSep = "\u0001"
+
   /** One documents replica: ids shifted by `r * shift`; for r > 0 every
-    * whitespace token gets the `_r` suffix — a bijective token rename, so
-    * in-replica shingle/Jaccard structure is EXACTLY the original's while
-    * cross-replica shingle overlap is zero (pinned by ScaleGenSpec). */
+    * whitespace token gets a `<ReplicaSep>r` suffix — a bijective token
+    * rename, so in-replica shingle/Jaccard structure is EXACTLY the
+    * original's while cross-replica shingle overlap is zero (pinned by
+    * ScaleGenSpec). */
   def documentsReplica(base: DataFrame, r: Int, shift: Long): DataFrame = {
     if (r == 0) {
       // true identity (modulo nothing): carry every column as-is, so even
@@ -39,7 +49,7 @@ object ScaleGen {
     } else {
       val text = array_join(
         transform(filter(split(col("text"), "\\s+"), x => x =!= ""),
-          x => concat(x, lit(s"_$r"))), " ")
+          x => concat(x, lit(ReplicaSep + r))), " ")
       base.select((col("doc_id") + lit(r * shift)).as("doc_id"), text.as("text"),
         col("lang"), col("source"), length(text).cast("long").as("n_chars"))
     }
@@ -66,6 +76,12 @@ object ScaleGen {
       println(s"[scalegen] $t x$replicas -> ${all.count()} rows")
     }
 
+    // the bijectivity of the token rename (and with it the exactly-linear
+    // pair-count premise) requires the base corpus to be separator-free
+    val sepDocs = spark.read.parquet(s"$src/documents.parquet")
+      .filter(col("text").contains(ReplicaSep)).count()
+    require(sepDocs == 0L,
+      s"scalegen: $sepDocs base documents contain U+0001 — replica token rename would not be bijective")
     replicate("documents", "doc_id")(documentsReplica)
     replicate("embeddings", "vec_id") { (df, r, shift) =>
       df.select((col("vec_id") + lit(r * shift)).as("vec_id"), col("embedding"), col("label"))

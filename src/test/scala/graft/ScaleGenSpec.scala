@@ -43,6 +43,20 @@ class ScaleGenSpec extends SparkSpec {
     graft.llm.Caches.releaseAll(spark)
   }
 
+  test("rename is collision-free even when base tokens end in _<r>") {
+    // a plain `_1` suffix would make replica 1's rename of `var` collide
+    // with the base token `var_1`; the U+0001 separator cannot appear in
+    // base tokens (ScaleGen.main asserts it), so token spaces stay disjoint
+    val adv = Seq(
+      (1L, "var_1 beta", "en", "t", 10L),
+      (2L, "var beta", "en", "t", 8L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    def toks(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(graft.llm.TextOps.tokens(col("text"))).as("t"))
+      .as[String].collect().toSet
+    assert(toks(adv).intersect(toks(ScaleGen.documentsReplica(adv, 1, 100L))).isEmpty)
+  }
+
   test("token suffixing preserves per-doc token counts (packing/scorecard mass invariant)") {
     val shift = 1000000L
     val nt0 = base().select(col("doc_id"),

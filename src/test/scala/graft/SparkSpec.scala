@@ -12,4 +12,18 @@ object TestSpark {
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   val Sf0001 = "/root/testdata/sf0.001"
+
+  /** Stamp the files a just-written drop added under `dir` with an explicit
+    * modification time, so the file stream source orders drops by arrival
+    * regardless of filesystem timestamp granularity (no Thread.sleep —
+    * coarse-mtime filesystems would make sleep-based ordering flaky).
+    * Tracks already-stamped names in `seen`; call with strictly increasing
+    * `ts` per drop. */
+  def stampDrop(dir: String, seen: scala.collection.mutable.Set[String], ts: Long): Unit =
+    new java.io.File(dir).listFiles().toSeq
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !seen.contains(f.getName))
+      .foreach { f =>
+        require(f.setLastModified(ts), s"setLastModified failed for $f")
+        seen += f.getName
+      }
 }

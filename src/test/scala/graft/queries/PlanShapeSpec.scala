@@ -105,7 +105,8 @@ class PlanShapeSpec extends SparkSpec {
     // lt45: one documents scan, ONE (band, shard) exchange — band alone
     // (~log-many values) would hot-spot; a second exchange means the
     // capacity/pos columns stopped sharing the window partitioning
-    Shape("lt45_length_batches", scans = Some(1), shuffles = Some(1)),
+    Shape("lt45_length_batches", scans = Some(1), shuffles = Some(1),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
     // lt46: the epoch table is a broadcast literal (no scan, no shuffle
     // of its own); the corpus pays ONE (epoch, shard) exchange
     Shape("lt46_epoch_shuffle", scans = Some(1), shuffles = Some(1),

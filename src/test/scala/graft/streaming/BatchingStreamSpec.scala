@@ -49,11 +49,16 @@ class BatchingStreamSpec extends SparkSpec {
       .as[(Long, String, String, String, Long)].collect()
     val drops = Seq(
       all.filter(_._1 % 3 == 0), all.filter(_._1 % 3 == 1), all.filter(_._1 % 3 == 2))
-    drops.foreach { d =>
+    val seen = scala.collection.mutable.Set.empty[String]
+    val t0 = System.currentTimeMillis() - drops.length * 60000L
+    drops.zipWithIndex.foreach { case (d, i) =>
       d.toSeq.map(r => (r._1, r._2, r._3, r._4))
         .toDF("doc_id", "lang", "source", "text")
         .coalesce(1).write.mode("append").json(s"$dir/landing")
-      Thread.sleep(1100) // distinct mtimes: the file source orders drops by timestamp
+      // explicit strictly-increasing mtimes: the file source orders drops
+      // by timestamp, and coarse-granularity filesystems can't be trusted
+      // to separate back-to-back writes
+      stampDrop(s"$dir/landing", seen, t0 + i * 60000L)
     }
     val q = BatchingStream.start(spark, s"$dir/landing", s"$dir/out",
       s"$dir/ckpt", tokenBudget = Budget, shards = Shards)

@@ -57,10 +57,15 @@ class ChainStreamSpec extends SparkSpec {
       all.slice(0, bounds(0)), all.slice(bounds(0), bounds(1)),
       all.slice(bounds(1), all.length))
 
-    drops.foreach { d =>
+    val seen = scala.collection.mutable.Set.empty[String]
+    val t0 = System.currentTimeMillis() - drops.length * 60000L
+    drops.zipWithIndex.foreach { case (d, i) =>
       d.toSeq.toDF("doc_id", "lang", "source", "text")
         .coalesce(1).write.mode("append").json(s"$dir/landing")
-      Thread.sleep(1100) // distinct mtimes: file source orders drops by timestamp
+      // explicit strictly-increasing mtimes (no sleep): the file source
+      // orders drops by timestamp and coarse-mtime filesystems can merge
+      // back-to-back writes into one tick
+      stampDrop(s"$dir/landing", seen, t0 + i * 60000L)
       // one incremental chain round per drop: both stages drain the new
       // data against their persistent checkpoints
       ChainStream.runChainRound(spark, s"$dir/landing", s"$dir/work", Ctx, Shards)
