@@ -119,6 +119,31 @@ object OdInference {
       .toDF("bucket", "o", "d", "flow")
   }
 
+  /** The matcher's first `k` decisions per bucket, step-numbered — the
+    * generated-CTE unroll surface. Decision 1 is [[firstMatches]]'s seed;
+    * each later decision is the same (argmax supply, argmin haversine,
+    * emit min) over the PREVIOUS state with the picked pair decremented
+    * and zero-count nodes dropped. Removal never reorders survivors
+    * (ArrayBuffer.remove is order-preserving and insertion order is the
+    * station sort), so "station-string order among rows with remaining
+    * count > 0" stays the scan order at every step — which makes each
+    * decision relationally expressible given the prior one, and the first
+    * K decisions of every bucket hash-checkable against a DuckDB
+    * iterated-CTE twin. Runs the REAL matcher (a prefix of its emission
+    * stream), not a reimplementation. Output: bucket, step (1-based),
+    * o, d, flow. */
+  def firstKMatches(deltas: Dataset[StationDelta], k: Int): DataFrame = {
+    val spark = deltas.sparkSession
+    import spark.implicits._
+    deltas
+      .groupByKey(_.bucket)
+      .flatMapGroups((b: Long, it: Iterator[StationDelta]) =>
+        greedyMatch(it.toSeq).take(k).zipWithIndex.iterator.map {
+          case (f, i) => (b, i + 1, f.o, f.d, f.flow)
+        })
+      .toDF("bucket", "step", "o", "d", "flow")
+  }
+
   /** Per-bucket conservation summary — the matcher's oracle-checkable
     * surface. For every bucket: total arrival demand (Σ delta>0), total
     * departure supply (Σ -delta for delta<0), and the total flow the greedy

@@ -89,6 +89,74 @@ object BikeShapeQueries {
       .as[StationDelta]
   }
 
+  /** Generated-CTE unroll of the greedy matcher's first `k` decisions.
+    * Decision 1 is the seed (argmax supply → argmin haversine → emit min);
+    * decision i+1 is the SAME relational step over state i with the picked
+    * pair decremented and zero-count nodes dropped — removal never
+    * reorders survivors (see [[OdInference.firstKMatches]]), so the
+    * station-string tie-break stays the matcher's scan order at every
+    * step. Every multiply-referenced CTE is MATERIALIZED: DuckDB inlines
+    * CTEs by default, and a twice-referenced iteration chain would
+    * otherwise re-derive exponentially. */
+  private def odUnrollSql(k: Int): String = {
+    def hav(p: String, a: String): String =
+      s"""2.0 * 6371000.0 * asin(sqrt(
+         |        pow(sin(radians($a.lat - $p.lat) / 2), 2) +
+         |        cos(radians($p.lat)) * cos(radians($a.lat)) *
+         |        pow(sin(radians($a.lon - $p.lon) / 2), 2)))""".stripMargin
+    val iters = (1 to k).map { i =>
+      val prev = i - 1
+      s"""dpick$i AS MATERIALIZED (SELECT bucket, station_id, supply, lat, lon FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY bucket
+         |    ORDER BY supply DESC, CAST(station_id AS VARCHAR)) AS rk
+         |  FROM dep$prev) t WHERE rk = 1),
+         |pick$i AS MATERIALIZED (SELECT bucket, o_id, d_id, flow FROM (
+         |  SELECT p.bucket, p.station_id AS o_id, a.station_id AS d_id,
+         |    least(p.supply, a.demand) AS flow,
+         |    row_number() OVER (PARTITION BY p.bucket ORDER BY
+         |      ${hav("p", "a")},
+         |      CAST(a.station_id AS VARCHAR)) AS rk
+         |  FROM dpick$i p JOIN arr$prev a ON p.bucket = a.bucket) t WHERE rk = 1),
+         |dep$i AS MATERIALIZED (SELECT bucket, station_id, supply, lat, lon FROM (
+         |  SELECT d.bucket, d.station_id,
+         |    d.supply - (CASE WHEN p.o_id = d.station_id THEN p.flow ELSE 0 END)
+         |      AS supply, d.lat, d.lon
+         |  FROM dep$prev d LEFT JOIN pick$i p ON d.bucket = p.bucket) t
+         |  WHERE supply > 0),
+         |arr$i AS MATERIALIZED (SELECT bucket, station_id, demand, lat, lon FROM (
+         |  SELECT a.bucket, a.station_id,
+         |    a.demand - (CASE WHEN p.d_id = a.station_id THEN p.flow ELSE 0 END)
+         |      AS demand, a.lat, a.lon
+         |  FROM arr$prev a LEFT JOIN pick$i p ON a.bucket = p.bucket) t
+         |  WHERE demand > 0)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map { i =>
+      s"""SELECT CAST(epoch(bucket) AS BIGINT) AS bucket, CAST($i AS INT) AS step,
+         |  CAST(o_id AS VARCHAR) AS o, CAST(d_id AS VARCHAR) AS d,
+         |  CAST(flow AS BIGINT) AS flow FROM pick$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $mappingSql,
+       |b AS (SELECT station_id, ts, event_id, bikes,
+       |  ${O.bucketFloor("ts", 60)} AS bucket FROM ss),
+       |last AS (SELECT station_id, bucket, bikes FROM (
+       |  SELECT station_id, bucket, bikes,
+       |    row_number() OVER (PARTITION BY station_id, bucket
+       |      ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM b) t WHERE rn = 1),
+       |d AS (SELECT station_id, bucket,
+       |  CAST(coalesce(bikes - lag(bikes) OVER (
+       |    PARTITION BY station_id ORDER BY bucket), 0) AS BIGINT) AS delta
+       |  FROM last),
+       |dj AS (SELECT d.station_id, d.bucket, d.delta, st.lat, st.lon
+       |  FROM d JOIN st ON st.station_id = d.station_id),
+       |dep0 AS MATERIALIZED (SELECT bucket, station_id, -delta AS supply, lat, lon
+       |  FROM dj WHERE delta < 0),
+       |arr0 AS MATERIALIZED (SELECT bucket, station_id, delta AS demand, lat, lon
+       |  FROM dj WHERE delta > 0),
+       |$iters
+       |$out""".stripMargin
+  }
+
   def entries: Seq[QueryDef] = Seq(
 
     // ── Q1: network summary at the latest snapshot (queries.sql:3-14).
@@ -392,6 +460,15 @@ object BikeShapeQueries {
          |  CAST(flow AS BIGINT) AS flow
          |FROM best WHERE rk = 1""".stripMargin) { (s, dir) =>
       OdInference.firstMatches(odDeltas(s, dir))
+    },
+
+    // ── the matcher's first FOUR decisions per bucket, oracle-checked by
+    //    a generated-CTE unroll: each decision is relationally expressible
+    //    given the prior one (decrement + drop-at-zero never reorders the
+    //    scan), so the golden-only surface shrinks to buckets deeper than
+    //    4 decisions. Spark runs the REAL matcher's emission prefix. ──
+    q("bod_match_unrolled", odUnrollSql(4)) { (s, dir) =>
+      OdInference.firstKMatches(odDeltas(s, dir), 4)
     },
 
     // ── OD conservation invariants — the oracle-checkable face of the

@@ -116,6 +116,25 @@ class OdInferenceSpec extends SparkSpec {
     assert(got == Set((0L, "a", "b", 3L), (60L, "c", "a", 2L)))
   }
 
+  test("firstKMatches is the step-numbered prefix of the matcher's emission stream") {
+    import spark.implicits._
+    // random multi-bucket cases: K-prefix must equal greedyMatch's first K
+    // flows per bucket, in emission order, 1-based step numbering
+    val k = 4
+    val cases = randomCases(20).zipWithIndex.map { case (rows, b) =>
+      rows.map(r => r.copy(bucket = b.toLong * 60))
+    }
+    val all = cases.flatten
+    val got = OdInference.firstKMatches(all.toDS(), k)
+      .as[(Long, Int, String, String, Long)].collect().toSet
+    val want = cases.flatMap { rows =>
+      OdInference.greedyMatch(rows).take(k).zipWithIndex.map {
+        case (f, i) => (rows.head.bucket, i + 1, f.o, f.d, f.flow)
+      }
+    }.toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("distributed pipeline equals per-bucket local matcher") {
     import spark.implicits._
     val rows = Seq(
