@@ -77,34 +77,66 @@ object GraphOps {
     r
   }
 
+  /** Orient each undirected canonical pair (a < b) from the LOWER to the
+    * HIGHER endpoint in the (degree, id) total order, carrying the
+    * destination's degree (`dd`) so downstream joins can compare that
+    * order without a second degree lookup. Output: (src, dst, dd).
+    * Exposed for [[triangleCount]]'s spec, which asserts the wedge
+    * cardinality collapse this orientation buys on hub graphs. */
+  private[graft] def orientByDegree(pairs: DataFrame): DataFrame = {
+    val e0 = pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    val deg = e0.select(col("a").as("id")).unionByName(e0.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    e0.join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst"), col("db").as("dd")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"), col("da").as("dd")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+  }
+
   /** Per-node triangle counts over an UNDIRECTED simple graph given as
     * canonical unique pairs (a < b) — exactly the shape the near-dup pair
     * tables emit. Clustering-coefficient / community-density signal for
     * the curation tier (a doc in many near-dup triangles sits in a dense
     * template cluster, not a chance pairwise match).
     *
-    * Edge-iterator algorithm: the a<b ordering makes every triangle
-    * {x<y<z} discoverable exactly once, as the wedge (x,y)+(y,z) closed
-    * by (x,z); per-corner counts then redistribute with one explode.
-    * Shape: two equi-joins on the edge table + one count shuffle — no
-    * enumeration of neighborhoods, no collect. At 100 TB, order nodes by
-    * (degree, id) instead of raw id before canonicalizing: wedge fan-out
-    * is then bounded by the SMALLER endpoint's degree, the standard
-    * hub-taming refinement (id order keeps the oracle replay simple
-    * here). Exact integer counts — oracle-pinned. */
+    * DEGREE-ORDERED edge-iterator (the hub-taming refinement): edges are
+    * oriented low→high in the (degree, id) total order, wedges form as
+    * PAIRS OF OUT-EDGES at their lowest-order corner, and a wedge closes
+    * iff its (y, z) out-edge exists. Every triangle {x ≺ y ≺ z} is found
+    * exactly once (at x). Out-degree under this orientation is bounded by
+    * O(√E) — a classic result: a node keeps an out-edge only toward
+    * HIGHER-degree neighbors, and there can be at most 2√E nodes of
+    * degree ≥ √E — so wedge cardinality is Σ C(outdeg, 2) ≤ O(E·√E)
+    * regardless of hubs, where raw-id orientation lets one mid-id hub of
+    * degree d contribute ~d²/4 wedges alone (GraphOpsSpec pins the
+    * collapse on a star fixture). Shape: two degree-lookup broadcasts +
+    * two equi-joins on the oriented edge table + one count shuffle — no
+    * neighborhood enumeration, no collect. Exact integer counts, so the
+    * oracle replays the SIMPLER id-ordered formulation (identical output
+    * by exactness — orientation changes where a triangle is counted,
+    * never whether). */
   def triangleCount(pairs: DataFrame): DataFrame = {
-    val e = Caches.persist(
-      pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b")))
-    val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
-      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val e = Caches.persist(orientByDegree(pairs))
+    // wedges at the low-order corner: out-edge pairs ordered by (deg, id),
+    // compared via the carried dst degree — no extra lookup join
+    val wedges = e.as("e1").join(e.as("e2"),
+      col("e1.src") === col("e2.src") &&
+        (col("e1.dd") < col("e2.dd") ||
+          (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
+    // y ≺ z in the orientation order, so the closing edge is stored y→z
     val tris = wedges.join(e.as("e3"),
-      col("x") === col("e3.a") && col("z") === col("e3.b"))
+      col("y") === col("e3.src") && col("z") === col("e3.dst"))
       .select("x", "y", "z")
     val perCorner = tris
       .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
-    val nodes = e.select(col("a").as("id"))
-      .union(e.select(col("b").as("id"))).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
     nodes.join(perCorner, Seq("id"), "left")
       .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
   }

@@ -64,6 +64,47 @@ class GraphOpsSpec extends SparkSpec {
     } finally Caches.releaseAll(spark) // triangleCount persists its edge frame
   }
 
+  test("degree orientation collapses hub wedge cardinality (and counts stay exact)") {
+    import org.apache.spark.sql.functions._
+    try {
+      // hub fixture: star with the hub at a MID id (100), leaves split
+      // below/above — the adversarial case for raw-id orientation, where
+      // the hub keeps ~d/2 in-edges AND ~d/2 out-edges and contributes
+      // ~d²/4 wedges alone. Plus two leaf triangles so counts are
+      // non-trivial.
+      val hub = 100L
+      val leaves = ((1L to 99L) ++ (101L to 201L))
+      val star = leaves.map(l => (math.min(l, hub), math.max(l, hub)))
+      // two triangles: {1,2,hub} closes a star wedge; {300,301,302} sits
+      // on fresh nodes so it cannot close through the hub
+      val triExtra = Seq((1L, 2L), (300L, 301L), (300L, 302L), (301L, 302L))
+      val pairs = (star ++ triExtra)
+        .map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+        .distinct.toDF("a", "b")
+
+      val got = GraphOps.triangleCount(pairs).as[(Long, Long)].collect().toMap
+      assert(got(hub) == 1L && got(1L) == 1L && got(2L) == 1L)
+      assert(got(300L) == 1L && got(301L) == 1L && got(302L) == 1L)
+      assert(got.values.sum == 6L) // two triangles x three corners
+
+      // cardinality assertion: raw-id path wedges (e1.b = e2.a) vs the
+      // orientation's out-edge-pair wedges
+      val e0 = pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      val idWedges = e0.as("e1").join(e0.as("e2"), col("e1.b") === col("e2.a")).count()
+      val or = GraphOps.orientByDegree(pairs)
+      val degWedges = or.as("e1").join(or.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.dd") < col("e2.dd") ||
+            (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst")))).count()
+      // id order: 99 low leaves feed the hub, 101 high leaves drain it —
+      // ~99*101 wedges pivot at the hub. Degree order: every star edge
+      // points INTO the hub (leaves have degree 1-3), so the hub pivots
+      // zero wedges and only the leaf triangles contribute.
+      assert(idWedges > 9000L, s"fixture lost its hub blowup: $idWedges")
+      assert(degWedges < 20L, s"orientation failed to tame the hub: $degWedges")
+    } finally Caches.releaseAll(spark)
+  }
+
   private def sym(pairs: Seq[(Long, Long)]) =
     (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
 
