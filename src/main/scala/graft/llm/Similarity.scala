@@ -725,6 +725,23 @@ object Similarity {
     bestC.take(n)
   }
 
+  /** The IVF cell-count operating point: kCells = min(⌊√N⌋, 65536) over
+    * the TRAINING corpus — √N balances the per-query centroid scan
+    * (kCells) against the candidate scan (nprobe·N/kCells), keeping
+    * per-query work O(√N) instead of O(N); the cap bounds the broadcast
+    * centroid table (65536 × 64 longs ≈ 34 MB) and only binds past
+    * N ≈ 4.3e9 training vectors, where a trainMod sample is the operating
+    * mode anyway. Exactness: N→double is exact below 2^53 and IEEE
+    * sqrt/floor are correctly rounded, so a SQL oracle derives the
+    * IDENTICAL count via least(floor(sqrt(count(*))), 65536). */
+  private def deriveKCells(n: Long, nprobe: Int): Int = {
+    val kc = math.min(65536L, math.floor(math.sqrt(n.toDouble)).toLong)
+    require(kc >= nprobe,
+      s"derived kCells=$kc < nprobe=$nprobe — training corpus too small " +
+        "for auto-sizing, pass kCells explicitly")
+    kc.toInt
+  }
+
   /** Deterministic k-means-lite coarse-quantizer training (the shared core
     * of [[ivfLearnedTopK]] and [[ivfPqTopK]]): seeds = the `kCells`
     * smallest corpus ids (cell = rank), one Lloyd round (assign by
@@ -757,11 +774,11 @@ object Similarity {
 
   def ivfLearnedTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
-      k: Int, kCells: Int = 16, nprobe: Int = 4, dims: Int = 64,
+      k: Int, kCells: Int = 0, nprobe: Int = 4, dims: Int = 64,
       trainMod: Int = 1): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    require(kCells >= 1 && nprobe >= 1 && nprobe <= kCells,
+    require(kCells >= 0 && nprobe >= 1 && (kCells == 0 || nprobe <= kCells),
       s"bad IVF geometry: kCells=$kCells nprobe=$nprobe")
     require(trainMod >= 1, s"trainMod must be >= 1, got $trainMod")
 
@@ -777,7 +794,10 @@ object Similarity {
     val corpusQ = qz(if (trainMod == 1) corpus
       else corpus.filter(col(idCol).cast("long") % trainMod === 0))
 
-    val cents = trainCellCentroids(corpusQ, kCells, dims)
+    // kCells = 0 → auto-size to the √N operating point over the training
+    // corpus; the count is one scan of the (sampled) id column
+    val kc = if (kCells > 0) kCells else deriveKCells(corpusQ.count(), nprobe)
+    val cents = trainCellCentroids(corpusQ, kc, dims)
     val bcent = spark.sparkContext.broadcast(cents)
 
     // final assignment (corpus: own cell; queries: nprobe nearest cells)
@@ -1016,20 +1036,20 @@ object Similarity {
     * pinned individually.
     *
     * Sizing: per-query scan cost is ~`nprobe/kCells` of the corpus, so
-    * `kCells` must GROW with the corpus — the standard IVF operating point
-    * is kCells ≈ √N (per-cell size and cell count balance), which keeps
-    * per-query work O(√N) instead of O(N). The registered ls7 query holds
-    * kCells fixed across scale factors so its oracle stays replayable;
-    * its measured wall-time therefore grows with (queries × corpus/kCells)
-    * by construction — see the round-6 scaling table in PLANS.md. */
+    * `kCells` must GROW with the corpus — the default (kCells = 0) now
+    * auto-sizes to the √N operating point via [[deriveKCells]], and the
+    * registered ls3/ls7 queries use it, with their oracles deriving the
+    * IDENTICAL count relationally (least(floor(sqrt(count(*))), cap)),
+    * so the auto-sizing itself is oracle-pinned and the scaling bench
+    * measures the O(√N)-per-query regime, not a fixed-kCells one. */
   def ivfPqTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
-      k: Int, kCells: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      k: Int, kCells: Int = 0, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
       rerank: Int = 50, dims: Int = 64,
       broadcastCap: Int = MaxBroadcastRows): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    require(kCells >= 1 && nprobe >= 1 && nprobe <= kCells,
+    require(kCells >= 0 && nprobe >= 1 && (kCells == 0 || nprobe <= kCells),
       s"bad IVF geometry: kCells=$kCells nprobe=$nprobe")
     require(m >= 1 && dims % m == 0, s"dims=$dims not divisible into m=$m subspaces")
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
@@ -1039,7 +1059,9 @@ object Similarity {
       .select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("e"))
       .as[(Long, Array[Long])]
     val corpusQ = qz(corpus)
-    val cents = trainCellCentroids(corpusQ, kCells, dims)
+    // kCells = 0 → auto-size to the √N operating point (see deriveKCells)
+    val kc = if (kCells > 0) kCells else deriveKCells(corpusQ.count(), nprobe)
+    val cents = trainCellCentroids(corpusQ, kc, dims)
     val bcent = spark.sparkContext.broadcast(cents)
     val cb = trainPqCodebook(corpusQ, m, ksub, dims)
     val kEff = cb(0).length

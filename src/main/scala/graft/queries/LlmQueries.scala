@@ -307,9 +307,21 @@ object LlmQueries {
          |        DESC, d.c) AS rn
          |  FROM $dotName d JOIN nrm n ON d.vec_id = n.vec_id
          |  JOIN $csn cn ON d.c = cn.c)""".stripMargin
-    s"""${p}seed AS (SELECT vec_id,
-       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c
-       |  FROM (SELECT vec_id FROM nrm ORDER BY vec_id LIMIT $kCells)),
+    // kCells = 0 → derive the √N operating point exactly as
+    // Similarity.deriveKCells does (count→double exact below 2^53, IEEE
+    // sqrt/floor correctly rounded, same 65536 cap), so the auto-sizing
+    // itself is part of what the hash pins
+    val seedCtes = if (kCells > 0)
+      s"""${p}seed AS (SELECT vec_id,
+         |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c
+         |  FROM (SELECT vec_id FROM nrm ORDER BY vec_id LIMIT $kCells))""".stripMargin
+    else
+      s"""${p}kc AS (SELECT least(CAST(floor(sqrt(CAST(count(*) AS DOUBLE)))
+         |    AS BIGINT), 65536) AS kc FROM nrm),
+         |${p}seed AS (SELECT vec_id, CAST(srn - 1 AS INT) AS c
+         |  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS srn
+         |    FROM nrm) t CROSS JOIN ${p}kc WHERE t.srn <= kc)""".stripMargin
+    s"""$seedCtes,
        |${p}c0 AS (SELECT s.c, q.i, q.x AS s FROM ${p}seed s JOIN qc q ON q.vec_id = s.vec_id),
        |${p}c0n AS (SELECT c, sum(s*s) AS nn FROM ${p}c0 GROUP BY 1),
        |${rankCte(s"${p}dot1", s"${p}c0", s"${p}c0n", s"${p}sc1")},
@@ -343,11 +355,14 @@ object LlmQueries {
        |  FROM dot JOIN nrm nx ON d1 = nx.vec_id JOIN nrm ny ON d2 = ny.vec_id)
        |WHERE cosine >= $minCos""".stripMargin
 
-  private def ls3LearnedOracle(k: Int, kCells: Int, nprobe: Int, qMod: Int): String =
+  private def ls3LearnedOracle(k: Int, kCells: Int, nprobe: Int, qMod: Int,
+      qLimit: Int): String =
     s"""WITH $quantCtes,
        |${ivfTrainCtes(kCells, "")},
-       |probes AS (SELECT vec_id, c AS cell FROM sc2
-       |  WHERE rn <= $nprobe AND vec_id % $qMod = 0),
+       |qsel AS (SELECT vec_id FROM nrm WHERE vec_id % $qMod = 0
+       |  ORDER BY vec_id LIMIT $qLimit),
+       |probes AS (SELECT s.vec_id, s.c AS cell FROM sc2 s
+       |  JOIN qsel q ON q.vec_id = s.vec_id WHERE s.rn <= $nprobe),
        |cand AS (SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id
        |  FROM probes p JOIN cells c ON p.cell = c.cell AND p.vec_id <> c.vec_id),
        |${annRankTail(k)}""".stripMargin
@@ -414,11 +429,13 @@ object LlmQueries {
     * whole composition hash-matches. */
   private def ls7Oracle(
       k: Int, kCells: Int, nprobe: Int, m: Int, ksub: Int, rerank: Int,
-      dims: Int, qMod: Int): String =
+      dims: Int, qMod: Int, qLimit: Int): String =
     s"""WITH $quantCtes,
        |${ivfTrainCtes(kCells, "iv")},
-       |ivprobes AS (SELECT vec_id, c AS cell FROM ivsc2
-       |  WHERE rn <= $nprobe AND vec_id % $qMod = 0),
+       |qsel AS (SELECT vec_id FROM nrm WHERE vec_id % $qMod = 0
+       |  ORDER BY vec_id LIMIT $qLimit),
+       |ivprobes AS (SELECT s.vec_id, s.c AS cell FROM ivsc2 s
+       |  JOIN qsel q ON q.vec_id = s.vec_id WHERE s.rn <= $nprobe),
        |${pqTrainCtes(m, ksub, dims / m, "pq")},
        |cand0 AS (SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id
        |  FROM ivprobes p JOIN ivcells c ON p.cell = c.cell AND p.vec_id <> c.vec_id),
@@ -860,13 +877,17 @@ object LlmQueries {
     //    top candidates. The oracle composes BOTH training replays under
     //    distinct prefixes — centroids, codebooks, cells, codes, and the
     //    cell-restricted ADC candidates all hash-match. ──
+    //    r7: √N auto-sized kCells + constant 50-query batch, like ls3 —
+    //    the r6 probe showed ls7's apparent 24× at ×100 was the bench
+    //    scaling its own query set with the corpus.
     q("ls7_ann_ivfpq",
-      ls7Oracle(k = 10, kCells = 16, nprobe = 4, m = 8, ksub = 16,
-        rerank = 50, dims = 64, qMod = 40)) { (s, dir) =>
+      ls7Oracle(k = 10, kCells = 0, nprobe = 4, m = 8, ksub = 16,
+        rerank = 50, dims = 64, qMod = 40, qLimit = 50)) { (s, dir) =>
       val vecs = Td.table(s, dir, "embeddings")
       Similarity.ivfPqTopK(
-        vecs.filter(col("vec_id") % 40 === 0), vecs, "vec_id", "embedding",
-        k = 10, kCells = 16, nprobe = 4, m = 8, ksub = 16, rerank = 50)
+        vecs.filter(col("vec_id") % 40 === 0).orderBy("vec_id").limit(50),
+        vecs, "vec_id", "embedding",
+        k = 10, kCells = 0, nprobe = 4, m = 8, ksub = 16, rerank = 50)
     },
 
     // ── SQ8 — scalar-quantized int8 compressed scan (FAISS SQ8 flat
@@ -1062,12 +1083,18 @@ object LlmQueries {
     //    hash-match exactly. Recall floor pinned by SimilaritySpec (the
     //    fixed sign-grid ivfTopK stays available as the zero-training
     //    variant, spec-covered). ──
+    //    r7: kCells auto-sizes to the √N operating point (kCells = 0 →
+    //    Similarity.deriveKCells; the oracle derives the identical count
+    //    relationally) and the query batch is a CONSTANT 50 smallest
+    //    qualifying ids, so the scaling bench measures the operator's
+    //    O(√N)-per-query regime, not a query set growing with the corpus.
     q("ls3_ann_ivf",
-      ls3LearnedOracle(k = 10, kCells = 16, nprobe = 4, qMod = 40)) { (s, dir) =>
+      ls3LearnedOracle(k = 10, kCells = 0, nprobe = 4, qMod = 40,
+        qLimit = 50)) { (s, dir) =>
       val vecs = Td.table(s, dir, "embeddings")
       Similarity.ivfLearnedTopK(
-        vecs.filter(col("vec_id") % 40 === 0), vecs, "vec_id", "embedding",
-        k = 10, kCells = 16, nprobe = 4)
+        vecs.filter(col("vec_id") % 40 === 0).orderBy("vec_id").limit(50),
+        vecs, "vec_id", "embedding", k = 10, kCells = 0, nprobe = 4)
     },
 
     // ── product-quantization ANN (ADC) — the COMPRESSED-SCAN scale path
