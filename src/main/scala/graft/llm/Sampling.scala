@@ -326,6 +326,51 @@ object Sampling {
         (col("__pos") % col("__cap")).as("slot"))
   }
 
+  /** Epoch-aware loader manifest — [[epochShuffle]] × [[lengthBatches]]
+    * composed into what a trainer actually consumes: for each epoch,
+    * length-banded batches built over THAT epoch's permutation. Band and
+    * per-batch capacity are [[lengthBatches]]' construction (padded batch
+    * size ≤ budget by construction); order and shard placement are the
+    * epoch's (epoch, id) hash key — [[epochShuffle]]'s — so different
+    * epochs get provably different batch compositions while any
+    * engine/cluster/run reproduces the identical manifest. Within an
+    * (epoch, band, shard) cell the batch stream preserves the epoch
+    * permutation's relative order restricted to that cell (SamplingSpec
+    * pins both contracts).
+    *
+    * Scale shape: the epoch table is a broadcast literal; ONE exchange on
+    * (epoch, band, shard) — band alone is ~log-many values, the
+    * epoch × shard sub-keys bound every window partition and scale with
+    * the cluster. Rows with weight < 1 are dropped as in lengthBatches.
+    * Output: id, epoch, band, shard, batch_idx, slot. */
+  def epochBatches(
+      df: DataFrame, idCol: String, weightCol: String,
+      tokenBudget: Long, epochs: Int, shards: Int): DataFrame = {
+    require(tokenBudget >= 1, s"epochBatches: tokenBudget must be >= 1, got $tokenBudget")
+    require(epochs >= 1, s"epochBatches: epochs must be >= 1, got $epochs")
+    require(shards >= 1, s"epochBatches: shards must be >= 1, got $shards")
+    val spark = df.sparkSession
+    val e = spark.range(epochs).select(col("id").cast("int").as("epoch"))
+    val w = col(weightCol).cast("long")
+    df
+      .select(col(idCol).as("id"), w.as("w"))
+      .filter(col("w") >= 1L)
+      .withColumn("band", (length(bin(col("w"))) - 1).cast("int"))
+      .crossJoin(broadcast(e))
+      .withColumn("__hk", Dedup.md5Hash60(concat_ws(":",
+        col("epoch").cast("string"), col("id").cast("string"))))
+      .withColumn("shard", pmod(col("__hk"), lit(shards.toLong)))
+      .withColumn("__cap", greatest(
+        expr(s"${tokenBudget}L DIV (shiftleft(CAST(1 AS BIGINT), band + 1) - 1)"),
+        lit(1L)))
+      .withColumn("__pos",
+        (row_number().over(Window.partitionBy("epoch", "band", "shard")
+          .orderBy(col("__hk"), col("id"))) - 1).cast("long"))
+      .select(col("id"), col("epoch"), col("band"), col("shard"),
+        expr("__pos DIV __cap").as("batch_idx"),
+        (col("__pos") % col("__cap")).as("slot"))
+  }
+
   /** Seeded per-epoch corpus reshuffle — the training-order primitive: a
     * deterministic pseudorandom permutation of the corpus per epoch
     * (different epochs, different order; same epoch, same order on any

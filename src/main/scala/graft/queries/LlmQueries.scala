@@ -1338,6 +1338,37 @@ object LlmQueries {
         .withColumnRenamed("id", "doc_id")
     },
 
+    // ── epoch-aware loader manifest (lt45 × lt46 composed): for each
+    //    epoch, length-banded batches built over THAT epoch's permutation
+    //    — band/capacity from lt45's budget-bounded construction, order
+    //    and shard placement from lt46's (epoch, id) key. One
+    //    (epoch, band, shard) exchange; the epoch table is a broadcast
+    //    literal. ──
+    q("lt47_epoch_batches",
+      """WITH e AS (SELECT CAST(range AS INT) AS epoch FROM range(3)),
+        |t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS w
+        |  FROM documents),
+        |b AS (SELECT doc_id, CAST(length(bin(w)) - 1 AS INT) AS band
+        |  FROM t WHERE w >= 1),
+        |h AS (SELECT b.doc_id, b.band, e.epoch,
+        |    greatest(4096 // ((CAST(1 AS BIGINT) << (band + 1)) - 1), 1) AS cap,
+        |    CAST(('0x' || substr(md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(b.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+        |  FROM b CROSS JOIN e),
+        |p AS (SELECT doc_id, epoch, band, hk % 8 AS shard, cap,
+        |    CAST(row_number() OVER (PARTITION BY epoch, band, hk % 8
+        |      ORDER BY hk, doc_id) - 1 AS BIGINT) AS pos
+        |  FROM h)
+        |SELECT doc_id, epoch, band, shard, pos // cap AS batch_idx,
+        |  pos % cap AS slot
+        |FROM p""".stripMargin) { (s, dir) =>
+      val withTok = Td.table(s, dir, "documents")
+        .withColumn("n_tok", size(TextOps.tokens(col("text"))).cast("long"))
+      Sampling.epochBatches(withTok, "doc_id", "n_tok",
+        tokenBudget = 4096L, epochs = 3, shards = 8)
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // ── DSIR-style importance weights: score each doc by Σ over its
     //    tokens of (target_bucket_count+1)*1e6 DIV (raw_bucket_count+1)
     //    over 64 hashed unigram buckets (target = the 'en' slice). The

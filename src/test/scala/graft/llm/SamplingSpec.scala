@@ -299,4 +299,50 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Int, Long, Long)].collect()
     assert(out.sorted.sameElements(again.sorted))
   }
+
+  test("epochBatches: budget bound per epoch; batch order follows the epoch permutation") {
+    val budget = 256L
+    val epochs = 2
+    val shards = 4
+    val withTok = docs.withColumn("n_tok",
+      size(TextOps.tokens(col("text"))).cast("long"))
+    val nTok = withTok.select("doc_id", "n_tok").as[(Long, Long)].collect().toMap
+    val out = Sampling.epochBatches(withTok, "doc_id", "n_tok", budget, epochs, shards)
+      .as[(Long, Int, Int, Long, Long, Long)].collect()
+    // every batchable doc appears exactly once per epoch
+    assert(out.length == epochs * nTok.count(_._2 >= 1))
+
+    // lt45's budget contract holds inside every epoch: band coherent,
+    // slot within capacity, padded size within budget unless singleton
+    out.foreach { case (id, _, band, _, _, slot) =>
+      val w = nTok(id)
+      assert((1L << band) <= w && w < (2L << band), s"doc $id w=$w band=$band")
+      val cap = math.max(budget / ((2L << band) - 1), 1L)
+      assert(slot >= 0 && slot < cap)
+      if (cap > 1) assert(cap * ((2L << band) - 1) <= budget)
+    }
+
+    // permutation coherence: within each (epoch, band, shard) cell, the
+    // doc sequence in (batch_idx, slot) order is the epoch permutation's
+    // (epoch, shard) sequence restricted to that cell — same hash key,
+    // same shard residue, same (hk, id) order
+    val perm = Sampling.epochShuffle(docs, "doc_id", epochs, shards)
+      .as[(Long, Int, Long, Long)].collect()
+    val permSeq = perm.groupBy(r => (r._2, r._3)).map { case (k, rows) =>
+      k -> rows.sortBy(_._4).map(_._1).toSeq
+    }
+    out.groupBy { case (_, e, band, shard, _, _) => (e, band, shard) }.foreach {
+      case ((e, band, shard), rows) =>
+        val batchOrder = rows.sortBy(r => (r._5, r._6)).map(_._1).toSeq
+        val expected = permSeq((e, shard)).filter { id =>
+          val w = nTok(id); w >= 1 && (63 - java.lang.Long.numberOfLeadingZeros(w)) == band
+        }
+        assert(batchOrder == expected, s"cell ($e, $band, $shard) broke permutation order")
+    }
+
+    // different epochs compose batches differently (deterministically so)
+    def batchOf(e: Int) = out.filter(_._2 == e)
+      .map(r => r._1 -> (r._3, r._4, r._5, r._6)).toMap
+    assert(batchOf(0) != batchOf(1))
+  }
 }

@@ -110,6 +110,12 @@ class PlanShapeSpec extends SparkSpec {
     // lt46: the epoch table is a broadcast literal (no scan, no shuffle
     // of its own); the corpus pays ONE (epoch, shard) exchange
     Shape("lt46_epoch_shuffle", scans = Some(1), shuffles = Some(1),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // lt47: the lt45 × lt46 composition keeps ONE keyed exchange — on
+    // (epoch, band, shard) — with the epoch table still a broadcast
+    // literal; a second exchange means the batch columns stopped sharing
+    // the window partitioning
+    Shape("lt47_epoch_batches", scans = Some(1), shuffles = Some(1),
       mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
 
   /** Flatten INCLUDING materialized AQE query stages (QueryStageExec is a
