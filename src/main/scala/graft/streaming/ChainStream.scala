@@ -74,18 +74,15 @@ object ChainStream {
       }
   }
 
-  /** Run one incremental round of the whole chain over whatever is new in
-    * `landingDir`: stage 1 (curate) drains into `workDir/curated`, then
-    * stage 2 (pack) drains the new curated files into `workDir/packed`.
-    * Both AvailableNow against persistent checkpoints — calling this after
-    * each drop IS the incremental replay. */
-  def runChainRound(
-      spark: SparkSession, landingDir: String, workDir: String,
-      ctxTokens: Long, shards: Int): Unit = {
+  /** Stage 1 shared by both chain variants: drain `landingDir` through
+    * [[curate]] into `workDir/curated` (idempotent per-batch_id
+    * partitions). Returns false when the curated tier does not exist yet
+    * — a round whose drops all filtered out (or an empty landing dir)
+    * leaves the gold stage nothing to drain. */
+  private def runCurateStage(
+      spark: SparkSession, landingDir: String, workDir: String): Boolean = {
     import spark.implicits._
     val curatedDir = s"$workDir/curated"
-    val packedDir = s"$workDir/packed"
-
     val landed = spark.readStream
       .schema(CurationStream.docSchema)
       .option("maxFilesPerTrigger", 1)
@@ -105,27 +102,69 @@ object ChainStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q1.awaitTermination()
-
-    // a round whose drops all filtered out (or an empty landing dir) may
-    // leave the curated tier unborn — stage 2 has nothing to drain then.
     // Hadoop FS, not java.io: workDir may be hdfs://, s3a://, ...
     val curatedPath = new org.apache.hadoop.fs.Path(curatedDir)
     val fs = curatedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(curatedPath)) return
+    fs.exists(curatedPath)
+  }
 
-    // weights only — the curated tier already tokenized; text never
-    // enters the packing shuffle
-    val curated = spark.readStream
+  /** The curated tier as a weights-only stream — the curated parquet
+    * already tokenized, so text never enters a gold-stage shuffle. */
+  private def curatedWeights(
+      spark: SparkSession, workDir: String): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    spark.readStream
       .schema("doc_id LONG, text STRING, n_tok LONG, batch_id LONG")
-      .parquet(curatedDir)
+      .parquet(s"$workDir/curated")
       .select(col("doc_id"), col("n_tok"))
       .as[(Long, Long)]
-    val q2 = PackingStream.packWeighted(curated, ctxTokens, shards).writeStream
+  }
+
+  /** Run one incremental round of the whole chain over whatever is new in
+    * `landingDir`: stage 1 (curate) drains into `workDir/curated`, then
+    * stage 2 (pack) drains the new curated files into `workDir/packed`.
+    * Both AvailableNow against persistent checkpoints — calling this after
+    * each drop IS the incremental replay. */
+  def runChainRound(
+      spark: SparkSession, landingDir: String, workDir: String,
+      ctxTokens: Long, shards: Int): Unit = {
+    if (!runCurateStage(spark, landingDir, workDir)) return
+    val q2 = PackingStream.packWeighted(
+        curatedWeights(spark, workDir), ctxTokens, shards).writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: Dataset[PackedDoc], batchId: Long) =>
-        PackingStream.writeBatch(batch, batchId, packedDir)
+        PackingStream.writeBatch(batch, batchId, s"$workDir/packed")
       }
       .option("checkpointLocation", s"$workDir/ckpt_pack")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+  }
+
+  /** The BATCHING-GOLD chain variant: same bronze→silver stages, gold =
+    * incremental length-bucketed batching ([[BatchingStream]], the lt45
+    * loader) instead of concat-packing — for models that keep sequences
+    * whole and pad to the band bound. Same seam contracts as
+    * [[runChainRound]]: idempotent per-batch_id curated partitions,
+    * sequential orchestration (the gold stage only starts after the
+    * curate checkpoint commits), each stage its own checkpoint — the two
+    * gold variants can even run side by side off one curated tier, which
+    * is exactly why the intermediate tier exists. */
+  def runBatchedChainRound(
+      spark: SparkSession, landingDir: String, workDir: String,
+      tokenBudget: Long, shards: Int): Unit = {
+    if (!runCurateStage(spark, landingDir, workDir)) return
+    val q2 = BatchingStream.batch(
+        curatedWeights(spark, workDir), tokenBudget, shards).writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[BatchedDoc], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(s"$workDir/batched")
+      }
+      .option("checkpointLocation", s"$workDir/ckpt_batch")
       .trigger(Trigger.AvailableNow())
       .start()
     q2.awaitTermination()
@@ -151,5 +190,28 @@ object ChainStream {
     Sampling.sequencePack(survivors, "doc_id", "n_tok", ctxTokens, shards)
       .select(col("doc_id"), col("shard"), col("bin"), col("offset"))
       .as[(Long, Long, Long, Long)]
+  }
+
+  /** The BATCH twin of the batching-gold chain: shared scorecard → min-id
+    * survivor per md5(text) → batch [[Sampling.lengthBatches]].
+    * Output: (doc_id, band, shard, batch_idx, slot). */
+  def batchChainBatched(
+      docs: Dataset[(Long, String, String, String)],
+      tokenBudget: Long, shards: Int): Dataset[(Long, Int, Long, Long, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val df = docs.toDF("doc_id", "lang", "source", "text")
+    val kept = Curation.withVerdict(df).where(col("keep"))
+    val survivors = kept
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("content_hash").orderBy("doc_id")))
+      .where(col("rn") === 1)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+    Sampling.lengthBatches(survivors, "doc_id", "n_tok", tokenBudget, shards)
+      .select(col("id"), col("band"), col("shard"), col("batch_idx"), col("slot"))
+      .as[(Long, Int, Long, Long, Long)]
   }
 }

@@ -106,6 +106,84 @@ class ChainStreamSpec extends SparkSpec {
     assert(cursor.toMap == totals)
   }
 
+  test("single-drop batching-gold chain equals the batch batching chain exactly") {
+    val Budget = 256L
+    val dir = Files.createTempDirectory("chainb1").toString
+    docs().toDF("doc_id", "lang", "source", "text")
+      .coalesce(1).write.mode("append").json(s"$dir/landing")
+    ChainStream.runBatchedChainRound(spark, s"$dir/landing", s"$dir/work", Budget, Shards)
+
+    val streamed = spark.read.parquet(s"$dir/work/batched")
+      .select("doc_id", "band", "shard", "batch_idx", "slot")
+      .as[(Long, Int, Long, Long, Long)].collect().toSet
+    val batch = ChainStream.batchChainBatched(docs(), Budget, Shards).collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("multi-drop batching-gold chain: dedup equals batch, batching follows the cursor model") {
+    val Budget = 256L
+    val dir = Files.createTempDirectory("chainb3").toString
+    val all = docs().collect().sortBy(_._1)
+    val bounds = Seq(all.length / 3, 2 * all.length / 3)
+    val drops = Seq(
+      all.slice(0, bounds(0)), all.slice(bounds(0), bounds(1)),
+      all.slice(bounds(1), all.length))
+
+    val seen = scala.collection.mutable.Set.empty[String]
+    val t0 = System.currentTimeMillis() - drops.length * 60000L
+    drops.zipWithIndex.foreach { case (d, i) =>
+      d.toSeq.toDF("doc_id", "lang", "source", "text")
+        .coalesce(1).write.mode("append").json(s"$dir/landing")
+      stampDrop(s"$dir/landing", seen, t0 + i * 60000L)
+      ChainStream.runBatchedChainRound(spark, s"$dir/landing", s"$dir/work", Budget, Shards)
+    }
+
+    // dedup tier: stream == batch survivor set (shared with the packing
+    // chain — same stage 1)
+    val curated = spark.read.parquet(s"$dir/work/curated")
+      .select("doc_id", "n_tok").as[(Long, Long)].collect()
+    val batchIds = ChainStream.batchChainBatched(docs(), Budget, Shards)
+      .collect().map(_._1).toSet
+    assert(curated.map(_._1).toSet == batchIds)
+
+    // batching tier: one position cursor per (band, shard), advanced in
+    // drop order, (hk, id) order within a drop — BatchingStream's model
+    // applied to the chain's survivors
+    val nTok = curated.toMap
+    val survivorSet = curated.map(_._1).toSet
+    def band(w: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(w)
+    val cursor = scala.collection.mutable.Map.empty[(Int, Long), Long].withDefaultValue(0L)
+    val expected = drops.flatMap { d =>
+      d.map(_._1).filter(id => survivorSet(id) && nTok(id) >= 1)
+        .map { id =>
+          val b = band(nTok(id))
+          val s = (h60(id.toString) % Shards).toLong
+          (id, b, s, h60(s"$b:$s:$id"))
+        }
+        .sortBy { case (id, _, _, hk) => (hk, BigInt(id)) }
+        .map { case (id, b, s, _) =>
+          val cap = math.max(Budget / ((2L << b) - 1), 1L)
+          val p = cursor((b, s))
+          cursor((b, s)) = p + 1
+          (id, b, s, p / cap, p % cap)
+        }
+    }.toSet
+    val got = spark.read.parquet(s"$dir/work/batched")
+      .select("doc_id", "band", "shard", "batch_idx", "slot")
+      .as[(Long, Int, Long, Long, Long)].collect()
+    assert(got.toSet == expected)
+
+    // chain-level conservation: every batchable survivor holds exactly
+    // one slot across all rounds, and each (band, shard) cursor equals
+    // its survivor count (nothing lost or double-batched at the seam)
+    assert(got.length == got.map(_._1).distinct.length)
+    assert(got.map(_._1).toSet == curated.filter(_._2 >= 1).map(_._1).toSet)
+    val cellCounts = curated.filter(_._2 >= 1)
+      .groupBy { case (id, w) => (band(w), (h60(id.toString) % Shards).toLong) }
+      .map { case (k, rs) => k -> rs.length.toLong }
+    assert(cursor.toMap == cellCounts)
+  }
+
   test("scorecard verdict in the stream is the shared batch code (spot equality)") {
     // guard against the chain quietly diverging from lt31: the curated
     // tier must contain exactly the keep=true, min-id-per-hash docs
