@@ -543,7 +543,7 @@ object LlmQueries {
     * unrolled as CTEs (exact milli-unit integers; the float step is the
     * identical multiply/sqrt/divide/floor), first-nonzero sign pin, exact
     * integer projections. Every data-dependent intermediate hash-matches. */
-  private def pcaOracle(iters: Int): String = {
+  private def pcaOracle(iters: Int, trainMod: Int): String = {
     // every iterate is referenced twice (next iterate + its normalizer) —
     // MATERIALIZED stops DuckDB 1.0's default inlining from expanding the
     // chain exponentially back to the parquet scan
@@ -556,13 +556,17 @@ object LlmQueries {
          |    END AS v
          |  FROM w$k w JOIN v${k - 1} p ON p.i = w.i CROSS JOIN n$k n)""".stripMargin
     }.mkString(",\n")
+    // training statistics come from the (vec_id % trainMod = 0) sample —
+    // Pca.topComponent's documented 100 TB sampling path — while the
+    // final projection still streams the FULL corpus
     s"""WITH qc AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
        |  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
        |  FROM embeddings),
-       |nn AS (SELECT count(DISTINCT vec_id) AS n FROM qc),
-       |sums AS (SELECT i, CAST(sum(x) AS BIGINT) AS s FROM qc GROUP BY 1),
+       |tq AS MATERIALIZED (SELECT * FROM qc WHERE vec_id % $trainMod = 0),
+       |nn AS (SELECT count(DISTINCT vec_id) AS n FROM tq),
+       |sums AS (SELECT i, CAST(sum(x) AS BIGINT) AS s FROM tq GROUP BY 1),
        |r AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS r
-       |  FROM qc a JOIN qc b ON b.vec_id = a.vec_id GROUP BY 1, 2),
+       |  FROM tq a JOIN tq b ON b.vec_id = a.vec_id GROUP BY 1, 2),
        |cov AS (SELECT r.i, r.j, nn.n * nn.n * r.r - nn.n * sa.s * sb.s AS cv
        |  FROM r JOIN sums sa ON sa.i = r.i JOIN sums sb ON sb.i = r.j
        |  CROSS JOIN nn),
@@ -2465,12 +2469,17 @@ object LlmQueries {
     //    to one identical IEEE multiply/sqrt/divide/floor, sign pinned by
     //    first nonzero component, projections exact integer dots streamed
     //    through a flat codegen expression (zero shuffles on the corpus
-    //    pass). Training samples via trainMod at scale — the ivfLearned
-    //    pattern. The ORACLE REPLAYS THE TRAINING: all 24 power-iteration
-    //    rounds unroll as CTEs and every intermediate hash-matches. ──
-    q("ls11_pca_project", pcaOracle(iters = 24)) { (s, dir) =>
+    //    pass). Training samples via trainMod — r7 registers the SAMPLING
+    //    path itself (trainMod = 20, the ivfLearned pattern), so the
+    //    query runs unchanged at the derived ×100 (200k vectors → 10k
+    //    training sample, inside the 13k exact-integer covariance bound)
+    //    instead of fail-fasting, and the oracle trains on the identical
+    //    (vec_id % 20 = 0) sample while projecting the full corpus. The
+    //    ORACLE REPLAYS THE TRAINING: all 24 power-iteration rounds
+    //    unroll as CTEs and every intermediate hash-matches. ──
+    q("ls11_pca_project", pcaOracle(iters = 24, trainMod = 20)) { (s, dir) =>
       Pca.projectTop(Td.table(s, dir, "embeddings"), "vec_id", "embedding",
-        dims = 64, iters = 24, trainMod = 1)
+        dims = 64, iters = 24, trainMod = 20)
     },
 
     // ── export shard manifest (the dataset-packaging step: write the
