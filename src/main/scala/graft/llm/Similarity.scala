@@ -1030,10 +1030,12 @@ object Similarity {
     * and its (cell, codes) table never shuffles for scoring (at 100 TB:
     * write it partitioned by cell once; a query batch reads only probed
     * cells' code blocks). The query batch broadcasts probes + LUTs within
-    * `broadcastCap`; past the cap, fail fast — the distributed composition
-    * is the ls3-style cell join for candidates followed by the ls6-style
-    * (s, c) LUT join for scoring, both already implemented and oracle-
-    * pinned individually.
+    * `broadcastCap`; PAST the cap the method switches to the fully
+    * distributed composition — the ls3-style cell equi-join for
+    * candidates followed by pqTopK's (query, s, c) LUT equi-join for
+    * scoring — which computes the identical integer ADC sums, so both
+    * paths satisfy the one oracle (ls15 registers the distributed path
+    * against ls7's oracle; SimilaritySpec pins path equality).
     *
     * Sizing: per-query scan cost is ~`nprobe/kCells` of the corpus, so
     * `kCells` must GROW with the corpus — the default (kCells = 0) now
@@ -1084,53 +1086,88 @@ object Similarity {
     }.toDF("id", "e", "nrm", "cell", "codes"))
 
     val qRows = qz(queries).limit(broadcastCap + 1).collect()
-    require(qRows.length <= broadcastCap,
-      s"ivfPqTopK query batch exceeds $broadcastCap rows; compose the " +
-        "distributed tails instead (ivfLearnedTopK's cell join for " +
-        "candidates + pqTopK's past-cap (s, c) LUT join for scoring)")
-    // per query: nprobe probed cells + the m × kEff integer ADC LUT
-    val qArr = qRows.sortBy(_._1).map { case (id, e) =>
-      require(e.length == dims, s"query vector length ${e.length} != dims $dims")
-      val nrm = math.sqrt(Qv.dot(e, e).toDouble)
-      (id, nearestCells(e, nrm, cents, nprobe),
-        Array.tabulate(m, kEff)((s, c) => subDist(e, s * dsub, cb(s)(c))))
-    }
-    val bq = spark.sparkContext.broadcast(qArr)
-    val approx = encoded.select("id", "cell", "codes")
-      .as[(Long, Int, Array[Int])]
-      .mapPartitions { iter =>
-        val qs = bq.value
-        // inverted probe map (cell -> query positions), built once per
-        // partition; a corpus row is scored only by queries probing its
-        // cell, and at most once per pair (each row has exactly one cell)
-        val inv = new java.util.HashMap[Int, Array[Int]]()
-        qs.indices.flatMap(i => qs(i)._2.map(c => (c, i))).groupBy(_._1)
-          .foreach { case (c, xs) => inv.put(c, xs.map(_._2).toArray) }
-        iter.flatMap { case (nid, cell, codes) =>
-          val hits = inv.get(cell)
-          if (hits == null) Iterator.empty
-          else hits.iterator.filter(qi => qs(qi)._1 != nid).map { qi =>
-            val lut = qs(qi)._3
-            var a = 0L
-            var s = 0
-            while (s < m) { a += lut(s)(codes(s)); s += 1 }
-            (qs(qi)._1, nid, a)
-          }
+    val distributed = qRows.length > broadcastCap
+    // one kernel pass per query: probed cells + norm; three consumers in
+    // the distributed tail (probe explode, LUT emission, re-rank
+    // re-attach) -> tracked persist there
+    val qPrepRaw = qz(queries).mapPartitions { iter =>
+      val cs = bcent.value
+      iter.map { case (id, e) =>
+        require(e.length == dims, s"query vector length ${e.length} != dims $dims")
+        val nrm = math.sqrt(Qv.dot(e, e).toDouble)
+        (id, e, nrm, nearestCells(e, nrm, cs, nprobe))
+      }
+    }.toDF("id", "e", "nrm", "cells")
+    val qPrep = if (distributed) Caches.persist(qPrepRaw) else qPrepRaw
+
+    val approx: DataFrame =
+      if (distributed) {
+        // fully distributed IVFADC — the composition the broadcast path's
+        // scaladoc names: candidates from the ls3-style cell equi-join
+        // (queries explode their nprobe probes, the corpus never leaves
+        // its cell partitioning), scored by pqTopK's past-cap
+        // (query, s, c) LUT equi-join — the m per-pair rows sum to the
+        // exact same integer ADC distance as the broadcast kernel, so
+        // both paths (and the one oracle) agree bit-for-bit
+        val probes = qPrep.select(col("id").as("query_id"),
+          explode(col("cells")).as("cell"))
+        val cand0 = probes.join(
+            encoded.select(col("id").as("neighbor_id"), col("cell"), col("codes")),
+            Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            posexplode(col("codes")).as(Seq("s", "c")))
+        val lutDf = qPrep.select("id", "e").as[(Long, Array[Long])]
+          .mapPartitions { iter =>
+            val cbv = bcb.value
+            iter.flatMap { case (id, e) =>
+              for { s <- (0 until m).iterator; c <- (0 until kEff).iterator }
+                yield (id, s, c, subDist(e, s * dsub, cbv(s)(c)))
+            }
+          }.toDF("query_id", "s", "c", "d2")
+        cand0.join(lutDf, Seq("query_id", "s", "c"))
+          .groupBy("query_id", "neighbor_id")
+          .agg(sum("d2").as("approx_d2"))
+      } else {
+        // per query: nprobe probed cells + the m × kEff integer ADC LUT
+        val qArr = qRows.sortBy(_._1).map { case (id, e) =>
+          require(e.length == dims, s"query vector length ${e.length} != dims $dims")
+          val nrm = math.sqrt(Qv.dot(e, e).toDouble)
+          (id, nearestCells(e, nrm, cents, nprobe),
+            Array.tabulate(m, kEff)((s, c) => subDist(e, s * dsub, cb(s)(c))))
         }
-      }.toDF("query_id", "neighbor_id", "approx_d2")
+        val bq = spark.sparkContext.broadcast(qArr)
+        encoded.select("id", "cell", "codes")
+          .as[(Long, Int, Array[Int])]
+          .mapPartitions { iter =>
+            val qs = bq.value
+            // inverted probe map (cell -> query positions), built once per
+            // partition; a corpus row is scored only by queries probing its
+            // cell, and at most once per pair (each row has exactly one cell)
+            val inv = new java.util.HashMap[Int, Array[Int]]()
+            qs.indices.flatMap(i => qs(i)._2.map(c => (c, i))).groupBy(_._1)
+              .foreach { case (c, xs) => inv.put(c, xs.map(_._2).toArray) }
+            iter.flatMap { case (nid, cell, codes) =>
+              val hits = inv.get(cell)
+              if (hits == null) Iterator.empty
+              else hits.iterator.filter(qi => qs(qi)._1 != nid).map { qi =>
+                val lut = qs(qi)._3
+                var a = 0L
+                var s = 0
+                while (s < m) { a += lut(s)(codes(s)); s += 1 }
+                (qs(qi)._1, nid, a)
+              }
+            }
+          }.toDF("query_id", "neighbor_id", "approx_d2")
+      }
 
     val wc = Window.partitionBy("query_id")
       .orderBy(col("approx_d2"), col("neighbor_id"))
     val cand = approx.withColumn("rn", row_number().over(wc))
       .filter(col("rn") <= rerank)
       .select("query_id", "neighbor_id")
-    val qNorm = qz(queries).mapPartitions { iter =>
-      iter.map { case (id, e) =>
-        (id, e, math.sqrt(Qv.dot(e, e).toDouble))
-      }
-    }.toDF("id", "e", "nrm")
     scorePairsTopK(cand
-      .join(qNorm.select(col("id").as("query_id"), col("e").as("qe"), col("nrm").as("qn")),
+      .join(qPrep.select(col("id").as("query_id"), col("e").as("qe"), col("nrm").as("qn")),
         "query_id")
       .join(encoded.select(col("id").as("neighbor_id"), col("e").as("ce"), col("nrm").as("cn")),
         "neighbor_id"), k)

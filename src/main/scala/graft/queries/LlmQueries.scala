@@ -881,6 +881,24 @@ object LlmQueries {
     //    top candidates. The oracle composes BOTH training replays under
     //    distinct prefixes — centroids, codebooks, cells, codes, and the
     //    cell-restricted ADC candidates all hash-match. ──
+    //    r7: the fully DISTRIBUTED IVFADC tail — what a query batch past
+    //    the broadcast cap runs at 100 TB: candidates from the ls3-style
+    //    cell equi-join (nothing query-side broadcasts), scored by the
+    //    (query, s, c) LUT equi-join summing the identical integer ADC
+    //    distances. Forced here via broadcastCap = 1 and held to ls7's
+    //    EXACT oracle — broadcast path, distributed path, and the
+    //    relational replay all agree bit-for-bit. ──
+    q("ls15_ann_ivfpq_dist",
+      ls7Oracle(k = 10, kCells = 0, nprobe = 4, m = 8, ksub = 16,
+        rerank = 50, dims = 64, qMod = 40, qLimit = 50)) { (s, dir) =>
+      val vecs = Td.table(s, dir, "embeddings")
+      Similarity.ivfPqTopK(
+        vecs.filter(col("vec_id") % 40 === 0).orderBy("vec_id").limit(50),
+        vecs, "vec_id", "embedding",
+        k = 10, kCells = 0, nprobe = 4, m = 8, ksub = 16, rerank = 50,
+        broadcastCap = 1)
+    },
+
     //    r7: √N auto-sized kCells + constant 50-query batch, like ls3 —
     //    the r6 probe showed ls7's apparent 24× at ×100 was the bench
     //    scaling its own query set with the corpus.

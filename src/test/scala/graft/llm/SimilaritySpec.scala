@@ -213,6 +213,24 @@ class SimilaritySpec extends SparkSpec {
     assert(viaJoin == viaBroadcast)
   }
 
+  test("ivfPqTopK past the broadcast cap switches to the distributed tail with identical results") {
+    val vecs = graft.Td.table(spark, Sf0001, "embeddings")
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+    def rows(cap: Int) = {
+      val r = Similarity.ivfPqTopK(queries, vecs, "vec_id", "embedding",
+          k = 10, kCells = 16, nprobe = 4, m = 8, ksub = 16, rerank = 50,
+          broadcastCap = cap)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      Caches.release()
+      r
+    }
+    val viaJoin = rows(3) // query batch >> cap of 3 -> cell join + LUT join
+    val viaBroadcast = rows(Similarity.MaxBroadcastRows)
+    assert(viaJoin.nonEmpty)
+    assert(viaJoin == viaBroadcast)
+  }
+
   test("pqTopK handles a corpus smaller than ksub (codebook shrinks to the corpus)") {
     val vecs = graft.Td.table(spark, Sf0001, "embeddings").filter(col("vec_id") < 8)
     val r = Similarity.pqTopK(vecs.filter(col("vec_id") === 0), vecs,
