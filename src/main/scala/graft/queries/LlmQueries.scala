@@ -36,6 +36,52 @@ object LlmQueries {
     """sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
       |  FROM toks, UNNEST(range(1, greatest(len(t)-2, 1) + 1)) AS u(i))""".stripMargin
 
+  /** Shared WITH-body of the lt31 scorecard oracle — toks → bigrams →
+    * token counts → Gopher measures (`gop`) → fused signals (`sig`) —
+    * factored out so chain compositions (lq11) replay the IDENTICAL
+    * signal formulas, not a drifting copy. Ends without a trailing comma;
+    * the fused keep verdict over aliases `s` (sig) and `a` (gop) is
+    * [[scorecardKeepExpr]]. */
+  private lazy val scorecardCtes: String = {
+    val scoreSql = TextOps.StopwordLists.map { case (lang, words) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      lang -> s"len(list_filter(t, x -> x IN ($inList)))"
+    }
+    val caseChain = scoreSql.init.zipWithIndex.map { case ((lang, score), i) =>
+      val later = scoreSql.drop(i + 1).map(_._2)
+      val laterMax = if (later.size == 1) later.head else s"greatest(${later.mkString(", ")})"
+      s"WHEN $score >= $laterMax THEN '$lang'"
+    }.mkString(" ")
+    s"""$toksCte,
+       |g AS (SELECT doc_id, list_transform(range(1, greatest(len(t)-1, 1) + 1),
+       |    i -> array_to_string(t[i:i+1], ' ')) AS g FROM toks),
+       |tok AS (SELECT doc_id, unnest(t) AS w, len(t) AS n FROM toks),
+       |tc AS (SELECT doc_id, w, n, count(*) AS c FROM tok GROUP BY 1, 2, 3),
+       |gop AS (SELECT doc_id,
+       |    max(c) AS top_cnt, max(n) AS n_tok,
+       |    sum(CASE WHEN w IN ('the', 'a') THEN c ELSE 0 END) AS n_stop,
+       |    sum(c * length(w)) AS sum_len
+       |  FROM tc GROUP BY 1),
+       |sig AS (SELECT tk.doc_id,
+       |    CAST(len(t) AS INT) AS n_tokens,
+       |    0.4 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
+       |      + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE))
+       |      + 0.3 * least(((CAST(length(text) AS DOUBLE) + 1.0)
+       |          / CAST(len(t) AS DOUBLE) - 1.0) / 8.0, 1.0) AS quality,
+       |    1.0 - CAST(len(list_distinct(g.g)) AS DOUBLE) / CAST(len(g.g) AS DOUBLE)
+       |      AS rep2,
+       |    (CASE $caseChain ELSE '${scoreSql.last._1}' END) AS lang_pred
+       |  FROM toks tk JOIN g ON tk.doc_id = g.doc_id)""".stripMargin
+  }
+
+  /** The lt31 fused keep verdict over `sig s` / `gop a`. */
+  private val scorecardKeepExpr: String =
+    """s.quality >= 0.5 AND s.rep2 <= 0.08
+      |    AND CAST(a.top_cnt AS DOUBLE) / CAST(a.n_tok AS DOUBLE) <= 0.2
+      |    AND CAST(a.n_stop AS DOUBLE) / CAST(a.n_tok AS DOUBLE) >= 0.01
+      |    AND CAST(a.sum_len AS DOUBLE) / CAST(a.n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0
+      |    AND s.lang_pred = 'en'""".stripMargin
+
   /** Generated DuckDB replay of [[graft.llm.Bpe.trainMerges]]: `n`
     * iterations unrolled as CTEs (the lg1-pagerank pattern). Each iteration
     * k derives pairs from syms{k-1} via a lead window, elects best{k} by
@@ -1391,6 +1437,45 @@ object LlmQueries {
         .withColumnRenamed("id", "doc_id")
     },
 
+    // ── the WHOLE curation chain as one hash-pinned query: lt31
+    //    scorecard keep → ld1 min-id dedup per md5(text) → lt45
+    //    length-bucketed batching. Spark side runs
+    //    ChainStream.batchChainBatched — the SAME code object the
+    //    streaming chain's equivalence spec pins against its incremental
+    //    twin — so the oracle transitively fences the streaming
+    //    bronze→silver→gold pipeline too: stream = batch (spec),
+    //    batch = relational replay (this hash). The oracle reuses lt31's
+    //    factored signal CTEs, never a drifting copy. ──
+    q("lq11_chain_manifest",
+      s"""WITH $scorecardCtes,
+         |keep AS (SELECT s.doc_id FROM sig s JOIN gop a ON s.doc_id = a.doc_id
+         |  WHERE $scorecardKeepExpr),
+         |surv AS (SELECT doc_id, n_tok FROM (
+         |    SELECT k.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tok,
+         |      row_number() OVER (PARTITION BY md5(tk.text) ORDER BY k.doc_id) AS rn
+         |    FROM keep k JOIN toks tk ON tk.doc_id = k.doc_id) z
+         |  WHERE rn = 1),
+         |b AS (SELECT doc_id, CAST(length(bin(n_tok)) - 1 AS INT) AS band,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard
+         |  FROM surv WHERE n_tok >= 1),
+         |c AS (SELECT doc_id, band, shard,
+         |    greatest(4096 // ((CAST(1 AS BIGINT) << (band + 1)) - 1), 1) AS cap,
+         |    CAST(('0x' || substr(md5(CAST(band AS VARCHAR) || ':' || CAST(shard AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+         |  FROM b),
+         |p AS (SELECT doc_id, band, shard, cap,
+         |    CAST(row_number() OVER (PARTITION BY band, shard ORDER BY hk, doc_id) - 1 AS BIGINT) AS pos
+         |  FROM c)
+         |SELECT doc_id, band, shard, pos // cap AS batch_idx, pos % cap AS slot
+         |FROM p""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      graft.streaming.ChainStream.batchChainBatched(
+        Td.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("text"))
+          .as[(Long, String, String, String)],
+        tokenBudget = 4096L, shards = 8)
+        .toDF("doc_id", "band", "shard", "batch_idx", "slot")
+    },
+
     // ── DSIR-style importance weights: score each doc by Σ over its
     //    tokens of (target_bucket_count+1)*1e6 DIV (raw_bucket_count+1)
     //    over 64 hashed unigram buckets (target = the 'en' slice). The
@@ -2299,48 +2384,15 @@ object LlmQueries {
     //    non-trivially at sf0.01 (quality median 0.53, rep2 median 0.03).
     //    The oracle recomputes each signal with the exact lt1/lt9/lt13/
     //    lt2 oracle formulas, so the booleans agree bit-for-bit. ──
-    q("lt31_curation_scorecard", {
-      val scoreSql = TextOps.StopwordLists.map { case (lang, words) =>
-        val inList = words.map(w => s"'$w'").mkString(", ")
-        lang -> s"len(list_filter(t, x -> x IN ($inList)))"
-      }
-      val caseChain = scoreSql.init.zipWithIndex.map { case ((lang, score), i) =>
-        val later = scoreSql.drop(i + 1).map(_._2)
-        val laterMax = if (later.size == 1) later.head else s"greatest(${later.mkString(", ")})"
-        s"WHEN $score >= $laterMax THEN '$lang'"
-      }.mkString(" ")
-      s"""WITH $toksCte,
-         |g AS (SELECT doc_id, list_transform(range(1, greatest(len(t)-1, 1) + 1),
-         |    i -> array_to_string(t[i:i+1], ' ')) AS g FROM toks),
-         |tok AS (SELECT doc_id, unnest(t) AS w, len(t) AS n FROM toks),
-         |tc AS (SELECT doc_id, w, n, count(*) AS c FROM tok GROUP BY 1, 2, 3),
-         |gop AS (SELECT doc_id,
-         |    max(c) AS top_cnt, max(n) AS n_tok,
-         |    sum(CASE WHEN w IN ('the', 'a') THEN c ELSE 0 END) AS n_stop,
-         |    sum(c * length(w)) AS sum_len
-         |  FROM tc GROUP BY 1),
-         |sig AS (SELECT tk.doc_id,
-         |    CAST(len(t) AS INT) AS n_tokens,
-         |    0.4 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
-         |      + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE))
-         |      + 0.3 * least(((CAST(length(text) AS DOUBLE) + 1.0)
-         |          / CAST(len(t) AS DOUBLE) - 1.0) / 8.0, 1.0) AS quality,
-         |    1.0 - CAST(len(list_distinct(g.g)) AS DOUBLE) / CAST(len(g.g) AS DOUBLE)
-         |      AS rep2,
-         |    (CASE $caseChain ELSE '${scoreSql.last._1}' END) AS lang_pred
-         |  FROM toks tk JOIN g ON tk.doc_id = g.doc_id)
+    q("lt31_curation_scorecard",
+      s"""WITH $scorecardCtes
          |SELECT s.doc_id, s.n_tokens, s.quality, s.rep2,
          |  CAST(a.top_cnt AS DOUBLE) / CAST(a.n_tok AS DOUBLE) AS top_frac,
          |  CAST(a.n_stop AS DOUBLE) / CAST(a.n_tok AS DOUBLE) AS stop_frac,
          |  CAST(a.sum_len AS DOUBLE) / CAST(a.n_tok AS DOUBLE) AS mean_tok_len,
          |  s.lang_pred,
-         |  s.quality >= 0.5 AND s.rep2 <= 0.08
-         |    AND CAST(a.top_cnt AS DOUBLE) / CAST(a.n_tok AS DOUBLE) <= 0.2
-         |    AND CAST(a.n_stop AS DOUBLE) / CAST(a.n_tok AS DOUBLE) >= 0.01
-         |    AND CAST(a.sum_len AS DOUBLE) / CAST(a.n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0
-         |    AND s.lang_pred = 'en' AS keep
-         |FROM sig s JOIN gop a ON s.doc_id = a.doc_id""".stripMargin
-    }) { (s, dir) =>
+         |  $scorecardKeepExpr AS keep
+         |FROM sig s JOIN gop a ON s.doc_id = a.doc_id""".stripMargin) { (s, dir) =>
       // shared with the streaming curation chain — see Curation.scorecard
       Curation.scorecard(Td.table(s, dir, "documents"))
     },
