@@ -1196,17 +1196,39 @@ object Similarity {
     * small for any (bits, tables) to separate, and recall has to be
     * bought with candidate volume.
     * Output: d1 < d2, cosine >= minCos. */
+  /** LSH bucket-count scale knob: bits = clamp(⌊log2(N/32)⌋, 4, 20), i.e.
+    * one more bucket bit per corpus doubling so the EXPECTED BUCKET SIZE
+    * stays ~32-64 regardless of N. With fixed bits, buckets grow linearly
+    * with the corpus and within-bucket candidate pairs grow QUADRATICALLY
+    * — the r7 ×100 run measured ld7 at 337×/decade exactly from this.
+    * Derived-bits candidates stay ~tables·bucketSize·N/2, linear. Adding
+    * bits never perturbs existing planes (a plane's geometry is keyed by
+    * (table, plane), not by the total bit count), so the oracle derives
+    * the identical count relationally and sums the first `bits` of a
+    * fixed 20-plane family. Recall stays high for the near-dup regime:
+    * per-table collision at cos≈0.97 is ~0.92^bits, so even at the
+    * 20-bit cap a pair misses all 16 tables with prob < 1%. Floor-log2
+    * spelled as 63 − nlz == length(bin(x)) − 1 on both engines. */
+  private[llm] def deriveLshBits(n: Long): Int = {
+    val x = math.max(n / 32L, 1L)
+    val fl = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    math.min(20, math.max(4, fl))
+  }
+
   def lshNearDups(
       vecs: DataFrame, idCol: String, embCol: String, minCos: Double,
-      tables: Int = 16, bits: Int = 4, dims: Int = 64,
+      tables: Int = 16, bits: Int = 0, dims: Int = 64,
       invDensity: Int = 8): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    require(bits >= 0, s"bits must be >= 0 (0 = derive), got $bits")
+    // bits = 0 → the log2(N/32) operating point (see deriveLshBits)
+    val b = if (bits > 0) bits else deriveLshBits(vecs.count())
     // internal index, persisted for its two consumers (bucket explode +
     // scoring re-attach); released via Caches.release() after the
     // consuming action
     val prep = Caches.persist(
-      lshPrep(vecs, idCol, embCol, tables, bits, dims, invDensity))
+      lshPrep(vecs, idCol, embCol, tables, b, dims, invDensity))
     val buckets = prep.select(col("id"),
       posexplode(col("codes")).as(Seq("tbl", "code")))
     val cand = buckets.as("a")
@@ -1243,16 +1265,23 @@ object Similarity {
     * collected. Output: d1 < d2, cosine >= minCos. */
   def cellBlockedNearDups(
       vecs: DataFrame, idCol: String, embCol: String, minCos: Double,
-      kCells: Int = 16, nprobe: Int = 2, dims: Int = 64): DataFrame = {
+      kCells: Int = 0, nprobe: Int = 2, dims: Int = 64): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    require(kCells >= 1 && nprobe >= 1 && nprobe <= kCells,
+    require(kCells >= 0 && nprobe >= 1 && (kCells == 0 || nprobe <= kCells),
       s"bad cell geometry: kCells=$kCells nprobe=$nprobe")
     val corpusQ = vecs
       .select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("e"))
       .as[(Long, Array[Long])]
+    // kCells = 0 → the √N operating point. For PAIR blocking this is not
+    // just a latency knob but the memory-safety one: with fixed kCells a
+    // 100× corpus makes cells 100× larger and within-cell candidate pairs
+    // 10,000× more numerous (the r7 ×100 run OOMed exactly here); with
+    // kCells ≈ √N a cell holds ~√N vectors and total candidates stay
+    // ~nprobe²·N — linear in the corpus.
+    val kc = if (kCells > 0) kCells else deriveKCells(corpusQ.count(), nprobe)
     val bcent = spark.sparkContext.broadcast(
-      trainCellCentroids(corpusQ, kCells, dims))
+      trainCellCentroids(corpusQ, kc, dims))
     // persisted for its two consumers (cell explode + scoring re-attach),
     // released via Caches after the consuming action — same discipline as
     // lshNearDups' index

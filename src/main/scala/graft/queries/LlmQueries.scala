@@ -224,24 +224,50 @@ object LlmQueries {
   /** `codes` CTE: one (vec_id, t, code) row per LSH table, with the
     * engine's sparse projection planes embedded as literal arithmetic
     * (same dims, same summation order → identical codes). */
+  /** Per-table LSH bucket codes as literal plane arithmetic. `bits > 0`
+    * embeds that fixed geometry directly; `bits == 0` derives the bit
+    * count from the corpus the way [[Similarity.deriveLshBits]] does
+    * (clamp(floor-log2(count/32), 4, 20)) and sums the first `db` bits of
+    * a fixed 20-plane-per-table family — sound because a plane's geometry
+    * is keyed by (table, plane) alone, so growing the bit count never
+    * perturbs existing planes. */
   private def lshCodesCte(
       tables: Int, bits: Int, dims: Int, inv: Int,
       src: String = "embeddings"): String = {
-    val terms = Similarity.planeTerms(tables, bits, dims, inv)
+    val maxBits = if (bits > 0) bits else 20
+    val terms = Similarity.planeTerms(tables, maxBits, dims, inv)
     def planeExpr(tp: Int): String =
       if (terms(tp).isEmpty) "0.0"
       else terms(tp).map { case (d, s) =>
         val e = s"CAST(${qComp(d)} AS DOUBLE)"
         if (s > 0) e else s"(-1.0 * $e)"
       }.mkString(" + ")
-    def codeExpr(t: Int): String =
-      (0 until bits).map { p =>
-        s"(CASE WHEN (${planeExpr(t * bits + p)}) > 0 THEN ${1 << p} ELSE 0 END)"
-      }.mkString(" + ")
-    val codeList = (0 until tables).map(codeExpr).mkString(",\n    ")
-    s"""codes AS (SELECT vec_id, unnest(range(0, $tables)) AS t,
-       |  unnest([$codeList]) AS code
-       |  FROM $src)""".stripMargin
+    if (bits > 0) {
+      def codeExpr(t: Int): String =
+        (0 until bits).map { p =>
+          s"(CASE WHEN (${planeExpr(t * bits + p)}) > 0 THEN ${1 << p} ELSE 0 END)"
+        }.mkString(" + ")
+      val codeList = (0 until tables).map(codeExpr).mkString(",\n    ")
+      s"""codes AS (SELECT vec_id, unnest(range(0, $tables)) AS t,
+         |  unnest([$codeList]) AS code
+         |  FROM $src)""".stripMargin
+    } else {
+      def bitArr(t: Int): String =
+        "[" + (0 until maxBits).map { p =>
+          s"(CASE WHEN (${planeExpr(t * maxBits + p)}) > 0 THEN 1 ELSE 0 END)"
+        }.mkString(", ") + "]"
+      val arrList = (0 until tables).map(bitArr).mkString(",\n    ")
+      s"""db AS (SELECT least(greatest(
+         |    length(bin(greatest(count(*) // 32, 1))) - 1, 4), 20) AS b
+         |  FROM $src),
+         |codesN AS (SELECT vec_id, unnest(range(0, $tables)) AS t,
+         |  unnest([$arrList]) AS barr
+         |  FROM $src),
+         |codes AS (SELECT vec_id, t,
+         |    CAST(list_sum(list_transform(range(0, db.b),
+         |      p -> barr[p + 1] * (1 << p))) AS BIGINT) AS code
+         |  FROM codesN CROSS JOIN db)""".stripMargin
+    }
   }
 
   /** The embedding near-dup demonstration corpus: the testdata embeddings
@@ -279,13 +305,16 @@ object LlmQueries {
       .unionByName(twins)
   }
 
-  private def ls2Oracle(
-      k: Int, tables: Int, bits: Int, dims: Int, inv: Int, qMod: Int): String =
+  private def ls2Oracle(k: Int, tables: Int, bits: Int, dims: Int, inv: Int,
+      qMod: Int, qLimit: Int): String =
     s"""WITH $quantCtes,
        |${lshCodesCte(tables, bits, dims, inv)},
+       |qsel AS (SELECT vec_id FROM nrm WHERE vec_id % $qMod = 0
+       |  ORDER BY vec_id LIMIT $qLimit),
        |cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
-       |  FROM codes a JOIN codes b ON a.t = b.t AND a.code = b.code
-       |  WHERE a.vec_id % $qMod = 0 AND a.vec_id <> b.vec_id),
+       |  FROM codes a JOIN qsel q ON a.vec_id = q.vec_id
+       |  JOIN codes b ON a.t = b.t AND a.code = b.code
+       |  WHERE a.vec_id <> b.vec_id),
        |${annRankTail(k)}""".stripMargin
 
   /** LSH near-dup pair oracle: symmetric code self-join (d1 < d2) then
@@ -453,13 +482,17 @@ object LlmQueries {
        |      ORDER BY d2, c) AS rn FROM ${p}dist2)
        |  WHERE rn = 1)""".stripMargin
 
-  private def ls6Oracle(k: Int, m: Int, ksub: Int, rerank: Int, dims: Int, qMod: Int): String =
+  private def ls6Oracle(k: Int, m: Int, ksub: Int, rerank: Int, dims: Int,
+      qMod: Int, qLimit: Int): String =
     s"""WITH $quantCtes,
        |${pqTrainCtes(m, ksub, dims / m, "")},
+       |qsel AS (SELECT vec_id FROM nrm WHERE vec_id % $qMod = 0
+       |  ORDER BY vec_id LIMIT $qLimit),
        |adc AS (SELECT l.vec_id AS query_id, cd.vec_id AS neighbor_id,
        |    sum(l.d2) AS approx_d2
-       |  FROM dist2 l JOIN codes cd ON cd.s = l.s AND cd.c = l.c
-       |  WHERE l.vec_id % $qMod = 0 AND l.vec_id <> cd.vec_id
+       |  FROM dist2 l JOIN qsel q ON l.vec_id = q.vec_id
+       |  JOIN codes cd ON cd.s = l.s AND cd.c = l.c
+       |  WHERE l.vec_id <> cd.vec_id
        |  GROUP BY 1, 2),
        |cand AS (SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
@@ -764,11 +797,17 @@ object LlmQueries {
     //    genuine near-dup threshold (0.9) over the planted-twin corpus —
     //    see [[plantedCorpusCte]] for why the random testdata corpus can't
     //    demonstrate this regime by itself. ──
+    //    r7: bits auto-size to clamp(floor-log2(N/32), 4, 20) — one more
+    //    bucket bit per corpus doubling keeps expected bucket size ~32-64,
+    //    so candidates stay linear in N (the ×100 run measured the fixed
+    //    10-bit geometry at 337×/decade: buckets grew with the corpus and
+    //    within-bucket pairs quadratically). The oracle derives the same
+    //    count and sums the first `db` bits of a fixed 20-plane family.
     q("ld7_embed_neardup_lsh",
-      ld7Oracle(minCos = 0.9, tables = 16, bits = 10, dims = 64, inv = 4)) { (s, dir) =>
+      ld7Oracle(minCos = 0.9, tables = 16, bits = 0, dims = 64, inv = 4)) { (s, dir) =>
       Similarity.lshNearDups(
         plantedCorpus(Td.table(s, dir, "embeddings")), "vec_id", "embedding", 0.9,
-        tables = 16, bits = 10, invDensity = 4)
+        tables = 16, bits = 0, invDensity = 4)
     },
 
     // ── SemDeDup-style cell-blocked embedding near-dups: the learned
@@ -778,11 +817,16 @@ object LlmQueries {
     //    beside ld7's hyperplane buckets and ld5's all-pairs; the oracle
     //    replays the training relationally so the data-dependent cell
     //    assignments (and therefore pair sets) hash-match. ──
+    //    r7: kCells auto-sizes to √N (kCells = 0) — at ×100 the fixed-16
+    //    geometry made cells 100× larger and within-cell candidate pairs
+    //    10,000× more numerous (the whole-surface ×100 run OOMed exactly
+    //    here); √N cells keep candidates ~nprobe²·N, linear. The oracle
+    //    derives the identical count relationally.
     q("ld12_semantic_dedup",
-      ld12Oracle(minCos = 0.9, kCells = 16, nprobe = 2)) { (s, dir) =>
+      ld12Oracle(minCos = 0.9, kCells = 0, nprobe = 2)) { (s, dir) =>
       Similarity.cellBlockedNearDups(
         plantedCorpus(Td.table(s, dir, "embeddings")), "vec_id", "embedding", 0.9,
-        kCells = 16, nprobe = 2)
+        kCells = 0, nprobe = 2)
     },
 
     // ── asymmetric containment near-dup pairs: |A∩B| / |A| per direction
@@ -964,15 +1008,21 @@ object LlmQueries {
     //    exact cosine re-rank of the top 50. The oracle replays training,
     //    encoding and scoring relationally — the data-dependent candidate
     //    sets hash-match bit-for-bit. ──
+    //    r7: constant 50-query batch (the ls7 lesson, applied family-wide
+    //    after the ×100 run measured the query-set-growth artifact at
+    //    30×/decade here).
     q("ls8_ann_sq8",
       s"""WITH $quantCtes,
+         |qsel AS (SELECT vec_id FROM nrm WHERE vec_id % 40 = 0
+         |  ORDER BY vec_id LIMIT 50),
          |mx AS (SELECT i, greatest(max(abs(x)), 1) AS mx FROM qc GROUP BY 1),
          |codes AS (SELECT vec_id, qc.i, mx, CAST(round(x * 127.0 / mx) AS BIGINT) AS cx
          |  FROM qc JOIN mx ON qc.i = mx.i),
          |adc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    sum(q.cx * c.cx * q.mx * q.mx) AS adc
-         |  FROM codes q JOIN codes c ON q.i = c.i AND q.vec_id <> c.vec_id
-         |  WHERE q.vec_id % 40 = 0 GROUP BY 1, 2),
+         |  FROM codes q JOIN qsel ON q.vec_id = qsel.vec_id
+         |  JOIN codes c ON q.i = c.i AND q.vec_id <> c.vec_id
+         |  GROUP BY 1, 2),
          |cand AS (SELECT query_id, neighbor_id FROM (
          |  SELECT query_id, neighbor_id,
          |    row_number() OVER (PARTITION BY query_id
@@ -981,8 +1031,8 @@ object LlmQueries {
          |${annRankTail(10)}""".stripMargin) { (s, dir) =>
       val vecs = Td.table(s, dir, "embeddings")
       Similarity.sq8TopK(
-        vecs.filter(col("vec_id") % 40 === 0), vecs, "vec_id", "embedding",
-        k = 10, rerank = 50)
+        vecs.filter(col("vec_id") % 40 === 0).orderBy("vec_id").limit(50),
+        vecs, "vec_id", "embedding", k = 10, rerank = 50)
     },
 
     // ── Matryoshka ANN (MRL adaptive retrieval): candidates by the exact
@@ -990,12 +1040,16 @@ object LlmQueries {
     //    truncation instead of ls8's quantization), exact full-dim cosine
     //    re-rank of the top 50. Candidate sets replay bit-for-bit in the
     //    oracle (i <= 16 over the same quantized component rows). ──
+    //    r7: constant 50-query batch (the family-wide ×100 fix).
     q("ls9_ann_matryoshka",
       s"""WITH $quantCtes,
+         |qsel AS (SELECT vec_id FROM nrm WHERE vec_id % 40 = 0
+         |  ORDER BY vec_id LIMIT 50),
          |pdot AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          |    sum(a.x * b.x) AS pd
-         |  FROM qc a JOIN qc b ON a.i = b.i AND a.vec_id <> b.vec_id
-         |  WHERE a.vec_id % 40 = 0 AND a.i <= 16 GROUP BY 1, 2),
+         |  FROM qc a JOIN qsel ON a.vec_id = qsel.vec_id
+         |  JOIN qc b ON a.i = b.i AND a.vec_id <> b.vec_id
+         |  WHERE a.i <= 16 GROUP BY 1, 2),
          |cand AS (SELECT query_id, neighbor_id FROM (
          |  SELECT query_id, neighbor_id,
          |    row_number() OVER (PARTITION BY query_id
@@ -1004,8 +1058,8 @@ object LlmQueries {
          |${annRankTail(10)}""".stripMargin) { (s, dir) =>
       val vecs = Td.table(s, dir, "embeddings")
       Similarity.matryoshkaTopK(
-        vecs.filter(col("vec_id") % 40 === 0), vecs, "vec_id", "embedding",
-        k = 10, prefixDims = 16, rerank = 50)
+        vecs.filter(col("vec_id") % 40 === 0).orderBy("vec_id").limit(50),
+        vecs, "vec_id", "embedding", k = 10, prefixDims = 16, rerank = 50)
     },
 
     // ── chunk-granular verbatim-span dedup: per-doc duplicated-chunk
@@ -1048,13 +1102,19 @@ object LlmQueries {
       Dedup.scrubDupSpans(Td.table(s, dir, "documents"), "doc_id", "text", 16)
     },
 
-    // ── brute-force cosine top-10 ANN (queries = vec_id % 40 = 0) ──
+    // ── brute-force cosine top-10 ANN (queries = the 50 smallest
+    //    vec_id % 40 = 0 ids — constant batch so the baseline scan cost
+    //    scales with the CORPUS, not quadratically with the bench's own
+    //    construction; the r7 fix applied family-wide) ──
     q("ls1_ann_topk",
       s"""WITH $quantCtes,
+         |qsel AS (SELECT vec_id FROM nrm WHERE vec_id % 40 = 0
+         |  ORDER BY vec_id LIMIT 50),
          |dot AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          |    sum(a.x * b.x) AS dp
-         |  FROM qc a JOIN qc b ON a.i = b.i AND a.vec_id <> b.vec_id
-         |  WHERE a.vec_id % 40 = 0 GROUP BY 1, 2),
+         |  FROM qc a JOIN qsel ON a.vec_id = qsel.vec_id
+         |  JOIN qc b ON a.i = b.i AND a.vec_id <> b.vec_id
+         |  GROUP BY 1, 2),
          |sims AS (SELECT query_id, neighbor_id,
          |    CAST(dp AS DOUBLE) / (sqrt(CAST(x.nn AS DOUBLE)) * sqrt(CAST(y.nn AS DOUBLE)))
          |      AS cosine
@@ -1067,7 +1127,8 @@ object LlmQueries {
          |WHERE rank <= 10""".stripMargin) { (s, dir) =>
       val vecs = Td.table(s, dir, "embeddings")
       Similarity.bruteForceTopK(
-        vecs.filter(col("vec_id") % 40 === 0), vecs, "vec_id", "embedding", 10)
+        vecs.filter(col("vec_id") % 40 === 0).orderBy("vec_id").limit(50),
+        vecs, "vec_id", "embedding", 10)
     },
 
     // ── LSH-bucketed ANN (the scale path). The oracle reproduces the
@@ -1076,11 +1137,14 @@ object LlmQueries {
     //    identical codes), then ranking candidates by the same quantized
     //    cosine — full hash check; SimilaritySpec additionally pins the
     //    recall floor vs ls1's brute force. ──
+    //    r7: constant 50-query batch (the family-wide ×100 fix).
     q("ls2_ann_lsh",
-      ls2Oracle(k = 10, tables = 16, bits = 4, dims = 64, inv = 8, qMod = 40)) { (s, dir) =>
+      ls2Oracle(k = 10, tables = 16, bits = 4, dims = 64, inv = 8, qMod = 40,
+        qLimit = 50)) { (s, dir) =>
       val vecs = Td.table(s, dir, "embeddings")
       Similarity.lshTopK(
-        vecs.filter(col("vec_id") % 40 === 0), vecs, "vec_id", "embedding", 10)
+        vecs.filter(col("vec_id") % 40 === 0).orderBy("vec_id").limit(50),
+        vecs, "vec_id", "embedding", 10)
     },
 
     // ── HYBRID retrieval with reciprocal-rank fusion: the RAG-stack merge
@@ -1092,14 +1156,19 @@ object LlmQueries {
     //    replayed relationally; at scale the lexical self-join takes the
     //    shingle DF cap (viral-boilerplate bound) like every other
     //    shingle-keyed join in the dedup tier. ──
+    //    r7: constant 50-query batch across BOTH legs (same qsel ids
+    //    drive the dense and lexical rankers — the family-wide ×100 fix).
     q("ls10_hybrid_rrf",
       s"""WITH $quantCtes,
          |$toksCte,
          |$shinglesCte,
+         |qsel AS (SELECT vec_id FROM nrm WHERE vec_id % 40 = 0
+         |  ORDER BY vec_id LIMIT 50),
          |dot AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          |    sum(a.x * b.x) AS dp
-         |  FROM qc a JOIN qc b ON a.i = b.i AND a.vec_id <> b.vec_id
-         |  WHERE a.vec_id % 40 = 0 GROUP BY 1, 2),
+         |  FROM qc a JOIN qsel q ON a.vec_id = q.vec_id
+         |  JOIN qc b ON a.i = b.i AND a.vec_id <> b.vec_id
+         |  GROUP BY 1, 2),
          |sims AS (SELECT query_id, neighbor_id,
          |    CAST(dp AS DOUBLE) / (sqrt(CAST(x.nn AS DOUBLE)) * sqrt(CAST(y.nn AS DOUBLE)))
          |      AS cosine
@@ -1109,8 +1178,9 @@ object LlmQueries {
          |    ORDER BY cosine DESC, neighbor_id) AS rank FROM sims) WHERE rank <= 10),
          |ovl AS (SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
          |    count(*) AS ov
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
-         |  WHERE a.doc_id % 40 = 0 GROUP BY 1, 2),
+         |  FROM sh a JOIN qsel q ON a.doc_id = q.vec_id
+         |  JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
          |lex AS (SELECT query_id, neighbor_id, rank FROM (
          |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
          |    ORDER BY ov DESC, neighbor_id) AS rank FROM ovl) WHERE rank <= 10),
@@ -1124,13 +1194,17 @@ object LlmQueries {
          |  FROM fused) WHERE rank <= 10""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val vecs = Td.table(s, dir, "embeddings")
+      // one constant 50-id batch drives BOTH legs
+      val qids = vecs.filter(col("vec_id") % 40 === 0)
+        .orderBy("vec_id").limit(50).select("vec_id")
       val dense = Similarity.bruteForceTopK(
-          vecs.filter(col("vec_id") % 40 === 0), vecs, "vec_id", "embedding", 10)
+          vecs.join(qids, "vec_id"), vecs, "vec_id", "embedding", 10)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
       val sh = Dedup.shingleTable(Td.table(s, dir, "documents"),
           "doc_id", "text", 3)
         .select(col("doc_id"), col("shingle")).distinct()
-      val lex = sh.as("a").filter(col("a.doc_id") % 40 === 0)
+      val lex = sh.join(broadcast(qids.withColumnRenamed("vec_id", "doc_id")),
+          "doc_id").as("a")
         .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") =!= col("b.doc_id"))
         .groupBy(col("a.doc_id").as("query_id"),
@@ -1173,12 +1247,14 @@ object LlmQueries {
     //    replayed relationally by the oracle, so even the data-dependent
     //    candidate sets hash-match; recall floor vs ls1 brute force and the
     //    broadcast=distributed equivalence are pinned in SimilaritySpec. ──
+    //    r7: constant 50-query batch (the family-wide ×100 fix).
     q("ls6_ann_pq",
-      ls6Oracle(k = 10, m = 8, ksub = 16, rerank = 50, dims = 64, qMod = 40)) { (s, dir) =>
+      ls6Oracle(k = 10, m = 8, ksub = 16, rerank = 50, dims = 64, qMod = 40,
+        qLimit = 50)) { (s, dir) =>
       val vecs = Td.table(s, dir, "embeddings")
       Similarity.pqTopK(
-        vecs.filter(col("vec_id") % 40 === 0), vecs, "vec_id", "embedding",
-        k = 10, m = 8, ksub = 16, rerank = 50)
+        vecs.filter(col("vec_id") % 40 === 0).orderBy("vec_id").limit(50),
+        vecs, "vec_id", "embedding", k = 10, m = 8, ksub = 16, rerank = 50)
     },
 
     // ── corpus n-gram document-frequency top-k (text analysis) ──
@@ -2863,13 +2939,18 @@ object LlmQueries {
     //    test. Both legs replay relationally (the projection geometry is
     //    literal SQL), so even the recall numbers hash-match. The rank
     //    windows see candidate rows only. ──
+    //    r7: constant 50-query batch in BOTH legs (the family-wide ×100
+    //    fix — this query pays twice otherwise, brute force AND LSH).
     q("ls14_retrieval_recall",
       s"""WITH $quantCtes,
         |${lshCodesCte(16, 4, 64, 8)},
+        |qsel AS (SELECT vec_id FROM nrm WHERE vec_id % 40 = 0
+        |  ORDER BY vec_id LIMIT 50),
         |ecand AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
         |    sum(a.x * b.x) AS dp
-        |  FROM qc a JOIN qc b ON a.i = b.i AND a.vec_id <> b.vec_id
-        |  WHERE a.vec_id % 40 = 0 GROUP BY 1, 2),
+        |  FROM qc a JOIN qsel q ON a.vec_id = q.vec_id
+        |  JOIN qc b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
         |esims AS (SELECT query_id, neighbor_id,
         |    CAST(dp AS DOUBLE) / (sqrt(CAST(x.nn AS DOUBLE)) * sqrt(CAST(y.nn AS DOUBLE)))
         |      AS cosine
@@ -2881,8 +2962,9 @@ object LlmQueries {
         |        ORDER BY cosine DESC, neighbor_id) AS rn
         |    FROM esims) WHERE rn <= 10),
         |lcand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
-        |  FROM codes a JOIN codes b ON a.t = b.t AND a.code = b.code
-        |  WHERE a.vec_id % 40 = 0 AND a.vec_id <> b.vec_id),
+        |  FROM codes a JOIN qsel q ON a.vec_id = q.vec_id
+        |  JOIN codes b ON a.t = b.t AND a.code = b.code
+        |  WHERE a.vec_id <> b.vec_id),
         |ldot AS (SELECT query_id, neighbor_id, sum(x.x * y.x) AS dp
         |  FROM lcand JOIN qc x ON x.vec_id = query_id
         |  JOIN qc y ON y.vec_id = neighbor_id AND y.i = x.i
@@ -2904,7 +2986,7 @@ object LlmQueries {
         |  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
         |GROUP BY 1""".stripMargin) { (s, dir) =>
       val vecs = Td.table(s, dir, "embeddings")
-      val q = vecs.filter(col("vec_id") % 40 === 0)
+      val q = vecs.filter(col("vec_id") % 40 === 0).orderBy("vec_id").limit(50)
       val exact = Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", 10)
         .select(col("query_id"), col("neighbor_id"))
       val lsh = Similarity.lshTopK(q, vecs, "vec_id", "embedding", 10)
@@ -2922,12 +3004,16 @@ object LlmQueries {
     //    training as false negatives. Band filter runs scan-stage BEFORE
     //    the top-k shuffle; same exact-integer-dot + IEEE-cosine kernel
     //    as ls1, so the oracle replays the band and ranks bit-for-bit. ──
+    //    r7: constant 50-query batch (the family-wide ×100 fix).
     q("ls13_hard_negatives",
       s"""WITH $quantCtes,
+        |qsel AS (SELECT vec_id FROM nrm WHERE vec_id % 40 = 0
+        |  ORDER BY vec_id LIMIT 50),
         |dot AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
         |    sum(a.x * b.x) AS dp
-        |  FROM qc a JOIN qc b ON a.i = b.i AND a.vec_id <> b.vec_id
-        |  WHERE a.vec_id % 40 = 0 GROUP BY 1, 2),
+        |  FROM qc a JOIN qsel q ON a.vec_id = q.vec_id
+        |  JOIN qc b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
         |sims AS (SELECT query_id, neighbor_id,
         |    CAST(dp AS DOUBLE) / (sqrt(CAST(x.nn AS DOUBLE)) * sqrt(CAST(y.nn AS DOUBLE)))
         |      AS cosine
@@ -2941,8 +3027,8 @@ object LlmQueries {
         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
       val emb = Td.table(s, dir, "embeddings")
       Similarity.hardNegativesTopK(
-        emb.filter(col("vec_id") % 40 === 0), emb, "vec_id", "embedding",
-        k = 5, lo = 0.1, hi = 0.8)
+        emb.filter(col("vec_id") % 40 === 0).orderBy("vec_id").limit(50),
+        emb, "vec_id", "embedding", k = 5, lo = 0.1, hi = 0.8)
     },
 
     // ── per-dimension embedding standardization (z-score whitening — the

@@ -351,6 +351,33 @@ class SimilaritySpec extends SparkSpec {
       s"missed ${(planted -- found).size}/${planted.size}, spurious ${(found -- planted).size}")
   }
 
+  test("derived-bits LSH (the registered ld7 geometry) recalls every planted twin") {
+    // bits = 0 derives clamp(floor-log2(N/32), 4, 20) — at this corpus
+    // size that is 4 bits; the contract is recall, not a bit count:
+    // planted twins must all surface at ANY derived operating point, and
+    // the random corpus contributes nothing at the 0.9 threshold
+    val vecs = graft.Td.table(spark, Sf0001, "embeddings")
+    val twins = vecs.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 1).cast("double") + lit(0.25)),
+          transform(slice(col("embedding"), 2, 63), x => x.cast("double"))
+        ).as("embedding"))
+    val corpus = vecs
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .unionByName(twins)
+    val found = Similarity.lshNearDups(corpus, "vec_id", "embedding", 0.9,
+        tables = 16, bits = 0, invDensity = 4)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val planted = vecs.filter(col("vec_id") % 10 === 0)
+      .select("vec_id").as[Long].collect()
+      .map(id => (id, id + 1000000L)).toSet
+    assert(planted.nonEmpty)
+    assert(found == planted,
+      s"missed ${(planted -- found).size}/${planted.size}, spurious ${(found -- planted).size}")
+  }
+
   test("cell-blocked near-dups: subset of exact pairs, full planted recall at nprobe=2") {
     // same planted-twin corpus as the ld7 recall test: cell blocking must
     // (a) never invent a pair the exact confirm rejects — candidates are
