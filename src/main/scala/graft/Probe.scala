@@ -36,3 +36,42 @@ object Probe {
     spark.stop()
   }
 }
+
+/** Dev diagnostic: derived-bits LSH candidate cardinality over the ld7
+  * planted corpus at a given data dir — verifies the candidates-linear
+  * claim behind deriveLshBits with MEASURED counts, not expectations. */
+object ProbeLsh {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "24")
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"),
+      shufflePartitions = cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val vecs = Td.table(spark, dir, "embeddings")
+    // the ld7 planted corpus (twin per vec_id % 50 = 0, +0.25 first dim)
+    val twins = vecs.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 1).cast("double") + lit(0.25)),
+          transform(slice(col("embedding"), 2, 63), x => x.cast("double"))
+        ).as("embedding"))
+    val corpus = vecs.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .unionByName(twins)
+    val n = corpus.count()
+    val bits = graft.llm.Similarity.deriveLshBits(n)
+    val idx = graft.llm.Similarity.lshIndex(corpus, "vec_id", "embedding",
+      tables = 16, bits = bits, invDensity = 4)
+    val buckets = idx.select(col("id"),
+      posexplode(col("codes")).as(Seq("tbl", "code")))
+    val nCand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.code") === col("b.code") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id")).distinct().count()
+    println(s"[probelsh] dir=$dir n=$n bits=$bits candidates=$nCand perRow=${nCand / n}")
+    graft.llm.Caches.releaseAll(spark)
+    spark.stop()
+  }
+}

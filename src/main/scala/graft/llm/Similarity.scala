@@ -1209,7 +1209,7 @@ object Similarity {
     * per-table collision at cos≈0.97 is ~0.92^bits, so even at the
     * 20-bit cap a pair misses all 16 tables with prob < 1%. Floor-log2
     * spelled as 63 − nlz == length(bin(x)) − 1 on both engines. */
-  private[llm] def deriveLshBits(n: Long): Int = {
+  private[graft] def deriveLshBits(n: Long): Int = {
     val x = math.max(n / 32L, 1L)
     val fl = 63 - java.lang.Long.numberOfLeadingZeros(x)
     math.min(20, math.max(4, fl))
