@@ -1153,9 +1153,12 @@ object LlmQueries {
     //    documents — the BM25 seat) into one ranking by Σ 1e6 DIV
     //    (60 + rank), RRF's 1/(c+r) weights scaled to exact integer ppm so
     //    no float division can reorder ties. Both legs and the fusion are
-    //    replayed relationally; at scale the lexical self-join takes the
+    //    replayed relationally; at scale the lexical leg takes the
     //    shingle DF cap (viral-boilerplate bound) like every other
-    //    shingle-keyed join in the dedup tier. ──
+    //    shingle-keyed join in the dedup tier — applied as a window over
+    //    the post-probe candidate stream, not the corpus shingle table,
+    //    so the cap costs one exchange of the (constant-batch) candidates
+    //    rather than of the corpus. ──
     //    r7: constant 50-query batch across BOTH legs (same qsel ids
     //    drive the dense and lexical rankers — the family-wide ×100 fix).
     q("ls10_hybrid_rrf",
@@ -1207,6 +1210,16 @@ object LlmQueries {
           "doc_id").as("a")
         .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") =!= col("b.doc_id"))
+        // hot-shingle DF cap on the CANDIDATE stream: each (query, shingle)
+        // slice holds exactly that shingle's corpus DF rows, so the window
+        // rides the post-probe candidates (small — the query batch is a
+        // constant 50) and the full corpus shingle table never takes an
+        // extra exchange. A viral boilerplate shingle is one fat slice,
+        // counted and discarded before the pair rollup can square it.
+        // Never fires at oracle scale (ld2's uncapped-oracle precedent).
+        .withColumn("__df", count(lit(1)).over(
+          Window.partitionBy(col("a.doc_id"), col("a.shingle"))))
+        .filter(col("__df") <= Dedup.DefaultMaxShingleDf)
         .groupBy(col("a.doc_id").as("query_id"),
           col("b.doc_id").as("neighbor_id"))
         .agg(count(lit(1)).as("ov"))
