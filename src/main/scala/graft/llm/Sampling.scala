@@ -400,4 +400,66 @@ object Sampling {
           .orderBy(col("__hk"), col("id"))) - 1).cast("long"))
       .select(col("id"), col("epoch"), col("shard"), col("pos"))
   }
+
+  /** Leakage-safe train/val/test split: every document inherits its
+    * near-dup CLUSTER's split — the split bucket is the cross-engine md5
+    * hash of the cluster representative's id, so two near-duplicates can
+    * never straddle the train/eval boundary. That is the eval-contamination
+    * mode a row-hashed split (lt5's shape) leaves open: two 0.9-Jaccard
+    * copies hash independently and land on opposite sides, leaking the
+    * eval set into training. `clusters` is a (doc_id, survivor_id)
+    * membership map ([[Dedup.dedupClusters]] output); documents absent
+    * from it are singletons and represent themselves.
+    *
+    * Scale shape: ONE exchange of the corpus ids for the left join against
+    * the cluster map (the map is bounded by the duplicated subset — AQE
+    * broadcasts it when small), then a scan-stage hash + case. No window,
+    * no global sort, nothing keyed on the split label (three hot groups
+    * would be a 3-partition bottleneck; the split is a COLUMN, and any
+    * downstream per-split rollup aggregates with map-side combine). */
+  def leakageSafeSplit(
+      docs: DataFrame, clusters: DataFrame, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"leakageSafeSplit: bad split percentages ($trainPct/$valPct)")
+    val bucket = pmod(Dedup.md5Hash60(col("group_key").cast("string")), lit(100L))
+    docs.select(col(idCol))
+      .join(clusters.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("survivor_id"), col(idCol)).as("group_key"))
+      .withColumn("split",
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  /** Soft dedup: instead of DROPPING near-duplicates, weight every document
+    * by 1e6 DIV cluster_size ppm, so each near-dup cluster contributes one
+    * document's worth of sampling mass to the training mix — the
+    * dedup-as-reweighting alternative used when hard removal is too
+    * aggressive (cluster members are variants, not byte copies, and some
+    * diversity across them is worth keeping). Singletons (absent from the
+    * cluster map) weigh the full 1e6. Weights are exact integer ppm
+    * (positive DIV == floor), so downstream weighted samplers
+    * ([[weightedSample]]) and any cross-engine replay see identical values.
+    *
+    * Scale shape: cluster sizes aggregate the (small) membership map with
+    * map-side combine, then the same single corpus-by-id left join as
+    * [[leakageSafeSplit]]; the sizes join keys on group_key (again the
+    * duplicated subset — broadcastable). */
+  def softDedupWeights(
+      docs: DataFrame, clusters: DataFrame, idCol: String): DataFrame = {
+    val sizes = clusters.groupBy(col("survivor_id").as("group_key"))
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+    docs.select(col(idCol))
+      .join(clusters.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("survivor_id"), col(idCol)).as("group_key"))
+      .join(sizes, Seq("group_key"), "left")
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .withColumn("weight_ppm",
+        expr("CAST(1000000 DIV cluster_size AS BIGINT)"))
+      .select(col(idCol), col("group_key"), col("cluster_size"),
+        col("weight_ppm"))
+  }
 }

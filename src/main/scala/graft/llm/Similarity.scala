@@ -1394,4 +1394,85 @@ object Similarity {
         .orderBy(col("rrf_ppm").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
   }
+
+  /** BM25 "more-like-this" lexical retrieval: rank corpus documents against
+    * each query document by the classic BM25 weighting (k1 = 1.2, b = 0.75)
+    * over whitespace unigrams, every step in exact integer arithmetic so
+    * the ranking replays bit-for-bit on any engine: idf is the floor-log2
+    * surrogate length(bin(N)) - length(bin(df)) (the lt19 idiom — no
+    * transcendental can diverge between engines), the tf saturation
+    * tf·(k1+1)/(tf + k1·(1-b+b·len/avgdl)) is one integer-DIV sequence in
+    * ppm units, and ties break by neighbor id. Query terms occurring in
+    * more than a quarter of the corpus are dropped (df·4 > N) — the
+    * stopword cut that both sharpens scores (near-ubiquitous terms carry
+    * idf2 ≈ 0 anyway) and bounds every posting fan-out to N/4. This is the
+    * idf/length-normalized upgrade of the raw shingle-overlap leg ls10
+    * fuses (overlap counting has no notion of term rarity or document
+    * length; BM25 is what the lexical seat of a RAG stack actually runs).
+    *
+    * Scale shape: the corpus side is ONE tokenize scan into ONE
+    * (doc, term)-keyed aggregation (map-side combined — Zipf-hot terms are
+    * aggregate keys, never window partitions), plus a one-row corpus
+    * stats aggregate; every query-side table (terms, their document
+    * frequencies, idf weights) derives from the constant query batch and
+    * broadcasts, so postings are probed in the scan stage with no corpus
+    * exchange keyed by term; the only other exchange is the per-(query,
+    * neighbor) score rollup. Per-query-term candidates are df-bounded —
+    * the inverted-index evaluation cost; impact-ordered posting truncation
+    * (WAND-style) is the named refinement if sub-DF candidate generation
+    * is ever needed. Integer headroom: tf·2.2e12 must fit a long, so a
+    * single term repeated > ~4.1M times in one document fails LOUDLY under
+    * ANSI arithmetic rather than wrapping (the ls11 convention). */
+  def bm25MoreLikeThis(
+      queries: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      k: Int, ngram: Int = 1): DataFrame = {
+    require(k > 0, s"bm25MoreLikeThis: k must be positive, got $k")
+    require(ngram >= 1, s"bm25MoreLikeThis: ngram must be >= 1, got $ngram")
+    // `ngram > 1` indexes n-token windows (multiset) instead of unigrams —
+    // the right unit when the unigram vocabulary is so small that every
+    // word is a stopword (terms need enough surprise for idf to rank by)
+    val termArr =
+      if (ngram == 1) TextOps.tokens(col(textCol))
+      else TextOps.ngramsAll(TextOps.tokens(col(textCol)), ngram)
+    val toks = corpus.select(col(idCol).cast("long").as("doc_id"),
+      termArr.as("t"))
+    // postings: one row per (doc, term) with the doc's length carried
+    // through the aggregate (len is functionally dependent on doc_id, so
+    // it widens the key without changing the groups). Persisted: the
+    // query-term extraction, the df pass, and the candidate probe all
+    // consume it.
+    // len must be LONG before it meets the ppm constants: size() is an
+    // int, and 750000 * int wraps under ANSI before the widening can help
+    val tf = Caches.persist(toks
+      .select(col("doc_id"), size(col("t")).cast("long").as("len"),
+        explode(col("t")).as("w"))
+      .groupBy("doc_id", "len", "w").agg(count(lit(1)).as("tf")))
+    // N and avgdl come from the toks scan, not the postings (a zero-token
+    // document has no posting rows but still counts toward both)
+    val stats = toks.agg(count(lit(1)).cast("long").as("n"),
+      sum(size(col("t"))).cast("long").as("sumlen"))
+    val qids = broadcast(queries.select(col(idCol).cast("long").as("query_id")))
+    val qp = tf.join(qids, col("doc_id") === col("query_id"))
+      .select(col("query_id"), col("w")).distinct()
+    val dfq = tf.join(broadcast(qp.select("w").distinct()), Seq("w"))
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val wq = dfq.crossJoin(broadcast(stats))
+      .filter(col("df") * 4 <= col("n"))
+      .select(col("w"),
+        (length(bin(col("n"))) - length(bin(col("df")))).cast("long").as("idf2"))
+    val ap = stats.select(expr("(sumlen * 1000000) DIV n").as("avgdl_ppm"))
+    val cand = tf.join(broadcast(qp.join(wq, Seq("w"))), Seq("w"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(ap))
+      .withColumn("contrib", expr(
+        """idf2 * ((tf * 2200000 * 1000000) DIV
+          |  (tf * 1000000 +
+          |   (1200 * (250000 + (750000 * len * 1000000) DIV avgdl_ppm)) DIV 1000))"""
+          .stripMargin))
+    cand.groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
+      .agg(sum(col("contrib")).cast("long").as("score_scaled"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score_scaled").desc, col("neighbor_id"))).cast("int"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -1230,6 +1230,60 @@ object LlmQueries {
       Similarity.rrfFuse(Seq(dense, lex), k = 10)
     },
 
+    // ── BM25 more-like-this retrieval (k1=1.2, b=0.75) — the idf- and
+    //    length-normalized lexical ranker (ls10's overlap leg has no
+    //    notion of term rarity or document length; this is what the
+    //    lexical seat of a RAG stack actually runs). Terms are BIGRAM
+    //    windows (lt29's proven spelling): the synthetic corpus's unigram
+    //    vocabulary is ~31 words all in the same power-of-two df band as
+    //    N itself — every word is a stopword — while bigrams spread into
+    //    discriminative df bands. Exact integer ppm arithmetic
+    //    throughout: floor-log2 idf (the lt19 bin() idiom), one
+    //    integer-DIV tf-saturation sequence, df·4 > N stopword cut.
+    //    Constant 50-query batch; corpus postings aggregate once
+    //    (map-side combined — Zipf-hot terms are agg keys, never window
+    //    partitions), every query-side table broadcasts, so the corpus
+    //    never exchanges by term. ──
+    q("ls16_bm25",
+      s"""WITH $toksCte,
+         |tg AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS w
+         |  FROM toks, UNNEST(range(1, greatest(len(t)-1, 1) + 1)) AS u(i)),
+         |lenq AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+         |  FROM tg GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(len) AS BIGINT) AS sumlen FROM lenq),
+         |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tg GROUP BY 1, 2),
+         |qsel AS (SELECT doc_id AS query_id FROM documents
+         |  WHERE doc_id % 40 = 0 ORDER BY doc_id LIMIT 50),
+         |qp AS (SELECT DISTINCT q.query_id, tf.w
+         |  FROM tf JOIN qsel q ON tf.doc_id = q.query_id),
+         |dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf
+         |  WHERE w IN (SELECT DISTINCT w FROM qp) GROUP BY 1),
+         |wq AS (SELECT w, CAST(length(bin(n)) - length(bin(df)) AS BIGINT) AS idf2
+         |  FROM dfq, st WHERE df * 4 <= n),
+         |ap AS (SELECT (sumlen * 1000000) // n AS avgdl_ppm FROM st),
+         |cand AS (SELECT qp.query_id, tf.doc_id AS neighbor_id, tf.tf, l.len, wq.idf2
+         |  FROM qp JOIN wq ON qp.w = wq.w JOIN tf ON tf.w = qp.w
+         |  JOIN lenq l ON tf.doc_id = l.doc_id
+         |  WHERE tf.doc_id <> qp.query_id),
+         |sc AS (SELECT query_id, neighbor_id,
+         |    CAST(sum(idf2 * ((tf * 2200000 * 1000000) //
+         |      (tf * 1000000 +
+         |       (1200 * (250000 + (750000 * len * 1000000) // avgdl_ppm)) // 1000)))
+         |      AS BIGINT) AS score_scaled
+         |  FROM cand, ap GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, score_scaled, rank FROM (
+         |  SELECT query_id, neighbor_id, score_scaled,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_scaled DESC, neighbor_id) AS INT) AS rank
+         |  FROM sc) WHERE rank <= 10""".stripMargin) { (s, dir) =>
+      val docs = Td.table(s, dir, "documents")
+      Similarity.bm25MoreLikeThis(
+        docs.filter(col("doc_id") % 40 === 0).orderBy("doc_id").limit(50),
+        docs, "doc_id", "text", k = 10, ngram = 2)
+    },
+
     // ── IVF ANN with a LEARNED coarse quantizer (second scale path beside
     //    LSH; the distributed cell-join shape). Centroids are trained
     //    k-means-lite from the corpus itself — deterministic seeds + one
@@ -1524,6 +1578,70 @@ object LlmQueries {
       Sampling.epochBatches(withTok, "doc_id", "n_tok",
         tokenBudget = 4096L, epochs = 3, shards = 8)
         .withColumnRenamed("id", "doc_id")
+    },
+
+    // ── leakage-safe train/val/test split: the split key is the near-dup
+    //    CLUSTER representative (ld6's components over the 0.8-Jaccard
+    //    graph; singletons represent themselves), hashed with the
+    //    cross-engine md5 — so two near-duplicates can never straddle the
+    //    train/eval boundary, the contamination mode lt5's row-hashed
+    //    split leaves open. One corpus-by-id join against the (small)
+    //    cluster map on top of the ld6 machinery; the split itself is a
+    //    scan-stage hash + case. ──
+    q("lt48_leakage_safe_split",
+      s"""WITH RECURSIVE ${jacCtes(0.8)},
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM jac
+         |  UNION SELECT d2, d1 FROM jac),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |cmap AS (SELECT id AS doc_id, min(r) AS survivor_id FROM reach GROUP BY 1),
+         |g AS (SELECT d.doc_id, coalesce(c.survivor_id, d.doc_id) AS group_key
+         |  FROM documents d LEFT JOIN cmap c ON d.doc_id = c.doc_id),
+         |h AS (SELECT doc_id, group_key,
+         |    CAST(('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+         |  FROM g)
+         |SELECT doc_id, group_key,
+         |  CASE WHEN b < 80 THEN 'train'
+         |       WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM h""".stripMargin) { (s, dir) =>
+      val docs = Td.table(s, dir, "documents")
+      val clusters = Dedup.dedupClusters(Dedup.jaccardPairs(
+        Dedup.shingleTable(docs, "doc_id", "text", 3), 0.8))
+      Sampling.leakageSafeSplit(docs, clusters, "doc_id")
+    },
+
+    // ── soft dedup (dedup-as-reweighting): weight each document by
+    //    1e6 DIV cluster_size ppm instead of dropping non-survivors, so a
+    //    near-dup cluster contributes one document's worth of sampling
+    //    mass while keeping its internal variation available — the
+    //    alternative to hard removal when cluster members are variants,
+    //    not copies. Exact integer ppm; feeds lt32's weighted sampler
+    //    directly. Cluster sizes aggregate the (small) membership map;
+    //    the corpus takes the same single by-id join as lt48. ──
+    q("lt49_soft_dedup_weights",
+      s"""WITH RECURSIVE ${jacCtes(0.8)},
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM jac
+         |  UNION SELECT d2, d1 FROM jac),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |cmap AS MATERIALIZED (SELECT id AS doc_id, min(r) AS survivor_id
+         |  FROM reach GROUP BY 1),
+         |csz AS (SELECT survivor_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM cmap GROUP BY 1),
+         |g AS (SELECT d.doc_id, coalesce(c.survivor_id, d.doc_id) AS group_key
+         |  FROM documents d LEFT JOIN cmap c ON d.doc_id = c.doc_id)
+         |SELECT g.doc_id, g.group_key,
+         |  CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+         |  CAST(1000000 // coalesce(s.cluster_size, 1) AS BIGINT) AS weight_ppm
+         |FROM g LEFT JOIN csz s ON g.group_key = s.survivor_id""".stripMargin) { (s, dir) =>
+      val docs = Td.table(s, dir, "documents")
+      val clusters = Dedup.dedupClusters(Dedup.jaccardPairs(
+        Dedup.shingleTable(docs, "doc_id", "text", 3), 0.8))
+      Sampling.softDedupWeights(docs, clusters, "doc_id")
     },
 
     // ── the WHOLE curation chain as one hash-pinned query: lt31

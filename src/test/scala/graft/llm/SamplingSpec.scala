@@ -345,4 +345,42 @@ class SamplingSpec extends SparkSpec {
       .map(r => r._1 -> (r._3, r._4, r._5, r._6)).toMap
     assert(batchOf(0) != batchOf(1))
   }
+
+  test("leakageSafeSplit: cluster members share a split, singletons represent themselves") {
+    val d = (1L to 200L).toDF("doc_id")
+    val cmap = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "survivor_id")
+    val out = Sampling.leakageSafeSplit(d, cmap, "doc_id")
+      .as[(Long, Long, String)].collect()
+    assert(out.length == 200)
+    val m = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    // every cluster member inherits the representative's group AND split
+    assert(Set(m(1L), m(2L), m(3L)).size == 1 && m(1L)._1 == 1L)
+    assert(m(10L) == m(11L) && m(10L)._1 == 10L)
+    // a singleton represents itself
+    assert(m(5L)._1 == 5L)
+    // the split is a function of the group key alone: evaluating one
+    // member in isolation (no cluster context for anyone else) agrees
+    val solo = Sampling.leakageSafeSplit(Seq(2L).toDF("doc_id"), cmap, "doc_id")
+      .as[(Long, Long, String)].collect().head
+    assert(solo._3 == m(1L)._2)
+    // all three splits are populated over 200 groups (deterministic md5)
+    assert(out.map(_._3).toSet == Set("train", "val", "test"))
+  }
+
+  test("softDedupWeights: weight is 1e6 DIV cluster size; singletons weigh the full 1e6") {
+    val d = (1L to 20L).toDF("doc_id")
+    val cmap = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "survivor_id")
+    val out = Sampling.softDedupWeights(d, cmap, "doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 20)
+    val m = out.map(r => r._1 -> r).toMap
+    assert(Seq(1L, 2L, 3L).forall(i => m(i)._3 == 3L && m(i)._4 == 333333L))
+    assert(Seq(10L, 11L).forall(i => m(i)._3 == 2L && m(i)._4 == 500000L))
+    assert(m(7L)._3 == 1L && m(7L)._4 == 1000000L)
+    // each cluster's total mass is ~1e6 (exactly 1e6 when size divides it)
+    assert(Seq(1L, 2L, 3L).map(m(_)._4).sum == 999999L)
+    assert(Seq(10L, 11L).map(m(_)._4).sum == 1000000L)
+  }
 }

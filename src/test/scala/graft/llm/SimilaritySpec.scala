@@ -462,4 +462,30 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long, Int)].collect().sortBy(_._4).toSeq
     assert(tied.map(_._2) == Seq(3L, 5L) && tied.map(_._3).distinct.size == 1)
   }
+
+  test("bm25MoreLikeThis: planted near-copy ranks first, partial copier second, self excluded") {
+    val background = (1L to 12L).map { i =>
+      (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f")
+    }
+    val corpus = (background ++ Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (102L, "alpha beta gamma kappa lambda mu")
+    )).toDF("doc_id", "text")
+    val got = Similarity.bm25MoreLikeThis(
+        corpus.filter(col("doc_id") === 100L), corpus, "doc_id", "text",
+        k = 3, ngram = 2)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4).toSeq
+    // only the two docs sharing query bigrams are candidates: the near-copy
+    // (6 shared bigrams) must outrank the partial copier (2 shared), the
+    // query doc itself must not appear, and ranks must be dense from 1
+    assert(got.map(r => (r._1, r._2, r._4)) == Seq((100L, 101L, 1), (100L, 102L, 2)))
+    assert(got.forall(_._3 > 0L) && got.head._3 > got(1)._3)
+    // determinism: an independent evaluation produces the identical ranking
+    val again = Similarity.bm25MoreLikeThis(
+        corpus.filter(col("doc_id") === 100L), corpus, "doc_id", "text",
+        k = 3, ngram = 2)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4).toSeq
+    assert(again == got)
+  }
 }
