@@ -116,7 +116,21 @@ class PlanShapeSpec extends SparkSpec {
     // literal; a second exchange means the batch columns stopped sharing
     // the window partitioning
     Shape("lt47_epoch_batches", scans = Some(1), shuffles = Some(1),
-      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // ls16: every query-side table (terms, df, idf, corpus stats)
+    // broadcasts onto the postings — the corpus must never exchange
+    // keyed by term, so no sort-merge join may appear anywhere (the
+    // 1-row stats cross joins are broadcast nested loops, which are fine)
+    Shape("ls16_bm25", scans = None, shuffles = None,
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // lt48/lt49: the returned plan is ONE documents scan joined against
+    // the checkpointed cluster map by id — the split/weight math adds no
+    // window and no extra corpus pass
+    Shape("lt48_leakage_safe_split", scans = Some(1), shuffles = None,
+      mustNotContain = Seq("CartesianProduct")),
+    Shape("lt49_soft_dedup_weights", scans = Some(1), shuffles = None,
+      mustNotContain = Seq("CartesianProduct")))
 
   /** Flatten INCLUDING materialized AQE query stages (QueryStageExec is a
     * leaf whose real subtree hangs off `.plan`). */
