@@ -1229,26 +1229,14 @@ object Similarity {
     // consuming action
     val prep = Caches.persist(
       lshPrep(vecs, idCol, embCol, tables, b, dims, invDensity))
-    val buckets = prep.select(col("id"),
-      posexplode(col("codes")).as(Seq("tbl", "code")))
-    val cand = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.code") === col("b.code") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("d1"), col("b.id").as("d2"))
-      .distinct()
-    cand
-      .join(prep.select(col("id").as("d1"), col("e").as("e1"), col("nrm").as("n1")), "d1")
-      .join(prep.select(col("id").as("d2"), col("e").as("e2"), col("nrm").as("n2")), "d2")
-      .select("d1", "d2", "e1", "n1", "e2", "n2")
-      .as[(Long, Long, Array[Long], Double, Array[Long], Double)]
-      .mapPartitions { iter =>
-        iter.flatMap { case (d1, d2, e1, n1, e2, n2) =>
-          val cos = Qv.dot(e1, e2).toDouble / (n1 * n2)
-          if (cos >= minCos) Some((d1, d2, cos)) else None
-        }
-      }
-      .toDF("d1", "d2", "cosine")
+    // (table, code) packed into one long bucket key — same group-local
+    // confirm as the cell-blocking geometries: members ship once per
+    // bucket (tables·N rows), only confirmed pairs ever shuffle
+    val members = prep.select(col("id"), col("e"), col("nrm"),
+        posexplode(col("codes")).as(Seq("tbl", "code")))
+      .select(col("id"), col("e"), col("nrm"),
+        (col("tbl").cast("long") * lit(4294967296L) + col("code")).as("cell"))
+    groupLocalConfirm(members, minCos)
   }
 
   /** SemDeDup-style CELL-blocked embedding near-dup pairs: cluster the
@@ -1265,7 +1253,8 @@ object Similarity {
     * collected. Output: d1 < d2, cosine >= minCos. */
   def cellBlockedNearDups(
       vecs: DataFrame, idCol: String, embCol: String, minCos: Double,
-      kCells: Int = 0, nprobe: Int = 2, dims: Int = 64): DataFrame = {
+      kCells: Int = 0, nprobe: Int = 2, dims: Int = 64,
+      probe: Boolean = false): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     require(kCells >= 0 && nprobe >= 1 && (kCells == 0 || nprobe <= kCells),
@@ -1293,24 +1282,186 @@ object Similarity {
         (id, e, nrm, nearestCells(e, nrm, cs, nprobe))
       }
     }.toDF("id", "e", "nrm", "cells"))
-    val buckets = prep.select(col("id"), explode(col("cells")).as("cell"))
-    val cand = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("d1"), col("b.id").as("d2"))
-      .distinct()
-    cand
-      .join(prep.select(col("id").as("d1"), col("e").as("e1"), col("nrm").as("n1")), "d1")
-      .join(prep.select(col("id").as("d2"), col("e").as("e2"), col("nrm").as("n2")), "d2")
-      .select("d1", "d2", "e1", "n1", "e2", "n2")
-      .as[(Long, Long, Array[Long], Double, Array[Long], Double)]
-      .mapPartitions { iter =>
-        iter.flatMap { case (d1, d2, e1, n1, e2, n2) =>
-          val cos = Qv.dot(e1, e2).toDouble / (n1 * n2)
-          if (cos >= minCos) Some((d1, d2, cos)) else None
+    val members = prep
+      .select(col("id"), col("e"), col("nrm"),
+        explode(col("cells")).as("c"))
+      .select(col("id"), col("e"), col("nrm"), col("c").cast("long").as("cell"))
+    if (probe) {
+      val occ = members.groupBy("cell").count()
+        .agg(max("count"), sum(expr("count * (count - 1) / 2"))).collect()(0)
+      println(s"[flat] max cell occupancy: ${occ.get(0)}, raw pair upper bound: ${occ.get(1)}")
+    }
+    groupLocalConfirm(members, minCos)
+  }
+
+  /** Shared confirm tail of the cell-blocking operators: ship each cell's
+    * members ONCE — (id, vector, norm, cell), 4·nprobe·N rows total — and
+    * run the within-cell all-pairs cosine as a raw JVM loop per cell, so
+    * only CONFIRMED pairs (a tiny set at a near-dup threshold) ever hit a
+    * shuffle. The previous shape materialized the candidate PAIR table and
+    * joined both vectors onto every pair — per-pair payload ≈ 1 KB, which
+    * at 1M distinct vectors meant hundreds of GB of shuffle for ~5·10^8
+    * candidates (measured to exhaust a single box's shuffle disk; on a
+    * cluster it's the dominant network cost). Group-local confirm does the
+    * identical dot products with per-CELL payload instead — a ~(cell
+    * occupancy)× traffic cut. Memory per task = occupancy × ~530 B,
+    * bounded by the blocking geometry (√N or tree cells), and a skewed
+    * cell is one fat task of occ²/2 integer dots, not a shuffle blowup.
+    * A pair sharing several probed cells confirms identically in each
+    * (same integer dot, same IEEE division), so the final distinct
+    * collapses exact duplicates. */
+  private def groupLocalConfirm(
+      members: DataFrame, minCos: Double): DataFrame = {
+    val spark = members.sparkSession
+    import spark.implicits._
+    members.select(col("cell"), col("id"), col("e"), col("nrm"))
+      .as[(Long, Long, Array[Long], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val arr = it.toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < arr.length) {
+          val (_, d1, e1, n1) = arr(i)
+          var j = i + 1
+          while (j < arr.length) {
+            val (_, d2, e2, n2) = arr(j)
+            val cos = Qv.dot(e1, e2).toDouble / (n1 * n2)
+            if (cos >= minCos)
+              out += (if (d1 < d2) (d1, d2, cos) else (d2, d1, cos))
+            j += 1
+          }
+          i += 1
         }
+        out.iterator
       }
       .toDF("d1", "d2", "cosine")
+      .distinct()
+  }
+
+  /** The hierarchical branching factor: k = min(2^⌈(⌊log2 N⌋+1+2)/3⌉, 256)
+    * — a power of two derived from N's bit length, so a SQL oracle spells
+    * the IDENTICAL value as least(1 << ((length(bin(n)) + 2) // 3), 256)
+    * with no float in sight. k ≈ N^(1/3) keeps the two-level grid at
+    * k² ≈ N^(2/3) cells of ~N^(1/3) vectors each; the 256 cap bounds the
+    * broadcast L2 table at 65536 centroids (the deriveKCells budget) and
+    * binds only past N ≈ 4M vectors, where a third level is the
+    * documented follow-up. */
+  private def deriveTreeK(n: Long): Int = {
+    require(n >= 1, "deriveTreeK: empty training corpus")
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(n)
+    math.min(256, 1 << ((bits + 2) / 3))
+  }
+
+  /** Two-level hierarchical SemDeDup blocking — the refinement
+    * [[cellBlockedNearDups]]' O(N^1.5) analysis names: one flat √N grid
+    * balances training (N·√N) against within-cell pairs (N^1.5/2), so the
+    * TOTAL is O(N^1.5) no matter how the single knob turns. Splitting the
+    * quantizer into two levels of k ≈ N^(1/3) cells each drops BOTH
+    * sides: training/assignment scans k + k centroids per vector
+    * (O(N^(4/3)) total) and the k² ≈ N^(2/3) composite cells hold ~N^(1/3)
+    * vectors each, putting within-cell pairs at O(N^(4/3)) too.
+    *
+    * Construction (every data-dependent choice replayed relationally by
+    * the oracle, so the pair sets hash-match): L1 = the k-means-lite
+    * quantizer ([[trainCellCentroids]]: k smallest ids seed, one Lloyd
+    * round over exact integer sums); within each L1 cell, L2 seeds are
+    * that cell's k smallest members and one more Lloyd round rebuilds
+    * them; vectors probe their nprobe nearest L1 cells and, within each,
+    * the nprobe nearest L2 centroids — nprobe² composite buckets per
+    * vector, so boundary-split twins still meet. Candidates only within
+    * shared (L1, L2) buckets; exact quantized cosine confirms.
+    *
+    * Scale shape: both centroid tables broadcast (≤ 65536 entries by the
+    * k cap); the corpus never joins anything larger than its own bucket
+    * explosion (nprobe² rows per vector), and the L2 seed election is one
+    * window over the L1-keyed exchange. */
+  def treeBlockedNearDups(
+      vecs: DataFrame, idCol: String, embCol: String, minCos: Double,
+      nprobe: Int = 2, dims: Int = 64, kTree: Int = 0,
+      probe: Boolean = false): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    require(nprobe >= 1, s"treeBlockedNearDups: bad nprobe=$nprobe")
+    // dev diagnostic (ProbeTree): staged wall/cardinality prints on the
+    // SAME frames the operator returns — never on in Verify/Bench
+    def timed[T](label: String)(f: => T): T =
+      if (!probe) f else {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[tree] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+    val corpusQ = vecs
+      .select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("e"))
+      .as[(Long, Array[Long])]
+    val k = if (kTree > 0) kTree else deriveTreeK(corpusQ.count())
+    if (probe) println(s"[tree] k=$k")
+    val cents1 = timed("trainL1")(trainCellCentroids(corpusQ, k, dims))
+    val bc1 = spark.sparkContext.broadcast(cents1)
+    // one pass attaches norm + home L1 cell; persisted for its four
+    // consumers (L2 seed election, L2 training, final probing, scoring)
+    val prep = Caches.persist(corpusQ.mapPartitions { iter =>
+      val cs = bc1.value
+      iter.map { case (id, e) =>
+        require(e.length == dims, s"vector length ${e.length} != dims $dims")
+        val nrm = math.sqrt(Qv.dot(e, e).toDouble)
+        (id, e, nrm, nearestCells(e, nrm, cs, 1)(0))
+      }
+    }.toDF("id", "e", "nrm", "c1"))
+    // L2 seeds: each L1 cell's k smallest members (rank = sub-cell id) —
+    // one window on the L1-keyed exchange, then a bounded collect
+    // (≤ k² ≤ 65536 rows by the deriveTreeK cap)
+    val seedRows = timed("seedsL2")(prep
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("c1").orderBy("id")))
+      .filter(col("rn") <= k)
+      .select(col("c1"), (col("rn") - 1).cast("int").as("c2"), col("e"))
+      .as[(Int, Int, Array[Long])].collect())
+    val seedMap = seedRows.groupBy(_._1).map { case (c1, rows) =>
+      c1 -> rows.sortBy(_._2).map { case (_, c2, e) => withNorm(c2, e) }
+    }
+    val bseed2 = spark.sparkContext.broadcast(seedMap)
+    // one L2 Lloyd round: assign within the HOME L1 cell, rebuild each
+    // (c1, c2) centroid as the exact integer component sum
+    val vecsum = udaf(VecSumAgg)
+    val cents2 = prep.as[(Long, Array[Long], Double, Int)]
+      .mapPartitions { iter =>
+        val sm = bseed2.value
+        iter.map { case (_, e, nrm, c1) =>
+          (c1, nearestCells(e, nrm, sm(c1), 1)(0), e)
+        }
+      }.toDF("c1", "c2", "q")
+      .groupBy("c1", "c2").agg(vecsum(col("q")).as("s"))
+      .as[(Int, Int, Array[Long])].collect()
+    if (probe) println(s"[tree] l2 centroids: ${cents2.length}")
+    val cents2Map = cents2.groupBy(_._1).map { case (c1, rows) =>
+      c1 -> rows.sortBy(_._2).map { case (_, c2, s) => withNorm(c2, s) }
+    }
+    val bc2 = spark.sparkContext.broadcast(cents2Map)
+    // final probing: nprobe L1 cells, nprobe L2 centroids within each —
+    // composite bucket packed as one long (c2 < 65536 by the k cap)
+    val buckets = prep.as[(Long, Array[Long], Double, Int)]
+      .mapPartitions { iter =>
+        val cs1 = bc1.value
+        val cm2 = bc2.value
+        iter.flatMap { case (id, e, nrm, _) =>
+          nearestCells(e, nrm, cs1, nprobe).iterator.flatMap { c1p =>
+            cm2.get(c1p) match {
+              case Some(cs2) => nearestCells(e, nrm, cs2, nprobe).iterator
+                .map(c2p => (id, e, nrm, c1p.toLong * 65536L + c2p))
+              case None => Iterator.empty
+            }
+          }
+        }
+      }.toDF("id", "e", "nrm", "cell")
+    if (probe) {
+      println(s"[tree] buckets: ${timed("buckets.count")(buckets.count())}")
+      val occ = buckets.groupBy("cell").count()
+        .agg(max("count"), sum(expr("count * (count - 1) / 2"))).collect()(0)
+      println(s"[tree] max cell occupancy: ${occ.get(0)}, raw pair upper bound: ${occ.get(1)}")
+    }
+    groupLocalConfirm(buckets, minCos)
   }
 
   /** Exact all-pairs cosine near-dup (the confirm/baseline path; at scale

@@ -370,7 +370,9 @@ object LlmQueries {
     * Ends with `${p}cells` (vec_id, cell) and exposes `${p}sc2` (the full
     * nearest-centroid ranking) for probe derivation. Prefixing lets the
     * IVFADC oracle compose this chain with [[pqTrainCtes]] in one WITH. */
-  private def ivfTrainCtes(kCells: Int, p: String): String = {
+  private def ivfTrainCtes(kCells: Int, p: String,
+      derivedKSql: String = "least(CAST(floor(sqrt(CAST(count(*) AS DOUBLE)))" +
+        " AS BIGINT), 65536)"): String = {
     // nearest-centroid rank of every vector vs centroid sums `cs`/`csn`
     def rankCte(dotName: String, cs: String, csn: String, out: String): String =
       s"""$dotName AS (SELECT v.vec_id, c.c, sum(v.x * c.s) AS dp
@@ -391,8 +393,7 @@ object LlmQueries {
          |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c
          |  FROM (SELECT vec_id FROM nrm ORDER BY vec_id LIMIT $kCells))""".stripMargin
     else
-      s"""${p}kc AS (SELECT least(CAST(floor(sqrt(CAST(count(*) AS DOUBLE)))
-         |    AS BIGINT), 65536) AS kc FROM nrm),
+      s"""${p}kc AS (SELECT $derivedKSql AS kc FROM nrm),
          |${p}seed AS (SELECT vec_id, CAST(srn - 1 AS INT) AS c
          |  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS srn
          |    FROM nrm) t CROSS JOIN ${p}kc WHERE t.srn <= kc)""".stripMargin
@@ -429,6 +430,70 @@ object LlmQueries {
        |      AS cosine
        |  FROM dot JOIN nrm nx ON d1 = nx.vec_id JOIN nrm ny ON d2 = ny.vec_id)
        |WHERE cosine >= $minCos""".stripMargin
+
+  /** DuckDB twin of [[Similarity.treeBlockedNearDups]] — replays BOTH
+    * quantizer levels relationally: the L1 chain is [[ivfTrainCtes]] with
+    * the tree branching factor k = least(1 << ((length(bin(N)) + 2) // 3),
+    * 256) (the bit-length spelling `Similarity.deriveTreeK` computes —
+    * integer-exact, no float), then per-L1-cell L2 seeds (each cell's k
+    * smallest members), one L2 Lloyd round over exact integer sums, and
+    * the nprobe × nprobe composite probing, all through the identical
+    * `dp / (sqrt(nn_v) * sqrt(nn_c))` IEEE sequence with (cosine DESC,
+    * cell) ties. Data-dependent at every step, so the candidate PAIR sets
+    * hash-match exactly. */
+  private def ld15Oracle(minCos: Double, nprobe: Int): String = {
+    val treeK =
+      "least((CAST(1 AS BIGINT) << ((length(bin(count(*))) + 2) // 3)), 256)"
+    s"""WITH $plantedCorpusCte,
+       |${quantCtesFrom("corpus")},
+       |${ivfTrainCtes(0, "t1", treeK)},
+       |s2seed AS (SELECT vec_id, c1, CAST(rn2 - 1 AS INT) AS c2 FROM (
+       |    SELECT a.vec_id, a.cell AS c1,
+       |      row_number() OVER (PARTITION BY a.cell ORDER BY a.vec_id) AS rn2
+       |    FROM t1cells a) t CROSS JOIN t1kc WHERE rn2 <= kc),
+       |u0 AS (SELECT s.c1, s.c2, q.i, q.x AS s
+       |  FROM s2seed s JOIN qc q ON q.vec_id = s.vec_id),
+       |u0n AS (SELECT c1, c2, sum(s*s) AS nn FROM u0 GROUP BY 1, 2),
+       |d2a AS (SELECT v.vec_id, a.cell AS c1, c.c2, sum(v.x * c.s) AS dp
+       |  FROM qc v JOIN t1cells a ON a.vec_id = v.vec_id
+       |  JOIN u0 c ON c.c1 = a.cell AND c.i = v.i GROUP BY 1, 2, 3),
+       |r2a AS (SELECT d.vec_id, d.c1, d.c2,
+       |    row_number() OVER (PARTITION BY d.vec_id ORDER BY
+       |      CAST(d.dp AS DOUBLE) /
+       |        (sqrt(CAST(n.nn AS DOUBLE)) * sqrt(CAST(cn.nn AS DOUBLE)))
+       |        DESC, d.c2) AS rn
+       |  FROM d2a d JOIN nrm n ON d.vec_id = n.vec_id
+       |  JOIN u0n cn ON cn.c1 = d.c1 AND cn.c2 = d.c2),
+       |a2 AS (SELECT vec_id, c1, c2 FROM r2a WHERE rn = 1),
+       |u1 AS (SELECT a.c1, a.c2, q.i, sum(q.x) AS s
+       |  FROM a2 a JOIN qc q ON q.vec_id = a.vec_id GROUP BY 1, 2, 3),
+       |u1n AS (SELECT c1, c2, sum(s*s) AS nn FROM u1 GROUP BY 1, 2),
+       |p1 AS (SELECT vec_id, c AS c1 FROM t1sc2 WHERE rn <= $nprobe),
+       |d2f AS (SELECT v.vec_id, p.c1, c.c2, sum(v.x * c.s) AS dp
+       |  FROM qc v JOIN p1 p ON p.vec_id = v.vec_id
+       |  JOIN u1 c ON c.c1 = p.c1 AND c.i = v.i GROUP BY 1, 2, 3),
+       |r2f AS (SELECT d.vec_id, d.c1, d.c2,
+       |    row_number() OVER (PARTITION BY d.vec_id, d.c1 ORDER BY
+       |      CAST(d.dp AS DOUBLE) /
+       |        (sqrt(CAST(n.nn AS DOUBLE)) * sqrt(CAST(cn.nn AS DOUBLE)))
+       |        DESC, d.c2) AS rn
+       |  FROM d2f d JOIN nrm n ON d.vec_id = n.vec_id
+       |  JOIN u1n cn ON cn.c1 = d.c1 AND cn.c2 = d.c2),
+       |probes AS (SELECT vec_id, c1, c2 FROM r2f WHERE rn <= $nprobe),
+       |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+       |  FROM probes a JOIN probes b
+       |  ON a.c1 = b.c1 AND a.c2 = b.c2 AND a.vec_id < b.vec_id),
+       |dot AS (SELECT d1, d2, sum(x.x * y.x) AS dp
+       |  FROM cand JOIN qc x ON x.vec_id = d1
+       |  JOIN qc y ON y.vec_id = d2 AND y.i = x.i
+       |  GROUP BY 1, 2)
+       |SELECT * FROM (
+       |  SELECT d1, d2,
+       |    CAST(dp AS DOUBLE) / (sqrt(CAST(nx.nn AS DOUBLE)) * sqrt(CAST(ny.nn AS DOUBLE)))
+       |      AS cosine
+       |  FROM dot JOIN nrm nx ON d1 = nx.vec_id JOIN nrm ny ON d2 = ny.vec_id)
+       |WHERE cosine >= $minCos""".stripMargin
+  }
 
   private def ls3LearnedOracle(k: Int, kCells: Int, nprobe: Int, qMod: Int,
       qLimit: Int): String =
@@ -827,6 +892,21 @@ object LlmQueries {
       Similarity.cellBlockedNearDups(
         plantedCorpus(Td.table(s, dir, "embeddings")), "vec_id", "embedding", 0.9,
         kCells = 0, nprobe = 2)
+    },
+
+    // ── hierarchical (two-level) SemDeDup blocking — the refinement
+    //    ld12's O(N^1.5) analysis names, built instead of assumed: two
+    //    quantizer levels of k ≈ N^(1/3) cells each (k derived from N's
+    //    bit length — integer-exact cross-engine) put BOTH training and
+    //    within-cell pairs at O(N^(4/3)); vectors probe nprobe L1 cells ×
+    //    nprobe L2 centroids so boundary-split twins still meet. The
+    //    oracle replays both trainings relationally — candidate pair sets
+    //    hash-match. ──
+    q("ld15_semantic_dedup_tree",
+      ld15Oracle(minCos = 0.9, nprobe = 2)) { (s, dir) =>
+      Similarity.treeBlockedNearDups(
+        plantedCorpus(Td.table(s, dir, "embeddings")), "vec_id", "embedding", 0.9,
+        nprobe = 2)
     },
 
     // ── asymmetric containment near-dup pairs: |A∩B| / |A| per direction

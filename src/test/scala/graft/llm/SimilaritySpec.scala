@@ -488,4 +488,41 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long, Int)].collect().sortBy(_._4).toSeq
     assert(again == got)
   }
+
+  test("tree-blocked near-dups: subset of exact pairs, full planted recall, matches flat blocking") {
+    // the hierarchical quantizer must preserve cell blocking's contract:
+    // found ⊆ exact (candidates are confirmed) and every planted twin
+    // recalled (nprobe=2 at BOTH levels covers boundary straddles level
+    // by level); on this fixture it must also agree pair-for-pair with
+    // the flat geometry, since both confirm against the same threshold
+    val vecs = graft.Td.table(spark, Sf0001, "embeddings")
+    val twins = vecs.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 1).cast("double") + lit(0.25)),
+          transform(slice(col("embedding"), 2, 63), x => x.cast("double"))
+        ).as("embedding"))
+    val corpus = vecs
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .unionByName(twins)
+    try {
+      val found = Similarity.treeBlockedNearDups(
+          corpus, "vec_id", "embedding", 0.9, nprobe = 2)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      val exact = Similarity.embeddingNearDups(corpus, "vec_id", "embedding", 0.9)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      val flat = Similarity.cellBlockedNearDups(
+          corpus, "vec_id", "embedding", 0.9, kCells = 0, nprobe = 2)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      val planted = vecs.filter(col("vec_id") % 10 === 0)
+        .select("vec_id").as[Long].collect()
+        .map(id => (id, id + 1000000L)).toSet
+      assert(planted.nonEmpty)
+      assert(found.subsetOf(exact), s"spurious pairs: ${found -- exact}")
+      assert(planted.subsetOf(found),
+        s"missed ${(planted -- found).size}/${planted.size} planted twins")
+      assert(found == flat, "tree and flat blocking disagree on this fixture")
+    } finally Caches.releaseAll(spark)
+  }
 }
