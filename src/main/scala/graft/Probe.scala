@@ -130,3 +130,77 @@ object ProbeTree {
     spark.stop()
   }
 }
+
+/** Dev diagnostic: stage-by-stage timing/cardinality of the ld18
+  * suffix-array pipeline — direct suffix sort vs prefix doubling. */
+object ProbeSa {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "24")
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"),
+      shufflePartitions = cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.llm.SuffixArray
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe-sa] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val levels = 7
+    val docs = Td.table(spark, dir, "documents")
+    println(s"[probe-sa] direct rows: ${timed("direct")(
+      SuffixArray.dupSpans(docs, "doc_id", "text", 10, levels).count())}")
+    // stage decomposition of the direct path (duplicated inline: dev probe)
+    locally {
+      import org.apache.spark.sql.functions._
+      val sufs = docs
+        .select(col("doc_id").cast("long").as("doc_id"),
+          graft.llm.TextOps.tokens(col("text")).as("__t"))
+        .select(col("doc_id"), col("__t"), size(col("__t")).as("nt"))
+        .where(col("nt") > 0)
+        .select(col("doc_id"), col("nt").cast("long").as("nt"),
+          posexplode(transform(col("__t"), (_, i) => slice(col("__t"), i + 1, size(col("__t")))))
+            .as(Seq("p", "suf")))
+        .select(col("doc_id"), col("p").cast("long").as("p"), col("nt"), col("suf"))
+      val sufsP = graft.llm.Caches.persist(sufs)
+      println(s"[probe-sa] sufs rows: ${timed("sufs build")(sufsP.count())}")
+      val sa = graft.llm.Caches.persist(graft.llm.Sampling.globalOrderedRank(
+          sufsP, Seq(col("suf"), col("doc_id"), col("p")))
+        .select(col("doc_id"), col("p"), col("nt"), col("suf"), col("gpos").as("rn")))
+      println(s"[probe-sa] sa rows: ${timed("sa sort+rank")(sa.count())}")
+      val zw = zip_with(col("sufa"), col("sufb"), (x, y) => coalesce(x === y, lit(false)))
+      val lcpFold = aggregate(zw,
+        struct(lit(0L).as("len"), lit(false).as("done")),
+        (acc, eq) => struct(
+          when(acc("done") || !eq, acc("len")).otherwise(acc("len") + 1).as("len"),
+          (acc("done") || !eq).as("done")))
+      val pairs = sa.select(col("doc_id").as("da"), col("p").as("pa"),
+          col("suf").as("sufa"), col("rn"))
+        .join(sa.select(col("doc_id").as("db"), col("p").as("pb"),
+          col("suf").as("sufb"), (col("rn") - 1).as("rn")), "rn")
+        .select(col("da"), col("pa"), col("db"), col("pb"),
+          lcpFold.getField("len").as("lcp"))
+      val pairsP = graft.llm.Caches.persist(pairs)
+      println(s"[probe-sa] pair rows: ${timed("pairs+lcp")(pairsP.count())}")
+      val out = SuffixArray.spanRollup(SuffixArray.replenTable(pairsP), 10)
+      println(s"[probe-sa] out rows: ${timed("rollup")(out.count())}")
+      graft.llm.Caches.releaseAll(spark)
+    }
+    graft.llm.Caches.releaseAll(spark)
+    val pos = graft.llm.Caches.persist(
+      SuffixArray.posTable(docs, "doc_id", "text", levels))
+    println(s"[probe-sa] positions: ${timed("pos")(pos.count())}")
+    val lv = timed("levels (eager)")(SuffixArray.levelTables(pos, levels))
+    // not tracked: dev probe, the JVM exits right after
+    val sa = timed("saOrder (eager)")(SuffixArray.saOrder(lv(levels)).localCheckpoint())
+    val pairs = SuffixArray.neighborLcp(sa, lv)
+    println(s"[probe-sa] lcp pairs: ${timed("lcp")(pairs.count())}")
+    val out = SuffixArray.spanRollup(SuffixArray.replenTable(pairs), 10)
+    println(s"[probe-sa] doubling rows (recomputes lift): ${timed("rollup")(out.count())}")
+    graft.llm.Caches.releaseAll(spark)
+    spark.stop()
+  }
+}

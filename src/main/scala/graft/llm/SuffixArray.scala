@@ -1,0 +1,259 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT duplicate-substring detection over the token stream via a
+  * distributed suffix array — the "deduplicating training data makes
+  * language models better" ExactSubstr pass (Lee et al., ACL 2022), which
+  * the hash-based detectors in [[Dedup]] only approximate: ld8/ld13/lt26
+  * find duplicated FIXED-k grams, so they must pick k in advance and can
+  * neither report the maximal duplicated run length nor catch runs that
+  * straddle chunk boundaries. The suffix array gives, for EVERY token
+  * position, the exact length of the longest run starting there that also
+  * occurs elsewhere in the corpus (`replen`) — no k to choose, maximal by
+  * construction. Documents are the atomicity unit: suffixes never cross
+  * doc boundaries.
+  *
+  * Two implementations share the downstream stages, the ld12/ld15 pattern
+  * of registering the right operating point while keeping the scale path
+  * built and pinned:
+  *
+  *  - [[dupSpans]] (registered, ld18): sort the suffixes DIRECTLY — each
+  *    suffix is an array slice of its doc's token array, bounded by the
+  *    per-doc token cap, so one range-partitioned sort of N rows carrying
+  *    <= maxlen tokens each builds the suffix array, and each adjacent
+  *    pair's LCP is a scan-stage array fold over the two carried slices.
+  *    Shuffle payload is O(N * maxlen) tokens — the right trade while
+  *    corpus * maxlen fits the shuffle tier (fixture maxlen: 100 tokens).
+  *  - [[dupSpansDoubling]] (scale path): prefix doubling (Manber–Myers as
+  *    log(maxlen) rounds of sort + join — the distributed-memory
+  *    formulation of Flick & Aluru, SC'15). Level k ranks the 2^k-token
+  *    window at p by the pair (rank_{k-1}[p], rank_{k-1}[p + 2^(k-1)]),
+  *    sentinel 0 past the doc end; each round's dense rank is the
+  *    scale-correct two-pass (distinct pair table, range-partitioned
+  *    [[Sampling.globalOrderedRank]], equi-join back — never a
+  *    PARTITION-BY-less window), and each round is eagerly
+  *    localCheckpoint'd (the ld6 pointer-doubling lesson: without
+  *    truncation every round's plan embeds the previous round's twice and
+  *    work grows exponentially; on a cluster use checkpoint() with a
+  *    reliable dir). Neighbor LCP then lifts over the SAME level tables:
+  *    descending k, a pair advances both cursors by 2^k iff their level-k
+  *    ranks agree — rank equality under the 0 sentinel implies either 2^k
+  *    real tokens agree or both suffixes end identically inside the
+  *    window, so the final `least(lcp, len_a, len_b)` clamp is exact.
+  *    Shuffle payload is O(N log maxlen) SKINNY rows — the honest cost of
+  *    exactness once N * maxlen outgrows the shuffle tier (Lee et al.
+  *    budget hours at 100s of GB). Spec-pinned equal to [[dupSpans]].
+  *
+  * Shared downstream: suffix-array ADJACENCY comes from an equi-join on
+  * consecutive global positions (never a window); the classic SA property
+  * — the max-LCP partner of any suffix is SA-adjacent — turns the two
+  * neighbor LCPs into the exact global replen with one union + max, no
+  * pair enumeration (brute-force-verified in SuffixArraySpec); positions
+  * with replen >= minRun open [p, p+replen) and overlapping intervals
+  * merge per doc with the running-max-end island pattern (doc-partitioned
+  * windows, bounded by tokens-per-doc).
+  *
+  * Output grain: one row per document that contains at least one
+  * duplicated run — (doc_id, n_spans, dup_tokens, max_replen), where
+  * dup_tokens counts tokens covered by merged spans (the scrub size) and
+  * max_replen is the longest duplicated run starting in the doc.
+  *
+  * `levels` bounds a document at 2^levels tokens; a longer document
+  * raises loudly at scan time (the IntervalJoin dirty-span lesson) rather
+  * than silently paying an unbounded suffix payload (direct sort) or
+  * mis-ranking (doubling). The test corpora cap at 100 tokens, so 7
+  * levels (128) cover every SF and the derived scale replicas.
+  */
+object SuffixArray {
+
+  /** (doc_id, p, nt, tok) position table; the nt guard raises at scan
+    * time if any document exceeds 2^levels tokens. */
+  def posTable(docs: DataFrame, idCol: String, textCol: String, levels: Int): DataFrame =
+    tokensGuarded(docs, idCol, textCol, levels)
+      .select(col("doc_id"), posexplode(col("__t")).as(Seq("p", "tok")), col("nt"))
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("nt"), col("tok"))
+
+  /** (doc_id, __t, nt) tokenized docs with the 2^levels cap raise. */
+  private def tokensGuarded(
+      docs: DataFrame, idCol: String, textCol: String, levels: Int): DataFrame = {
+    val cap = 1L << levels
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextOps.tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), col("__t"), size(col("__t")).as("__nt"))
+      .where(col("__nt") > 0)
+      .select(col("doc_id"), col("__t"),
+        when(col("__nt") <= cap, col("__nt").cast("long"))
+          .otherwise(raise_error(concat(
+            lit(s"SuffixArray: document longer than 2^$levels = $cap tokens (doc "),
+            col("doc_id"), lit(", "), col("__nt"), lit(" tokens); raise `levels`")))
+        ).as("nt"))
+  }
+
+  // ── direct suffix sort (registered operating point) ─────────────────────
+
+  /** Per-document merged duplicate-run spans at token grain, by sorting
+    * the (bounded-length) suffixes directly. See object scaladoc. */
+  def dupSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      minRun: Int, levels: Int = 7): DataFrame = {
+    require(levels >= 1 && levels <= 20, s"levels out of range: $levels")
+    require(minRun >= 1, s"minRun must be positive: $minRun")
+    // One suffix row per position, carrying the token slice from p to the
+    // doc end (bounded by the tokensGuarded cap). Explode FIRST, slice in
+    // the same codegen stage: a transform-of-slices array-of-arrays would
+    // run as an interpreted HOF and materialize every suffix twice.
+    // Persisted: the ranking sort below evaluates its input twice (the
+    // zipWithIndex size job), and this is the expensive scan.
+    val sufs = Caches.persist(tokensGuarded(docs, idCol, textCol, levels)
+      .select(col("doc_id"), col("__t"), col("nt"),
+        posexplode(col("__t")).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p").cast("long").as("p"),
+        slice(col("__t"), col("p") + 1, col("nt")).as("suf")))
+    // Suffix-array position: lexicographic array order, ties (= identical
+    // suffixes) pinned by (doc_id, p); range-partitioned two-pass rank.
+    val sa = Caches.persist(Sampling.globalOrderedRank(
+        sufs, Seq(col("suf"), col("doc_id"), col("p")))
+      .select(col("doc_id"), col("p"), col("suf"), col("gpos").as("rn")))
+    // Adjacent pairs via equi-join on rn; LCP = leading-equal fold over
+    // the two carried slices (zip_with pads the shorter side with nulls,
+    // which coalesce to a mismatch — so no explicit length clamp needed).
+    val zw = zip_with(col("sufa"), col("sufb"), (x, y) => coalesce(x === y, lit(false)))
+    val lcpFold = aggregate(zw,
+      struct(lit(0L).as("len"), lit(false).as("done")),
+      (acc, eq) => struct(
+        when(acc("done") || !eq, acc("len")).otherwise(acc("len") + 1).as("len"),
+        (acc("done") || !eq).as("done")))
+    // Persisted: replenTable's two union legs would otherwise evaluate
+    // the join + fold twice.
+    val pairs = Caches.persist(sa.select(col("doc_id").as("da"), col("p").as("pa"),
+        col("suf").as("sufa"), col("rn"))
+      .join(sa.select(col("doc_id").as("db"), col("p").as("pb"),
+        col("suf").as("sufb"), (col("rn") - 1).as("rn")), "rn")
+      .select(col("da"), col("pa"), col("db"), col("pb"),
+        lcpFold.getField("len").as("lcp")))
+    spanRollup(replenTable(pairs), minRun)
+  }
+
+  // ── prefix doubling (scale path; spec-pinned equal to dupSpans) ─────────
+
+  /** Prefix-doubling level tables: index k ranks the 2^k-token window at
+    * every position — (doc_id, p, nt, r). Every level is eagerly
+    * localCheckpoint'd and tracked: each is consumed by the next round
+    * AND by the LCP lift, and lineage truncation is what keeps round k
+    * from re-embedding (and re-executing) rounds 0..k-1. */
+  def levelTables(pos: DataFrame, levels: Int): IndexedSeq[DataFrame] = {
+    val lv = new Array[DataFrame](levels + 1)
+    lv(0) = Caches.trackCheckpoint(denseRankJoin(pos, Seq("tok"), "r")
+      .select(col("doc_id"), col("p"), col("nt"), col("r"))
+      .localCheckpoint())
+    for (k <- 1 to levels) {
+      val s = 1L << (k - 1)
+      val partner = lv(k - 1)
+        .select(col("doc_id"), (col("p") - s).as("p"), col("r").as("r2"))
+      val paired = lv(k - 1)
+        .join(partner, Seq("doc_id", "p"), "left")
+        .na.fill(0L, Seq("r2"))
+      lv(k) = Caches.trackCheckpoint(denseRankJoin(paired, Seq("r", "r2"), "rk")
+        .select(col("doc_id"), col("p"), col("nt"), col("rk").as("r"))
+        .localCheckpoint())
+    }
+    lv.toIndexedSeq
+  }
+
+  /** Suffix-array global position from the final doubling level: final
+    * rank with (doc_id, p) pinning ties — (doc_id, p, nt, rn). */
+  def saOrder(lastLevel: DataFrame): DataFrame =
+    Sampling.globalOrderedRank(lastLevel, Seq(col("r"), col("doc_id"), col("p")))
+      .select(col("doc_id"), col("p"), col("nt"), col("gpos").as("rn"))
+
+  /** SA-adjacent pairs with their exact LCP by binary lifting over the
+    * level tables — (da, pa, db, pb, lcp). */
+  def neighborLcp(sa: DataFrame, lv: IndexedSeq[DataFrame]): DataFrame = {
+    var st = sa.select(
+        col("doc_id").as("da"), col("p").as("pa"), col("nt").as("la"),
+        col("p").as("oa"), col("rn"))
+      .join(sa.select(col("doc_id").as("db"), col("p").as("pb"),
+        col("nt").as("lb"), col("p").as("ob"), (col("rn") - 1).as("rn")), "rn")
+      .select(col("da"), col("pa"), col("la"), col("oa"),
+        col("db"), col("pb"), col("lb"), col("ob"), lit(0L).as("lcp"))
+    for (k <- (lv.size - 2) to 0 by -1) {
+      val w = 1L << k
+      val rk = lv(k).select(col("doc_id"), col("p"), col("r"))
+      val adv = col("__ra").isNotNull && (col("__ra") === col("__rb"))
+      st = st
+        .join(rk.select(col("doc_id").as("da"), col("p").as("oa"),
+          col("r").as("__ra")), Seq("da", "oa"), "left")
+        .join(rk.select(col("doc_id").as("db"), col("p").as("ob"),
+          col("r").as("__rb")), Seq("db", "ob"), "left")
+        .select(col("da"), col("pa"), col("la"),
+          when(adv, col("oa") + w).otherwise(col("oa")).as("oa"),
+          col("db"), col("pb"), col("lb"),
+          when(adv, col("ob") + w).otherwise(col("ob")).as("ob"),
+          when(adv, col("lcp") + w).otherwise(col("lcp")).as("lcp"))
+    }
+    st.select(col("da"), col("pa"), col("db"), col("pb"),
+      least(col("lcp"), col("la") - col("pa"), col("lb") - col("pb")).as("lcp"))
+  }
+
+  /** [[dupSpans]] via prefix doubling — identical output, skinny-row
+    * shuffles; the operating point once N * maxlen outgrows the shuffle
+    * tier. See object scaladoc. */
+  def dupSpansDoubling(
+      docs: DataFrame, idCol: String, textCol: String,
+      minRun: Int, levels: Int = 7): DataFrame = {
+    require(levels >= 1 && levels <= 20, s"levels out of range: $levels")
+    require(minRun >= 1, s"minRun must be positive: $minRun")
+    val pos = Caches.persist(posTable(docs, idCol, textCol, levels))
+    val lv = levelTables(pos, levels)
+    val sa = Caches.trackCheckpoint(saOrder(lv(levels)).localCheckpoint())
+    spanRollup(replenTable(neighborLcp(sa, lv)), minRun)
+  }
+
+  // ── shared downstream ───────────────────────────────────────────────────
+
+  /** Exact per-position maximal duplicated-run length: max LCP with either
+    * SA neighbor == max over the whole corpus (SA adjacency property).
+    * One union + one (doc, p)-keyed max. */
+  def replenTable(pairs: DataFrame): DataFrame =
+    pairs.select(col("da").as("doc_id"), col("pa").as("p"), col("lcp"))
+      .unionAll(pairs.select(col("db").as("doc_id"), col("pb").as("p"), col("lcp")))
+      .groupBy(col("doc_id"), col("p"))
+      .agg(max(col("lcp")).as("replen"))
+
+  /** Island-merge the [p, p+replen) intervals per doc and roll up —
+    * (doc_id, n_spans, dup_tokens, max_replen). Windows are
+    * doc-partitioned (bounded by tokens-per-doc). */
+  def spanRollup(rep: DataFrame, minRun: Int): DataFrame = {
+    val wDoc = Window.partitionBy("doc_id").orderBy("p")
+    rep.where(col("replen") >= minRun)
+      .select(col("doc_id"), col("p"), (col("p") + col("replen")).as("e"),
+        col("replen"))
+      .withColumn("brk",
+        when(coalesce(
+            max(col("e")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(-1L)) >= col("p"), lit(0L)).otherwise(lit(1L)))
+      .withColumn("g",
+        sum(col("brk")).over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("g"))
+      .agg((max(col("e")) - min(col("p"))).as("span_len"),
+        max(col("replen")).as("mx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_len")).as("dup_tokens"),
+        max(col("mx")).as("max_replen"))
+  }
+
+  /** Scale-correct dense rank of `df` by `keys`: rank the DISTINCT key
+    * table with the range-partitioned two-pass, equi-join back. Appends
+    * `out` (1-based, dense over key order); never a global window. */
+  private def denseRankJoin(df: DataFrame, keys: Seq[String], out: String): DataFrame = {
+    val distinctKeys = df.select(keys.map(col): _*).distinct()
+    val ranked = Sampling.globalOrderedRank(distinctKeys, keys.map(col))
+      .withColumnRenamed("gpos", out)
+    df.join(ranked, keys)
+  }
+}

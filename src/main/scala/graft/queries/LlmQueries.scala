@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Td
-import graft.llm.{Bpe, Chunking, Classifier, Curation, Dedup, GraphOps, Importance, Keywords, Multimodal, Pca, Sampling, Similarity, Sketches, Surprisal, TextOps}
+import graft.llm.{Bpe, Chunking, Classifier, Curation, Dedup, GraphOps, Importance, Keywords, Multimodal, Pca, Sampling, Similarity, Sketches, SuffixArray, Surprisal, TextOps}
 import graft.sources.LlmLake
 
 /** LLM-training-data pipeline operators over the driver's documents /
@@ -144,6 +144,49 @@ object LlmQueries {
        |  FROM words, UNNEST(range(1, length(w) + 1)) AS u(i)),
        |$iters""".stripMargin
   }
+
+  /** Generated DuckDB replay of [[graft.llm.SuffixArray.dupSpans]]: the
+    * direct suffix sort (list_slice suffixes ordered lexicographically,
+    * the same total order Spark gives ArrayType), SA-adjacent LCP as the
+    * min mismatching index over the unnested pair positions, and the
+    * island merge — the data-dependent suffix order and every exact
+    * maximal-run length hash-match end-to-end. The prefix-doubling twin
+    * [[graft.llm.SuffixArray.dupSpansDoubling]] is spec-pinned equal in
+    * SuffixArraySpec, so one oracle fences both implementations. */
+  private def suffixOracle(minRun: Int): String =
+    s"""WITH $toksCte,
+       |sufs AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+       |  list_slice(t, i, len(t)) AS suf
+       |  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+       |ssa AS (SELECT doc_id, p, suf,
+       |  row_number() OVER (ORDER BY suf, doc_id, p) AS rn FROM sufs),
+       |sp AS (SELECT y.rn AS rn, x.doc_id AS da, x.p AS pa, x.suf AS sa,
+       |  y.doc_id AS db, y.p AS pb, y.suf AS sb,
+       |  least(len(x.suf), len(y.suf)) AS ml
+       |  FROM ssa x JOIN ssa y ON y.rn = x.rn + 1),
+       |plcp AS (SELECT rn, da, pa, db, pb,
+       |  coalesce(min(CASE WHEN sa[CAST(i AS INT)] <> sb[CAST(i AS INT)] THEN i END),
+       |    ml + 1) - 1 AS lcp
+       |  FROM sp, UNNEST(range(1, ml + 1)) AS u(i)
+       |  GROUP BY rn, da, pa, db, pb, ml),
+       |srep AS (SELECT doc_id, p, CAST(max(lcp) AS BIGINT) AS replen FROM (
+       |  SELECT da AS doc_id, pa AS p, lcp FROM plcp
+       |  UNION ALL SELECT db, pb, lcp FROM plcp) GROUP BY 1, 2),
+       |smarks AS (SELECT doc_id, p, p + replen AS e, replen
+       |  FROM srep WHERE replen >= $minRun),
+       |sisl AS (SELECT doc_id, p, e, replen,
+       |  CASE WHEN coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY p
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) >= p
+       |  THEN 0 ELSE 1 END AS brk FROM smarks),
+       |sgrp AS (SELECT doc_id, p, e, replen,
+       |  sum(brk) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS g
+       |  FROM sisl)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(sum(span_len) AS BIGINT) AS dup_tokens,
+       |  CAST(max(mx) AS BIGINT) AS max_replen
+       |FROM (SELECT doc_id, g, max(e) - min(p) AS span_len, max(replen) AS mx
+       |  FROM sgrp GROUP BY doc_id, g)
+       |GROUP BY doc_id""".stripMargin
 
   /** CTE chain ending in `jac` = exact all-pairs token-3-gram Jaccard pairs
     * at `minJ` (d1 < d2). Shared by the Jaccard/MinHash oracles and the
@@ -3048,6 +3091,23 @@ object LlmQueries {
           count(lit(1)).as("n_docs"),
           count_distinct(col("raw_hash")).as("n_full_variants"))
         .filter(col("n_docs") > 1)
+    },
+
+    // ── EXACT duplicate-substring dedup via distributed suffix array
+    //    (Lee et al. ExactSubstr): for every token position the exact
+    //    maximal duplicated-run length, no fixed k — suffixes (array
+    //    slices, bounded by the per-doc token cap) sorted with the
+    //    range-partitioned two-pass (never a global window), SA-neighbor
+    //    LCP as a scan-stage array fold, island-merged spans >= 10
+    //    tokens per doc. The oracle replays the suffix order and every
+    //    exact run length end-to-end; SuffixArraySpec brute-force-
+    //    verifies replen AND pins the prefix-doubling scale twin
+    //    (dupSpansDoubling — skinny-row shuffles for when N*maxlen
+    //    outgrows the shuffle tier) equal on the fixture. See
+    //    graft.llm.SuffixArray for the operating-point accounting. ──
+    q("ld18_suffix_dups", suffixOracle(10)) { (s, dir) =>
+      SuffixArray.dupSpans(Td.table(s, dir, "documents"), "doc_id", "text",
+        minRun = 10, levels = 7)
     },
 
     // ── dedup threshold tuning curve AS DATA: Jaccard pair counts per

@@ -1,0 +1,116 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SuffixArraySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // Planted structure: docs 1/2 share a 12-token run, doc 3 repeats a
+  // 5-token run internally twice, doc 4 is all-unique tokens, doc 5 is an
+  // exact copy of doc 1 (whole-doc duplicate run).
+  private val corpus = Seq(
+    (1L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12 x1 x2 x3"),
+    (2L, "y1 y2 a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12 y3"),
+    (3L, "b1 b2 b3 b4 b5 z1 z2 b1 b2 b3 b4 b5 z3"),
+    (4L, "c1 c2 c3 c4 c5 c6 c7 c8"),
+    (5L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12 x1 x2 x3")
+  ).toDF("doc_id", "text")
+
+  /** Brute-force replen: for every position, the max common prefix with
+    * any OTHER suffix in the corpus. */
+  private def bruteReplen(docs: Seq[(Long, String)]): Map[(Long, Int), Int] = {
+    val toks = docs.map { case (d, t) => d -> t.split("\\s+").filter(_.nonEmpty) }.toMap
+    val sufs = toks.toSeq.flatMap { case (d, t) => t.indices.map(p => (d, p)) }
+    def lcp(a: (Long, Int), b: (Long, Int)): Int = {
+      val (ta, tb) = (toks(a._1), toks(b._1))
+      var n = 0
+      while (a._2 + n < ta.length && b._2 + n < tb.length &&
+        ta(a._2 + n) == tb(b._2 + n)) n += 1
+      n
+    }
+    sufs.map(s => s -> sufs.filter(_ != s).map(lcp(s, _)).foldLeft(0)(math.max)).toMap
+  }
+
+  test("dupSpans matches the brute-force span merge on the planted fixture") {
+    val rows = corpus.as[(Long, String)].collect().toSeq
+    val rep = bruteReplen(rows)
+    // Expected spans: replen >= minRun positions merged per doc.
+    val minRun = 5
+    val expected = rep.toSeq.filter(_._2 >= minRun)
+      .groupBy(_._1._1)
+      .map { case (d, marks) =>
+        val iv = marks.map { case ((_, p), r) => (p, p + r) }.sortBy(_._1)
+        var spans = List.empty[(Int, Int)]
+        for ((s, e) <- iv) spans = spans match {
+          case (hs, he) :: t if s <= he => (hs, math.max(he, e)) :: t
+          case _ => (s, e) :: spans
+        }
+        d -> ((spans.size.toLong, spans.map(x => x._2 - x._1).sum.toLong,
+          marks.map(_._2).max.toLong))
+      }
+    val got = SuffixArray.dupSpans(corpus, "doc_id", "text", minRun = minRun, levels = 5)
+      .select("doc_id", "n_spans", "dup_tokens", "max_replen")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expected)
+    // The planted shapes explicitly: whole-doc dup for 1/5, the shared
+    // 12-run for 2, internal repeat for 3, nothing for 4.
+    assert(got(1L)._3 == 15L) // doc 1 == doc 5 entirely
+    assert(got(2L) == ((1L, 12L, 12L)))
+    assert(got(3L) == ((2L, 10L, 5L))) // two disjoint 5-runs: [0,5) and [7,12)
+    assert(!got.contains(4L))
+  }
+
+  test("replen is exact for every position (SA-adjacency property)") {
+    val rows = corpus.as[(Long, String)].collect().toSeq
+    val rep = bruteReplen(rows)
+    // Re-derive per-position replen through the public surface: minRun=1
+    // marks every position with replen >= 1; max_replen per single-token
+    // doc-slices is overkill, so instead check the span structure at
+    // several thresholds — equality at every threshold pins the per-
+    // position values as tightly as the public grain allows.
+    for (minRun <- Seq(1, 3, 8, 13)) {
+      val got = SuffixArray.dupSpans(corpus, "doc_id", "text", minRun, levels = 5)
+        .select("doc_id", "max_replen").as[(Long, Long)].collect().toMap
+      val exp = rep.toSeq.filter(_._2 >= minRun).groupBy(_._1._1)
+        .map { case (d, m) => d -> m.map(_._2).max.toLong }
+      assert(got == exp, s"minRun=$minRun")
+    }
+  }
+
+  test("prefix-doubling scale path matches the direct sort exactly") {
+    for (minRun <- Seq(2, 5, 12)) {
+      val direct = SuffixArray.dupSpans(corpus, "doc_id", "text", minRun, levels = 5)
+        .select("doc_id", "n_spans", "dup_tokens", "max_replen")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val doubled = SuffixArray.dupSpansDoubling(corpus, "doc_id", "text", minRun, levels = 5)
+        .select("doc_id", "n_spans", "dup_tokens", "max_replen")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(doubled == direct, s"minRun=$minRun")
+    }
+  }
+
+  test("a document longer than 2^levels tokens raises loudly") {
+    val long = Seq((1L, (1 to 40).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      SuffixArray.dupSpans(long, "doc_id", "text", minRun = 3, levels = 5).collect()
+    }
+    assert(e.getMessage.contains("longer than") ||
+      e.getCause != null && e.getCause.getMessage.contains("longer than"))
+  }
+
+  test("all-unique corpus yields no spans; exact-dup corpus spans everything") {
+    val uniq = Seq((1L, "u1 u2 u3 u4 u5 u6"), (2L, "v1 v2 v3 v4 v5 v6"))
+      .toDF("doc_id", "text")
+    assert(SuffixArray.dupSpans(uniq, "doc_id", "text", minRun = 2, levels = 4).isEmpty)
+    val dup = Seq((1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"))
+      .toDF("doc_id", "text")
+    val got = SuffixArray.dupSpans(dup, "doc_id", "text", minRun = 2, levels = 4)
+      .select("doc_id", "n_spans", "dup_tokens", "max_replen")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 6L, 6L), (2L, 1L, 6L, 6L)))
+  }
+}
