@@ -1294,6 +1294,86 @@ object Similarity {
     groupLocalConfirm(members, minCos)
   }
 
+  /** SEMANTIC eval-set decontamination: eval vectors whose embedding sits
+    * within `minCos` of ANY train vector — the embedding-space
+    * complement of lt10's shingle contamination (a paraphrased eval item
+    * shares no 3-grams with its training source, but its embedding stays
+    * close; conversely exact duplicates can never cross a content-hash
+    * split, so BOTH detectors target leaks the split cannot prevent).
+    *
+    * Blocking is [[cellBlockedNearDups]]' geometry verbatim — one √N
+    * k-means-lite quantizer trained over the UNION of both splits (the
+    * oracle replays it), nprobe cells per vector — but the within-cell
+    * confirm loops eval × train only: no train-train or eval-eval dots,
+    * and only CONFIRMED cross pairs ever shuffle (the group-local confirm
+    * discipline). Rollup is one eval-keyed window over the confirmed-hit
+    * table (tiny at a contamination threshold).
+    *
+    * `sideCol`: 0 = train, 1 = eval (rows with other values are dropped —
+    * callers pass a held-out/val stratum as neither). Output: one row per
+    * CONTAMINATED eval vector — (eval_id, n_hits, top_train, top_cos),
+    * top = highest cosine, ties to the smallest train id. */
+  def cellBlockedContamination(
+      vecs: DataFrame, idCol: String, embCol: String, sideCol: String,
+      minCos: Double, kCells: Int = 0, nprobe: Int = 2, dims: Int = 64): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    require(kCells >= 0 && nprobe >= 1 && (kCells == 0 || nprobe <= kCells),
+      s"bad cell geometry: kCells=$kCells nprobe=$nprobe")
+    // persisted for its three consumers (count, centroid training, member
+    // explode); released via Caches after the consuming action
+    val qdf = Caches.persist(vecs
+      .select(col(idCol).cast("long").as("id"), col(sideCol).cast("int").as("side"),
+        quantize(col(embCol)).as("e"))
+      .where(col("side").isin(0, 1)))
+    val corpusQ = qdf.as[(Long, Int, Array[Long])]
+    val kc = if (kCells > 0) kCells
+      else deriveKCells(corpusQ.count(), nprobe)
+    val bcent = spark.sparkContext.broadcast(
+      trainCellCentroids(qdf.select(col("id"), col("e")).as[(Long, Array[Long])], kc, dims))
+    val members = corpusQ.mapPartitions { iter =>
+      val cs = bcent.value
+      iter.flatMap { case (id, side, e) =>
+        require(e.length == dims, s"vector length ${e.length} != dims $dims")
+        val nrm = math.sqrt(Qv.dot(e, e).toDouble)
+        nearestCells(e, nrm, cs, nprobe).map(c => (c.toLong, id, side, e, nrm))
+      }
+    }
+    val hits = members
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val arr = it.toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < arr.length) {
+          val (_, evId, sideI, e1, n1) = arr(i)
+          if (sideI == 1) {
+            var j = 0
+            while (j < arr.length) {
+              val (_, trId, sideJ, e2, n2) = arr(j)
+              if (sideJ == 0) {
+                val cos = Qv.dot(e1, e2).toDouble / (n1 * n2)
+                if (cos >= minCos) out += ((evId, trId, cos))
+              }
+              j += 1
+            }
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("eval_id", "train_id", "cosine")
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("eval_id")
+    hits
+      .withColumn("n_hits", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("cosine").desc, col("train_id"))))
+      .where(col("rn") === 1)
+      .select(col("eval_id"), col("n_hits"),
+        col("train_id").as("top_train"), col("cosine").as("top_cos"))
+  }
+
   /** Shared confirm tail of the cell-blocking operators: ship each cell's
     * members ONCE — (id, vector, norm, cell), 4·nprobe·N rows total — and
     * run the within-cell all-pairs cosine as a raw JVM loop per cell, so

@@ -474,6 +474,40 @@ object LlmQueries {
        |  FROM dot JOIN nrm nx ON d1 = nx.vec_id JOIN nrm ny ON d2 = ny.vec_id)
        |WHERE cosine >= $minCos""".stripMargin
 
+  /** DuckDB twin of [[Similarity.cellBlockedContamination]] over the
+    * planted corpus: the ld12 quantizer-training replay, the md5 80/20
+    * split, cross-side (eval × train) shared-cell candidates, exact
+    * quantized-cosine confirm, and the per-eval top-hit window. */
+  private def ld19Oracle(minCos: Double, nprobe: Int): String =
+    s"""WITH $plantedCorpusCte,
+       |${quantCtesFrom("corpus")},
+       |${ivfTrainCtes(0, "")},
+       |sides AS (SELECT vec_id,
+       |  CASE WHEN CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |    % 100 < 80 THEN 0 ELSE 1 END AS side FROM corpus),
+       |probes AS (SELECT vec_id, c AS cell FROM sc2 WHERE rn <= $nprobe),
+       |cand AS (SELECT DISTINCT a.vec_id AS eval_id, b.vec_id AS train_id
+       |  FROM probes a JOIN sides sa ON sa.vec_id = a.vec_id AND sa.side = 1
+       |  JOIN probes b ON a.cell = b.cell
+       |  JOIN sides sb ON sb.vec_id = b.vec_id AND sb.side = 0),
+       |cdot AS (SELECT eval_id, train_id, sum(x.x * y.x) AS dp
+       |  FROM cand JOIN qc x ON x.vec_id = eval_id
+       |  JOIN qc y ON y.vec_id = train_id AND y.i = x.i
+       |  GROUP BY 1, 2),
+       |hits AS (SELECT * FROM (
+       |  SELECT eval_id, train_id,
+       |    CAST(dp AS DOUBLE) / (sqrt(CAST(nx.nn AS DOUBLE)) * sqrt(CAST(ny.nn AS DOUBLE)))
+       |      AS cosine
+       |  FROM cdot JOIN nrm nx ON eval_id = nx.vec_id
+       |  JOIN nrm ny ON train_id = ny.vec_id)
+       |  WHERE cosine >= $minCos)
+       |SELECT eval_id, n_hits, train_id AS top_train, cosine AS top_cos FROM (
+       |  SELECT eval_id, train_id, cosine,
+       |    CAST(count(*) OVER (PARTITION BY eval_id) AS BIGINT) AS n_hits,
+       |    row_number() OVER (PARTITION BY eval_id
+       |      ORDER BY cosine DESC, train_id) AS rn
+       |  FROM hits) WHERE rn = 1""".stripMargin
+
   /** DuckDB twin of [[Similarity.treeBlockedNearDups]] — replays BOTH
     * quantizer levels relationally: the L1 chain is [[ivfTrainCtes]] with
     * the tree branching factor k = least(1 << ((length(bin(N)) + 2) // 3),
@@ -950,6 +984,27 @@ object LlmQueries {
       Similarity.treeBlockedNearDups(
         plantedCorpus(Td.table(s, dir, "embeddings")), "vec_id", "embedding", 0.9,
         nprobe = 2)
+    },
+
+    // ── SEMANTIC eval decontamination (cross-split embedding near-dups):
+    //    eval-split vectors within cos 0.9 of ANY train vector — the
+    //    embedding complement of lt10's shingle detector (a paraphrase
+    //    shares no 3-grams but its embedding stays close; exact dups can
+    //    never cross a hash split, so both detectors target what the
+    //    split cannot prevent). ld12's √N cell blocking trained on the
+    //    UNION of both splits, but the within-cell confirm loops
+    //    eval × train ONLY (no train-train dots), then one eval-keyed
+    //    window rolls up hits. The oracle replays the quantizer training,
+    //    the md5 split, and the cross-side candidate join relationally —
+    //    data-dependent cell assignments and hit sets hash-match. ──
+    q("ld19_semantic_contamination",
+      ld19Oracle(minCos = 0.9, nprobe = 2)) { (s, dir) =>
+      val corpus = plantedCorpus(Td.table(s, dir, "embeddings"))
+        .withColumn("side",
+          when(pmod(Dedup.md5Hash60(col("vec_id").cast("string")), lit(100L)) < 80,
+            lit(0)).otherwise(lit(1)))
+      Similarity.cellBlockedContamination(corpus, "vec_id", "embedding", "side",
+        minCos = 0.9, kCells = 0, nprobe = 2)
     },
 
     // ── asymmetric containment near-dup pairs: |A∩B| / |A| per direction
@@ -2880,6 +2935,41 @@ object LlmQueries {
     q("ls11_pca_project", pcaOracle(iters = 24, trainMod = 20)) { (s, dir) =>
       Pca.projectTop(Td.table(s, dir, "embeddings"), "vec_id", "embedding",
         dims = 64, iters = 24, trainMod = 20)
+    },
+
+    // ── Pareto frontier of the quality-vs-token-cost trade (skyline):
+    //    the documents for which no other doc is at least as good AND at
+    //    most as expensive — the efficient set a token-budgeted selection
+    //    policy walks (the cheapest doc at every attainable quality
+    //    level; 28 frontier docs at sf0.01 vs 1 for the degenerate
+    //    quality-vs-length pairing, where quality's own length term makes
+    //    one doc dominate). Grid-prefilter skyline (ops/Skyline.scala):
+    //    three linear passes + bounded-table window + broadcast anti-join
+    //    over the survivor set; cost-minimization enters as negated
+    //    tokens, so Skyline stays a single both-axes-maximized kernel.
+    //    The oracle is the brute-force NOT EXISTS dominance twin (same
+    //    >= / strict tie semantics, so duplicate optima all stay).
+    //    Quality floor-quantized to exact micro integers (the lq4 idiom)
+    //    so dominance is integer comparison on both engines. ──
+    q("lq12_pareto_frontier",
+      s"""WITH scored AS (SELECT doc_id,
+         |    CAST(floor(($qualitySql) * 1E6 + 0.5) AS BIGINT) AS q_micro,
+         |    CAST($nTokSql AS BIGINT) AS n_tokens
+         |  FROM documents WHERE $nTokSql > 0)
+         |SELECT doc_id, q_micro, n_tokens FROM scored s
+         |WHERE NOT EXISTS (SELECT 1 FROM scored t
+         |  WHERE t.q_micro >= s.q_micro AND t.n_tokens <= s.n_tokens
+         |    AND (t.q_micro > s.q_micro OR t.n_tokens < s.n_tokens))""".stripMargin) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      val scored = Td.table(s, dir, "documents")
+        .select(col("doc_id"),
+          floor(TextOps.qualityScore(toks, col("text")) * 1e6 + 0.5)
+            .cast("long").as("q_micro"),
+          (-size(toks).cast("long")).as("neg_tokens"))
+        .where(col("neg_tokens") < 0)
+      graft.ops.Skyline.frontier2d(scored, "doc_id", "q_micro", "neg_tokens")
+        .select(col("doc_id"), col("q_micro"),
+          (-col("neg_tokens")).as("n_tokens"))
     },
 
     // ── export shard manifest (the dataset-packaging step: write the

@@ -411,6 +411,65 @@ class SimilaritySpec extends SparkSpec {
     } finally Caches.releaseAll(spark)
   }
 
+  test("cross-split contamination: eval-side twins of train vectors found, within-side pairs never") {
+    // twins of every 10th vector; sides assigned so half the twin pairs
+    // cross the split (train original, eval twin) and half sit inside one
+    // side (both eval) — the detector must report exactly the cross pairs.
+    val vecs = graft.Td.table(spark, Sf0001, "embeddings")
+    val twins = vecs.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 1).cast("double") + lit(0.25)),
+          transform(slice(col("embedding"), 2, 63), x => x.cast("double"))
+        ).as("embedding"))
+    val corpus = vecs
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .unionByName(twins)
+      // twins all eval; originals train EXCEPT multiples of 30, which go
+      // eval too — their twin pairs then sit wholly inside the eval side
+      // and must NOT be reported
+      .withColumn("side",
+        when(col("vec_id") >= 1000000L || col("vec_id") % 30 === 0, lit(1))
+          .otherwise(lit(0)))
+    try {
+      val hits = Similarity.cellBlockedContamination(
+          corpus, "vec_id", "embedding", "side", 0.9, kCells = 16, nprobe = 2)
+        .select("eval_id", "top_train").as[(Long, Long)].collect().toMap
+      val planted = vecs.filter(col("vec_id") % 10 === 0)
+        .select("vec_id").as[Long].collect().toSet
+      val cross = planted.filter(_ % 30 != 0)
+      val within = planted.filter(_ % 30 == 0)
+      assert(cross.nonEmpty && within.nonEmpty)
+      // every cross-split twin is reported with its train original as the
+      // top hit (the twin is by construction its nearest neighbor)...
+      cross.foreach { id =>
+        assert(hits.contains(id + 1000000L), s"missed eval twin of $id")
+        assert(hits(id + 1000000L) == id, s"top_train of twin($id) = ${hits(id + 1000000L)}")
+      }
+      // ...eval-eval twin pairs never are (no within-side dots at all)
+      within.foreach { id =>
+        assert(!hits.contains(id + 1000000L),
+          s"eval-eval twin pair of $id reported as contamination")
+      }
+      // left column only ever holds eval-side ids, right column train-side
+      assert(hits.keys.forall(id => id >= 1000000L || id % 30 == 0))
+      assert(hits.values.forall(id => id < 1000000L && id % 30 != 0))
+    } finally Caches.releaseAll(spark)
+  }
+
+  test("cross-split contamination drops side values outside {0, 1}") {
+    val vecs = graft.Td.table(spark, Sf0001, "embeddings")
+    val corpus = vecs.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .withColumn("side", lit(2))
+    try {
+      assert(Similarity.cellBlockedContamination(
+        corpus.limit(50), "vec_id", "embedding", "side", 0.9,
+        kCells = 4, nprobe = 2).isEmpty)
+    } finally Caches.releaseAll(spark)
+  }
+
   test("centroidAssign labels well-separated clusters perfectly; ties -> min label") {
     // two orthogonal clusters: label 1 along dim 0, label 2 along dim 1
     val vecs = Seq(
