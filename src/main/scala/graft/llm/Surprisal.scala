@@ -72,4 +72,68 @@ object Surprisal {
       .withColumn("surprisal_q",
         floor(col("sum_surprisal") * lit(1000000.0) / col("n_toks")).cast("long"))
   }
+
+  /** CROSS-corpus surprisal — the actual CCNet filter shape: the bigram
+    * LM is trained ONLY on the rows where `isRef` holds (the clean
+    * reference stratum, e.g. a wiki-like language slice) and then scores
+    * EVERY document, so in-domain text scores low and out-of-domain /
+    * noisy text scores high. [[bigramSurprisal]] scores the corpus under
+    * itself (an outlier signal); this scores it under a reference (a
+    * domain-shift signal) — both tails feed curation cuts.
+    *
+    * Unseen mass is handled add-one style, in the same exact integer
+    * space: surprisal = floor(log2(cprev + V)) - floor(log2(cbg + 1)),
+    * with cbg/cprev coalesced to 0 for bigrams/contexts the reference
+    * never saw and V = the reference's distinct continuation vocabulary —
+    * an integer approximation of -log2((cbg+1)/(cprev+V)) with no
+    * transcendental to diverge cross-engine. A wholly out-of-vocabulary
+    * document therefore scores a flat floor(log2 V) per token, the
+    * maximum the smoothed model can assign.
+    *
+    * Plan shape mirrors [[bigramSurprisal]]: every count is a hash
+    * aggregate (Zipf-hot contexts are absorbed by map-side partial agg,
+    * never window partitions). `isRef` is constant per doc, so it rides
+    * the docBg GROUP KEY — the reference counts derive from docBg by one
+    * more aggregate, no second tokenize pass and no doc-id semi-join.
+    * docBg and the bounded refBg table are [[Caches]]-persisted (two+
+    * consumers each); V joins as a broadcast 1-row cross join. The
+    * scoring joins are LEFT (the corpus keeps bigrams the reference
+    * lacks); an empty reference stratum raises loudly at execution
+    * rather than scoring everything under a vacuous V = 0 model. */
+  def crossSurprisal(
+      docs: DataFrame, idCol: String, textCol: String,
+      isRef: org.apache.spark.sql.Column): DataFrame = {
+    val occ = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        isRef.cast("boolean").as("is_ref"),
+        TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("is_ref"), col("__toks"),
+        posexplode(col("__toks")).as(Seq("p0", "cur")))
+      .select(col("doc_id"), col("is_ref"),
+        when(col("p0") === 0, lit("")).otherwise(
+          element_at(col("__toks"), col("p0"))).as("prev"),
+        col("cur"))
+    val docBg = Caches.persist(
+      occ.groupBy("doc_id", "is_ref", "prev", "cur").agg(count(lit(1)).as("m")))
+    val refBg = Caches.persist(docBg.where(col("is_ref"))
+      .groupBy("prev", "cur").agg(sum(col("m")).as("cbg")))
+    val refCtx = refBg.groupBy("prev").agg(sum(col("cbg")).as("cprev"))
+    val vocab = refBg.agg(countDistinct(col("cur")).as("__v"))
+    val s = bitlen(coalesce(col("cprev"), lit(0L)) + col("__v")) -
+      bitlen(coalesce(col("cbg"), lit(0L)) + lit(1L))
+    val sGuarded = when(col("__v") < 1,
+        raise_error(lit("crossSurprisal: reference stratum is empty — no model to score under"))
+          .cast("int"))
+      .otherwise(s)
+    docBg
+      .join(refBg, Seq("prev", "cur"), "left")
+      .join(refCtx, Seq("prev"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("m")).as("n_toks"),
+        sum(col("m") * sGuarded).cast("long").as("sum_xent"))
+      .withColumn("xent_q",
+        floor(col("sum_xent") * lit(1000000.0) / col("n_toks")).cast("long"))
+  }
 }

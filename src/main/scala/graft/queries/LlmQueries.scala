@@ -1914,6 +1914,38 @@ object LlmQueries {
       Surprisal.bigramSurprisal(Td.table(s, dir, "documents"), "doc_id", "text")
     },
 
+    // ── CROSS-corpus surprisal — the actual CCNet filter: the bigram LM
+    //    trains ONLY on the lang='en' reference stratum, then scores
+    //    EVERY doc; reference-unseen bigrams get add-one backoff
+    //    (floor-log2(cprev + V) - floor-log2(cbg + 1), V = reference
+    //    vocab), so out-of-domain text scores a flat log2(V) ceiling per
+    //    token. Distinct from lt19 (corpus scored under ITSELF): this is
+    //    the domain-shift signal, that one the outlier signal. is_ref
+    //    rides the docbg group key — the reference counts are one more
+    //    hash aggregate over docbg, no second tokenize pass. ──
+    q("lt50_xent_filter",
+      s"""WITH $toksCte,
+        |occ AS (SELECT doc_id, lang = 'en' AS is_ref,
+        |    CASE WHEN i = 1 THEN '' ELSE t[i-1] END AS prev, t[i] AS cur
+        |  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+        |docbg AS (SELECT doc_id, is_ref, prev, cur, count(*) AS m
+        |  FROM occ GROUP BY 1, 2, 3, 4),
+        |refbg AS (SELECT prev, cur, CAST(sum(m) AS BIGINT) AS cbg
+        |  FROM docbg WHERE is_ref GROUP BY 1, 2),
+        |refctx AS (SELECT prev, CAST(sum(cbg) AS BIGINT) AS cprev FROM refbg GROUP BY 1),
+        |vocab AS (SELECT CAST(count(DISTINCT cur) AS BIGINT) AS v FROM refbg),
+        |sc AS (SELECT doc_id, m,
+        |    length(bin(coalesce(cprev, 0) + v)) - length(bin(coalesce(cbg, 0) + 1)) AS s
+        |  FROM docbg LEFT JOIN refbg USING (prev, cur)
+        |  LEFT JOIN refctx USING (prev) CROSS JOIN vocab)
+        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_toks,
+        |  CAST(sum(m * s) AS BIGINT) AS sum_xent,
+        |  CAST(floor(sum(m * s) * 1000000.0 / sum(m)) AS BIGINT) AS xent_q
+        |FROM sc GROUP BY 1""".stripMargin) { (s, dir) =>
+      Surprisal.crossSurprisal(Td.table(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en")
+    },
+
     // ── Stratified EXACT split: per language, train/val/test by integer
     //    cross-multiplied boundaries over the deterministic hash order —
     //    every stratum gets exactly its proportions (a small language

@@ -864,6 +864,102 @@ object RelationalQueries {
         ZOrder.zValue(col("user_id"), hr, 16).as("z"))
     },
 
+    // ── O8: zone-map skipping audit — QUANTIFIES o7's layout claim
+    //    before anyone rewrites 100 TB: model both candidate physical
+    //    orders (sort by user_id vs sort by z(user_id, hour)) as 16
+    //    range-partitioned files, derive each file's min/max zone maps,
+    //    and for a 16-box predicate grid (4 user-only, 4 hour-only, 8
+    //    two-dimensional) report files/rows a pruned scan touches vs
+    //    rows that match. All bounded aggregates + broadcast joins — the
+    //    audit never performs the sorts it evaluates. Bucket and width
+    //    arithmetic is the one-IEEE-sequence spelling (exact-integer
+    //    doubles, single divide, floor) so file ids match cross-engine. ──
+    q("o8_zone_map_audit", {
+      val hrSql = "CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 3600) AS BIGINT)"
+      s"""WITH ev AS (SELECT CAST(user_id AS BIGINT) AS a, $hrSql AS b,
+         |    ${ZOrder.zValueSql("user_id", hrSql, 16)} AS z
+         |  FROM events),
+         |bounds AS (SELECT min(a) AS alo, max(a) AS ahi, min(b) AS blo,
+         |    max(b) AS bhi, min(z) AS zlo, max(z) AS zhi FROM ev),
+         |spec AS (SELECT p,
+         |    CASE WHEN p < 4 THEN p WHEN p >= 8 THEN (p - 8) % 4 ELSE -1 END AS ai,
+         |    CASE WHEN p >= 8 THEN (p - 8) // 4 WHEN p >= 4 THEN p - 4 ELSE -1 END AS bi,
+         |    CASE WHEN p >= 8 THEN 1 ELSE 0 END AS bhalf
+         |  FROM UNNEST(range(0, 16)) AS u(p)),
+         |preds AS (SELECT p AS pred_id, a_lo,
+         |    CASE WHEN ai < 0 THEN ahi ELSE a_lo + greatest(qa, 1) - 1 END AS a_hi,
+         |    b_lo,
+         |    CASE WHEN bi < 0 THEN bhi
+         |      ELSE b_lo + greatest(CASE WHEN bhalf = 1 THEN hb ELSE qb END, 1) - 1
+         |    END AS b_hi
+         |  FROM (SELECT *,
+         |      CASE WHEN ai < 0 THEN alo ELSE alo + ai * qa END AS a_lo,
+         |      CASE WHEN bi < 0 THEN blo
+         |        ELSE blo + bi * (CASE WHEN bhalf = 1 THEN hb ELSE qb END)
+         |      END AS b_lo
+         |    FROM (SELECT spec.*, bounds.*,
+         |        CAST(floor((ahi - alo + 1) / 4.0) AS BIGINT) AS qa,
+         |        CAST(floor((bhi - blo + 1) / 4.0) AS BIGINT) AS qb,
+         |        CAST(floor((bhi - blo + 1) / 2.0) AS BIGINT) AS hb
+         |      FROM spec CROSS JOIN bounds))),
+         |evb AS (SELECT a, b, z,
+         |    CAST(floor(((a - alo) * 16) / (ahi - alo + 1)) AS BIGINT) AS rga,
+         |    CAST(floor(((z - zlo) * 16) / (zhi - zlo + 1)) AS BIGINT) AS rgz
+         |  FROM ev CROSS JOIN bounds),
+         |zones AS (
+         |  SELECT 'by_a' AS layout, rga AS rg, min(a) AS za_lo, max(a) AS za_hi,
+         |    min(b) AS zb_lo, max(b) AS zb_hi, count(*) AS zn FROM evb GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'zorder', rgz, min(a), max(a), min(b), max(b), count(*)
+         |  FROM evb GROUP BY 2),
+         |scanned AS (SELECT layout, pred_id, CAST(count(*) AS BIGINT) AS groups_scanned,
+         |    CAST(sum(zn) AS BIGINT) AS rows_scanned
+         |  FROM zones JOIN preds ON za_hi >= a_lo AND za_lo <= a_hi
+         |    AND zb_hi >= b_lo AND zb_lo <= b_hi
+         |  GROUP BY 1, 2),
+         |matched AS (SELECT pred_id, CAST(count(*) AS BIGINT) AS rows_matched
+         |  FROM ev JOIN preds ON a BETWEEN a_lo AND a_hi AND b BETWEEN b_lo AND b_hi
+         |  GROUP BY 1),
+         |ng AS (SELECT layout, CAST(count(*) AS BIGINT) AS n_groups FROM zones GROUP BY 1)
+         |SELECT layout, pred_id, n_groups,
+         |  coalesce(groups_scanned, 0) AS groups_scanned,
+         |  coalesce(rows_scanned, 0) AS rows_scanned,
+         |  coalesce(rows_matched, 0) AS rows_matched
+         |FROM (SELECT DISTINCT layout FROM zones)
+         |CROSS JOIN (SELECT pred_id FROM preds)
+         |JOIN ng USING (layout)
+         |LEFT JOIN scanned USING (layout, pred_id)
+         |LEFT JOIN matched USING (pred_id)""".stripMargin
+    }) { (s, dir) =>
+      val hr = floor(expr("unix_seconds(ts)") / lit(3600.0)).cast("long")
+      val ev = Td.table(s, dir, "events")
+        .select(col("user_id"), hr.as("hr"))
+      val bounds = ev.agg(
+        min(col("user_id")).as("alo"), max(col("user_id")).as("ahi"),
+        min(col("hr")).as("blo"), max(col("hr")).as("bhi"))
+      import s.implicits._
+      val spec = ((0 to 3).map(p => (p, p, -1, 0)) ++
+        (4 to 7).map(p => (p, -1, p - 4, 0)) ++
+        (8 to 15).map(p => (p, (p - 8) % 4, (p - 8) / 4, 1)))
+        .toDF("pred_id", "ai", "bi", "bhalf")
+      val bw = when(col("bhalf") === 1, col("hb")).otherwise(col("qb"))
+      val preds = spec.crossJoin(broadcast(bounds))
+        .withColumn("qa", floor((col("ahi") - col("alo") + 1) / lit(4.0)).cast("long"))
+        .withColumn("qb", floor((col("bhi") - col("blo") + 1) / lit(4.0)).cast("long"))
+        .withColumn("hb", floor((col("bhi") - col("blo") + 1) / lit(2.0)).cast("long"))
+        .withColumn("a_lo",
+          when(col("ai") < 0, col("alo")).otherwise(col("alo") + col("ai") * col("qa")))
+        .withColumn("a_hi", when(col("ai") < 0, col("ahi"))
+          .otherwise(col("a_lo") + greatest(col("qa"), lit(1L)) - 1))
+        .withColumn("b_lo",
+          when(col("bi") < 0, col("blo")).otherwise(col("blo") + col("bi") * bw))
+        .withColumn("b_hi", when(col("bi") < 0, col("bhi"))
+          .otherwise(col("b_lo") + greatest(bw, lit(1L)) - 1))
+        .select(col("pred_id").cast("long").as("pred_id"),
+          col("a_lo"), col("a_hi"), col("b_lo"), col("b_hi"))
+      ZOrder.layoutAudit(ev, "user_id", "hr", preds, groups = 16, bits = 16)
+    },
+
     // ── rollup (grouping-set hierarchy) — beyond the reference's surface
     //    (SURVEY §2.4 notes none exist there); Catalyst expands to a single
     //    Expand + hash agg, one shuffle. ──

@@ -93,4 +93,38 @@ class ZOrderSpec extends SparkSpec {
     assert(zRows < timeRows / 4,
       s"z-layout should prune at least 4x vs time layout: z=$zRows time=$timeRows")
   }
+
+  test("layoutAudit: exact file/row counts on the full 64x64 grid") {
+    // all 4096 (a, b) combos with a, b in 0..63 and 16 files per layout:
+    //   by_a files   = a-ranges of width 4, b spanning 0..63 everywhere
+    //   zorder files = 256 consecutive z = one 16x16 (a, b) block
+    val pts = (for (a <- 0L to 63L; b <- 0L to 63L) yield (a, b)).toDF("a", "b")
+    val preds = Seq(
+      (0L, 0L, 63L, 0L, 15L),  // b-only quarter: by_a cannot prune, zorder can
+      (1L, 0L, 15L, 0L, 63L),  // a-only quarter: both prune equally
+      (2L, 0L, 15L, 0L, 15L))  // 2d box: zorder strictly better
+      .toDF("pred_id", "a_lo", "a_hi", "b_lo", "b_hi")
+    val got = ZOrder.layoutAudit(pts, "a", "b", preds, groups = 16, bits = 16)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    graft.llm.Caches.releaseAll(spark)
+    // (n_groups, groups_scanned, rows_scanned, rows_matched)
+    assert(got(("by_a", 0L)) == ((16L, 16L, 4096L, 1024L)))   // reads everything
+    assert(got(("zorder", 0L)) == ((16L, 4L, 1024L, 1024L)))  // 4x fewer rows
+    assert(got(("by_a", 1L)) == ((16L, 4L, 1024L, 1024L)))
+    assert(got(("zorder", 1L)) == ((16L, 4L, 1024L, 1024L)))
+    assert(got(("by_a", 2L)) == ((16L, 4L, 1024L, 256L)))
+    assert(got(("zorder", 2L)) == ((16L, 1L, 256L, 256L)))    // one perfect file
+  }
+
+  test("layoutAudit: zero-overlap predicates are kept with zeros") {
+    val pts = (for (a <- 0L to 7L; b <- 0L to 7L) yield (a, b)).toDF("a", "b")
+    val preds = Seq((0L, 100L, 200L, 0L, 7L)).toDF("pred_id", "a_lo", "a_hi", "b_lo", "b_hi")
+    val got = ZOrder.layoutAudit(pts, "a", "b", preds, groups = 4, bits = 8)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    graft.llm.Caches.releaseAll(spark)
+    assert(got.length == 2)
+    assert(got.forall(r => r._4 == 0L && r._5 == 0L && r._6 == 0L))
+    assert(got.forall(_._3 == 4L))
+  }
 }
