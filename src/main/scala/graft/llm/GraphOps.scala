@@ -190,6 +190,52 @@ object GraphOps {
     lbl.select(col("id"), col("lbl").as("community"))
   }
 
+  /** k-core peeling (fixed k, `rounds` synchronous peel rounds) over an
+    * UNDIRECTED simple graph given as canonical unique pairs (a < b) —
+    * the web-graph/near-dup-cluster pruning primitive: a node survives
+    * the k-core iff it keeps >= k neighbors AMONG SURVIVORS, so pendant
+    * chains and loosely-attached spam tendrils peel off while dense
+    * template clusters remain (connected components keep both; triangle
+    * counts score but don't prune).
+    *
+    * Each round recomputes degrees over the surviving edge set (one hash
+    * aggregate — map-side combinable, hubs never hot-spot a window) and
+    * drops edges with a sub-k endpoint (two semi-joins). A round removes
+    * at least one node until the k-core is reached, so `rounds` bounds
+    * the peel DEPTH (longest dependency chain), not the graph size; at
+    * scale run until the survivor count stops changing — every quantity
+    * is an exact integer, so a fixed-round prefix is oracle-replayable
+    * (the bfsHops/pagerank unroll discipline). Per-round localCheckpoint
+    * keeps the plan from nesting.
+    *
+    * Output: (id, core_deg) for nodes with >= k surviving neighbors
+    * after `rounds` peels — i.e. the membership AND the within-core
+    * degree (the density signal downstream weighting uses). */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = Caches.persist(pairs.select(
+      col("a").cast("long").as("a"), col("b").cast("long").as("b")))
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("a").as("id")).unionByName(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val surv = deg.where(col("deg") >= k).select("id")
+      val next = e
+        .join(surv.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+        .join(surv.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+      Caches.trackCheckpoint(next)
+      // no-op on the round-1 Caches-persisted edge frame (only bare
+      // checkpoint leaves are unpersisted — the bfsHops discipline)
+      Caches.unpersistCheckpoint(e)
+      e = next
+    }
+    e.select(col("a").as("id")).unionByName(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("core_deg"))
+      .where(col("core_deg") >= k)
+  }
+
   /** Multi-source BFS hop distance: every node's distance (in hops) to the
     * nearest source, out to `rounds` hops — the reachability/influence
     * radius primitive (contamination blast radius over a near-dup graph,

@@ -743,6 +743,28 @@ object LlmQueries {
        |SELECT id AS doc_id, dist AS hops FROM d$rounds""".stripMargin
   }
 
+  /** DuckDB twin of [[GraphOps.kCore]]: `rounds` peel rounds unrolled as
+    * generated CTEs. Every e_i is referenced twice (degree count + next
+    * filter), so each round is AS MATERIALIZED — plain CTEs would inline
+    * the shingle self-join exponentially (the round-5 DuckDB lesson). */
+  private def lg5Oracle(k: Int, rounds: Int, minJ: Double): String = {
+    val iterCtes = (1 to rounds).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT id FROM (
+         |    SELECT id, count(*) AS deg FROM (
+         |      SELECT a AS id FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+         |    GROUP BY 1) WHERE deg >= $k),
+         |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+         |  WHERE a IN (SELECT id FROM s$i) AND b IN (SELECT id FROM s$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${jacCtes(minJ)},
+       |e0 AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM jac),
+       |$iterCtes
+       |SELECT id AS doc_id, core_deg FROM (
+       |  SELECT id, CAST(count(*) AS BIGINT) AS core_deg FROM (
+       |    SELECT a AS id FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+       |  GROUP BY 1) WHERE core_deg >= $k""".stripMargin
+  }
+
   private def q(name: String, oracle: String)(
       f: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, f, Some(oracle))
@@ -1073,6 +1095,22 @@ object LlmQueries {
         .filter(col("id") % 10 === 0)
       GraphOps.bfsHops(edges, sources, rounds = 4)
         .select(col("id").as("doc_id"), col("dist").as("hops"))
+    },
+
+    // ── k-core of the near-dup graph: nodes keeping >= k neighbors AMONG
+    //    SURVIVORS after 4 synchronous peel rounds — pendant chains and
+    //    loosely-attached tendrils peel off, dense template clusters
+    //    remain (components keep both; the web-graph spam-pruning cut).
+    //    Per round one degree hash-aggregate + two semi-joins; rounds
+    //    bound peel DEPTH, not graph size. Exact integers, so the oracle
+    //    unrolls the rounds (AS MATERIALIZED — each round is referenced
+    //    twice, and DuckDB's CTE inlining would go exponential on the
+    //    shingle self-join upstream, the round-5 lesson). ──
+    q("lg5_kcore", lg5Oracle(k = 2, rounds = 4, minJ = 0.8)) { (s, dir) =>
+      val jac = Dedup.jaccardPairs(
+        Dedup.shingleTable(Td.table(s, dir, "documents"), "doc_id", "text", 3), 0.8)
+      GraphOps.kCore(jac.select(col("d1").as("a"), col("d2").as("b")), k = 2, rounds = 4)
+        .select(col("id").as("doc_id"), col("core_deg"))
     },
 
     // ── edit-distance-1 entity near-dups via complete deletion-signature

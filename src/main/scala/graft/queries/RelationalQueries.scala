@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Td
 import graft.llm.Similarity
-import graft.ops.{AsOfJoin, Det, EventOps, IntervalJoin, TimeOps, Upsert, ZOrder}
+import graft.ops.{AsOfJoin, Det, EventOps, Integrity, IntervalJoin, TimeOps, Upsert, ZOrder}
 
 /** The relational operator inventory (SURVEY.md §2.2–2.6, §2.8, §2.9)
   * re-expressed over the driver's testdata tables, each with a DuckDB oracle.
@@ -2175,6 +2175,65 @@ object RelationalQueries {
           |  'fk_orders_customer', nf * 1000000 DIV n, nf = n,
           |  'freshness_orderdate', fresh, fresh >= 19980101
           |) AS (con, metric, pass)""".stripMargin))
+    },
+
+    // ── whole-star referential-integrity audit: orphan counts for ALL
+    //    seven FK edges of the schema, ONE scan per child table with its
+    //    FK left-joins folded into a single aggregate (lineitem's three
+    //    edges cost one lineitem pass, not three). Parents join as
+    //    deduplicated key sets; NULL child keys are completeness (dq1),
+    //    not RI, matching SQL FK semantics. A consistent warehouse
+    //    answers all-zero — the audit's value is the load where it
+    //    doesn't (planted-orphan detection pinned in IntegritySpec). ──
+    q("dq4_referential_integrity",
+      """WITH li AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN l_orderkey IS NOT NULL AND o.k IS NULL THEN 1 ELSE 0 END) AS orph0,
+        |    sum(CASE WHEN l_partkey IS NOT NULL AND p.k IS NULL THEN 1 ELSE 0 END) AS orph1,
+        |    sum(CASE WHEN l_suppkey IS NOT NULL AND s.k IS NULL THEN 1 ELSE 0 END) AS orph2
+        |  FROM lineitem
+        |  LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) o ON l_orderkey = o.k
+        |  LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p ON l_partkey = p.k
+        |  LEFT JOIN (SELECT DISTINCT s_suppkey AS k FROM supplier) s ON l_suppkey = s.k),
+        |oc AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN o_custkey IS NOT NULL AND c.k IS NULL THEN 1 ELSE 0 END) AS orph0
+        |  FROM orders
+        |  LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) c ON o_custkey = c.k),
+        |cn AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN c_nationkey IS NOT NULL AND nk.k IS NULL THEN 1 ELSE 0 END) AS orph0
+        |  FROM customer
+        |  LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) nk ON c_nationkey = nk.k),
+        |sn AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN s_nationkey IS NOT NULL AND nk.k IS NULL THEN 1 ELSE 0 END) AS orph0
+        |  FROM supplier
+        |  LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) nk ON s_nationkey = nk.k),
+        |nr AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN n_regionkey IS NOT NULL AND rk.k IS NULL THEN 1 ELSE 0 END) AS orph0
+        |  FROM nation
+        |  LEFT JOIN (SELECT DISTINCT r_regionkey AS k FROM region) rk ON n_regionkey = rk.k),
+        |st AS (
+        |  SELECT 'lineitem->orders' AS fk, n, orph0 AS orph FROM li
+        |  UNION ALL SELECT 'lineitem->part', n, orph1 FROM li
+        |  UNION ALL SELECT 'lineitem->supplier', n, orph2 FROM li
+        |  UNION ALL SELECT 'orders->customer', n, orph0 FROM oc
+        |  UNION ALL SELECT 'customer->nation', n, orph0 FROM cn
+        |  UNION ALL SELECT 'supplier->nation', n, orph0 FROM sn
+        |  UNION ALL SELECT 'nation->region', n, orph0 FROM nr)
+        |SELECT fk, CAST(n AS BIGINT) AS n_rows, CAST(orph AS BIGINT) AS n_orphans,
+        |  CAST(orph * 1000000 // n AS BIGINT) AS orphan_ppm, orph = 0 AS pass
+        |FROM st""".stripMargin) { (s, dir) =>
+      def t(name: String) = Td.table(s, dir, name)
+      Integrity.fkAudit(t("lineitem"), Seq(
+          ("l_orderkey", t("orders"), "o_orderkey", "lineitem->orders"),
+          ("l_partkey", t("part"), "p_partkey", "lineitem->part"),
+          ("l_suppkey", t("supplier"), "s_suppkey", "lineitem->supplier")))
+        .unionByName(Integrity.fkAudit(t("orders"),
+          Seq(("o_custkey", t("customer"), "c_custkey", "orders->customer"))))
+        .unionByName(Integrity.fkAudit(t("customer"),
+          Seq(("c_nationkey", t("nation"), "n_nationkey", "customer->nation"))))
+        .unionByName(Integrity.fkAudit(t("supplier"),
+          Seq(("s_nationkey", t("nation"), "n_nationkey", "supplier->nation"))))
+        .unionByName(Integrity.fkAudit(t("nation"),
+          Seq(("n_regionkey", t("region"), "r_regionkey", "nation->region"))))
     },
 
     // ── KMV (k-minimum-values) distinct sketch with SET-EXPRESSION

@@ -189,4 +189,36 @@ class GraphOpsSpec extends SparkSpec {
     assert(a == Map(1L -> 0L, 2L -> 1L))
     assert(a == b)
   }
+
+  test("kCore: pendant chain peels off round by round; the clique survives with exact degrees") {
+    // 4-clique {1,2,3,4} + chain 4-5-6-7: the chain needs THREE rounds to
+    // peel fully (7, then 6, then 5) — pins the round-by-round semantics
+    val clique = for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b)
+    val chain = Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    val pairs = (clique ++ chain).toDF("a", "b")
+    val got = GraphOps.kCore(pairs, k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    Caches.release()
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // with only 2 rounds the edge 4-5 is still in the surviving set (6
+    // dropped in round 2, so 5's sub-k degree is only visible to a THIRD
+    // round): the final >= k cut hides 5 itself, but 4 still counts the
+    // doomed edge — core_deg 4, not its converged 3
+    val shallow = GraphOps.kCore(pairs, k = 2, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    Caches.release()
+    assert(shallow == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("kCore: a tree has no 2-core; k above the density empties a clique") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    assert(GraphOps.kCore(path, k = 2, rounds = 4).isEmpty)
+    Caches.release()
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    assert(GraphOps.kCore(tri, k = 3, rounds = 2).isEmpty)
+    Caches.release()
+    val kept = GraphOps.kCore(tri, k = 2, rounds = 4).as[(Long, Long)].collect().toMap
+    Caches.release()
+    assert(kept == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
 }
