@@ -1363,15 +1363,102 @@ object Similarity {
         out.iterator
       }
       .toDF("eval_id", "train_id", "cosine")
-      .distinct()
+    contamRollup(hits)
+  }
+
+  /** Shared contamination verdict rollup: confirmed (eval_id, train_id,
+    * cosine) pair hits → one row per contaminated eval vector with its
+    * hit count and top hit (highest cosine, ties to the smallest train
+    * id). Duplicate pair rows (a pair confirming in several shared cells)
+    * collapse first — identical dots make them identical rows. Shared by
+    * the batch operator and [[graft.streaming.ContamStream]]'s
+    * per-trigger reduction, so stream and batch verdicts are the same
+    * code object (the ChainStream discipline). */
+  def contamRollup(hits: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("eval_id")
-    hits
+    hits.distinct()
       .withColumn("n_hits", count(lit(1)).over(w))
       .withColumn("rn", row_number().over(
         w.orderBy(col("cosine").desc, col("train_id"))))
       .where(col("rn") === 1)
       .select(col("eval_id"), col("n_hits"),
         col("train_id").as("top_train"), col("cosine").as("top_cos"))
+  }
+
+  /** Frozen decontamination index over a STATIC train corpus: the
+    * deployment artifact an eval stream probes. `cents` is the trained
+    * √N coarse quantizer (bounded: <= 65536 cells); `members` holds each
+    * train vector in its `nprobe` nearest cells — (cell, train_id, te,
+    * tn), persisted by the builder because every probe trigger joins it. */
+  final case class ContamIndex(
+      cents: Array[(Int, Array[Long], Double)], members: DataFrame,
+      nprobe: Int, dims: Int)
+
+  /** Build a [[ContamIndex]] from the train split — [[cellBlockedNearDups]]'
+    * quantizer geometry (√N cells by default, same training pass), with
+    * membership exploded to nprobe cells per vector exactly as the batch
+    * contamination operator blocks. One-time batch cost. */
+  def buildContamIndex(
+      train: DataFrame, idCol: String, embCol: String,
+      kCells: Int = 0, nprobe: Int = 2, dims: Int = 64): ContamIndex = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    require(kCells >= 0 && nprobe >= 1 && (kCells == 0 || nprobe <= kCells),
+      s"bad cell geometry: kCells=$kCells nprobe=$nprobe")
+    val tq = Caches.persist(train
+      .select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("e")))
+      .as[(Long, Array[Long])]
+    val kc = if (kCells > 0) kCells else deriveKCells(tq.count(), nprobe)
+    val cents = trainCellCentroids(tq, kc, dims)
+    val bcent = spark.sparkContext.broadcast(cents)
+    val members = Caches.persist(tq.mapPartitions { iter =>
+      val cs = bcent.value
+      iter.flatMap { case (id, e) =>
+        require(e.length == dims, s"vector length ${e.length} != dims $dims")
+        val nrm = math.sqrt(Qv.dot(e, e).toDouble)
+        nearestCells(e, nrm, cs, nprobe).map(c => (c, id, e, nrm))
+      }
+    }.toDF("cell", "train_id", "te", "tn"))
+    ContamIndex(cents, members, nprobe, dims)
+  }
+
+  /** Probe a [[ContamIndex]] with eval vectors: confirmed cross-side
+    * pair hits (eval_id, train_id, cosine >= minCos). Works identically
+    * on a batch frame and a STREAMING frame — cell assignment is
+    * per-row scalar work against the broadcast centroids, the members
+    * lookup is a stream-static equi-join on cell (STATELESS — no
+    * watermark, no state store; a restart just reprocesses pending
+    * files), and the confirm is one scalar integer-dot expression per
+    * candidate. The candidate join carries vector payloads, which is the
+    * groupLocalConfirm trap in BATCH land — here the probe side is one
+    * micro-batch, so payload volume is bounded by trigger size ×
+    * cell occupancy, the streaming regime this operator serves. Callers
+    * roll verdicts up per trigger via [[contamRollup]]. */
+  def probeContamination(
+      evals: DataFrame, idCol: String, embCol: String,
+      idx: ContamIndex, minCos: Double): DataFrame = {
+    val spark = evals.sparkSession
+    import spark.implicits._
+    val bcent = spark.sparkContext.broadcast(idx.cents)
+    val nprobe = idx.nprobe
+    val dims = idx.dims
+    val probes = evals
+      .select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("e"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { iter =>
+        val cs = bcent.value
+        iter.flatMap { case (id, e) =>
+          require(e.length == dims, s"vector length ${e.length} != dims $dims")
+          val nrm = math.sqrt(Qv.dot(e, e).toDouble)
+          nearestCells(e, nrm, cs, nprobe).map(c => (c, id, e, nrm))
+        }
+      }
+      .toDF("cell", "eval_id", "qe", "en")
+    probes.join(idx.members, Seq("cell"))
+      .withColumn("cosine", qdot(col("qe"), col("te")).cast("double") /
+        (col("en") * col("tn")))
+      .where(col("cosine") >= minCos)
+      .select("eval_id", "train_id", "cosine")
   }
 
   /** Shared confirm tail of the cell-blocking operators: ship each cell's
