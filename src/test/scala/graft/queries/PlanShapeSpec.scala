@@ -130,7 +130,41 @@ class PlanShapeSpec extends SparkSpec {
     Shape("lt48_leakage_safe_split", scans = Some(1), shuffles = None,
       mustNotContain = Seq("CartesianProduct")),
     Shape("lt49_soft_dedup_weights", scans = Some(1), shuffles = None,
-      mustNotContain = Seq("CartesianProduct")))
+      mustNotContain = Seq("CartesianProduct")),
+    // lt50: the reference count tables must BROADCAST onto the doc-bigram
+    // table (Zipf-hot 'prev' keys as shuffle-join keys would re-exchange
+    // the corpus by context) — at sf they broadcast outright; at scale
+    // AQE's skew handling takes over, but never a corpus sort-merge here
+    Shape("lt50_xent_filter", scans = None, shuffles = None,
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // o8: bounds/zone/predicate tables are 1-to-32-row broadcasts; the
+    // corpus-side work is scan + hash aggregates only — a sort-merge join
+    // anywhere means a bounded table stopped broadcasting
+    Shape("o8_zone_map_audit", scans = None, shuffles = None,
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // dq4: every parent key set joins as a hash join (dims broadcast);
+    // a nested loop over a fact table would be the 100 TB catastrophe
+    Shape("dq4_referential_integrity", scans = None, shuffles = None,
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct",
+        "BroadcastNestedLoopJoin")),
+    // lg5: the returned plan reads the round-4 checkpoint (no file scan)
+    // and pays ONE id-keyed exchange for the final degree count
+    Shape("lg5_kcore", scans = Some(0), shuffles = Some(1),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct",
+        "BroadcastNestedLoopJoin")),
+    // lq12: the exact confirm is a BROADCAST anti-join over the bounded
+    // survivor set (non-equi by nature, so a nested loop — but against a
+    // maxSurvivors-capped broadcast, never the corpus); the corpus itself
+    // must not sort-merge or cartesian anywhere
+    Shape("lq12_pareto_frontier", scans = None, shuffles = None,
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // ld19: blocking is the ld12 geometry (groupByKey confirm) + one
+    // eval-keyed window over confirmed hits — no join pathology may appear
+    Shape("ld19_semantic_contamination", scans = None, shuffles = None,
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct",
+        "BroadcastNestedLoopJoin")))
 
   /** Flatten INCLUDING materialized AQE query stages (QueryStageExec is a
     * leaf whose real subtree hangs off `.plan`). */
