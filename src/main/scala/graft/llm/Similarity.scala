@@ -1366,6 +1366,87 @@ object Similarity {
     contamRollup(hits)
   }
 
+  /** Maximum-inner-product top-k (MIPS) — the retrieval mode where
+    * MAGNITUDE matters (recommender scores, unnormalized rerankers,
+    * learned importance embeddings): rank by q·x, not cos(q, x). Cosine
+    * indexes cannot serve it directly, so this runs the classic
+    * norm-augmentation reduction (Bachrach et al. 2014, FAISS's MIPS
+    * mode): append one component sqrt(M² − ||x||²) to every CORPUS
+    * vector (M = max corpus norm) — all augmented vectors then share
+    * ~norm M, so nearest-by-angle ≈ largest-inner-product — and append 0
+    * to queries (here: probe with the raw vector; a missing component
+    * contributes nothing to any dot). The EXISTING deterministic IVF
+    * machinery then blocks the search unchanged: √N cells trained on the
+    * augmented corpus, nprobe cells per query, and the final ranking is
+    * the EXACT INTEGER inner product of the original quantized vectors —
+    * the output carries no float at all, so the oracle replays
+    * augmentation, training, probing, and ranking bit-for-bit.
+    *
+    * The augmentation component is floor(sqrt(M² − nn)) — one IEEE sqrt
+    * over exact integers then floor, identical cross-engine; the floor's
+    * sub-unit norm slack only perturbs the candidate BLOCKING (which the
+    * oracle replays anyway), never the exact re-rank.
+    *
+    * Output: (query_id, neighbor_id, dp, rank) — top `k` by (dp desc,
+    * neighbor_id), self-pairs excluded. */
+  def mipsTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, kCells: Int = 0, nprobe: Int = 4, dims: Int = 64): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(kCells >= 0 && nprobe >= 1 && (kCells == 0 || nprobe <= kCells),
+      s"bad IVF geometry: kCells=$kCells nprobe=$nprobe")
+    // quantized corpus + integer squared norms (consumers: max-norm agg,
+    // augmentation, count) — released by the harness after the action
+    val cq = Caches.persist(corpus
+      .select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("e"))
+      .withColumn("nn", qdot(col("e"), col("e"))))
+    val m2 = cq.agg(max(col("nn")).as("m2"))
+    val augDs = Caches.persist(cq.crossJoin(broadcast(m2))
+      .select(col("id"), col("e"),
+        concat(col("e"), array(
+          floor(sqrt((col("m2") - col("nn")).cast("double"))).cast("long"))).as("qa")))
+    val kc = if (kCells > 0) kCells else deriveKCells(cq.count(), nprobe)
+    val cents = trainCellCentroids(
+      augDs.select(col("id"), col("qa")).as[(Long, Array[Long])], kc, dims + 1)
+    val bcent = spark.sparkContext.broadcast(cents)
+    // corpus: own cell by the AUGMENTED vector; carry the original for
+    // the exact re-rank
+    val c = augDs.select(col("id"), col("e"), col("qa"))
+      .as[(Long, Array[Long], Array[Long])]
+      .mapPartitions { iter =>
+        val cs = bcent.value
+        iter.map { case (id, e, qa) =>
+          val nrm = math.sqrt(Qv.dot(qa, qa).toDouble)
+          (id, e, nearestCells(qa, nrm, cs, 1)(0))
+        }
+      }.toDF("neighbor_id", "ce", "cell")
+    // queries probe with the ORIGINAL vector — Qv.dot iterates the probe's
+    // length, so the centroids' augmentation component never contributes
+    // (the append-0 query side of the reduction)
+    val q = queries
+      .select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("e"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { iter =>
+        val cs = bcent.value
+        iter.flatMap { case (id, e) =>
+          require(e.length == dims, s"vector length ${e.length} != dims $dims")
+          val nrm = math.sqrt(Qv.dot(e, e).toDouble)
+          nearestCells(e, nrm, cs, nprobe).map(cell => (id, e, cell))
+        }
+      }.toDF("query_id", "qe", "cell")
+    // a corpus vector lives in exactly ONE cell and a query's probe cells
+    // are distinct, so no candidate pair duplicates
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dp").desc, col("neighbor_id"))
+    q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        qdot(col("qe"), col("ce")).as("dp"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Shared contamination verdict rollup: confirmed (eval_id, train_id,
     * cosine) pair hits → one row per contaminated eval vector with its
     * hit count and top hit (highest cosine, ties to the smallest train

@@ -743,6 +743,53 @@ object LlmQueries {
        |SELECT id AS doc_id, dist AS hops FROM d$rounds""".stripMargin
   }
 
+  /** DuckDB twin of [[Similarity.mipsTopK]]: the base quantized tables are
+    * built under shadow names (qc0/nrm0) and `qc`/`nrm` BECOME their
+    * norm-augmented forms, so [[ivfTrainCtes]] trains the √N quantizer on
+    * the augmented corpus verbatim (the ld12/ld19 shadowing pattern).
+    * Query probes rank the FINAL centroids (ivfTrainCtes' c1/c1n) against
+    * the raw 64-dim vectors — the i-join simply never matches the
+    * augmentation component, the oracle-side spelling of append-0. Final
+    * rank = exact integer dot of the ORIGINAL vectors. */
+  private def mipsOracle(k: Int, nprobe: Int, qMod: Int, qLimit: Int): String =
+    s"""WITH qc0 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
+       |  FROM embeddings),
+       |nrm0 AS (SELECT vec_id, sum(x*x) AS nn FROM qc0 GROUP BY 1),
+       |mm AS (SELECT max(nn) AS m2 FROM nrm0),
+       |qc AS (SELECT vec_id, i, x FROM qc0
+       |  UNION ALL SELECT vec_id, 65 AS i,
+       |    CAST(floor(sqrt(CAST(m2 - nn AS DOUBLE))) AS BIGINT) AS x
+       |  FROM nrm0 CROSS JOIN mm),
+       |nrm AS (SELECT vec_id, sum(x*x) AS nn FROM qc GROUP BY 1),
+       |${ivfTrainCtes(0, "")},
+       |qsel AS (SELECT vec_id FROM nrm0 WHERE vec_id % $qMod = 0
+       |  ORDER BY vec_id LIMIT $qLimit),
+       |qdotq AS (SELECT v.vec_id, c.c, sum(v.x * c.s) AS dp
+       |  FROM qc0 v JOIN qsel USING (vec_id) JOIN c1 c ON c.i = v.i
+       |  GROUP BY 1, 2),
+       |qsc AS (SELECT d.vec_id, d.c,
+       |    row_number() OVER (PARTITION BY d.vec_id ORDER BY
+       |      CAST(d.dp AS DOUBLE) /
+       |        (sqrt(CAST(n.nn AS DOUBLE)) * sqrt(CAST(cn.nn AS DOUBLE)))
+       |        DESC, d.c) AS rn
+       |  FROM qdotq d JOIN nrm0 n ON d.vec_id = n.vec_id
+       |  JOIN c1n cn ON d.c = cn.c),
+       |probes AS (SELECT vec_id AS query_id, c AS cell FROM qsc WHERE rn <= $nprobe),
+       |cand AS (SELECT p.query_id, cl.vec_id AS neighbor_id
+       |  FROM probes p JOIN cells cl ON cl.cell = p.cell
+       |  WHERE cl.vec_id <> p.query_id),
+       |dpt AS (SELECT query_id, neighbor_id, CAST(sum(x.x * y.x) AS BIGINT) AS dp
+       |  FROM cand JOIN qc0 x ON x.vec_id = query_id
+       |  JOIN qc0 y ON y.vec_id = neighbor_id AND y.i = x.i
+       |  GROUP BY 1, 2)
+       |SELECT * FROM (
+       |  SELECT query_id, neighbor_id, dp,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dp DESC, neighbor_id) AS INT) AS rank
+       |  FROM dpt)
+       |WHERE rank <= $k""".stripMargin
+
   /** DuckDB twin of [[GraphOps.kCore]]: `rounds` peel rounds unrolled as
     * generated CTEs. Every e_i is referenced twice (degree count + next
     * filter), so each round is AS MATERIALIZED — plain CTEs would inline
@@ -1518,6 +1565,23 @@ object LlmQueries {
         qLimit = 50)) { (s, dir) =>
       val vecs = Td.table(s, dir, "embeddings")
       Similarity.ivfLearnedTopK(
+        vecs.filter(col("vec_id") % 40 === 0).orderBy("vec_id").limit(50),
+        vecs, "vec_id", "embedding", k = 10, kCells = 0, nprobe = 4)
+    },
+
+    // ── MIPS top-k (max INNER PRODUCT, not cosine — recommender scores /
+    //    unnormalized rerankers) via the norm-augmentation reduction:
+    //    corpus vectors gain one floor(sqrt(M² − ‖x‖²)) component so all
+    //    share ~norm M and the EXISTING IVF machinery blocks the search;
+    //    queries probe with the raw vector (append-0 side). Final rank is
+    //    the exact INTEGER dot of the original vectors — no float in the
+    //    output. Oracle replays augmentation, √N training, probing, and
+    //    rank; SimilaritySpec pins full-probe == brute MIPS and the case
+    //    where inner-product and cosine order DISAGREE. ──
+    q("ls17_mips", mipsOracle(k = 10, nprobe = 4, qMod = 40, qLimit = 50)) {
+      (s, dir) =>
+      val vecs = Td.table(s, dir, "embeddings")
+      Similarity.mipsTopK(
         vecs.filter(col("vec_id") % 40 === 0).orderBy("vec_id").limit(50),
         vecs, "vec_id", "embedding", k = 10, kCells = 0, nprobe = 4)
     },
@@ -3605,6 +3669,50 @@ object LlmQueries {
           sum(when(wiped, 1L).otherwise(0L)).as("n_wiped"),
           (count(lit(1)) - sum(when(wiped, 1L).otherwise(0L))).as("n_after"),
           count_distinct(when(wiped, col("user_id"))).as("n_users_wiped"))
+    },
+
+    // ── l-diversity audit — k-anonymity's (lq7) necessary complement: a
+    //    k-anonymous group whose SENSITIVE attribute is homogeneous still
+    //    leaks it (the homogeneity attack). Per quasi-identifier group
+    //    (lang, source), with the floor-log2 length band standing in for
+    //    the sensitive attribute: distinct l-diversity (l >= 3) AND the
+    //    stronger recursive (c=2, l=3)-diversity — top1 < c·(n − top1 −
+    //    top2), i.e. the most common value must not dominate what remains
+    //    after the two most common. ALL integer comparisons (counts and a
+    //    bin()-length band), so both engines agree bit-exactly; one scan,
+    //    two hash aggregates, one window over GROUP-cardinality rows. ──
+    q("lq13_l_diversity",
+      """WITH b AS (SELECT lang, source, length(bin(n_chars)) AS band FROM documents),
+        |g AS (SELECT lang, source, band, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+        |r AS (SELECT lang, source, band, cnt,
+        |    row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY cnt DESC, band) AS rn
+        |  FROM g)
+        |SELECT lang, source, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS l_distinct,
+        |  CAST(max(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS top1,
+        |  CAST(coalesce(max(CASE WHEN rn = 2 THEN cnt END), 0) AS BIGINT) AS top2,
+        |  count(*) >= 3 AS distinct_l_pass,
+        |  count(*) >= 3 AND max(CASE WHEN rn = 1 THEN cnt END)
+        |    < 2 * (sum(cnt) - max(CASE WHEN rn = 1 THEN cnt END)
+        |           - coalesce(max(CASE WHEN rn = 2 THEN cnt END), 0)) AS recursive_cl_pass
+        |FROM r GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val g = Td.table(s, dir, "documents")
+        .select(col("lang"), col("source"), length(bin(col("n_chars"))).as("band"))
+        .groupBy("lang", "source", "band").agg(count(lit(1)).as("cnt"))
+      val rn = row_number().over(Window.partitionBy("lang", "source")
+        .orderBy(col("cnt").desc, col("band")))
+      val top1 = max(when(col("rn") === 1, col("cnt")))
+      val top2 = coalesce(max(when(col("rn") === 2, col("cnt"))), lit(0L))
+      g.withColumn("rn", rn)
+        .groupBy("lang", "source")
+        .agg(sum(col("cnt")).as("n_rows"),
+          count(lit(1)).as("l_distinct"),
+          top1.as("top1"), top2.as("top2"),
+          (count(lit(1)) >= 3).as("distinct_l_pass"),
+          (count(lit(1)) >= 3 && top1 < lit(2L) * (sum(col("cnt")) - top1 - top2))
+            .as("recursive_cl_pass"))
     }
   )
 

@@ -378,6 +378,49 @@ class SimilaritySpec extends SparkSpec {
       s"missed ${(planted -- found).size}/${planted.size}, spurious ${(found -- planted).size}")
   }
 
+  test("mipsTopK ranks by inner product where cosine disagrees; full probe == brute MIPS") {
+    // q aligned with a (cosine 1.0) but b carries 2.6x the magnitude at a
+    // small angle: inner product must put b first, cosine would put a
+    val rows = Seq(
+      (1L, Seq(1.0f) ++ Seq.fill(63)(0.0f)),                    // a: unit, aligned
+      (2L, Seq(2.4f, 1.0f) ++ Seq.fill(62)(0.0f)),              // b: big, off-angle
+      (3L, Seq(0.0f, 0.5f) ++ Seq.fill(62)(0.0f)),              // orthogonal-ish
+      (10L, Seq(1.0f) ++ Seq.fill(63)(0.0f)))                   // the query
+    val df = rows.toDF("vec_id", "embedding")
+    try {
+      val got = Similarity.mipsTopK(
+          df.filter(col("vec_id") === 10L), df.filter(col("vec_id") < 10L),
+          "vec_id", "embedding", k = 3, kCells = 2, nprobe = 2)
+        .select("neighbor_id", "dp", "rank").as[(Long, Long, Int)]
+        .collect().sortBy(_._3)
+      // dp(q, b) = 1000*2400 = 2.4e6 > dp(q, a) = 1e6 > dp(q, c) = 0
+      assert(got.map(_._1).toSeq == Seq(2L, 1L, 3L), s"got $got")
+      assert(got.map(_._2).toSeq == Seq(2400000L, 1000000L, 0L))
+    } finally Caches.releaseAll(spark)
+  }
+
+  test("mipsTopK full probe equals brute-force inner-product top-k on real embeddings") {
+    val vecs = graft.Td.table(spark, Sf0001, "embeddings")
+    val queries = vecs.filter(col("vec_id") % 40 === 0).orderBy("vec_id").limit(13)
+    try {
+      val got = Similarity.mipsTopK(queries, vecs, "vec_id", "embedding",
+          k = 5, kCells = 8, nprobe = 8)
+        .select("query_id", "rank", "neighbor_id", "dp")
+        .as[(Long, Int, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+      // brute force over the quantized vectors, same tie order
+      val q = vecs.select(col("vec_id"), Similarity.quantize(col("embedding")).as("e"))
+        .as[(Long, Array[Long])].collect().toMap
+      val qids = queries.select("vec_id").as[Long].collect()
+      qids.foreach { qid =>
+        val exact = q.keys.filter(_ != qid).map { nid =>
+          (nid, Qv.dot(q(qid), q(nid)))
+        }.toSeq.sortBy { case (nid, dp) => (-dp, nid) }.take(5)
+        assert(got(qid) == exact, s"query $qid: ${got(qid)} != $exact")
+      }
+    } finally Caches.releaseAll(spark)
+  }
+
   test("cell-blocked near-dups: subset of exact pairs, full planted recall at nprobe=2") {
     // same planted-twin corpus as the ld7 recall test: cell blocking must
     // (a) never invent a pair the exact confirm rejects — candidates are

@@ -164,7 +164,15 @@ class PlanShapeSpec extends SparkSpec {
     // eval-keyed window over confirmed hits — no join pathology may appear
     Shape("ld19_semantic_contamination", scans = None, shuffles = None,
       mustNotContain = Seq("SortMergeJoin", "CartesianProduct",
-        "BroadcastNestedLoopJoin")))
+        "BroadcastNestedLoopJoin")),
+    // lq13: one documents scan; the group agg exchange + the QI-keyed
+    // window/final-agg exchange — GROUP-cardinality rows only
+    Shape("lq13_l_diversity", scans = Some(1), shuffles = Some(2),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // ls17: the probe-cell candidate join must stay an equi hash join on
+    // cell — never a corpus sort-merge or a nested loop over vectors
+    Shape("ls17_mips", scans = None, shuffles = None,
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
 
   /** Flatten INCLUDING materialized AQE query stages (QueryStageExec is a
     * leaf whose real subtree hangs off `.plan`). */
