@@ -2929,6 +2929,47 @@ object RelationalQueries {
           sum(col("sum_cents")).cast("long").as("sum_cents"))
     },
 
+    // ── rolling ROBUST anomaly flags per user (Tukey fences over a
+    //    trailing 13-row frame): v outside [q1 − 1.5·IQR, q3 + 1.5·IQR]
+    //    of its own recent window — the outlier detector a mean/stddev
+    //    z-score can't be (one wild point inflates the stddev and masks
+    //    itself; quartiles barely move). Rolling EXACT quantiles over
+    //    integer cents: type-7 interpolation at h = (n−1)·p lands on
+    //    quarter-integers, exact in binary on BOTH engines, and the
+    //    1.5·IQR fences stay exact eighths — zero float divergence
+    //    despite three quantile windows. All three quantiles + the flag
+    //    share ONE user-keyed exchange. Complements w11 (CUSUM level
+    //    drift) and a27 (global robust outliers): this is the LOCAL
+    //    robust detector. ──
+    q("w14_rolling_tukey",
+      """WITH s AS (SELECT event_id, user_id, ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events),
+        |w AS (SELECT event_id, user_id, v,
+        |    quantile_cont(v, 0.5) OVER win AS med,
+        |    quantile_cont(v, 0.25) OVER win AS q1,
+        |    quantile_cont(v, 0.75) OVER win AS q3
+        |  FROM s WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 12 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, v, med, q1, q3,
+        |  v > q3 + 1.5 * (q3 - q1) OR v < q1 - 1.5 * (q3 - q1) AS anomaly
+        |FROM w""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val win = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-12, Window.currentRow)
+      val iqr = col("q3") - col("q1")
+      Td.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v"))
+        .withColumn("med", percentile(col("v"), lit(0.5)).over(win))
+        .withColumn("q1", percentile(col("v"), lit(0.25)).over(win))
+        .withColumn("q3", percentile(col("v"), lit(0.75)).over(win))
+        .select(col("event_id"), col("user_id"), col("v"),
+          col("med"), col("q1"), col("q3"),
+          (col("v") > col("q3") + lit(1.5) * iqr ||
+            col("v") < col("q1") - lit(1.5) * iqr).as("anomaly"))
+    },
+
     // ── rolling regression slope per user (trend detection): least-
     //    squares slope of value-cents against the row index over a
     //    trailing 20-row frame. ALL five frame sums are exact BIGINTs

@@ -172,6 +172,11 @@ class PlanShapeSpec extends SparkSpec {
     // ls17: the probe-cell candidate join must stay an equi hash join on
     // cell — never a corpus sort-merge or a nested loop over vectors
     Shape("ls17_mips", scans = None, shuffles = None,
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // w14: all three rolling quantiles + the fence flag share ONE
+    // user-keyed exchange — a second exchange means a quantile window
+    // stopped sharing the partitioning
+    Shape("w14_rolling_tukey", scans = Some(1), shuffles = Some(1),
       mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
 
   /** Flatten INCLUDING materialized AQE query stages (QueryStageExec is a
