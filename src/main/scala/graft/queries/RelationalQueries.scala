@@ -2841,6 +2841,68 @@ object RelationalQueries {
     //    group sizes — tiny), exact p50/p99 via cumulative windows over
     //    that histogram, and skew = max/mean as integer ppm. The raw
     //    key-count table never leaves the exchange it was built on. ──
+    // ── join PRE-FLIGHT: the exact output cardinality, key-overlap
+    //    profile, and hottest-task size of lineitem ⋈ orders — computed
+    //    from the two per-key COUNT tables (cost O(distinct keys)), never
+    //    by running the join (cost O(output)). At 100 TB this is the
+    //    audit that decides salting/AQE-skew settings and catches the
+    //    accidental many-to-many BEFORE it materializes: out_rows = Σ
+    //    nₐ·n_b, max_pair_rows = the biggest single-key task, top1_share
+    //    = how much of the output one key owns. The argmax key resolves
+    //    over the bounded (na, nb)-histogram (the s4 window discipline —
+    //    a global window over the KEY table would single-partition the
+    //    corpus; over the histogram it is constant work). ──
+    q("s6_join_preflight",
+      """WITH ka AS (SELECT l_orderkey AS k, count(*) AS na FROM lineitem GROUP BY 1),
+        |kb AS (SELECT o_orderkey AS k, count(*) AS nb FROM orders GROUP BY 1),
+        |j AS (SELECT coalesce(ka.k, kb.k) AS k, coalesce(na, 0) AS na,
+        |    coalesce(nb, 0) AS nb
+        |  FROM ka FULL OUTER JOIN kb ON ka.k = kb.k),
+        |h AS (SELECT na, nb, na * nb AS prod, count(*) AS keys,
+        |    min(CASE WHEN na > 0 AND nb > 0 THEN k END) AS min_k
+        |  FROM j GROUP BY 1, 2, 3),
+        |c AS (SELECT *, max(prod) OVER () AS max_prod FROM h)
+        |SELECT
+        |  CAST(sum(CASE WHEN na > 0 AND nb > 0 THEN keys ELSE 0 END) AS BIGINT) AS n_keys_matched,
+        |  CAST(sum(CASE WHEN nb = 0 THEN keys ELSE 0 END) AS BIGINT) AS n_keys_left_only,
+        |  CAST(sum(CASE WHEN na = 0 THEN keys ELSE 0 END) AS BIGINT) AS n_keys_right_only,
+        |  CAST(sum(prod * keys) AS BIGINT) AS out_rows,
+        |  CAST(max(max_prod) AS BIGINT) AS max_pair_rows,
+        |  CAST(min(CASE WHEN prod = max_prod THEN min_k END) AS BIGINT) AS hot_key,
+        |  CAST(max(max_prod) * 1000000 // sum(prod * keys) AS BIGINT) AS top1_share_ppm,
+        |  CAST(sum(prod * keys) * 1000000
+        |    // (sum(na * keys) + sum(nb * keys)) AS BIGINT) AS amplification_ppm
+        |FROM c""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ka = Td.table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("na"))
+      val kb = Td.table(s, dir, "orders")
+        .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("nb"))
+      val j = ka.join(kb, Seq("k"), "full_outer")
+        .select(col("k"), coalesce(col("na"), lit(0L)).as("na"),
+          coalesce(col("nb"), lit(0L)).as("nb"))
+      val h = j.withColumn("prod", col("na") * col("nb"))
+        .groupBy("na", "nb", "prod")
+        .agg(count(lit(1)).as("keys"),
+          min(when(col("na") > 0 && col("nb") > 0, col("k"))).as("min_k"))
+      val c = h.withColumn("max_prod", max(col("prod")).over(Window.partitionBy()))
+      c.agg(
+        sum(when(col("na") > 0 && col("nb") > 0, col("keys")).otherwise(0L))
+          .cast("long").as("n_keys_matched"),
+        sum(when(col("nb") === 0, col("keys")).otherwise(0L))
+          .cast("long").as("n_keys_left_only"),
+        sum(when(col("na") === 0, col("keys")).otherwise(0L))
+          .cast("long").as("n_keys_right_only"),
+        sum(col("prod") * col("keys")).cast("long").as("out_rows"),
+        max(col("max_prod")).cast("long").as("max_pair_rows"),
+        min(when(col("prod") === col("max_prod"), col("min_k")))
+          .cast("long").as("hot_key"),
+        expr("max(max_prod) * 1000000 DIV sum(prod * keys)")
+          .cast("long").as("top1_share_ppm"),
+        expr("sum(prod * keys) * 1000000 DIV (sum(na * keys) + sum(nb * keys))")
+          .cast("long").as("amplification_ppm"))
+    },
+
     q("s4_skew_report",
       """WITH kc AS (SELECT l_orderkey AS k, count(*) AS n
         |  FROM lineitem GROUP BY 1),
