@@ -199,6 +199,25 @@ object SuffixArray {
       least(col("lcp"), col("la") - col("pa"), col("lb") - col("pb")).as("lcp"))
   }
 
+  /** [[dupSpans]] with the operating point DERIVED from the corpus: total
+    * token positions <= `switchTokens` → the direct suffix sort (fewer
+    * passes; slice rows fit the storage tier — measured fastest through
+    * the derived ×10 decade); above it → [[dupSpansDoubling]] (skinny
+    * rows; measured 25% ahead at the derived ×100's 25M positions, where
+    * the direct path's persisted slice tables outgrow memory). The two
+    * paths are spec-pinned output-equal, so the choice is invisible to
+    * correctness — the size probe is one cheap tokenize-count scan,
+    * amortized against the many passes either path makes. */
+  def dupSpansAuto(
+      docs: DataFrame, idCol: String, textCol: String,
+      minRun: Int, levels: Int = 7, switchTokens: Long = 8000000L): DataFrame = {
+    val total = tokensGuarded(docs, idCol, textCol, levels)
+      .agg(sum(col("nt"))).head()
+    val n = if (total.isNullAt(0)) 0L else total.getLong(0)
+    if (n <= switchTokens) dupSpans(docs, idCol, textCol, minRun, levels)
+    else dupSpansDoubling(docs, idCol, textCol, minRun, levels)
+  }
+
   /** [[dupSpans]] via prefix doubling — identical output, skinny-row
     * shuffles; the operating point once N * maxlen outgrows the shuffle
     * tier. See object scaladoc. */

@@ -462,13 +462,17 @@ object BikeShapeQueries {
       OdInference.firstMatches(odDeltas(s, dir))
     },
 
-    // ── the matcher's first FOUR decisions per bucket, oracle-checked by
-    //    a generated-CTE unroll: each decision is relationally expressible
-    //    given the prior one (decrement + drop-at-zero never reorders the
-    //    scan), so the golden-only surface shrinks to buckets deeper than
-    //    4 decisions. Spark runs the REAL matcher's emission prefix. ──
-    q("bod_match_unrolled", odUnrollSql(4)) { (s, dir) =>
-      OdInference.firstKMatches(odDeltas(s, dir), 4)
+    // ── the matcher's first EIGHT decisions per bucket, oracle-checked
+    //    by a generated-CTE unroll: each decision is relationally
+    //    expressible given the prior one (decrement + drop-at-zero never
+    //    reorders the scan), so the golden-only surface shrinks to
+    //    buckets deeper than 8 decisions (the reference's real corpus
+    //    averages ~4.1 per bucket — most buckets are now FULLY
+    //    oracle-checked). Spark runs the REAL matcher's emission prefix;
+    //    every round's four CTEs are MATERIALIZED, so oracle cost is
+    //    linear in K over bucket-sized tables. ──
+    q("bod_match_unrolled", odUnrollSql(8)) { (s, dir) =>
+      OdInference.firstKMatches(odDeltas(s, dir), 8)
     },
 
     // ── OD conservation invariants — the oracle-checkable face of the

@@ -3330,7 +3330,7 @@ object LlmQueries {
     //    outgrows the shuffle tier) equal on the fixture. See
     //    graft.llm.SuffixArray for the operating-point accounting. ──
     q("ld18_suffix_dups", suffixOracle(10)) { (s, dir) =>
-      SuffixArray.dupSpans(Td.table(s, dir, "documents"), "doc_id", "text",
+      SuffixArray.dupSpansAuto(Td.table(s, dir, "documents"), "doc_id", "text",
         minRun = 10, levels = 7)
     },
 

@@ -113,4 +113,19 @@ class SuffixArraySpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 1L, 6L, 6L), (2L, 1L, 6L, 6L)))
   }
+
+  test("dupSpansAuto is path-invariant: forced-direct == forced-doubling on real docs") {
+    val docs = graft.Td.table(spark, Sf0001, "documents").limit(120)
+    def run(switchAt: Long) = {
+      val r = SuffixArray.dupSpansAuto(docs, "doc_id", "text",
+          minRun = 10, levels = 7, switchTokens = switchAt)
+        .select("doc_id", "n_spans", "dup_tokens", "max_replen")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      Caches.releaseAll(spark)
+      r
+    }
+    val direct = run(Long.MaxValue) // total stays below → dupSpans
+    val doubling = run(0L)          // any corpus exceeds 0 → dupSpansDoubling
+    assert(direct == doubling && direct.nonEmpty)
+  }
 }
