@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Td
 import graft.llm.Similarity
-import graft.ops.{AsOfJoin, Det, EventOps, Integrity, IntervalJoin, TimeOps, Upsert, ZOrder}
+import graft.ops.{AsOfJoin, Det, EventOps, Integrity, IntervalJoin, Retract, TimeOps, Upsert, ZOrder}
 
 /** The relational operator inventory (SURVEY.md §2.2–2.6, §2.8, §2.9)
   * re-expressed over the driver's testdata tables, each with a DuckDB oracle.
@@ -2989,6 +2989,46 @@ object RelationalQueries {
         .groupBy("event_type")
         .agg(sum(col("n")).cast("long").as("n"),
           sum(col("sum_cents")).cast("long").as("sum_cents"))
+    },
+
+    // ── incremental aggregates under DELETES (retractions — the CDC/
+    //    changelog-consumer merge law m3 cannot express): base = events
+    //    before the cut, changelog = deletes of base rows with
+    //    event_id % 7 = 3 plus inserts of the post-cut rows. sum/count
+    //    fold a −1 fine, but min/max are NOT invertible — the maintained
+    //    auxiliary is the per-(key, value) COUNT HISTOGRAM (ops/Retract):
+    //    a delete decrements one cell, every aggregate re-derives from
+    //    surviving cells, incremental cost O(changelog + histogram) never
+    //    O(base). Exact integers ⇒ maintained result hash-equals the
+    //    oracle's full recompute; a retraction of a never-held row raises
+    //    loudly (RetractSpec). Base/changelog read as separate scans BY
+    //    DESIGN (at scale the histogram is a materialization, the m3
+    //    note). ──
+    q("m4_retractable_agg",
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sum_v,
+        |  CAST(min(v) AS BIGINT) AS min_v,
+        |  CAST(max(v) AS BIGINT) AS max_v
+        |FROM (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE (ts < TIMESTAMP '2024-01-22 00:00:00' AND event_id % 7 <> 3)
+        |     OR ts >= TIMESTAMP '2024-01-22 00:00:00')
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val cut = lit(java.sql.Timestamp.valueOf("2024-01-22 00:00:00"))
+      val ev = Td.table(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      val hist0 = ev.filter(col("ts") < cut)
+        .groupBy("event_type", "v").agg(count(lit(1)).as("cnt"))
+      val delta = ev.filter(col("ts") < cut && col("event_id") % 7 === 3)
+        .select(col("event_type"), col("v"), lit(-1L).as("d"))
+        .unionByName(ev.filter(col("ts") >= cut)
+          .select(col("event_type"), col("v"), lit(1L).as("d")))
+        .groupBy("event_type", "v").agg(sum(col("d")).as("dcnt"))
+      Retract.aggFromHistogram(
+        Retract.maintainHistogram(hist0, delta, Seq("event_type")),
+        Seq("event_type"))
     },
 
     // ── rolling ROBUST anomaly flags per user (Tukey fences over a

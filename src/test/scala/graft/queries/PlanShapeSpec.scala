@@ -177,7 +177,12 @@ class PlanShapeSpec extends SparkSpec {
     // user-keyed exchange — a second exchange means a quantile window
     // stopped sharing the partitioning
     Shape("w14_rolling_tukey", scans = Some(1), shuffles = Some(1),
-      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // m4: the maintenance join runs over HISTOGRAM-cardinality rows (a
+    // full-outer on (key, v) — sort-merge is fine THERE); what must never
+    // appear is a cartesian anywhere
+    Shape("m4_retractable_agg", scans = None, shuffles = None,
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
 
   /** Flatten INCLUDING materialized AQE query stages (QueryStageExec is a
     * leaf whose real subtree hangs off `.plan`). */
