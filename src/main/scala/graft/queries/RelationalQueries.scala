@@ -1408,6 +1408,52 @@ object RelationalQueries {
           max(col("qx")).cast("double").as("qmax"))
     },
 
+    // ── A38: exact WEIGHTED quantiles (weighted median + quartiles) —
+    //    the revenue-weighted center a plain percentile misstates (a15
+    //    treats a 1-unit and a 50-unit line identically; here quantity is
+    //    the mass). Lower-quantile definition: smallest v whose
+    //    cumulative weight reaches p of the total, decided by INTEGER
+    //    cross-multiplication (4·cum ≥ tot etc.) — no interpolation, no
+    //    float anywhere. Scale shape: the corpus collapses to a
+    //    per-(group, v) weight HISTOGRAM first (map-side combinable hash
+    //    agg); the cumulative window then runs over VALUE-DOMAIN
+    //    cardinality (bounded by the cents price domain), never corpus
+    //    rows — the s4/a24 histogram discipline. ──
+    q("a38_weighted_quantiles",
+      """WITH h AS (SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, v, wt,
+        |    CAST(sum(wt) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(wt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+        |  FROM h)
+        |SELECT l_returnflag,
+        |  CAST(max(tot) AS BIGINT) AS total_weight,
+        |  CAST(min(CASE WHEN cum * 4 >= tot THEN v END) AS BIGINT) AS wq25,
+        |  CAST(min(CASE WHEN cum * 2 >= tot THEN v END) AS BIGINT) AS wq50,
+        |  CAST(min(CASE WHEN cum * 4 >= tot * 3 THEN v END) AS BIGINT) AS wq75
+        |FROM c GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = Td.table(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("v"),
+          col("l_quantity").cast("long").as("w"))
+        .groupBy("l_returnflag", "v").agg(sum(col("w")).as("wt"))
+      val wOrd = Window.partitionBy("l_returnflag").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("l_returnflag")
+      h.select(col("l_returnflag"), col("v"), col("wt"),
+          sum(col("wt")).over(wOrd).cast("long").as("cum"),
+          sum(col("wt")).over(wAll).cast("long").as("tot"))
+        .groupBy("l_returnflag")
+        .agg(max(col("tot")).cast("long").as("total_weight"),
+          min(when(col("cum") * 4 >= col("tot"), col("v"))).cast("long").as("wq25"),
+          min(when(col("cum") * 2 >= col("tot"), col("v"))).cast("long").as("wq50"),
+          min(when(col("cum") * 4 >= col("tot") * 3, col("v"))).cast("long").as("wq75"))
+    },
+
     // ── A18: approx_percentile, driver-checked (the a11 pattern applied to
     //    quantiles). The sketch (Greenwald-Khanna at accuracy 1000 — the
     //    constant-memory 100 TB path a15's scaladoc names) is rank-verified

@@ -182,7 +182,13 @@ class PlanShapeSpec extends SparkSpec {
     // full-outer on (key, v) — sort-merge is fine THERE); what must never
     // appear is a cartesian anywhere
     Shape("m4_retractable_agg", scans = None, shuffles = None,
-      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // a38: ONE lineitem scan collapses to the (flag, v) weight histogram;
+    // the cumulative windows + final agg ride the flag-keyed exchange —
+    // value-domain rows only, no joins anywhere
+    Shape("a38_weighted_quantiles", scans = Some(1), shuffles = Some(2),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct",
+        "BroadcastNestedLoopJoin")))
 
   /** Flatten INCLUDING materialized AQE query stages (QueryStageExec is a
     * leaf whose real subtree hangs off `.plan`). */
