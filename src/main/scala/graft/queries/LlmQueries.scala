@@ -2048,6 +2048,49 @@ object LlmQueries {
         col("lang") === "en")
     },
 
+    // ── trigram-INDEX phrase search (the pg_trgm / code-search shape):
+    //    find every document containing a 6-token needle phrase WITHOUT
+    //    scanning text — candidates are docs whose shingle postings hold
+    //    ALL of the needle's token trigrams (posting intersection, cost
+    //    bounded by the rarest trigram's posting list), then the tiny
+    //    candidate set alone pays the exact whitespace-normalized confirm.
+    //    Completeness is a theorem: a token-aligned occurrence implies
+    //    every needle trigram present, so the index path returns EXACTLY
+    //    the brute scan's answers — and the ORACLE runs the brute scan,
+    //    making that equivalence the hash check itself. Needles derive
+    //    from the corpus (tokens 3..8 of the three smallest doc_id % 97 =
+    //    5 docs), so the query is self-contained at every SF. ──
+    q("lt51_trgm_search",
+      s"""WITH $toksCte,
+        |nd AS (SELECT doc_id AS needle_src, array_to_string(t[3:8], ' ') AS needle
+        |  FROM toks WHERE doc_id % 97 = 5 AND len(t) >= 8
+        |  ORDER BY doc_id LIMIT 3)
+        |SELECT nd.needle_src, nd.needle, t.doc_id
+        |FROM toks t, nd
+        |WHERE contains(' ' || array_to_string(t.t, ' ') || ' ',
+        |  ' ' || nd.needle || ' ')""".stripMargin) { (s, dir) =>
+      val toks = Td.table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .withColumn("nt", size(col("t")))
+      val needles = toks.filter(col("doc_id") % 97 === 5 && col("nt") >= 8)
+        .orderBy("doc_id").limit(3)
+        .select(col("doc_id").as("needle_src"),
+          array_join(slice(col("t"), 3, 6), " ").as("needle"))
+      val nsh = needles.select(col("needle_src"), col("needle"),
+          explode(TextOps.shingles(TextOps.tokens(col("needle")), 3)).as("shingle"))
+        .distinct()
+      val need = nsh.groupBy("needle_src", "needle").agg(count(lit(1)).as("n_need"))
+      val cand = Dedup.shingleTable(Td.table(s, dir, "documents"), "doc_id", "text", 3)
+        .join(broadcast(nsh), Seq("shingle"))
+        .groupBy("needle_src", "needle", "doc_id").agg(count(lit(1)).as("n_hit"))
+        .join(broadcast(need), Seq("needle_src", "needle"))
+        .where(col("n_hit") === col("n_need"))
+      cand.join(toks, Seq("doc_id"))
+        .where(concat(lit(" "), array_join(col("t"), " "), lit(" "))
+          .contains(concat(lit(" "), col("needle"), lit(" "))))
+        .select(col("needle_src"), col("needle"), col("doc_id"))
+    },
+
     // ── Stratified EXACT split: per language, train/val/test by integer
     //    cross-multiplied boundaries over the deterministic hash order —
     //    every stratum gets exactly its proportions (a small language

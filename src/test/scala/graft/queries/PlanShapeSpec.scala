@@ -188,7 +188,13 @@ class PlanShapeSpec extends SparkSpec {
     // value-domain rows only, no joins anywhere
     Shape("a38_weighted_quantiles", scans = Some(1), shuffles = Some(2),
       mustNotContain = Seq("SortMergeJoin", "CartesianProduct",
-        "BroadcastNestedLoopJoin")))
+        "BroadcastNestedLoopJoin")),
+    // lt51: the needle tables broadcast onto the shingle postings — the
+    // corpus must never exchange keyed by shingle for a 3-needle search,
+    // and no scan of text happens outside the candidate confirm
+    Shape("lt51_trgm_search", scans = None, shuffles = None,
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
 
   /** Flatten INCLUDING materialized AQE query stages (QueryStageExec is a
     * leaf whose real subtree hangs off `.plan`). */
