@@ -98,6 +98,40 @@ object EventOps {
       .agg(stageExpr.cast("int").as("stage"), firstCols: _*)
   }
 
+  /** [[funnelStages]] with a CONVERSION WINDOW — the product-analytics
+    * funnel semantic: stage i+1 counts only within `maxGapSec` of stage
+    * i's first occurrence, so a purchase a week after the click no longer
+    * converts. First-touch anchoring like the unbounded form (each stage
+    * anchors at its FIRST in-window occurrence; a later stage-i event
+    * that would have enabled a conversion the first one missed does not
+    * re-anchor — the deterministic, oracle-replayable choice). Interval
+    * arithmetic is exact integer microseconds on both engines. Same scale
+    * shape: stages-many cascaded min windows over ONE key exchange. */
+  def windowedFunnelStages(
+      events: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+      stages: Seq[String], maxGapSec: Long): DataFrame = {
+    require(stages.nonEmpty, "windowedFunnelStages: need at least one stage")
+    require(maxGapSec > 0, s"maxGapSec must be positive: $maxGapSec")
+    val w = Window.partitionBy("k")
+    val base = events.select(
+      col(keyCol).as("k"), col(tsCol).as("ts"), col(typeCol).as("et"))
+    val withFirsts = stages.zipWithIndex.foldLeft(base) {
+      case (df, (stage, i)) =>
+        val cond: Column =
+          if (i == 0) col("et") === stage
+          else col("et") === stage && col("ts") > col(s"f${i - 1}") &&
+            col("ts") <= col(s"f${i - 1}") + expr(s"INTERVAL $maxGapSec SECOND")
+        df.withColumn(s"f$i", min(when(cond, col("ts"))).over(w))
+    }
+    val firstCols = stages.indices.map(i =>
+      min(col(s"f$i")).as(s"first_${stages(i)}"))
+    val stageExpr = stages.indices.foldLeft(lit(0)) { (acc, i) =>
+      when(min(col(s"f$i")).isNotNull, i + 1).otherwise(acc)
+    }
+    withFirsts.groupBy(col("k").as(keyCol))
+      .agg(stageExpr.cast("int").as("stage"), firstCols: _*)
+  }
+
   /** Weekly cohort retention: cohort = Monday-truncated week of the key's
     * first event; week_offset = whole 7-day periods since that first event
     * (exact integer microsecond arithmetic — calendar-free, so every

@@ -2099,6 +2099,35 @@ object RelationalQueries {
         "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
     },
 
+    // ── conversion-WINDOW funnel (the product-analytics semantic e2's
+    //    unbounded cascade lacks): each stage counts only within 1 hour
+    //    of the previous stage's first occurrence — a purchase a week
+    //    after the click no longer converts. First-touch anchoring
+    //    (deterministic, no re-anchoring), exact integer-microsecond
+    //    interval arithmetic on both engines; same one-key-exchange
+    //    cascade shape as e2. ──
+    q("e9_windowed_funnel",
+      """SELECT user_id, CAST(CASE WHEN min(fp) IS NOT NULL THEN 3
+        |    WHEN min(fc) IS NOT NULL THEN 2
+        |    WHEN min(fv) IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage,
+        |  min(fv) AS first_view, min(fc) AS first_click,
+        |  min(fp) AS first_purchase
+        |FROM (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > fc
+        |      AND ts <= fc + INTERVAL 3600 SECOND
+        |      THEN ts END) OVER (PARTITION BY user_id) AS fp
+        |  FROM (SELECT *, min(CASE WHEN event_type = 'click' AND ts > fv
+        |        AND ts <= fv + INTERVAL 3600 SECOND
+        |        THEN ts END) OVER (PARTITION BY user_id) AS fc
+        |    FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |        min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END)
+        |          OVER (PARTITION BY user_id) AS fv
+        |      FROM events)))
+        |GROUP BY user_id""".stripMargin) { (s, dir) =>
+      EventOps.windowedFunnelStages(Td.table(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+        maxGapSec = 3600L)
+    },
+
     // ── weekly cohort retention: cohort = Monday-truncated week of first
     //    event; offset = exact 7-day periods since the first event (integer
     //    microsecond div — calendar-free, so both engines bucket

@@ -89,6 +89,32 @@ class EventOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2, ts("2024-01-01 11:00:00"))))
   }
 
+  test("windowedFunnelStages: the gap boundary is inclusive; one second past it stalls the stage") {
+    val ev = Seq(
+      // u1: click exactly AT the 1h boundary -> converts (<=)
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 11:00:00"), "click"),
+      // u2: click one second past the window -> stalls at stage 1
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 11:00:01"), "click"),
+      // u3: in-window click, purchase in-window OF THE CLICK though far
+      // from the view -> full conversion (windows chain stage-to-stage)
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 10:50:00"), "click"),
+      (3L, ts("2024-01-01 11:40:00"), "purchase"),
+      // u4: first-touch anchoring — the early click anchors the window,
+      // and the purchase inside the LATER click's window does not convert
+      (4L, ts("2024-01-01 10:00:00"), "view"),
+      (4L, ts("2024-01-01 10:10:00"), "click"),
+      (4L, ts("2024-01-01 12:00:00"), "click"),
+      (4L, ts("2024-01-01 12:30:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventOps.windowedFunnelStages(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), maxGapSec = 3600L)
+      .select("user_id", "stage").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 2, 2L -> 1, 3L -> 3, 4L -> 2))
+  }
+
   test("cohortRetention: offsets are exact 7-day periods from the first event") {
     val ev = Seq(
       // u1 first event Wed Jan 3 -> cohort Mon Jan 1; active again 6 days
