@@ -457,8 +457,10 @@ object Sampling {
         coalesce(col("survivor_id"), col(idCol)).as("group_key"))
       .join(sizes, Seq("group_key"), "left")
       .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      // floor at 1 ppm: a cluster larger than 1e6 members must still keep
+      // ~one document's worth of mass, not vanish from the sampling mix
       .withColumn("weight_ppm",
-        expr("CAST(1000000 DIV cluster_size AS BIGINT)"))
+        expr("CAST(greatest(1000000 DIV cluster_size, 1) AS BIGINT)"))
       .select(col(idCol), col("group_key"), col("cluster_size"),
         col("weight_ppm"))
   }

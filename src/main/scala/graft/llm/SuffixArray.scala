@@ -144,22 +144,48 @@ object SuffixArray {
     * every position — (doc_id, p, nt, r). Every level is eagerly
     * localCheckpoint'd and tracked: each is consumed by the next round
     * AND by the LCP lift, and lineage truncation is what keeps round k
-    * from re-embedding (and re-executing) rounds 0..k-1. */
-  def levelTables(pos: DataFrame, levels: Int): IndexedSeq[DataFrame] = {
-    val lv = new Array[DataFrame](levels + 1)
-    lv(0) = Caches.trackCheckpoint(denseRankJoin(pos, Seq("tok"), "r")
+    * from re-embedding (and re-executing) rounds 0..k-1.
+    *
+    * With `earlyStop` (default), the loop ends as soon as a round's
+    * dense-rank CLASS COUNT equals the previous round's — one `max(r)`
+    * aggregate per round on the freshly-checkpointed skinny table (ranks
+    * are dense, so max == number of classes). An unrefined round means
+    * the partition is a fixpoint (a class that survives a (r, r2) split
+    * can never split later), so every subsequent level table would be
+    * identical: the returned LAST level is always CONVERGED — positions
+    * sharing its rank are identical suffixes — which is the invariant
+    * [[neighborLcp]]'s seed step relies on. On real corpora ranks
+    * separate after ~log(longest repeated run), not log(maxlen), so this
+    * drops whole sort+join rounds at scale. The unrefined round itself is
+    * dropped from the result (its classes duplicate the previous
+    * level's). */
+  def levelTables(pos: DataFrame, levels: Int, earlyStop: Boolean = true): IndexedSeq[DataFrame] = {
+    def classCount(df: DataFrame): Long = {
+      val r = df.agg(max(col("r"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val lv = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    lv += Caches.trackCheckpoint(denseRankJoin(pos, Seq("tok"), "r")
       .select(col("doc_id"), col("p"), col("nt"), col("r"))
       .localCheckpoint())
-    for (k <- 1 to levels) {
+    var prevClasses = if (earlyStop) classCount(lv(0)) else -1L
+    var k = 1
+    var converged = false
+    while (k <= levels && !converged) {
       val s = 1L << (k - 1)
       val partner = lv(k - 1)
         .select(col("doc_id"), (col("p") - s).as("p"), col("r").as("r2"))
       val paired = lv(k - 1)
         .join(partner, Seq("doc_id", "p"), "left")
         .na.fill(0L, Seq("r2"))
-      lv(k) = Caches.trackCheckpoint(denseRankJoin(paired, Seq("r", "r2"), "rk")
+      val next = Caches.trackCheckpoint(denseRankJoin(paired, Seq("r", "r2"), "rk")
         .select(col("doc_id"), col("p"), col("nt"), col("rk").as("r"))
         .localCheckpoint())
+      if (earlyStop) {
+        val c = classCount(next)
+        if (c == prevClasses) converged = true else { lv += next; prevClasses = c }
+      } else lv += next
+      k += 1
     }
     lv.toIndexedSeq
   }
@@ -171,15 +197,36 @@ object SuffixArray {
       .select(col("doc_id"), col("p"), col("nt"), col("gpos").as("rn"))
 
   /** SA-adjacent pairs with their exact LCP by binary lifting over the
-    * level tables — (da, pa, db, pb, lcp). */
+    * level tables — (da, pa, db, pb, lcp).
+    *
+    * The lift is SEEDED from the final level table before descending:
+    * the last level's rank classes are converged (either its 2^k window
+    * covers the whole doc cap, or [[levelTables]] stopped on an
+    * unrefined round), so equal final ranks ⟺ the two suffixes are
+    * identical to their ends — seed the exact lcp = min(len_a, len_b)
+    * directly. Without the seed, the descending lift over levels
+    * size-2..0 caps at 2^(size-1) - 1, one short of two identical
+    * suffixes of exactly 2^(size-1) tokens (identical max-cap docs).
+    * Unequal final ranks mean the suffixes differ inside the final
+    * window, so the true LCP < 2^(size-1) fits the remaining lift
+    * capacity exactly. Seeded cursors land past the doc end, where the
+    * level tables have no row — the left joins below go null and the
+    * pair never advances again. */
   def neighborLcp(sa: DataFrame, lv: IndexedSeq[DataFrame]): DataFrame = {
+    val top = lv.last
     var st = sa.select(
-        col("doc_id").as("da"), col("p").as("pa"), col("nt").as("la"),
-        col("p").as("oa"), col("rn"))
+        col("doc_id").as("da"), col("p").as("pa"), col("nt").as("la"), col("rn"))
       .join(sa.select(col("doc_id").as("db"), col("p").as("pb"),
-        col("nt").as("lb"), col("p").as("ob"), (col("rn") - 1).as("rn")), "rn")
-      .select(col("da"), col("pa"), col("la"), col("oa"),
-        col("db"), col("pb"), col("lb"), col("ob"), lit(0L).as("lcp"))
+        col("nt").as("lb"), (col("rn") - 1).as("rn")), "rn")
+      .join(top.select(col("doc_id").as("da"), col("p").as("pa"),
+        col("r").as("__ta")), Seq("da", "pa"))
+      .join(top.select(col("doc_id").as("db"), col("p").as("pb"),
+        col("r").as("__tb")), Seq("db", "pb"))
+      .withColumn("lcp", when(col("__ta") === col("__tb"),
+        least(col("la") - col("pa"), col("lb") - col("pb"))).otherwise(lit(0L)))
+      .select(col("da"), col("pa"), col("la"), (col("pa") + col("lcp")).as("oa"),
+        col("db"), col("pb"), col("lb"), (col("pb") + col("lcp")).as("ob"),
+        col("lcp"))
     for (k <- (lv.size - 2) to 0 by -1) {
       val w = 1L << k
       val rk = lv(k).select(col("doc_id"), col("p"), col("r"))
@@ -211,11 +258,20 @@ object SuffixArray {
   def dupSpansAuto(
       docs: DataFrame, idCol: String, textCol: String,
       minRun: Int, levels: Int = 7, switchTokens: Long = 8000000L): DataFrame = {
-    val total = tokensGuarded(docs, idCol, textCol, levels)
-      .agg(sum(col("nt"))).head()
-    val n = if (total.isNullAt(0)) 0L else total.getLong(0)
-    if (n <= switchTokens) dupSpans(docs, idCol, textCol, minRun, levels)
-    else dupSpansDoubling(docs, idCol, textCol, minRun, levels)
+    val probe = tokensGuarded(docs, idCol, textCol, levels)
+      .agg(sum(col("nt")), max(col("nt"))).head()
+    val n = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    val maxNt = if (probe.isNullAt(1)) 1L else probe.getLong(1)
+    // Levels DERIVED from the measured longest document (the same probe
+    // scan that picks the operating point): ceil(log2(maxNt)) rounds
+    // suffice to rank every full suffix, so a corpus of short docs never
+    // pays the fixed-cap round count. The passed `levels` stays the
+    // GUARD — a doc past 2^levels still raises inside the chosen path.
+    val eff =
+      if (maxNt > (1L << levels)) levels // over cap: run as asked, path raises
+      else math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(maxNt - 1, 1L))).min(levels)
+    if (n <= switchTokens) dupSpans(docs, idCol, textCol, minRun, eff)
+    else dupSpansDoubling(docs, idCol, textCol, minRun, eff)
   }
 
   /** [[dupSpans]] via prefix doubling — identical output, skinny-row
@@ -223,12 +279,12 @@ object SuffixArray {
     * tier. See object scaladoc. */
   def dupSpansDoubling(
       docs: DataFrame, idCol: String, textCol: String,
-      minRun: Int, levels: Int = 7): DataFrame = {
+      minRun: Int, levels: Int = 7, earlyStop: Boolean = true): DataFrame = {
     require(levels >= 1 && levels <= 20, s"levels out of range: $levels")
     require(minRun >= 1, s"minRun must be positive: $minRun")
     val pos = Caches.persist(posTable(docs, idCol, textCol, levels))
-    val lv = levelTables(pos, levels)
-    val sa = Caches.trackCheckpoint(saOrder(lv(levels)).localCheckpoint())
+    val lv = levelTables(pos, levels, earlyStop)
+    val sa = Caches.trackCheckpoint(saOrder(lv.last).localCheckpoint())
     spanRollup(replenTable(neighborLcp(sa, lv)), minRun)
   }
 

@@ -29,15 +29,19 @@ object Integrity {
         col(ck) === col(s"__pk$i"), "left")
     }
     val orphanAggs = edges.zipWithIndex.map { case ((ck, _, _, _), i) =>
-      sum(when(col(ck).isNotNull && col(s"__pk$i").isNull, 1L).otherwise(0L))
-        .as(s"__orph$i")
+      // coalesce: sum over an EMPTY child is NULL, not 0
+      coalesce(
+        sum(when(col(ck).isNotNull && col(s"__pk$i").isNull, 1L).otherwise(0L)),
+        lit(0L)).as(s"__orph$i")
     }
     val m = joined.agg(count(lit(1)).as("__n"), orphanAggs: _*)
     val stackExpr = edges.indices
       .map(i => s"'${edges(i)._4}', __n, __orph$i")
       .mkString(s"stack(${edges.size}, ", ", ", ") AS (fk, n_rows, n_orphans)")
     m.select(expr(stackExpr))
-      .withColumn("orphan_ppm", expr("n_orphans * 1000000 DIV n_rows"))
+      // greatest(n_rows, 1): an empty child is a trivially-passing edge,
+      // not an ANSI division-by-zero error
+      .withColumn("orphan_ppm", expr("n_orphans * 1000000 DIV greatest(n_rows, 1)"))
       .withColumn("pass", col("n_orphans") === 0L)
   }
 }

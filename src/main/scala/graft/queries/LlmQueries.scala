@@ -1442,10 +1442,12 @@ object LlmQueries {
          |dense AS (SELECT query_id, neighbor_id, rank FROM (
          |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, neighbor_id) AS rank FROM sims) WHERE rank <= 10),
-         |ovl AS (SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
-         |    count(*) AS ov
+         |ovl AS (SELECT query_id, neighbor_id, count(*) AS ov FROM (
+         |  SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id
          |  FROM sh a JOIN qsel q ON a.doc_id = q.vec_id
          |  JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  QUALIFY count(*) OVER (PARTITION BY a.doc_id, a.s) + 1
+         |    <= ${Dedup.DefaultMaxShingleDf})
          |  GROUP BY 1, 2),
          |lex AS (SELECT query_id, neighbor_id, rank FROM (
          |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
@@ -1479,10 +1481,13 @@ object LlmQueries {
         // constant 50) and the full corpus shingle table never takes an
         // extra exchange. A viral boilerplate shingle is one fat slice,
         // counted and discarded before the pair rollup can square it.
-        // Never fires at oracle scale (ld2's uncapped-oracle precedent).
+        // The slice excludes the query doc itself, so corpus DF is
+        // __df + 1 — compared against the same DefaultMaxShingleDf the
+        // dedup tier uses, and MIRRORED in the oracle's QUALIFY so a
+        // firing cap can never diverge the two sides.
         .withColumn("__df", count(lit(1)).over(
           Window.partitionBy(col("a.doc_id"), col("a.shingle"))))
-        .filter(col("__df") <= Dedup.DefaultMaxShingleDf)
+        .filter(col("__df") + 1 <= Dedup.DefaultMaxShingleDf)
         .groupBy(col("a.doc_id").as("query_id"),
           col("b.doc_id").as("neighbor_id"))
         .agg(count(lit(1)).as("ov"))
@@ -1916,7 +1921,7 @@ object LlmQueries {
          |  FROM documents d LEFT JOIN cmap c ON d.doc_id = c.doc_id)
          |SELECT g.doc_id, g.group_key,
          |  CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size,
-         |  CAST(1000000 // coalesce(s.cluster_size, 1) AS BIGINT) AS weight_ppm
+         |  CAST(greatest(1000000 // coalesce(s.cluster_size, 1), 1) AS BIGINT) AS weight_ppm
          |FROM g LEFT JOIN csz s ON g.group_key = s.survivor_id""".stripMargin) { (s, dir) =>
       val docs = Td.table(s, dir, "documents")
       val clusters = Dedup.dedupClusters(Dedup.jaccardPairs(

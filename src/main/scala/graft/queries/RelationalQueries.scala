@@ -2294,7 +2294,7 @@ object RelationalQueries {
         |  UNION ALL SELECT 'supplier->nation', n, orph0 FROM sn
         |  UNION ALL SELECT 'nation->region', n, orph0 FROM nr)
         |SELECT fk, CAST(n AS BIGINT) AS n_rows, CAST(orph AS BIGINT) AS n_orphans,
-        |  CAST(orph * 1000000 // n AS BIGINT) AS orphan_ppm, orph = 0 AS pass
+        |  CAST(orph * 1000000 // greatest(n, 1) AS BIGINT) AS orphan_ppm, orph = 0 AS pass
         |FROM st""".stripMargin) { (s, dir) =>
       def t(name: String) = Td.table(s, dir, name)
       Integrity.fkAudit(t("lineitem"), Seq(

@@ -383,4 +383,15 @@ class SamplingSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L).map(m(_)._4).sum == 999999L)
     assert(Seq(10L, 11L).map(m(_)._4).sum == 1000000L)
   }
+
+  test("softDedupWeights: a cluster past 1e6 members floors at 1 ppm, never 0") {
+    val n = 1100000L
+    val d = spark.range(1, n + 1).toDF("doc_id")
+    val cmap = spark.range(1, n + 1).toDF("doc_id")
+      .withColumn("survivor_id", lit(1L))
+    val w = Sampling.softDedupWeights(d, cmap, "doc_id")
+      .groupBy("weight_ppm").count()
+      .as[(Long, Long)].collect().toMap
+    assert(w == Map(1L -> n)) // every member keeps 1 ppm; none vanish
+  }
 }

@@ -114,6 +114,50 @@ class SuffixArraySpec extends SparkSpec {
     assert(got == Set((1L, 1L, 6L, 6L), (2L, 1L, 6L, 6L)))
   }
 
+  test("two identical docs of exactly 2^levels tokens: doubling == direct == full-length replen") {
+    // The binary-lift cap regression: suffixes of exactly 2^levels tokens
+    // need an LCP of 2^levels, one past what a lift over levels-1..0 can
+    // sum to — the seed from the (converged) final level covers it.
+    val levels = 4
+    val n = 1 << levels // 16 tokens == the cap exactly
+    val text = (1 to n).map(i => s"d$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val expect = Set((1L, 1L, n.toLong, n.toLong), (2L, 1L, n.toLong, n.toLong))
+    for (es <- Seq(true, false)) {
+      val got = SuffixArray.dupSpansDoubling(docs, "doc_id", "text",
+          minRun = 2, levels = levels, earlyStop = es)
+        .select("doc_id", "n_spans", "dup_tokens", "max_replen")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == expect, s"earlyStop=$es")
+    }
+    val direct = SuffixArray.dupSpans(docs, "doc_id", "text", minRun = 2, levels = levels)
+      .select("doc_id", "n_spans", "dup_tokens", "max_replen")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(direct == expect)
+  }
+
+  test("early-stop doubling == full-rounds doubling (short docs under a tall cap)") {
+    // 8-token docs under levels=7: rank classes converge after ~3 rounds,
+    // so the early-stop path drops rounds — output must not move.
+    val docs = Seq(
+      (1L, "e1 e2 e3 e4 e5 e6 e7 e8"),
+      (2L, "f1 f2 e1 e2 e3 e4 f3 f4"),
+      (3L, "e1 e2 e3 e4 e5 e6 e7 e8"),
+      (4L, "g1 g2 g3 g4")
+    ).toDF("doc_id", "text")
+    for (minRun <- Seq(1, 2, 4)) {
+      val full = SuffixArray.dupSpansDoubling(docs, "doc_id", "text",
+          minRun, levels = 7, earlyStop = false)
+        .select("doc_id", "n_spans", "dup_tokens", "max_replen")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val stopped = SuffixArray.dupSpansDoubling(docs, "doc_id", "text",
+          minRun, levels = 7, earlyStop = true)
+        .select("doc_id", "n_spans", "dup_tokens", "max_replen")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(stopped == full, s"minRun=$minRun")
+    }
+  }
+
   test("dupSpansAuto is path-invariant: forced-direct == forced-doubling on real docs") {
     val docs = graft.Td.table(spark, Sf0001, "documents").limit(120)
     def run(switchAt: Long) = {

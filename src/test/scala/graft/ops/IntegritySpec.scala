@@ -32,4 +32,13 @@ class IntegritySpec extends SparkSpec {
       .select("n_rows", "n_orphans", "pass").as[(Long, Long, Boolean)].head()
     assert(got == ((100L, 0L, true)))
   }
+
+  test("fkAudit: an EMPTY child table reports a trivially-passing edge, not a div-by-zero") {
+    val child = Seq.empty[(Long, Long)].toDF("id", "a")
+    val parentA = (0L to 3L).toDF("pa")
+    val got = Integrity.fkAudit(child, Seq(("a", parentA, "pa", "child->A")))
+      .select("n_rows", "n_orphans", "orphan_ppm", "pass")
+      .as[(Long, Long, Long, Boolean)].head()
+    assert(got == ((0L, 0L, 0L, true)))
+  }
 }
