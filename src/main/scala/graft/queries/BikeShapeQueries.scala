@@ -98,7 +98,13 @@ object BikeShapeQueries {
     * step. Every multiply-referenced CTE is MATERIALIZED: DuckDB inlines
     * CTEs by default, and a twice-referenced iteration chain would
     * otherwise re-derive exponentially. */
-  private def odUnrollSql(k: Int): String = {
+  /** The full WITH-clause CTE chain for a `k`-step unroll: mapping →
+    * bucket floor → last-per-bucket → lag-diff → station join → dep0/arr0
+    * state, then k rounds of (argmax supply, argmin haversine, decrement,
+    * drop-at-zero). Shared by the step-numbered unroll
+    * (`bod_match_unrolled`) and the full-depth flows oracle
+    * (`bod_flows_greedy`). */
+  private def odChainCtes(k: Int): String = {
     def hav(p: String, a: String): String =
       s"""2.0 * 6371000.0 * asin(sqrt(
          |        pow(sin(radians($a.lat - $p.lat) / 2), 2) +
@@ -130,12 +136,7 @@ object BikeShapeQueries {
          |  FROM arr$prev a LEFT JOIN pick$i p ON a.bucket = p.bucket) t
          |  WHERE demand > 0)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to k).map { i =>
-      s"""SELECT CAST(epoch(bucket) AS BIGINT) AS bucket, CAST($i AS INT) AS step,
-         |  CAST(o_id AS VARCHAR) AS o, CAST(d_id AS VARCHAR) AS d,
-         |  CAST(flow AS BIGINT) AS flow FROM pick$i""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH $mappingSql,
+    s"""$mappingSql,
        |b AS (SELECT station_id, ts, event_id, bikes,
        |  ${O.bucketFloor("ts", 60)} AS bucket FROM ss),
        |last AS (SELECT station_id, bucket, bikes FROM (
@@ -153,8 +154,42 @@ object BikeShapeQueries {
        |  FROM dj WHERE delta < 0),
        |arr0 AS MATERIALIZED (SELECT bucket, station_id, delta AS demand, lat, lon
        |  FROM dj WHERE delta > 0),
-       |$iters
-       |$out""".stripMargin
+       |$iters""".stripMargin
+  }
+
+  private def odUnrollSql(k: Int): String = {
+    val out = (1 to k).map { i =>
+      s"""SELECT CAST(epoch(bucket) AS BIGINT) AS bucket, CAST($i AS INT) AS step,
+         |  CAST(o_id AS VARCHAR) AS o, CAST(d_id AS VARCHAR) AS d,
+         |  CAST(flow AS BIGINT) AS flow FROM pick$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${odChainCtes(k)},
+       |u AS ($out)
+       |SELECT bucket, step, o, d, flow FROM u""".stripMargin
+  }
+
+  /** Full-depth flows oracle: every pick of every bucket (the chain runs
+    * to `k`, which must cover the deepest bucket at the verify scale),
+    * rolled up by (o, d) and top-200'd exactly like the registered
+    * query. A `depth_overflow` leg UNIONs in one poison row per bucket
+    * whose state is still non-empty after k rounds — if the corpus ever
+    * outgrows the unroll, the oracle output changes shape and the hash
+    * compare fails LOUDLY instead of silently dropping tail flows. */
+  private def odFlowsSql(k: Int): String = {
+    val picks = (1 to k).map(i => s"SELECT o_id, d_id, flow FROM pick$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${odChainCtes(k)},
+       |u AS ($picks),
+       |overflow AS (SELECT DISTINCT d.bucket
+       |  FROM dep$k d JOIN arr$k a ON d.bucket = a.bucket)
+       |SELECT o, d, flow FROM (
+       |  SELECT CAST(o_id AS VARCHAR) AS o, CAST(d_id AS VARCHAR) AS d,
+       |    CAST(sum(flow) AS BIGINT) AS flow
+       |  FROM u GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT 'DEPTH_OVERFLOW', CAST(bucket AS VARCHAR), CAST(-1 AS BIGINT)
+       |  FROM overflow)
+       |ORDER BY flow DESC, o, d LIMIT 200""".stripMargin
   }
 
   def entries: Seq[QueryDef] = Seq(
@@ -407,14 +442,20 @@ object BikeShapeQueries {
           round(col("dist_m"), 3).as("dist_m"))
     },
 
-    // ── §2.7: greedy OD flow inference (od_inference.py:46-77). Not
-    //    SQL-expressible (stateful greedy loop) → driver rows-only check;
-    //    exact semantics are pinned by OdInferenceSpec property tests. ──
-    QueryDef("bod_flows_greedy", (s: SparkSession, dir: String) => {
+    // ── §2.7: greedy OD flow inference (od_inference.py:46-77). The
+    //    stateful greedy loop IS oracle-checkable by unrolling the
+    //    generated-CTE iteration to the measured maximum bucket depth:
+    //    sf0.01's deepest bucket takes 25 decisions, so a 32-round chain
+    //    covers every bucket with margin, and the rolled-up flow table
+    //    hash-checks end-to-end. Should the corpus ever outgrow the
+    //    unroll, the oracle emits DEPTH_OVERFLOW poison rows and the
+    //    compare fails loudly (never a silent tail drop). Spark runs the
+    //    REAL matcher — the full decision stream, not a prefix. ──
+    q("bod_flows_greedy", odFlowsSql(32)) { (s, dir) =>
       OdInference.inferFlows(odDeltas(s, dir))
         .orderBy(col("flow").desc, col("o"), col("d"))
         .limit(200)
-    }, None),
+    },
 
     // ── the greedy matcher's FIRST decision per bucket, oracle-checked:
     //    before any decrement happens, the seed pick is pure relational
