@@ -53,7 +53,17 @@ object GraphOps {
     val deg = Caches.persist(e.groupBy("src").agg(count(lit(1)).as("deg")))
     val base = (15L * scale) / (100L * n)
     var r = nodes.select(col("id"), lit(scale / n).as("pr"))
-    for (_ <- 1 to iters) {
+    // Convergence: the rank vector is a pure function of the previous
+    // one, so next == prev is a fixpoint — every later round would be
+    // identical, the loop stops, and the output (plus the `converged`
+    // flag) matches the full-round run bit-for-bit. A graph that is
+    // still moving when the budget runs out carries converged=false on
+    // every row: a bounded 100 TB run can never PASS for a finished one.
+    // The per-round compare is one node-keyed join on two checkpointed
+    // skinny tables — cheap next to the edge join it gates.
+    var converged = false
+    var i = 0
+    while (i < iters && !converged) {
       val contrib = e.join(r, e("src") === r("id"))
         .join(deg, "src")
         .select(col("dst").as("id"), expr("pr div deg").as("c"))
@@ -70,11 +80,14 @@ object GraphOps {
         // AQE planning cost grows with the square of the iteration count
         .localCheckpoint()
       Caches.trackCheckpoint(next)
+      converged = next.as("n").join(r.as("p"), "id")
+        .where(col("n.pr") =!= col("p.pr")).isEmpty
       // no-op on the initial (non-checkpointed) rank frame
       Caches.unpersistCheckpoint(r)
       r = next
+      i += 1
     }
-    r
+    r.withColumn("converged", lit(converged))
   }
 
   /** Orient each undirected canonical pair (a < b) from the LOWER to the
@@ -173,7 +186,13 @@ object GraphOps {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     var lbl = nodes.select(col("id"), col("id").as("lbl"))
-    for (_ <- 1 to iters) {
+    // Fixpoint: labels are a pure function of the previous labels, so an
+    // unchanged round ends the loop with output identical to the full
+    // run; a still-moving graph at the budget carries converged=false
+    // (the pagerank discipline — see its convergence comment).
+    var converged = false
+    var i = 0
+    while (i < iters && !converged) {
       val votes = e.join(lbl, e("dst") === lbl("id"))
         .select(e("src").as("node"), col("lbl"))
         .unionByName(lbl.select(col("id").as("node"), col("lbl")))
@@ -184,10 +203,14 @@ object GraphOps {
         .select(col("node").as("id"), col("lbl"))
         .localCheckpoint()
       Caches.trackCheckpoint(next)
+      converged = next.as("n").join(lbl.as("p"), "id")
+        .where(col("n.lbl") =!= col("p.lbl")).isEmpty
       Caches.unpersistCheckpoint(lbl)
       lbl = next
+      i += 1
     }
     lbl.select(col("id"), col("lbl").as("community"))
+      .withColumn("converged", lit(converged))
   }
 
   /** k-core peeling (fixed k, `rounds` synchronous peel rounds) over an
@@ -216,7 +239,15 @@ object GraphOps {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     var e = Caches.persist(pairs.select(
       col("a").cast("long").as("a"), col("b").cast("long").as("b")))
-    for (_ <- 1 to rounds) {
+    // Fixpoint witness: the peel only ever REMOVES edges, so an
+    // unchanged edge COUNT means the semi-joins removed nothing — the
+    // surviving set is the k-core and every later round is identical.
+    // One count per round on the freshly-checkpointed edge table; a
+    // graph still peeling at the budget carries converged=false.
+    var prevCnt = e.count()
+    var converged = false
+    var i = 0
+    while (i < rounds && !converged) {
       val deg = e.select(col("a").as("id")).unionByName(e.select(col("b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
       val surv = deg.where(col("deg") >= k).select("id")
@@ -226,14 +257,19 @@ object GraphOps {
         .select("a", "b")
         .localCheckpoint()
       Caches.trackCheckpoint(next)
+      val cnt = next.count()
+      if (cnt == prevCnt) converged = true
+      prevCnt = cnt
       // no-op on the round-1 Caches-persisted edge frame (only bare
       // checkpoint leaves are unpersisted — the bfsHops discipline)
       Caches.unpersistCheckpoint(e)
       e = next
+      i += 1
     }
     e.select(col("a").as("id")).unionByName(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("core_deg"))
       .where(col("core_deg") >= k)
+      .withColumn("converged", lit(converged))
   }
 
   /** Multi-source BFS hop distance: every node's distance (in hops) to the
@@ -252,19 +288,36 @@ object GraphOps {
       col("dst").cast("long").as("dst")))
     var dist = sources.select(col("id").cast("long").as("id"),
       lit(0L).as("dist"))
-    for (_ <- 1 to rounds) {
+    // Fixpoint witness: rows are only ever ADDED (the union keeps every
+    // prior id) and per-id distances only ever DECREASE (min-fold), so
+    // an unchanged (count, sum(dist)) pair means the exact multiset is
+    // unchanged — the frontier is empty and every later round is
+    // identical. One two-column aggregate per round; a graph with
+    // unreached nodes at the budget carries converged=false.
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(sum(col("dist")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prevSig = sig(dist)
+    var converged = false
+    var i = 0
+    while (i < rounds && !converged) {
       val prop = e.join(dist, e("src") === dist("id"))
         .select(e("dst").as("id"), (col("dist") + 1L).as("dist"))
       val next = dist.unionByName(prop)
         .groupBy("id").agg(min(col("dist")).as("dist"))
         .localCheckpoint()
       Caches.trackCheckpoint(next)
+      val s = sig(next)
+      if (s == prevSig) converged = true
+      prevSig = s
       // safe on round 1: dist is then a Project over the caller's sources
       // frame, and unpersistCheckpoint only acts on bare checkpoint
       // leaves — caller-owned storage is never touched
       Caches.unpersistCheckpoint(dist)
       dist = next
+      i += 1
     }
-    dist
+    dist.withColumn("converged", lit(converged))
   }
 }

@@ -676,8 +676,11 @@ object LlmQueries {
     * (r0 → r`iters`), every division integral (`//` on non-negative
     * BIGINTs floors exactly like Spark's `div`), so all ranks hash-match. */
   private def lg1Oracle(iters: Int, scale: Long, minJ: Double): String = {
+    // MATERIALIZED: the last two levels are each referenced twice now
+    // (final select + convergence compare) — plain CTEs would re-inline
+    // the chain back to the shingle self-join
     val iterCtes = (1 to iters).map { i =>
-      s"""r$i AS (SELECT n.id,
+      s"""r$i AS MATERIALIZED (SELECT n.id,
          |    CAST((15 * $scale) // (100 * nn.n)
          |      + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS pr
          |  FROM nodes n CROSS JOIN nn
@@ -692,10 +695,13 @@ object LlmQueries {
        |nodes AS (SELECT DISTINCT src AS id FROM edges),
        |nn AS (SELECT count(*) AS n FROM nodes),
        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
-       |r0 AS (SELECT n.id, CAST($scale // nn.n AS BIGINT) AS pr
+       |r0 AS MATERIALIZED (SELECT n.id, CAST($scale // nn.n AS BIGINT) AS pr
        |  FROM nodes n CROSS JOIN nn),
        |$iterCtes
-       |SELECT id AS doc_id, pr FROM r$iters""".stripMargin
+       |SELECT id AS doc_id, pr,
+       |  NOT EXISTS (SELECT 1 FROM r$iters a JOIN r${iters - 1} b
+       |    ON a.id = b.id AND a.pr <> b.pr) AS converged
+       |FROM r$iters""".stripMargin
   }
 
   /** lg3 oracle: the LPA rounds unrolled as generated CTEs (the lg1
@@ -703,8 +709,10 @@ object LlmQueries {
     * (count DESC, label ASC) argmax exactly as
     * [[graft.llm.GraphOps.labelPropagation]] does. */
   private def lg3Oracle(iters: Int, minJ: Double): String = {
+    // MATERIALIZED: each l_i is referenced twice (vote join + self-votes),
+    // and the last two levels additionally feed the convergence compare
     val iterCtes = (1 to iters).map { i =>
-      s"""l$i AS (SELECT node AS id, lbl FROM (
+      s"""l$i AS MATERIALIZED (SELECT node AS id, lbl FROM (
          |  SELECT node, lbl, row_number() OVER (PARTITION BY node
          |      ORDER BY c DESC, lbl) AS rn
          |  FROM (SELECT node, lbl, count(*) AS c FROM (
@@ -717,9 +725,12 @@ object LlmQueries {
        |edges AS (SELECT d1 AS src, d2 AS dst FROM jac
        |  UNION ALL SELECT d2, d1 FROM jac),
        |nodes AS (SELECT DISTINCT src AS id FROM edges),
-       |l0 AS (SELECT id, id AS lbl FROM nodes),
+       |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes),
        |$iterCtes
-       |SELECT id AS doc_id, lbl AS community FROM l$iters""".stripMargin
+       |SELECT id AS doc_id, lbl AS community,
+       |  NOT EXISTS (SELECT 1 FROM l$iters a JOIN l${iters - 1} b
+       |    ON a.id = b.id AND a.lbl <> b.lbl) AS converged
+       |FROM l$iters""".stripMargin
   }
 
   /** DuckDB replay of [[graft.llm.GraphOps.bfsHops]] over the Jaccard
@@ -727,8 +738,10 @@ object LlmQueries {
     * one propagate-join + one min fold — min() is order-independent, so
     * every round hash-matches. Sources: graph nodes with id % srcMod = 0. */
   private def lg4Oracle(rounds: Int, minJ: Double, srcMod: Int): String = {
+    // MATERIALIZED: each d_i is referenced twice (propagate + carry), and
+    // the last two levels additionally feed the convergence compare
     val iterCtes = (1 to rounds).map { i =>
-      s"""d$i AS (SELECT id, min(dist) AS dist FROM (
+      s"""d$i AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
          |  SELECT e.dst AS id, p.dist + 1 AS dist
          |  FROM edges e JOIN d${i - 1} p ON p.id = e.src
          |  UNION ALL SELECT id, dist FROM d${i - 1}) GROUP BY 1)""".stripMargin
@@ -737,10 +750,14 @@ object LlmQueries {
        |edges AS (SELECT d1 AS src, d2 AS dst FROM jac
        |  UNION ALL SELECT d2, d1 FROM jac),
        |nodes AS (SELECT DISTINCT src AS id FROM edges),
-       |d0 AS (SELECT id, CAST(0 AS BIGINT) AS dist FROM nodes
+       |d0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS dist FROM nodes
        |  WHERE id % $srcMod = 0),
        |$iterCtes
-       |SELECT id AS doc_id, dist AS hops FROM d$rounds""".stripMargin
+       |SELECT id AS doc_id, dist AS hops,
+       |  ((SELECT count(*) FROM d$rounds) = (SELECT count(*) FROM d${rounds - 1})
+       |   AND (SELECT coalesce(sum(dist), 0) FROM d$rounds)
+       |     = (SELECT coalesce(sum(dist), 0) FROM d${rounds - 1})) AS converged
+       |FROM d$rounds""".stripMargin
   }
 
   /** DuckDB twin of [[Similarity.mipsTopK]]: the base quantized tables are
@@ -806,7 +823,10 @@ object LlmQueries {
     s"""WITH ${jacCtes(minJ)},
        |e0 AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM jac),
        |$iterCtes
-       |SELECT id AS doc_id, core_deg FROM (
+       |SELECT id AS doc_id, core_deg,
+       |  ((SELECT count(*) FROM e$rounds)
+       |    = (SELECT count(*) FROM e${rounds - 1})) AS converged
+       |FROM (
        |  SELECT id, CAST(count(*) AS BIGINT) AS core_deg FROM (
        |    SELECT a AS id FROM e$rounds UNION ALL SELECT b FROM e$rounds)
        |  GROUP BY 1) WHERE core_deg >= $k""".stripMargin
@@ -1108,7 +1128,7 @@ object LlmQueries {
       val edges = jac.select(col("d1").as("src"), col("d2").as("dst"))
         .unionByName(jac.select(col("d2").as("src"), col("d1").as("dst")))
       GraphOps.pagerank(edges, iters = 5)
-        .select(col("id").as("doc_id"), col("pr"))
+        .select(col("id").as("doc_id"), col("pr"), col("converged"))
     },
 
     // ── deterministic label-propagation communities over the near-dup
@@ -1124,7 +1144,7 @@ object LlmQueries {
       val edges = jac.select(col("d1").as("src"), col("d2").as("dst"))
         .unionByName(jac.select(col("d2").as("src"), col("d1").as("dst")))
       GraphOps.labelPropagation(edges, iters = 4)
-        .select(col("id").as("doc_id"), col("community"))
+        .select(col("id").as("doc_id"), col("community"), col("converged"))
     },
 
     // ── multi-source BFS hop distance over the near-dup graph: how far
@@ -1141,7 +1161,7 @@ object LlmQueries {
       val sources = edges.select(col("src").as("id")).distinct()
         .filter(col("id") % 10 === 0)
       GraphOps.bfsHops(edges, sources, rounds = 4)
-        .select(col("id").as("doc_id"), col("dist").as("hops"))
+        .select(col("id").as("doc_id"), col("dist").as("hops"), col("converged"))
     },
 
     // ── k-core of the near-dup graph: nodes keeping >= k neighbors AMONG
@@ -1157,7 +1177,7 @@ object LlmQueries {
       val jac = Dedup.jaccardPairs(
         Dedup.shingleTable(Td.table(s, dir, "documents"), "doc_id", "text", 3), 0.8)
       GraphOps.kCore(jac.select(col("d1").as("a"), col("d2").as("b")), k = 2, rounds = 4)
-        .select(col("id").as("doc_id"), col("core_deg"))
+        .select(col("id").as("doc_id"), col("core_deg"), col("converged"))
     },
 
     // ── edit-distance-1 entity near-dups via complete deletion-signature

@@ -11,7 +11,7 @@ class GraphOpsSpec extends SparkSpec {
     // so r = (15e12 div 200) + (85*5e11 div 100) = 7.5e10 + 4.25e11 = 5e11
     // — the chain never moves. Hand-checkable bit-exactness.
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
-    val got = GraphOps.pagerank(edges, iters = 5)
+    val got = GraphOps.pagerank(edges, iters = 5).drop("converged")
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 500000000000L, 2L -> 500000000000L))
   }
@@ -22,10 +22,10 @@ class GraphOpsSpec extends SparkSpec {
     // (the left-join-back path). Center at iter 1:
     // base + (85 * 3*2.5e11) div 100 = 3.75e10 + 6.375e11 = 6.75e11.
     val edges = Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("src", "dst")
-    val one = GraphOps.pagerank(edges, iters = 1).as[(Long, Long)].collect().toMap
+    val one = GraphOps.pagerank(edges, iters = 1).drop("converged").as[(Long, Long)].collect().toMap
     assert(one(9L) == 675000000000L, s"center got ${one(9L)}")
     assert(Seq(1L, 2L, 3L).forall(one(_) == 37500000000L), s"leaves: $one")
-    val five = GraphOps.pagerank(edges, iters = 5).as[(Long, Long)].collect().toMap
+    val five = GraphOps.pagerank(edges, iters = 5).drop("converged").as[(Long, Long)].collect().toMap
     assert(five(9L) > five(1L))
     assert(five(1L) == five(2L) && five(2L) == five(3L))
   }
@@ -36,7 +36,7 @@ class GraphOpsSpec extends SparkSpec {
         "doc_id", "text", 3), 0.8)
     val edges = jac.selectExpr("d1 AS src", "d2 AS dst")
       .unionByName(jac.selectExpr("d2 AS src", "d1 AS dst"))
-    def run() = GraphOps.pagerank(edges, iters = 5)
+    def run() = GraphOps.pagerank(edges, iters = 5).drop("converged")
       .as[(Long, Long)].collect().sortBy(_._1).toSeq
     val a = run()
     assert(a.nonEmpty)
@@ -109,7 +109,7 @@ class GraphOpsSpec extends SparkSpec {
     (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
 
   private def runLpa(edges: org.apache.spark.sql.DataFrame, iters: Int) =
-    try GraphOps.labelPropagation(edges, iters).as[(Long, Long)].collect().toMap
+    try GraphOps.labelPropagation(edges, iters).drop("converged").as[(Long, Long)].collect().toMap
     finally Caches.releaseAll(spark)
 
   test("labelPropagation: two cliques across a bridge stay DISTINCT communities " +
@@ -167,12 +167,12 @@ class GraphOpsSpec extends SparkSpec {
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
     val edges = (path ++ path.map(_.swap)).toDF("src", "dst")
     val sources = Seq(1L, 6L).toDF("id")
-    val got = GraphOps.bfsHops(edges, sources, rounds = 2)
+    val got = GraphOps.bfsHops(edges, sources, rounds = 2).drop("converged")
       .as[(Long, Long)].collect().toMap
     Caches.release()
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L, 6L -> 0L))
     // radius cutoff: single source 1, rounds = 2 -> nodes 4..6 absent
-    val one = GraphOps.bfsHops(edges, Seq(1L).toDF("id"), rounds = 2)
+    val one = GraphOps.bfsHops(edges, Seq(1L).toDF("id"), rounds = 2).drop("converged")
       .as[(Long, Long)].collect().toMap
     Caches.release()
     assert(one == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
@@ -180,10 +180,10 @@ class GraphOpsSpec extends SparkSpec {
 
   test("bfsHops: disconnected component stays unreached; deterministic") {
     val edges = Seq((1L, 2L), (2L, 1L), (8L, 9L), (9L, 8L)).toDF("src", "dst")
-    val a = GraphOps.bfsHops(edges, Seq(1L).toDF("id"), rounds = 4)
+    val a = GraphOps.bfsHops(edges, Seq(1L).toDF("id"), rounds = 4).drop("converged")
       .as[(Long, Long)].collect().toMap
     Caches.release()
-    val b = GraphOps.bfsHops(edges, Seq(1L).toDF("id"), rounds = 4)
+    val b = GraphOps.bfsHops(edges, Seq(1L).toDF("id"), rounds = 4).drop("converged")
       .as[(Long, Long)].collect().toMap
     Caches.release()
     assert(a == Map(1L -> 0L, 2L -> 1L))
@@ -196,7 +196,7 @@ class GraphOpsSpec extends SparkSpec {
     val clique = for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b)
     val chain = Seq((4L, 5L), (5L, 6L), (6L, 7L))
     val pairs = (clique ++ chain).toDF("a", "b")
-    val got = GraphOps.kCore(pairs, k = 2, rounds = 4)
+    val got = GraphOps.kCore(pairs, k = 2, rounds = 4).drop("converged")
       .as[(Long, Long)].collect().toMap
     Caches.release()
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
@@ -204,10 +204,74 @@ class GraphOpsSpec extends SparkSpec {
     // dropped in round 2, so 5's sub-k degree is only visible to a THIRD
     // round): the final >= k cut hides 5 itself, but 4 still counts the
     // doomed edge — core_deg 4, not its converged 3
-    val shallow = GraphOps.kCore(pairs, k = 2, rounds = 2)
+    val shallow = GraphOps.kCore(pairs, k = 2, rounds = 2).drop("converged")
       .as[(Long, Long)].collect().toMap
     Caches.release()
     assert(shallow == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L))
+  }
+
+  private def flagOf(df: org.apache.spark.sql.DataFrame): Set[Boolean] =
+    try df.select("converged").distinct().as[Boolean].collect().toSet
+    finally Caches.releaseAll(spark)
+
+  test("convergence flags: a budget too shallow reports false; a covering budget reports true") {
+    // kCore pendant chain: rounds 1..3 each peel one chain node, round 4
+    // is the first UNCHANGED round — the earliest witnessable fixpoint
+    val clique = for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b)
+    val pairs = (clique ++ Seq((4L, 5L), (5L, 6L), (6L, 7L))).toDF("a", "b")
+    assert(flagOf(GraphOps.kCore(pairs, k = 2, rounds = 3)) == Set(false))
+    assert(flagOf(GraphOps.kCore(pairs, k = 2, rounds = 4)) == Set(true))
+
+    // BFS on a 6-path from one end: still expanding at round 2 → false;
+    // a tall budget reaches everything and witnesses the empty frontier
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val edges = (path ++ path.map(_.swap)).toDF("src", "dst")
+    assert(flagOf(GraphOps.bfsHops(edges, Seq(1L).toDF("id"), rounds = 2)) == Set(false))
+    assert(flagOf(GraphOps.bfsHops(edges, Seq(1L).toDF("id"), rounds = 10)) == Set(true))
+
+    // LPA on the same path: min-label still sweeping at 2 rounds → false;
+    // by 20 rounds every node holds label 1 and a round passes unchanged
+    assert(flagOf(GraphOps.labelPropagation(edges, iters = 2)) == Set(false))
+    assert(flagOf(GraphOps.labelPropagation(edges, iters = 20)) == Set(true))
+
+    // pagerank: the symmetric 2-node graph IS its own fixpoint — round 1
+    // witnesses it (converged even at iters = 1)
+    val two = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    assert(flagOf(GraphOps.pagerank(two, iters = 1)) == Set(true))
+  }
+
+  test("early-stop: a converged run equals the full-budget run and stops doing work") {
+    // BFS: everything is reached by round 5; rounds = 50 must return the
+    // identical table (stopping at the first stable round, not running 50)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val edges = (path ++ path.map(_.swap)).toDF("src", "dst")
+    def bfs(r: Int) =
+      try GraphOps.bfsHops(edges, Seq(1L).toDF("id"), rounds = r)
+        .drop("converged").as[(Long, Long)].collect().toMap
+      finally Caches.releaseAll(spark)
+    val t0 = System.nanoTime
+    val wide = bfs(50)
+    val elapsed = (System.nanoTime - t0) / 1e9
+    assert(wide == bfs(6))
+    // 50 un-stopped rounds of join+fold jobs would take far longer; the
+    // bound is generous (CI-safe) but still rules out running all 50
+    assert(elapsed < 60.0, s"rounds=50 took ${elapsed}s - early stop broken?")
+
+    // LPA: converged output is the all-ones labeling regardless of budget
+    def lpa(i: Int) =
+      try GraphOps.labelPropagation(edges, iters = i)
+        .drop("converged").as[(Long, Long)].collect().toMap
+      finally Caches.releaseAll(spark)
+    assert(lpa(20) == lpa(40))
+
+    // kCore: deep budget equals the first-witness budget on the chain
+    val clique = for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b)
+    val pairs = (clique ++ Seq((4L, 5L), (5L, 6L), (6L, 7L))).toDF("a", "b")
+    def core(r: Int) =
+      try GraphOps.kCore(pairs, k = 2, rounds = r)
+        .drop("converged").as[(Long, Long)].collect().toMap
+      finally Caches.releaseAll(spark)
+    assert(core(4) == core(30))
   }
 
   test("kCore: a tree has no 2-core; k above the density empties a clique") {
@@ -217,7 +281,7 @@ class GraphOpsSpec extends SparkSpec {
     val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
     assert(GraphOps.kCore(tri, k = 3, rounds = 2).isEmpty)
     Caches.release()
-    val kept = GraphOps.kCore(tri, k = 2, rounds = 4).as[(Long, Long)].collect().toMap
+    val kept = GraphOps.kCore(tri, k = 2, rounds = 4).drop("converged").as[(Long, Long)].collect().toMap
     Caches.release()
     assert(kept == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
