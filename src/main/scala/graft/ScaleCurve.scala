@@ -22,7 +22,12 @@ import org.apache.spark.sql.functions._
   *    grows, per-series length doesn't; part's md5-scattered DBSCAN
   *    geometry re-derives from the new keys at constant density by the
   *    sqrt-grid construction).
-  * Remaining tables are copied as-is (dims don't drive the heavy tier).
+  *  - `orders`/`lineitem`: replicated on ONE shared o_orderkey shift with
+  *    the lineitem→orders FK remapped onto it (join output exactly
+  *    linear); dim FKs stay unshifted against base-size dims — the
+  *    facts-grow-dims-don't shape of a real warehouse scale-up.
+  * Remaining tables (region/nation/customer/supplier) are copied as-is
+  * (dims don't drive the heavy tier).
   */
 object ScaleGen {
 
@@ -53,6 +58,31 @@ object ScaleGen {
       base.select((col("doc_id") + lit(r * shift)).as("doc_id"), text.as("text"),
         col("lang"), col("source"), length(text).cast("long").as("n_chars"))
     }
+  }
+
+  /** Orders + lineitem replicas on ONE shared o_orderkey shift, with the
+    * lineitem→orders FK remapped onto it: replica r's lineitem rows point
+    * at replica r's orders, never across, so the fact join's output grows
+    * exactly linearly in `replicas`. Dim FKs (o_custkey, l_partkey,
+    * l_suppkey) are left unshifted against base-size dims. Pinned by
+    * ScaleGenSpec (FK integrity + join cardinality at x3). */
+  def factReplicas(ordersBase: DataFrame, liBase: DataFrame, replicas: Int)
+      : (DataFrame, DataFrame) = {
+    val oShiftRow = ordersBase.agg(max(col("o_orderkey").cast("long"))).head()
+    require(!oShiftRow.isNullAt(0), "scalegen: orders is empty")
+    val oShift = oShiftRow.getLong(0) + 1L
+    val ordersAll = (0 until replicas).map { r =>
+      ordersBase.select((col("o_orderkey") + lit(r * oShift)).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    }.reduce(_ unionByName _)
+    val liAll = (0 until replicas).map { r =>
+      liBase.select((col("l_orderkey") + lit(r * oShift)).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+    }.reduce(_ unionByName _)
+    (ordersAll, liAll)
   }
 
   def main(args: Array[String]): Unit = {
@@ -104,7 +134,23 @@ object ScaleGen {
       df.select((col("p_partkey") + lit(r * shift)).as("p_partkey"), col("p_name"),
         col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
     }
-    Seq("region", "nation", "customer", "supplier", "orders", "lineitem").foreach { t =>
+    // FACT replication with FK remap: orders and lineitem share ONE key
+    // shift (max o_orderkey + 1), so every replica's l_orderkey lands on
+    // its own replica's orders — the lineitem⋈orders join output grows
+    // exactly linearly, which is the regime a 10× warehouse load actually
+    // exhibits (new facts reference new transactions). Dim FKs
+    // (o_custkey, l_partkey, l_suppkey) stay UNSHIFTED: dims keep their
+    // base size — the realistic 100 TB shape (facts grow, dims don't) —
+    // and replica 0 of the replicated `part` retains the original keys,
+    // so every edge dq4 audits stays orphan-free at every derived scale.
+    val (ordersAll, liAll) = factReplicas(
+      spark.read.parquet(s"$src/orders.parquet"),
+      spark.read.parquet(s"$src/lineitem.parquet"), replicas)
+    ordersAll.write.mode("overwrite").parquet(s"$out/orders.parquet")
+    println(s"[scalegen] orders x$replicas -> ${ordersAll.count()} rows")
+    liAll.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    println(s"[scalegen] lineitem x$replicas -> ${liAll.count()} rows")
+    Seq("region", "nation", "customer", "supplier").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
     spark.stop()

@@ -67,4 +67,32 @@ class ScaleGenSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(nt0 == nt1)
   }
+
+  test("fact replicas: lineitem→orders FK stays orphan-free and the join grows exactly linearly") {
+    val orders = Td.table(spark, Sf0001, "orders")
+    val li = Td.table(spark, Sf0001, "lineitem")
+    val (o3, l3) = ScaleGen.factReplicas(orders, li, 3)
+    // cardinalities: exactly 3x each
+    assert(o3.count() == 3 * orders.count())
+    assert(l3.count() == 3 * li.count())
+    // FK integrity at x3: zero orphans through the REAL audit operator
+    val audit = graft.ops.Integrity.fkAudit(l3,
+        Seq(("l_orderkey", o3, "o_orderkey", "li->o")))
+      .select("n_rows", "n_orphans", "pass")
+      .as[(Long, Long, Boolean)].head()
+    assert(audit == ((3 * li.count(), 0L, true)))
+    // join output exactly linear: replicas never cross
+    val baseJoin = li.join(orders, col("l_orderkey") === col("o_orderkey")).count()
+    val repJoin = l3.join(o3, col("l_orderkey") === col("o_orderkey")).count()
+    assert(repJoin == 3 * baseJoin)
+    // replica key spaces are disjoint (shared shift, one stripe each)
+    val shift = orders.agg(max(col("o_orderkey").cast("long"))).head().getLong(0) + 1L
+    val stripes = o3.select((col("o_orderkey").cast("long") / shift).cast("long").as("s"))
+      .distinct().as[Long].collect().toSet
+    assert(stripes == Set(0L, 1L, 2L))
+    // dim FKs unshifted: replica rows still hit the base-size dims
+    val custOrphans = o3.join(Td.table(spark, Sf0001, "customer")
+        .select(col("c_custkey")), col("o_custkey") === col("c_custkey"), "left_anti").count()
+    assert(custOrphans == 0L)
+  }
 }
