@@ -7,12 +7,17 @@ import org.apache.spark.sql.functions._
   * binary columns with typed metadata, and run decode/feature-extract as a
   * partition-batched transform.
   *
-  * The decode step itself is a STUB — image/audio codecs are not in this
-  * container — replaced by a deterministic fake (byte-level stats). The
-  * Spark-side plumbing is real and what matters at scale: binary columns
-  * travel through parquet untouched, metadata is computed with codegen'd
-  * expressions, and the heavy per-item work runs via `mapPartitions` so a
-  * real decoder would amortize model/codec init once per partition (the
+  * The IMAGE path uses REAL codecs: `javax.imageio` ships in the JDK, so
+  * [[renderPng]] encodes genuine PNG bytes and [[decodeResize]] /
+  * [[decodeAHash]] decode them back before operating on PIXELS
+  * (nearest-neighbor resample, average-hash). PNG grayscale is lossless,
+  * so when the source pixels are a deterministic function of the row the
+  * decoded values are oracle-replayable even though a real
+  * encoder/decoder sits in the path. The audio/video kernels remain
+  * byte-statistic stand-ins (no audio codecs in the JDK) with the real
+  * batch shape: binary columns travel through parquet untouched, metadata
+  * is computed with codegen'd expressions, and per-item work runs via
+  * `mapPartitions` so codec/model init amortizes once per partition (the
   * Scala analog of `mapInPandas` batch shape).
   */
 object Multimodal {
@@ -190,6 +195,153 @@ object Multimodal {
       .withColumn("n_patches", col("patches_x") * col("patches_y"))
       .withColumn("vis_tokens", col("n_patches") + lit(1L))
       .drop("__w", "__h", "__long")
+  }
+
+  // ── real image codecs (javax.imageio) ───────────────────────────────────
+
+  /** The deterministic test-card pixel function: 8-bit gray at (x, y) of
+    * item `id`. Shared by the render kernel, the specs, and (spelled in
+    * SQL) the lm3/lm6 oracles — the fixture-image contract. */
+  def cardGray(id: Long, x: Int, y: Int): Int =
+    ((id * 31L + x * 7L + y * 13L) % 256L).toInt
+
+  /** Test-card dimensions for item `id` (co-prime moduli so aspect
+    * ratios vary): width 24 + id%17, height 24 + id%13. */
+  def cardDims(id: Long): (Int, Int) =
+    ((24L + id % 17L).toInt, (24L + id % 13L).toInt)
+
+  /** One rendered item: REAL PNG bytes + header dims. */
+  final case class PngItem(item_id: Long, payload: Array[Byte], width: Int, height: Int)
+
+  /** Render one deterministic grayscale test-card PNG per item through
+    * the REAL `javax.imageio` encoder — the in-engine fixture-image
+    * generator (the sandbox has no image corpus; determinism is what
+    * makes the downstream decode oracle-checkable). Partition-batched:
+    * the ImageIO/writer machinery initializes once per partition. */
+  def renderPng(items: DataFrame, idCol: String): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { iter =>
+        iter.map { id =>
+          val (w, h) = cardDims(id)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { raster.setSample(x, y, 0, cardGray(id, x, y)); x += 1 }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(img, "png", out),
+            s"renderPng: no PNG writer available (item $id)")
+          PngItem(id, out.toByteArray, w, h)
+        }
+      }
+      .toDF()
+  }
+
+  /** Decode a PNG payload inside a partition kernel; raises loudly on
+    * undecodable bytes (a real pipeline quarantines, never silently
+    * skips). */
+  private def decodePng(id: Long, payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null) throw new IllegalArgumentException(
+      s"decodePng: item $id carries bytes no installed reader can decode")
+    img
+  }
+
+  /** One decoded-and-resized item: exact integer pixel features. */
+  final case class ResizedImage(
+      item_id: Long, width: Int, height: Int, rw: Int, rh: Int,
+      pix_sum: Long, p00: Int, p_last: Int)
+
+  /** TRUE image resample: decode the PNG payload with `javax.imageio`,
+    * then nearest-neighbor resize the PIXELS to `targetW`×`targetH` —
+    * resized (x, y) reads source ((x·w) DIV targetW, (y·h) DIV targetH),
+    * the same floor mapping [[resizePayload]] applies to 1-D byte
+    * signals, now over a real decoded raster. Features are exact
+    * integers (gray sum + two corner samples), so with deterministic
+    * source pixels the oracle replays the decode+resample end-to-end
+    * (PNG grayscale is lossless). Partition-batched: ImageIO reader
+    * machinery initializes once per partition. */
+  def decodeResize(rendered: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, s"bad target ${targetW}x$targetH")
+    val spark = rendered.sparkSession
+    import spark.implicits._
+    rendered.select(col("item_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (id, payload) =>
+          val img = decodePng(id, payload)
+          val raster = img.getRaster
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var p00 = 0
+          var pLast = 0
+          var y = 0
+          while (y < targetH) {
+            val sy = (y.toLong * h / targetH).toInt
+            var x = 0
+            while (x < targetW) {
+              val sx = (x.toLong * w / targetW).toInt
+              val g = raster.getSample(sx, sy, 0)
+              sum += g
+              if (x == 0 && y == 0) p00 = g
+              if (x == targetW - 1 && y == targetH - 1) pLast = g
+              x += 1
+            }
+            y += 1
+          }
+          ResizedImage(id, w, h, targetW, targetH, sum, p00, pLast)
+        }
+      }
+      .toDF()
+  }
+
+  /** One perceptual hash row: 63 usable aHash bits (bit 63 left clear so
+    * the value never wraps negative in any engine). */
+  final case class AHashRow(item_id: Long, phash: Long)
+
+  /** TRUE average-hash over decoded pixels: decode the PNG, nearest-
+    * neighbor the raster to `grid`×`grid`, and set bit i = y·grid + x
+    * when 64·gray > Σgray (the cross-multiplied mean compare — no
+    * division, no floats); the top bit stays clear. Same kernel shape as
+    * [[decodeResize]]. */
+  def decodeAHash(rendered: DataFrame, grid: Int = 8): DataFrame = {
+    require(grid >= 2 && grid * grid <= 64, s"bad aHash grid $grid")
+    val spark = rendered.sparkSession
+    import spark.implicits._
+    val cells = grid * grid
+    rendered.select(col("item_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (id, payload) =>
+          val img = decodePng(id, payload)
+          val raster = img.getRaster
+          val (w, h) = (img.getWidth, img.getHeight)
+          val g = new Array[Int](cells)
+          var tot = 0L
+          var i = 0
+          while (i < cells) {
+            val sx = ((i % grid).toLong * w / grid).toInt
+            val sy = ((i / grid).toLong * h / grid).toInt
+            g(i) = raster.getSample(sx, sy, 0)
+            tot += g(i)
+            i += 1
+          }
+          var hash = 0L
+          i = 0
+          while (i < cells && i < 63) {
+            if (g(i).toLong * cells > tot) hash |= (1L << i)
+            i += 1
+          }
+          AHashRow(id, hash)
+        }
+      }
+      .toDF()
   }
 
   /** STUB decode/feature-extract: a real implementation would initialize a

@@ -2553,20 +2553,35 @@ object LlmQueries {
         Multimodal.binarize(Td.table(s, dir, "documents"), "doc_id", "text"))
     },
 
-    // ── multimodal resize: nearest-neighbor byte resample to a fixed
-    //    target size (the image-resize shape on a 1-D signal), stub
-    //    features per item; the oracle replays the exact resample —
-    //    sample i reads byte (i*n)//target — via range/list_transform on
-    //    the all-ASCII corpus (byte = char). ──
+    // ── TRUE image resample through REAL codecs (r8): per doc a
+    //    deterministic grayscale test card (the cardGray pixel function,
+    //    width 24+id%17 × height 24+id%13) is ENCODED to genuine PNG
+    //    bytes by javax.imageio, DECODED back, and nearest-neighbor
+    //    resized to 16×16 over the decoded raster — resized (x, y) reads
+    //    source ((x·w) DIV 16, (y·h) DIV 16). PNG grayscale is lossless,
+    //    so the oracle replays the decoded pixels from the pixel function
+    //    directly: the hash match proves the encode→decode→resample
+    //    round trip bit-exact. The 1-D byte-signal resample this query
+    //    previously ran stays spec-pinned (`Multimodal.resizePayload`,
+    //    MultimodalSpec) as the audio-signal twin. ──
     q("lm3_resize",
-      """SELECT doc_id AS item_id, 96 AS n_bytes_resized,
-        |  CAST(list_sum(list_transform(range(0, 96),
-        |    i -> ord(substr(text, CAST((i * length(text)) // 96 AS INT) + 1, 1)))) % 9973
-        |    AS BIGINT) AS checksum_mod
-        |FROM documents WHERE length(text) > 0""".stripMargin) { (s, dir) =>
-      Multimodal.resizePayload(
-        Multimodal.binarize(Td.table(s, dir, "documents"), "doc_id", "text"),
-        targetBytes = 96)
+      """WITH d AS (SELECT doc_id AS item_id,
+        |    CAST(24 + doc_id % 17 AS INT) AS width,
+        |    CAST(24 + doc_id % 13 AS INT) AS height
+        |  FROM documents),
+        |r AS (SELECT item_id, width, height,
+        |    list_transform(range(0, 256), i ->
+        |      (item_id * 31 + ((i % 16) * width // 16) * 7
+        |        + ((i // 16) * height // 16) * 13) % 256) AS px
+        |  FROM d)
+        |SELECT item_id, width, height,
+        |  CAST(16 AS INT) AS rw, CAST(16 AS INT) AS rh,
+        |  CAST(list_sum(px) AS BIGINT) AS pix_sum,
+        |  CAST(px[1] AS INT) AS p00, CAST(px[256] AS INT) AS p_last
+        |FROM r""".stripMargin) { (s, dir) =>
+      Multimodal.decodeResize(
+        Multimodal.renderPng(Td.table(s, dir, "documents"), "doc_id"),
+        targetW = 16, targetH = 16)
     },
 
     // ── ViT patch-grid token accounting: cap the longest side at 448 px
@@ -3319,35 +3334,36 @@ object LlmQueries {
     //    char/codepoint-based — identical to bytes on this all-ASCII
     //    corpus (the lm1 contract); real image bytes arrive pre-decoded
     //    as unsigned ints. ──
+    // ── TRUE average-hash over DECODED pixels (r8): the same rendered
+    //    PNG test cards as lm3, decoded by javax.imageio and nearest-
+    //    neighbored to the 8×8 aHash grid; bit i = y·8 + x set when
+    //    64·gray > Σgray (cross-multiplied mean — no division), top bit
+    //    left clear so the hash never wraps negative in either engine.
+    //    The oracle replays the decoded grid from the pixel function
+    //    (PNG lossless), so the hash match certifies a real
+    //    encode→decode→hash path, not byte statistics. ──
     q("lm6_perceptual_hash", {
-      val bytes = (0 until 64).map(i =>
-        s"ord(substr(text, CAST(($i * length(text)) // 64 AS INT) + 1, 1)) AS b$i")
-        .mkString(", ")
+      val g = (i: Int) =>
+        s"(item_id * 31 + ((${i % 8} * width) // 8) * 7 + ((${i / 8} * height) // 8) * 13) % 256 AS b$i"
       val tot = (0 until 64).map(i => s"b$i").mkString(" + ")
       val bits = (0 until 63).map(i =>
         s"(CASE WHEN b$i * 64 > tot THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
         .mkString("\n        | + ")
-      s"""WITH b AS (SELECT doc_id, $bytes
-        |  FROM documents WHERE length(text) > 0),
-        |t AS (SELECT doc_id, ${(0 until 64).map(i => s"b$i").mkString(", ")},
+      s"""WITH d AS (SELECT doc_id AS item_id,
+        |    24 + doc_id % 17 AS width, 24 + doc_id % 13 AS height
+        |  FROM documents),
+        |b AS (SELECT item_id, ${(0 until 64).map(g).mkString(",\n        |  ")}
+        |  FROM d),
+        |t AS (SELECT item_id, ${(0 until 64).map(i => s"b$i").mkString(", ")},
         |    $tot AS tot FROM b),
-        |h AS (SELECT doc_id, $bits AS phash FROM t)
-        |SELECT doc_id AS item_id, phash,
+        |h AS (SELECT item_id, $bits AS phash FROM t)
+        |SELECT item_id, phash,
         |  CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same
         |FROM h""".stripMargin
     }) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val base = Td.table(s, dir, "documents")
-        .filter(length(col("text")) > 0)
-      val byteExprs = (0 until 64).map(i =>
-        s"ascii(substr(text, CAST(($i * length(text)) DIV 64 AS INT) + 1, 1)) AS b$i")
-      val withBytes = base.selectExpr(Seq("doc_id") ++ byteExprs: _*)
-      val tot = (0 until 64).map(i => col(s"b$i")).reduce(_ + _)
-      val withTot = withBytes.withColumn("tot", tot)
-      val phash = (0 until 63).map(i =>
-        when(col(s"b$i") * 64 > col("tot"), lit(1L << i)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      withTot.select(col("doc_id").as("item_id"), phash.as("phash"))
+      Multimodal.decodeAHash(
+          Multimodal.renderPng(Td.table(s, dir, "documents"), "doc_id"), grid = 8)
         .withColumn("n_same",
           count(lit(1)).over(Window.partitionBy("phash")).cast("long"))
     },

@@ -92,4 +92,61 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Int, Int, Long, Boolean)].head()
     assert(sp == ((2L, 0, 64, 9216L * 64, false)))
   }
+
+  test("renderPng emits REAL decodable PNGs that round-trip the pixel function exactly") {
+    val items = Seq(0L, 1L, 42L, 9999L).toDF("doc_id")
+    val rendered = Multimodal.renderPng(items, "doc_id")
+      .as[(Long, Array[Byte], Int, Int)].collect()
+    assert(rendered.length == 4)
+    rendered.foreach { case (id, payload, w, h) =>
+      // genuine PNG container: magic bytes
+      assert(payload.take(8).map(_ & 0xFF).toSeq ==
+        Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A), s"item $id not a PNG")
+      assert((w, h) == Multimodal.cardDims(id))
+      // decode OUTSIDE the engine path and compare every pixel to the
+      // pixel function — the lossless round-trip the oracles rely on
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      assert(img != null && img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.getRaster.getSample(x, y, 0) == Multimodal.cardGray(id, x, y),
+          s"pixel ($x,$y) of item $id drifted through the codec")
+    }
+  }
+
+  test("decodeResize: decoded-pixel NN resample matches a local reference on a known image") {
+    val items = Seq(7L, 123L).toDF("doc_id")
+    val got = Multimodal.decodeResize(Multimodal.renderPng(items, "doc_id"), 16, 16)
+      .as[(Long, Int, Int, Int, Int, Long, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    for (id <- Seq(7L, 123L)) {
+      val (w, h) = Multimodal.cardDims(id)
+      val samples = for (y <- 0 until 16; x <- 0 until 16)
+        yield Multimodal.cardGray(id, (x * w) / 16, (y * h) / 16)
+      val expect = (id, w, h, 16, 16, samples.map(_.toLong).sum,
+        samples.head, samples.last)
+      assert(got(id) == expect, s"item $id: got ${got(id)} expect $expect")
+    }
+  }
+
+  test("decodeAHash: true aHash over decoded pixels; corrupt bytes raise loudly") {
+    val items = Seq(5L).toDF("doc_id")
+    val got = Multimodal.decodeAHash(Multimodal.renderPng(items, "doc_id"), grid = 8)
+      .as[(Long, Long)].head()
+    val (w, h) = Multimodal.cardDims(5L)
+    val g = (0 until 64).map(i =>
+      Multimodal.cardGray(5L, ((i % 8) * w) / 8, ((i / 8) * h) / 8))
+    val tot = g.map(_.toLong).sum
+    val expect = (0 until 63).map(i =>
+      if (g(i).toLong * 64 > tot) 1L << i else 0L).sum
+    assert(got == ((5L, expect)))
+
+    // undecodable payload: loud failure, never a silent skip
+    val bad = Seq((1L, Array[Byte](1, 2, 3))).toDF("item_id", "payload")
+    val e = intercept[Exception] {
+      Multimodal.decodeAHash(bad, grid = 8).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("no installed reader")), msgs(e).mkString("; "))
+  }
 }
