@@ -1381,6 +1381,40 @@ object RelationalQueries {
         .select(col("event_type"), col("n_distinct"))
     },
 
+    // ── S7: the salted path under ACTUAL 90% skew (r8 — s2 runs on
+    //    near-uniform event_type keys; this derives a hot-key table
+    //    inline: 90% of events collapse onto skew_key 0, the rest keep
+    //    their user_id — both engines derive it identically, so the
+    //    skew machinery is oracle-exercised on genuinely skewed data).
+    //    Engine: Salt.distinctCount (dedup spreads the hot key BY VALUE)
+    //    joined with Salt.saltedSumCount (content-hash salt, two-phase
+    //    semigroup) — no single reducer ever holds hot-key 0's 90k rows;
+    //    PlanShapeSpec asserts the __salt phase-1 grouping and
+    //    ScaleShapeSpec drives the same shape under AQE skew confs.
+    //    Oracle: the direct one-phase aggregate — the hash match IS the
+    //    salted-vs-direct comparison. ──
+    q("s7_skewed_hot_agg",
+      """WITH sk AS (SELECT
+        |    CASE WHEN event_id % 10 < 9 THEN 0 ELSE user_id END AS skew_key,
+        |    user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT skew_key, count(DISTINCT user_id) AS n_distinct,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM sk GROUP BY 1""".stripMargin) { (s, dir) =>
+      val sk = Td.table(s, dir, "events").select(
+        when(col("event_id") % 10 < 9, lit(0L)).otherwise(col("user_id"))
+          .as("skew_key"),
+        col("user_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val nd = graft.ops.Salt.distinctCount(sk, Seq("skew_key"), "user_id")
+      val sums = graft.ops.Salt.saltedSumCount(sk.select("skew_key", "cents"),
+        Seq("skew_key"), "cents", buckets = 16)
+      nd.join(sums, "skew_key")
+        .select(col("skew_key"), col("n_distinct"), col("n").cast("long").as("n"),
+          col("sum_value").cast("long").as("sum_cents"))
+    },
+
     // ── A15: exact quantiles (quartiles + median) per group. Exact
     //    percentile sorts within the group — the VALIDATION/medium-scale
     //    path; at 100 TB use approx_percentile (t-digest, constant memory,

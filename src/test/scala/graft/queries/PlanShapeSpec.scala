@@ -16,7 +16,8 @@ class PlanShapeSpec extends SparkSpec {
 
   private final case class Shape(
       name: String, scans: Option[Int], shuffles: Option[Int],
-      mustContain: Seq[String] = Nil, mustNotContain: Seq[String] = Nil)
+      mustContain: Seq[String] = Nil, mustNotContain: Seq[String] = Nil,
+      planTextMustContain: Seq[String] = Nil)
 
   // expectations at sf0.001; AQE runs, so counts come from the
   // materialized adaptive plan
@@ -124,6 +125,14 @@ class PlanShapeSpec extends SparkSpec {
     Shape("ls16_bm25", scans = None, shuffles = None,
       mustContain = Seq("BroadcastHashJoin"),
       mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // s7: the skew-stress query MUST keep the salted two-phase shape —
+    // the __salt column in the phase-1 grouping is what spreads hot-key
+    // 0's 90% of rows across reducers; losing it (or falling back to a
+    // one-phase distinct over the raw key) recreates the hot partition
+    // the operator exists to prevent
+    Shape("s7_skewed_hot_agg", scans = None, shuffles = None,
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin"),
+      planTextMustContain = Seq("__salt")),
     // lt48/lt49: the returned plan is ONE documents scan joined against
     // the checkpointed cluster map by id — the split/weight math adds no
     // window and no extra corpus pass
@@ -227,6 +236,11 @@ class PlanShapeSpec extends SparkSpec {
           s"${sh.name}: plan lacks $frag:\n${df.queryExecution.executedPlan}"))
         sh.mustNotContain.foreach(frag => assert(!names.contains(frag),
           s"${sh.name}: plan contains forbidden $frag:\n${df.queryExecution.executedPlan}"))
+        // fragments asserted against the RENDERED plan (grouping keys,
+        // join conditions — detail the nodeName list cannot see)
+        lazy val planText = nodes.map(_.toString).mkString("\n")
+        sh.planTextMustContain.foreach(frag => assert(planText.contains(frag),
+          s"${sh.name}: rendered plan lacks $frag:\n${df.queryExecution.executedPlan}"))
       } finally graft.llm.Caches.releaseAll(spark)
     }
   }
