@@ -131,6 +131,40 @@ object ProbeTree {
   }
 }
 
+/** Dev diagnostic: prefix-doubling path ONLY, stage-decomposed, with the
+  * early-stop toggle — `runMain graft.ProbeSaDoubling <dir> [true|false]`. */
+object ProbeSaDoubling {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val earlyStop = args.length < 2 || args(1).toBoolean
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"),
+      shufflePartitions = cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.llm.{Caches, SuffixArray}
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe-sad] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val docs = Td.table(spark, dir, "documents")
+    val pos = Caches.persist(SuffixArray.posTable(docs, "doc_id", "text", 7))
+    println(s"[probe-sad] positions: ${timed("pos")(pos.count())}")
+    val lv = timed(s"levelTables earlyStop=$earlyStop")(
+      SuffixArray.levelTables(pos, 7, earlyStop))
+    println(s"[probe-sad] levels kept: ${lv.size}")
+    val sa = timed("saOrder (eager)")(SuffixArray.saOrder(lv.last).localCheckpoint())
+    val pairs = timed("lcp (eager)")(
+      SuffixArray.neighborLcp(sa, lv).localCheckpoint())
+    val out = SuffixArray.spanRollup(SuffixArray.replenTable(pairs), 10)
+    println(s"[probe-sad] out rows: ${timed("rollup")(out.count())}")
+    Caches.releaseAll(spark)
+    spark.stop()
+  }
+}
+
 /** Dev diagnostic: stage-by-stage timing/cardinality of the ld18
   * suffix-array pipeline — direct suffix sort vs prefix doubling. */
 object ProbeSa {
@@ -195,7 +229,7 @@ object ProbeSa {
     println(s"[probe-sa] positions: ${timed("pos")(pos.count())}")
     val lv = timed("levels (eager)")(SuffixArray.levelTables(pos, levels))
     // not tracked: dev probe, the JVM exits right after
-    val sa = timed("saOrder (eager)")(SuffixArray.saOrder(lv(levels)).localCheckpoint())
+    val sa = timed("saOrder (eager)")(SuffixArray.saOrder(lv.last).localCheckpoint())
     val pairs = SuffixArray.neighborLcp(sa, lv)
     println(s"[probe-sa] lcp pairs: ${timed("lcp")(pairs.count())}")
     val out = SuffixArray.spanRollup(SuffixArray.replenTable(pairs), 10)

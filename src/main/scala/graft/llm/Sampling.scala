@@ -228,6 +228,73 @@ object Sampling {
     df.sparkSession.createDataFrame(rows, schema)
   }
 
+  /** Scale-correct global DENSE rank over `keys` (equal keys share a
+    * rank, ranks 1..#classes with no gaps) in ONE range-partitioned sort
+    * — the cheap sibling of the distinct-table + [[globalOrderedRank]] +
+    * join-back spelling, which pays three corpus-sized exchanges where
+    * this pays one (the boundary-offset pass rides the sorted shuffle
+    * files like zipWithIndex's size job, so the sort itself runs once).
+    * Equal keys may straddle a range boundary; the offset pass carries
+    * each partition's first/last key and discounts a group continued
+    * from its predecessor. Also returns the total class count — read for
+    * free from the boundary pass (callers like the suffix-array
+    * convergence check would otherwise pay an aggregate for it).
+    * NULL-free keys only (range sort + Row equality). */
+  def globalDenseRank(df: DataFrame, keys: Seq[Column], out: String): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val keyed = df.select(struct(keys: _*).as("__k"),
+      struct(df.columns.toIndexedSeq.map(col): _*).as("__r"))
+    val sorted = keyed.orderBy(col("__k")).rdd
+    val stats = sorted.mapPartitionsWithIndex { (i, it) =>
+      var first: Any = null
+      var last: Any = null
+      var cnt = 0L
+      var any = false
+      it.foreach { r =>
+        val k = r.get(0)
+        if (!any) { first = k; any = true; cnt = 1 }
+        else if (k != last) cnt += 1
+        last = k
+      }
+      Iterator.single((i, if (any) Some((first, last, cnt)) else None))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = new Array[Long](stats.length)
+    val continues = new Array[Boolean](stats.length)
+    var running = 0L
+    var prevLast: Any = null
+    stats.zipWithIndex.foreach {
+      case (None, i) => offsets(i) = running; continues(i) = false
+      case (Some((first, last, cnt)), i) =>
+        val cont = prevLast != null && first == prevLast
+        continues(i) = cont
+        offsets(i) = running
+        running += cnt - (if (cont) 1L else 0L)
+        prevLast = last
+    }
+    val classes = running
+    val bOff = spark.sparkContext.broadcast((offsets, continues))
+    val innerFields = df.schema.fields
+    val schema = org.apache.spark.sql.types.StructType(
+      innerFields :+ org.apache.spark.sql.types.StructField(
+        "__dr_tmp", org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = sorted.mapPartitionsWithIndex { (i, it) =>
+      val (offs, conts) = bOff.value
+      var rank = offs(i)
+      var prev: Any = null
+      var firstRow = true
+      it.map { r =>
+        val k = r.get(0)
+        // a group continued from the previous partition keeps ITS rank:
+        // the offset already counts it, so the first row must not bump
+        if (firstRow) { if (!conts(i)) rank += 1; firstRow = false; prev = k }
+        else if (k != prev) { rank += 1; prev = k }
+        val inner = r.getStruct(1)
+        org.apache.spark.sql.Row.fromSeq(inner.toSeq :+ rank)
+      }
+    }
+    (spark.createDataFrame(rows, schema).withColumnRenamed("__dr_tmp", out), classes)
+  }
+
 
   /** WEIGHTED sampling without replacement (top-k, P(pick) ∝ weight) with
     * EXACT integer keys — no transcendentals anywhere, so the draw is

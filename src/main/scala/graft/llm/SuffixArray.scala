@@ -76,6 +76,7 @@ object SuffixArray {
       .select(col("doc_id"), posexplode(col("__t")).as(Seq("p", "tok")), col("nt"))
       .select(col("doc_id"), col("p").cast("long").as("p"), col("nt"), col("tok"))
 
+
   /** (doc_id, __t, nt) tokenized docs with the 2^levels cap raise. */
   private def tokensGuarded(
       docs: DataFrame, idCol: String, textCol: String, levels: Int): DataFrame = {
@@ -140,16 +141,19 @@ object SuffixArray {
 
   // ── prefix doubling (scale path; spec-pinned equal to dupSpans) ─────────
 
-  /** Prefix-doubling level tables: index k ranks the 2^k-token window at
-    * every position — (doc_id, p, nt, r). Every level is eagerly
-    * localCheckpoint'd and tracked: each is consumed by the next round
-    * AND by the LCP lift, and lineage truncation is what keeps round k
-    * from re-embedding (and re-executing) rounds 0..k-1.
+  /** Prefix-doubling level tables: index k ranks the 2^k-token window
+    * at every position —
+    * (doc_id, p, nt, r). Every level is eagerly localCheckpoint'd and
+    * tracked: each is consumed by the next round AND by the LCP lift,
+    * and lineage truncation is what keeps round k from re-embedding
+    * (and re-executing) rounds 0..k-1. Every round ranks by ONE
+    * range-partitioned dense-rank sort ([[Sampling.globalDenseRank]]) —
+    * the distinct-table + rank + join-back spelling paid three
+    * corpus-sized exchanges per round.
     *
     * With `earlyStop` (default), the loop ends as soon as a round's
-    * dense-rank CLASS COUNT equals the previous round's — one `max(r)`
-    * aggregate per round on the freshly-checkpointed skinny table (ranks
-    * are dense, so max == number of classes). An unrefined round means
+    * dense-rank CLASS COUNT equals the previous round's — read for FREE
+    * from the ranking sort's boundary pass. An unrefined round means
     * the partition is a fixpoint (a class that survives a (r, r2) split
     * can never split later), so every subsequent level table would be
     * identical: the returned LAST level is always CONVERGED — positions
@@ -160,15 +164,11 @@ object SuffixArray {
     * dropped from the result (its classes duplicate the previous
     * level's). */
   def levelTables(pos: DataFrame, levels: Int, earlyStop: Boolean = true): IndexedSeq[DataFrame] = {
-    def classCount(df: DataFrame): Long = {
-      val r = df.agg(max(col("r"))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
     val lv = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    lv += Caches.trackCheckpoint(denseRankJoin(pos, Seq("tok"), "r")
-      .select(col("doc_id"), col("p"), col("nt"), col("r"))
-      .localCheckpoint())
-    var prevClasses = if (earlyStop) classCount(lv(0)) else -1L
+    val (r0, c0) = Sampling.globalDenseRank(pos, Seq(col("tok")), "r")
+    lv += Caches.trackCheckpoint(
+      r0.select(col("doc_id"), col("p"), col("nt"), col("r")).localCheckpoint())
+    var prevClasses = c0
     var k = 1
     var converged = false
     while (k <= levels && !converged) {
@@ -178,23 +178,25 @@ object SuffixArray {
       val paired = lv(k - 1)
         .join(partner, Seq("doc_id", "p"), "left")
         .na.fill(0L, Seq("r2"))
-      val next = Caches.trackCheckpoint(denseRankJoin(paired, Seq("r", "r2"), "rk")
+      val (rk, ck) = Sampling.globalDenseRank(paired, Seq(col("r"), col("r2")), "rk")
+      val next = Caches.trackCheckpoint(rk
         .select(col("doc_id"), col("p"), col("nt"), col("rk").as("r"))
         .localCheckpoint())
-      if (earlyStop) {
-        val c = classCount(next)
-        if (c == prevClasses) converged = true else { lv += next; prevClasses = c }
-      } else lv += next
+      if (earlyStop && ck == prevClasses) converged = true
+      else { lv += next; prevClasses = ck }
       k += 1
     }
     lv.toIndexedSeq
   }
 
   /** Suffix-array global position from the final doubling level: final
-    * rank with (doc_id, p) pinning ties — (doc_id, p, nt, rn). */
+    * rank with (doc_id, p) pinning ties — (doc_id, p, nt, r, rn). The
+    * final-level rank `r` is CARRIED so [[neighborLcp]]'s seed step reads
+    * it off the pair self-join for free instead of joining the level
+    * table twice onto the (corpus-sized) pair table. */
   def saOrder(lastLevel: DataFrame): DataFrame =
     Sampling.globalOrderedRank(lastLevel, Seq(col("r"), col("doc_id"), col("p")))
-      .select(col("doc_id"), col("p"), col("nt"), col("gpos").as("rn"))
+      .select(col("doc_id"), col("p"), col("nt"), col("r"), col("gpos").as("rn"))
 
   /** SA-adjacent pairs with their exact LCP by binary lifting over the
     * level tables — (da, pa, db, pb, lcp).
@@ -211,17 +213,15 @@ object SuffixArray {
     * window, so the true LCP < 2^(size-1) fits the remaining lift
     * capacity exactly. Seeded cursors land past the doc end, where the
     * level tables have no row — the left joins below go null and the
-    * pair never advances again. */
+    * pair never advances again. The final-level ranks ride in on `sa`'s
+    * carried `r` column ([[saOrder]]), so the seed costs ZERO extra
+    * joins over the pair table. */
   def neighborLcp(sa: DataFrame, lv: IndexedSeq[DataFrame]): DataFrame = {
-    val top = lv.last
     var st = sa.select(
-        col("doc_id").as("da"), col("p").as("pa"), col("nt").as("la"), col("rn"))
+        col("doc_id").as("da"), col("p").as("pa"), col("nt").as("la"),
+        col("r").as("__ta"), col("rn"))
       .join(sa.select(col("doc_id").as("db"), col("p").as("pb"),
-        col("nt").as("lb"), (col("rn") - 1).as("rn")), "rn")
-      .join(top.select(col("doc_id").as("da"), col("p").as("pa"),
-        col("r").as("__ta")), Seq("da", "pa"))
-      .join(top.select(col("doc_id").as("db"), col("p").as("pb"),
-        col("r").as("__tb")), Seq("db", "pb"))
+        col("nt").as("lb"), col("r").as("__tb"), (col("rn") - 1).as("rn")), "rn")
       .withColumn("lcp", when(col("__ta") === col("__tb"),
         least(col("la") - col("pa"), col("lb") - col("pb"))).otherwise(lit(0L)))
       .select(col("da"), col("pa"), col("la"), (col("pa") + col("lcp")).as("oa"),
@@ -285,7 +285,13 @@ object SuffixArray {
     val pos = Caches.persist(posTable(docs, idCol, textCol, levels))
     val lv = levelTables(pos, levels, earlyStop)
     val sa = Caches.trackCheckpoint(saOrder(lv.last).localCheckpoint())
-    spanRollup(replenTable(neighborLcp(sa, lv)), minRun)
+    // EAGERLY checkpointed: replenTable's two union legs would otherwise
+    // evaluate the ENTIRE binary lift (2 joins per level) twice — and a
+    // lazy persist does not help here, because a union's legs run in the
+    // SAME stage, so the second leg starts before the first has
+    // populated the cache and recomputes anyway
+    val pairs = Caches.trackCheckpoint(neighborLcp(sa, lv).localCheckpoint())
+    spanRollup(replenTable(pairs), minRun)
   }
 
   // ── shared downstream ───────────────────────────────────────────────────
@@ -322,13 +328,4 @@ object SuffixArray {
         max(col("mx")).as("max_replen"))
   }
 
-  /** Scale-correct dense rank of `df` by `keys`: rank the DISTINCT key
-    * table with the range-partitioned two-pass, equi-join back. Appends
-    * `out` (1-based, dense over key order); never a global window. */
-  private def denseRankJoin(df: DataFrame, keys: Seq[String], out: String): DataFrame = {
-    val distinctKeys = df.select(keys.map(col): _*).distinct()
-    val ranked = Sampling.globalOrderedRank(distinctKeys, keys.map(col))
-      .withColumnRenamed("gpos", out)
-    df.join(ranked, keys)
-  }
 }

@@ -384,6 +384,40 @@ class SamplingSpec extends SparkSpec {
     assert(Seq(10L, 11L).map(m(_)._4).sum == 1000000L)
   }
 
+  test("globalDenseRank == dense_rank window, including groups straddling range boundaries") {
+    // many heavily-duplicated keys over many partitions: the range sort
+    // MUST split some tie group across partition boundaries, exercising
+    // the continuation-offset path
+    val df = spark.range(0, 50000).toDF("id")
+      .withColumn("k", col("id") % 37)
+      .withColumn("payload", col("id") * 3)
+      .repartition(16)
+    val (ranked, classes) = Sampling.globalDenseRank(df, Seq(col("k")), "dr")
+    assert(classes == 37L)
+    val got = ranked.select("id", "k", "payload", "dr")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == 50000)
+    // dense semantics: rank = k + 1 for keys 0..36 (key order is value order)
+    assert(got.forall { case (_, k, _, dr) => dr == k + 1 })
+    // payload columns survive untouched
+    assert(got.forall { case (id, _, pay, _) => pay == id * 3 })
+
+    // composite keys + a genuinely uneven distribution
+    val df2 = (Seq.fill(9000)((1L, "a")) ++ Seq.fill(500)((1L, "b")) ++
+      Seq.fill(1)((2L, "a")) ++ Seq.fill(300)((3L, "z"))).toDF("x", "y")
+      .repartition(8)
+    val (r2, c2) = Sampling.globalDenseRank(df2, Seq(col("x"), col("y")), "dr")
+    assert(c2 == 4L)
+    val byKey = r2.select("x", "y", "dr").distinct()
+      .as[(Long, String, Long)].collect().map { case (x, y, d) => (x, y) -> d }.toMap
+    assert(byKey == Map((1L, "a") -> 1L, (1L, "b") -> 2L, (2L, "a") -> 3L, (3L, "z") -> 4L))
+
+    // empty frame: zero classes, zero rows
+    val (re, ce) = Sampling.globalDenseRank(
+      Seq.empty[(Long, Long)].toDF("a", "b"), Seq(col("a")), "dr")
+    assert(ce == 0L && re.isEmpty)
+  }
+
   test("softDedupWeights: a cluster past 1e6 members floors at 1 ppm, never 0") {
     val n = 1100000L
     val d = spark.range(1, n + 1).toDF("doc_id")
