@@ -66,6 +66,52 @@ object Salt {
         combine.tail.map { case (f, n) => f(n).as(n) }: _*)
   }
 
+  /** Differentiated salted equi-join for a skewed fact against a dim too
+    * large to broadcast: AQE's skew-join split handles this when both
+    * sides are shuffle stages of one batch query, but a pre-planned
+    * salted join is what works in Structured Streaming (no AQE re-plan
+    * over the stateful stage) and when the physical layout is fixed
+    * (bucketed tables).
+    *
+    * Two-pass shape: (1) count fact rows per key and collect keys above
+    * `hotThreshold` — hot keys are FEW by definition, and the collect is
+    * capped at `maxHotKeys` with a loud raise past it (a million "hot"
+    * keys means the threshold is wrong, not that the driver should eat
+    * them); (2) hot fact rows take a content-hash salt 0..buckets-1
+    * (replay-stable — see [[saltedAgg]]), cold rows salt 0; hot dim rows
+    * replicate to ALL buckets, cold dim rows take salt 0; one equi-join
+    * on (key, __salt). Every fact row carries exactly one salt and every
+    * matching dim row exists at exactly that salt, so the result is
+    * row-for-row the plain join — SaltSpec proves it and the s8 oracle
+    * hash-checks it on 90%-hot data. Hot partitions shrink by `buckets`;
+    * the dim grows by |hot| · (buckets − 1) rows only. */
+  def saltedJoin(
+      fact: DataFrame, dim: DataFrame, key: String,
+      buckets: Int = 16, hotThreshold: Long = 100000L,
+      maxHotKeys: Int = 10000,
+      disambiguators: Seq[Column] = Nil): DataFrame = {
+    require(buckets >= 2, s"saltedJoin: buckets must be >= 2, got $buckets")
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "saltedJoin: inputs already have a __salt column; rename it first")
+    val hotRows = fact.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > hotThreshold)
+      .select(col(key)).limit(maxHotKeys + 1).collect()
+    require(hotRows.length <= maxHotKeys,
+      s"saltedJoin: more than $maxHotKeys keys exceed $hotThreshold rows - " +
+        "raise hotThreshold (this many 'hot' keys is ordinary load, not skew)")
+    val hotKeys = hotRows.map(_.get(0)).toSeq
+    val isHot = if (hotKeys.isEmpty) lit(false) else col(key).isInCollection(hotKeys)
+    val fs = fact.withColumn("__salt",
+      when(isHot,
+        pmod(xxhash64(fact.columns.toIndexedSeq.map(col) ++ disambiguators: _*),
+          lit(buckets.toLong)))
+        .otherwise(lit(0L)))
+    val ds = dim.withColumn("__salt",
+      explode(when(isHot, sequence(lit(0L), lit(buckets - 1L)))
+        .otherwise(array(lit(0L)))))
+    fs.join(ds, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Salted sum+count (the common case). */
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
       buckets: Int = 16, disambiguators: Seq[Column] = Nil): DataFrame =

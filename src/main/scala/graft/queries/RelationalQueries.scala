@@ -1415,6 +1415,39 @@ object RelationalQueries {
           col("sum_value").cast("long").as("sum_cents"))
     },
 
+    // ── S8: differentiated SALTED JOIN under the same 90% skew — the
+    //    pre-planned skew join for where AQE cannot re-plan (streaming
+    //    stateful stages, fixed bucketed layouts): hot keys detected by
+    //    a capped count pass, hot fact rows content-hash-salted across
+    //    16 buckets, dim rows replicated ONLY for hot keys, one
+    //    (key, salt) equi-join. Row-for-row the plain join (SaltSpec),
+    //    and the oracle hash-checks exactly that: the direct join +
+    //    rollup. PlanShapeSpec pins the __salt join key. ──
+    q("s8_salted_skew_join",
+      """WITH sk AS (SELECT
+        |    CASE WHEN event_id % 10 < 9 THEN 0 ELSE user_id END AS skew_key,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |dim AS (SELECT skew_key, skew_key % 7 AS seg
+        |  FROM (SELECT DISTINCT skew_key FROM sk))
+        |SELECT seg, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(DISTINCT sk.skew_key) AS BIGINT) AS n_keys
+        |FROM sk JOIN dim ON sk.skew_key = dim.skew_key
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val sk = Td.table(s, dir, "events").select(
+        when(col("event_id") % 10 < 9, lit(0L)).otherwise(col("user_id"))
+          .as("skew_key"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val dim = sk.select("skew_key").distinct()
+        .withColumn("seg", col("skew_key") % 7)
+      graft.ops.Salt.saltedJoin(sk, dim, "skew_key",
+          buckets = 16, hotThreshold = 1000L)
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).cast("long").as("sum_cents"),
+          count_distinct(col("skew_key")).as("n_keys"))
+    },
+
     // ── A15: exact quantiles (quartiles + median) per group. Exact
     //    percentile sorts within the group — the VALIDATION/medium-scale
     //    path; at 100 TB use approx_percentile (t-digest, constant memory,

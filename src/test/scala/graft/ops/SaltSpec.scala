@@ -80,4 +80,40 @@ class SaltSpec extends SparkSpec {
       .select("__salt").distinct().count()
     assert(nSalts > 1)
   }
+
+  test("saltedJoin equals the plain join row-for-row on 90%-hot data") {
+    val fact = ((1 to 9000).map(i => (0L, i.toLong)) ++
+      (1 to 1000).map(i => ((i % 50 + 1).toLong, i.toLong))).toDF("k", "v")
+    val dim = (0L to 50L).map(k => (k, s"seg${k % 7}")).toDF("k", "seg")
+    val salted = Salt.saltedJoin(fact, dim, "k", buckets = 8, hotThreshold = 500L)
+      .select("k", "v", "seg").as[(Long, Long, String)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val plain = fact.join(dim, "k")
+      .select("k", "v", "seg").as[(Long, Long, String)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(salted == plain && plain.nonEmpty) // exact MULTISET equality
+  }
+
+  test("saltedJoin: dim rows replicate only for hot keys; unmatched keys drop like inner join") {
+    val fact = ((1 to 2000).map(i => (0L, i.toLong)) ++
+      Seq((1L, 1L), (2L, 2L), (99L, 3L))).toDF("k", "v") // 99 has no dim row
+    val dim = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (50L, "unref")).toDF("k", "seg")
+    val got = Salt.saltedJoin(fact, dim, "k", buckets = 4, hotThreshold = 100L)
+    assert(got.count() == 2000 + 2) // k=99 dropped, k=50 unreferenced
+    // the hot key's fact rows really spread: more than one salt bucket
+    val spread = fact.filter(col("k") === 0L)
+      .withColumn("__salt", pmod(xxhash64(col("k"), col("v")), lit(4L)))
+      .select("__salt").distinct().count()
+    assert(spread > 1)
+  }
+
+  test("saltedJoin raises loudly when 'hot' keys exceed the driver cap") {
+    val fact = (1 to 4000).map(i => ((i % 40).toLong, i.toLong)).toDF("k", "v")
+    val dim = (0L to 40L).map(k => (k, k)).toDF("k", "d")
+    val e = intercept[IllegalArgumentException] {
+      Salt.saltedJoin(fact, dim, "k", buckets = 4,
+        hotThreshold = 10L, maxHotKeys = 5)
+    }
+    assert(e.getMessage.contains("raise hotThreshold"))
+  }
 }

@@ -133,6 +133,11 @@ class PlanShapeSpec extends SparkSpec {
     Shape("s7_skewed_hot_agg", scans = None, shuffles = None,
       mustNotContain = Seq("CartesianProduct", "SortMergeJoin"),
       planTextMustContain = Seq("__salt")),
+    // s8: the differentiated skew join must keep __salt in the join key
+    // (the hot-key spread) and never degenerate to a nested loop
+    Shape("s8_salted_skew_join", scans = None, shuffles = None,
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
+      planTextMustContain = Seq("__salt")),
     // lt48/lt49: the returned plan is ONE documents scan joined against
     // the checkpointed cluster map by id — the split/weight math adds no
     // window and no extra corpus pass
