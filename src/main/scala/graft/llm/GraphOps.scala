@@ -59,8 +59,10 @@ object GraphOps {
     // flag) matches the full-round run bit-for-bit. A graph that is
     // still moving when the budget runs out carries converged=false on
     // every row: a bounded 100 TB run can never PASS for a finished one.
-    // The per-round compare is one node-keyed join on two checkpointed
-    // skinny tables — cheap next to the edge join it gates.
+    // The compare is a node-keyed join, non-trivial next to a round —
+    // so it runs on the FINAL round (exactly the last-two-rounds compare
+    // the oracle spells) plus every 4th round for early exit on long
+    // budgets, not every round.
     var converged = false
     var i = 0
     while (i < iters && !converged) {
@@ -80,8 +82,9 @@ object GraphOps {
         // AQE planning cost grows with the square of the iteration count
         .localCheckpoint()
       Caches.trackCheckpoint(next)
-      converged = next.as("n").join(r.as("p"), "id")
-        .where(col("n.pr") =!= col("p.pr")).isEmpty
+      if (i + 1 == iters || (i + 1) % 4 == 0)
+        converged = next.as("n").join(r.as("p"), "id")
+          .where(col("n.pr") =!= col("p.pr")).isEmpty
       // no-op on the initial (non-checkpointed) rank frame
       Caches.unpersistCheckpoint(r)
       r = next
@@ -188,8 +191,9 @@ object GraphOps {
     var lbl = nodes.select(col("id"), col("id").as("lbl"))
     // Fixpoint: labels are a pure function of the previous labels, so an
     // unchanged round ends the loop with output identical to the full
-    // run; a still-moving graph at the budget carries converged=false
-    // (the pagerank discipline — see its convergence comment).
+    // run; a still-moving graph at the budget carries converged=false.
+    // Compare cadence matches pagerank: final round always (the oracle's
+    // last-two compare), every 4th round for early exit.
     var converged = false
     var i = 0
     while (i < iters && !converged) {
@@ -203,8 +207,9 @@ object GraphOps {
         .select(col("node").as("id"), col("lbl"))
         .localCheckpoint()
       Caches.trackCheckpoint(next)
-      converged = next.as("n").join(lbl.as("p"), "id")
-        .where(col("n.lbl") =!= col("p.lbl")).isEmpty
+      if (i + 1 == iters || (i + 1) % 4 == 0)
+        converged = next.as("n").join(lbl.as("p"), "id")
+          .where(col("n.lbl") =!= col("p.lbl")).isEmpty
       Caches.unpersistCheckpoint(lbl)
       lbl = next
       i += 1
