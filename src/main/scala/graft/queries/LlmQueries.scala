@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Td
-import graft.llm.{Bpe, Chunking, Classifier, Curation, Dedup, GraphOps, Importance, Keywords, Multimodal, Pca, Sampling, Similarity, Sketches, SuffixArray, Surprisal, TextOps}
+import graft.llm.{Bpe, Chunking, Classifier, Curation, Dedup, Drift, GraphOps, Importance, Keywords, Multimodal, Pca, Sampling, Similarity, Sketches, SuffixArray, Surprisal, TextOps}
 import graft.sources.LlmLake
 
 /** LLM-training-data pipeline operators over the driver's documents /
@@ -2114,6 +2114,58 @@ object LlmQueries {
         .where(concat(lit(" "), array_join(col("t"), " "), lit(" "))
           .contains(concat(lit(" "), col("needle"), lit(" "))))
         .select(col("needle_src"), col("needle"), col("doc_id"))
+    },
+
+    // ── corpus-snapshot TOKEN DRIFT audit (r8): the between-ingests
+    //    regression check — did the token distribution move between the
+    //    baseline and candidate snapshot (scraper broke, spam source
+    //    flooded in)? Snapshots here are the doc_id parity halves (both
+    //    engines derive them identically). Drift per token is the scaled
+    //    cross-difference |o1·n2 − o2·n1| — zero iff relative frequency
+    //    matches, the exact-integer per-token term of total variation,
+    //    never a float ratio. ONE corpus scan (conditional sums), all
+    //    comparison arithmetic on vocabulary-cardinality rows, top-30 via
+    //    TakeOrderedAndProject. ──
+    q("lt52_token_drift",
+      s"""WITH $toksCte,
+        |u AS (SELECT doc_id % 2 AS side, unnest(t) AS token FROM toks),
+        |c AS (SELECT token,
+        |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+        |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o2
+        |  FROM u GROUP BY 1),
+        |n AS (SELECT CAST(sum(o1) AS BIGINT) AS n1,
+        |    CAST(sum(o2) AS BIGINT) AS n2 FROM c)
+        |SELECT token, o1, o2,
+        |  CAST(abs(o1 * n2 - o2 * n1) AS BIGINT) AS drift
+        |FROM c CROSS JOIN n
+        |ORDER BY drift DESC, token LIMIT 30""".stripMargin) { (s, dir) =>
+      Drift.tokenDrift(Td.table(s, dir, "documents"), "text",
+        col("doc_id") % 2, topK = 30)
+    },
+
+    // ── EMBEDDING-space drift audit (r8): per-dimension mean shift
+    //    between the two snapshot halves over milli-quantized vectors —
+    //    an embedding model silently re-versioned moves mass across many
+    //    dimensions, a preprocessing change moves a few. The mean
+    //    comparison is the cross-difference |s1·c2 − s2·c1| (exact
+    //    integers, no division). One corpus scan; all later arithmetic on
+    //    DIMENSION-cardinality rows. ──
+    q("ls18_embedding_drift",
+      """WITH q AS (SELECT vec_id % 2 AS side,
+        |    generate_subscripts(embedding, 1) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS m
+        |  FROM embeddings),
+        |c AS (SELECT CAST(dim AS INT) AS dim,
+        |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(sum(CASE WHEN side = 0 THEN m ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN side = 1 THEN m ELSE 0 END) AS BIGINT) AS s2
+        |  FROM q GROUP BY 1)
+        |SELECT dim, c1, c2, s1, s2,
+        |  CAST(abs(s1 * c2 - s2 * c1) AS BIGINT) AS drift
+        |FROM c ORDER BY drift DESC, dim LIMIT 16""".stripMargin) { (s, dir) =>
+      Drift.embeddingDrift(Td.table(s, dir, "embeddings"), "embedding",
+        col("vec_id") % 2, topK = 16)
     },
 
     // ── Stratified EXACT split: per language, train/val/test by integer

@@ -203,6 +203,15 @@ class PlanShapeSpec extends SparkSpec {
     Shape("a38_weighted_quantiles", scans = Some(1), shuffles = Some(2),
       mustNotContain = Seq("SortMergeJoin", "CartesianProduct",
         "BroadcastNestedLoopJoin")),
+    // lt52/ls18: drift audits are ONE corpus scan collapsing to a
+    // vocabulary/dimension summary; the top-k must ride a
+    // TakeOrderedAndProject, never a global sort of the summary
+    Shape("lt52_token_drift", scans = Some(1), shuffles = None,
+      mustContain = Seq("TakeOrderedAndProject"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    Shape("ls18_embedding_drift", scans = Some(1), shuffles = None,
+      mustContain = Seq("TakeOrderedAndProject"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
     // lt51: the needle tables broadcast onto the shingle postings — the
     // corpus must never exchange keyed by shingle for a 3-needle search,
     // and no scan of text happens outside the candidate confirm
