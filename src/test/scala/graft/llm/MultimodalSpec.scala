@@ -149,4 +149,39 @@ class MultimodalSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("no installed reader")), msgs(e).mkString("; "))
   }
+
+  test("cardAHash agrees with the decoded-PNG aHash (codec-free reference == lossless path)") {
+    val ids = Seq(0L, 3L, 77L, 4999L, 56575L)
+    val got = Multimodal.decodeAHash(
+        Multimodal.renderPng(ids.toDF("doc_id"), "doc_id"), grid = 8)
+      .as[(Long, Long)].collect().toMap
+    ids.foreach { id =>
+      assert(got(id) == Multimodal.cardAHash(id, 8),
+        s"item $id: PNG-decoded hash diverged from the pure pixel function")
+    }
+  }
+
+  test("jpegAHashBand: real lossy round trip stays far inside the lm7 band") {
+    // ids straddling the card-pattern cycle boundary (period 56,576) so a
+    // replica-remapped doc_id can never exit the measured envelope
+    val ids = (0L until 200L) ++ Seq(56575L, 56576L, 100000L)
+    val rows = Multimodal.jpegAHashBand(ids.toDF("doc_id"), "doc_id",
+        grid = 8, quality = 0.95f)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(rows.length == ids.length)
+    rows.foreach { case (id, exact, _, hamming) =>
+      assert(exact == Multimodal.cardAHash(id, 8),
+        s"item $id: kernel's exact hash diverged from the pure pixel function")
+      // half the registered band: the spec demands the same headroom the
+      // exhaustive-cycle measurement showed (max 3 of 63 at q=0.95)
+      assert(hamming <= 6, s"item $id: JPEG hamming $hamming exceeds 6")
+    }
+    // the chain is genuinely lossy on this corpus: some card must flip a
+    // bit, else the test would also pass on an accidental lossless path
+    assert(rows.exists(_._4 > 0),
+      "no card flipped any aHash bit — is the JPEG path actually lossy?")
+    intercept[IllegalArgumentException] {
+      Multimodal.jpegAHashBand(ids.toDF("doc_id"), "doc_id", quality = 1.5f)
+    }
+  }
 }
