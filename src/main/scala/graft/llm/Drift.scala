@@ -39,18 +39,38 @@ object Drift {
     *
     * Output: (token, o1, o2, drift), top-K by (drift DESC, token). */
   def tokenDrift(
-      docs: DataFrame, textCol: String, sideCol: Column, topK: Int): DataFrame = {
-    require(topK > 0, s"tokenDrift: topK must be positive, got $topK")
-    val counts = docs
+      docs: DataFrame, textCol: String, sideCol: Column, topK: Int): DataFrame =
+    tokenDriftRollup(tokenCounts(docs, textCol, sideCol), topK)
+
+  /** The corpus-collapsing half of [[tokenDrift]]: per-token counts on each
+    * side, from ONE scan with conditional sums. The summary is ADDITIVE —
+    * two summaries over disjoint corpus slices union+re-aggregate into the
+    * slices' joint summary — which is what lets a stream accumulate
+    * per-trigger partials ([[graft.streaming.DriftStream]]) and a batch
+    * engine pre-aggregate per partition of a 100 TB corpus before one
+    * token-keyed exchange. */
+  def tokenCounts(
+      docs: DataFrame, textCol: String, sideCol: Column): DataFrame =
+    docs
       .select(sideCol.cast("int").as("__side"),
         explode(TextOps.tokens(col(textCol))).as("token"))
       .groupBy("token")
       .agg(
         sum(when(col("__side") === 0, 1L).otherwise(0L)).as("o1"),
         sum(when(col("__side") === 1, 1L).otherwise(0L)).as("o2"))
-    val totals = counts.agg(
+
+  /** The comparison half of [[tokenDrift]], over any union of ADDITIVE
+    * (token, o1, o2) summaries: re-aggregate by token (a no-op exchange
+    * when the input is already token-keyed), derive the side totals, and
+    * score the exact cross-difference. All work is summary-cardinality —
+    * the corpus never flows through here. */
+  def tokenDriftRollup(counts: DataFrame, topK: Int): DataFrame = {
+    require(topK > 0, s"tokenDriftRollup: topK must be positive, got $topK")
+    val merged = counts.groupBy("token")
+      .agg(sum(col("o1")).as("o1"), sum(col("o2")).as("o2"))
+    val totals = merged.agg(
       sum(col("o1")).as("__n1"), sum(col("o2")).as("__n2"))
-    counts.crossJoin(broadcast(totals))
+    merged.crossJoin(broadcast(totals))
       .select(col("token"), col("o1"), col("o2"),
         abs(col("o1") * col("__n2") - col("o2") * col("__n1")).as("drift"))
       .orderBy(col("drift").desc, col("token"))
@@ -72,9 +92,15 @@ object Drift {
     *
     * Output: (dim, c1, c2, s1, s2, drift), top-K by (drift DESC, dim). */
   def embeddingDrift(
-      vecs: DataFrame, vecCol: String, sideCol: Column, topK: Int): DataFrame = {
-    require(topK > 0, s"embeddingDrift: topK must be positive, got $topK")
-    val byDim = vecs
+      vecs: DataFrame, vecCol: String, sideCol: Column, topK: Int): DataFrame =
+    embeddingDriftRollup(embeddingDimSums(vecs, vecCol, sideCol), topK)
+
+  /** The corpus-collapsing half of [[embeddingDrift]]: per-dimension vector
+    * counts and milli-sums on each side. ADDITIVE like [[tokenCounts]] —
+    * partial summaries over corpus slices union into the joint summary. */
+  def embeddingDimSums(
+      vecs: DataFrame, vecCol: String, sideCol: Column): DataFrame =
+    vecs
       .select(sideCol.cast("int").as("__side"),
         posexplode(col(vecCol)).as(Seq("dim", "__x")))
       .select(col("__side"), (col("dim") + 1).as("dim"),
@@ -85,7 +111,14 @@ object Drift {
         sum(when(col("__side") === 1, 1L).otherwise(0L)).as("c2"),
         sum(when(col("__side") === 0, col("__m")).otherwise(0L)).as("s1"),
         sum(when(col("__side") === 1, col("__m")).otherwise(0L)).as("s2"))
-    byDim
+
+  /** The comparison half of [[embeddingDrift]], over any union of ADDITIVE
+    * (dim, c1, c2, s1, s2) summaries. Dimension-cardinality work only. */
+  def embeddingDriftRollup(sums: DataFrame, topK: Int): DataFrame = {
+    require(topK > 0, s"embeddingDriftRollup: topK must be positive, got $topK")
+    sums.groupBy("dim")
+      .agg(sum(col("c1")).as("c1"), sum(col("c2")).as("c2"),
+        sum(col("s1")).as("s1"), sum(col("s2")).as("s2"))
       .select(col("dim"), col("c1"), col("c2"), col("s1"), col("s2"),
         abs(col("s1") * col("c2") - col("s2") * col("c1")).as("drift"))
       .orderBy(col("drift").desc, col("dim"))
