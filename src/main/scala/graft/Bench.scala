@@ -127,7 +127,11 @@ object Bench {
     // Only the START load can indict the snapshot — by the end the bench's
     // own executors have legitimately saturated the box.
     val contaminated = loadStart > loadMax
-    println(s"""{"metric":"total","value":$total,"unit":"sec","load_avg":$loadStart,"load_avg_end":$loadEnd,"contaminated":$contaminated,"runs_per_query":$runsPerQuery,"queries":$qs,"runs":$allRuns,"errors":$es,"sf":"$sfDir"}""")
+    // n_registered makes the artifact self-describing: a bench snapshot
+    // whose (queries + errors) key count is below it was produced by an
+    // older build and must not be committed as the round's artifact
+    // (BenchSurfaceSpec pins committed artifacts to the registered set).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","load_avg":$loadStart,"load_avg_end":$loadEnd,"contaminated":$contaminated,"runs_per_query":$runsPerQuery,"n_registered":${SparkEntry.queries.size},"queries":$qs,"runs":$allRuns,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

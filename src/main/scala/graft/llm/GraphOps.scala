@@ -66,17 +66,7 @@ object GraphOps {
     var converged = false
     var i = 0
     while (i < iters && !converged) {
-      val contrib = e.join(r, e("src") === r("id"))
-        .join(deg, "src")
-        .select(col("dst").as("id"), expr("pr div deg").as("c"))
-      // left join back onto the full node set: in a directed graph a node
-      // with no in-edges keeps its teleport mass instead of vanishing
-      // (dangling nodes' outbound mass is dropped, the standard
-      // simplification — deterministic either way)
-      val next = nodes.join(contrib.groupBy("id").agg(sum(col("c")).as("s")),
-          Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("pr"))
+      val next = pagerankRound(e, deg, nodes, r, base)
         // eager lineage truncation per round (the dedupClusters pattern):
         // without it, round i's plan nests all prior rounds, and analysis/
         // AQE planning cost grows with the square of the iteration count
@@ -91,6 +81,33 @@ object GraphOps {
       i += 1
     }
     r.withColumn("converged", lit(converged))
+  }
+
+  /** One PageRank iteration's plan, exposed so the bucketed-layout spec
+    * can assert on the EXACT per-round shape [[pagerank]] executes: join
+    * ranks onto edges by src, integral-divide out the degrees, transpose
+    * to dst with a summing aggregate, and left-join back onto the full
+    * node set (a node with no in-edges keeps its teleport mass instead of
+    * vanishing; dangling nodes' outbound mass is dropped — the standard
+    * simplification, deterministic either way).
+    *
+    * Scale shape: when `e` scans a table bucket-sorted on src
+    * ([[graft.sources.LlmLake.writeEdges]]) the edge side of the rank
+    * join never exchanges, the degree aggregate reuses the bucket
+    * partitioning, and the rank/node frames (each already id-keyed from
+    * the previous round's aggregate, preserved through localCheckpoint)
+    * co-partition for free — the round's ONLY shuffle is the inherent
+    * dst-keyed transpose. Un-bucketed, the corpus-dominant edge table
+    * re-exchanges every round. */
+  private[graft] def pagerankRound(e: DataFrame, deg: DataFrame,
+      nodes: DataFrame, r: DataFrame, base: Long): DataFrame = {
+    val contrib = e.join(r, e("src") === r("id"))
+      .join(deg, "src")
+      .select(col("dst").as("id"), expr("pr div deg").as("c"))
+    nodes.join(contrib.groupBy("id").agg(sum(col("c")).as("s")),
+        Seq("id"), "left")
+      .select(col("id"),
+        (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("pr"))
   }
 
   /** Orient each undirected canonical pair (a < b) from the LOWER to the
@@ -275,6 +292,67 @@ object GraphOps {
       .groupBy("id").agg(count(lit(1)).as("core_deg"))
       .where(col("core_deg") >= k)
       .withColumn("converged", lit(converged))
+  }
+
+  /** [[kCore]] over a SYMMETRIZED edge list (src, dst) — every undirected
+    * edge stored BOTH ways — the bucket-friendly formulation for the
+    * 100 TB layout ([[graft.sources.LlmLake.writeEdges]]). Output is
+    * identical to `kCore` on the same graph (GraphOpsSpec pins it): on a
+    * symmetric list a node's out-degree, in-degree, and undirected degree
+    * coincide, so degrees come from grouping EITHER endpoint column.
+    *
+    * That freedom is the scale win. `kCore` pays three edge-sized
+    * exchanges per round (the degree union, then re-keying the pair table
+    * for each endpoint's semi-join); here each round reads the edge
+    * frame's CURRENT partitioning key (src on even rounds, dst on odd):
+    * the degree aggregate and the same-key survivor semi-join reuse that
+    * partitioning exchange-free, and only the other-endpoint semi-join
+    * re-keys the edge frame — which is exactly the partitioning the NEXT
+    * round needs, so the roles swap instead of shuffling back. The
+    * survivor frame follows for free too: its rename maps the degree
+    * aggregate's partitioning onto the other-endpoint join key. Steady
+    * state: ONE exchange per round, total (plan-asserted in
+    * GraphLakeSpec), entering for free on round 0 when the input scans a
+    * src-bucketed table. Doubled storage (each edge twice) is the
+    * explicit price — the standard adjacency-list trade. */
+  def kCoreSym(edges: DataFrame, k: Int, rounds: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = Caches.persist(edges.select(
+      col("src").cast("long").as("src"), col("dst").cast("long").as("dst")))
+    var prevCnt = e.count()
+    var converged = false
+    var i = 0
+    while (i < rounds && !converged) {
+      val key = if (i % 2 == 0) "src" else "dst"
+      val next = kCoreSymRound(e, k, key).localCheckpoint()
+      Caches.trackCheckpoint(next)
+      val cnt = next.count()
+      if (cnt == prevCnt) converged = true
+      prevCnt = cnt
+      Caches.unpersistCheckpoint(e)
+      e = next
+      i += 1
+    }
+    // the surviving frame exits partitioned on the LAST round's other
+    // endpoint — group there so the closing degree count is exchange-free
+    val finalKey = if ((i - 1) % 2 == 0) "dst" else "src"
+    e.groupBy(col(finalKey).as("id")).agg(count(lit(1)).as("core_deg"))
+      .where(col("core_deg") >= k)
+      .withColumn("converged", lit(converged))
+  }
+
+  /** One [[kCoreSym]] peel round, exposed for the plan-shape spec: degree
+    * + same-key semi-join on `key` (exchange-free when the edge frame is
+    * `key`-partitioned), other-endpoint semi-join re-keys the frame for
+    * the next round. Column order is normalized so rounds compose. */
+  private[graft] def kCoreSymRound(e: DataFrame, k: Int, key: String): DataFrame = {
+    val other = if (key == "src") "dst" else "src"
+    val surv = e.groupBy(key).agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= k).select(col(key))
+    e.join(surv, Seq(key), "left_semi")
+      .join(surv.withColumnRenamed(key, other), Seq(other), "left_semi")
+      .select(col("src"), col("dst"))
   }
 
   /** Multi-source BFS hop distance: every node's distance (in hops) to the

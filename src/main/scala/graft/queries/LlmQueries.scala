@@ -1180,6 +1180,44 @@ object LlmQueries {
         .select(col("id").as("doc_id"), col("core_deg"), col("converged"))
     },
 
+    // ── lg1's PageRank over the BUCKETED lake edge table (r9): the edge
+    //    list is written once bucket-sorted on src (LlmLake.writeEdges —
+    //    the pay-once write side), so every iteration's rank join reads
+    //    the corpus-dominant edge side exchange-free and each round keeps
+    //    only the inherent dst-keyed transpose shuffle (plan-asserted in
+    //    GraphLakeSpec on GraphOps.pagerankRound). Output — and therefore
+    //    the oracle — is IDENTICAL to lg1: the layout changes where rows
+    //    sit, never what the integer arithmetic produces. ──
+    q("lg6_pagerank_lake",
+      lg1Oracle(iters = 5, scale = 1000000000000L, minJ = 0.8)) { (s, dir) =>
+      val jac = Dedup.jaccardPairs(
+        Dedup.shingleTable(Td.table(s, dir, "documents"), "doc_id", "text", 3), 0.8)
+      val edges = jac.select(col("d1").as("src"), col("d2").as("dst"))
+        .unionByName(jac.select(col("d2").as("src"), col("d1").as("dst")))
+      val lake = LlmLake.scratch(s, "graft_lg6", "graft_lg6_lake", buckets = 8)
+      lake.drop()
+      lake.bootstrap()
+      lake.writeEdges(edges)
+      GraphOps.pagerank(lake.edges, iters = 5)
+        .select(col("id").as("doc_id"), col("pr"), col("converged"))
+    },
+
+    // ── lg5's k-core via the SYMMETRIC alternating peel (r9): each round
+    //    groups degrees and semi-joins survivors on the edge frame's
+    //    CURRENT partitioning key, re-keying only for the other endpoint —
+    //    one edge-sized exchange per round where lg5's pair formulation
+    //    pays three (plan-asserted in GraphLakeSpec). Identical output to
+    //    lg5 by construction (GraphOpsSpec pins it), so the oracle is
+    //    lg5's verbatim. ──
+    q("lg7_kcore_sym", lg5Oracle(k = 2, rounds = 4, minJ = 0.8)) { (s, dir) =>
+      val jac = Dedup.jaccardPairs(
+        Dedup.shingleTable(Td.table(s, dir, "documents"), "doc_id", "text", 3), 0.8)
+      val sym = jac.select(col("d1").as("src"), col("d2").as("dst"))
+        .unionByName(jac.select(col("d2").as("src"), col("d1").as("dst")))
+      GraphOps.kCoreSym(sym, k = 2, rounds = 4)
+        .select(col("id").as("doc_id"), col("core_deg"), col("converged"))
+    },
+
     // ── edit-distance-1 entity near-dups via complete deletion-signature
     //    blocking (SymSpell): the blocking is provably exhaustive for
     //    ED ≤ 1, so the oracle can brute-force levenshtein over all pairs

@@ -107,7 +107,7 @@ final class LlmLake(spark: SparkSession, db: String, location: String,
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(location)
     val fs = root.getFileSystem(conf)
-    Seq("documents", "embeddings", "cluster_map").foreach { t =>
+    Seq("documents", "embeddings", "cluster_map", "edges").foreach { t =>
       val p = new org.apache.hadoop.fs.Path(root, t)
       if (fs.exists(p)) fs.delete(p, true): Unit
     }
@@ -126,8 +126,23 @@ final class LlmLake(spark: SparkSession, db: String, location: String,
   def writeEmbeddings(vecs: DataFrame): Unit =
     writeBucketed(vecs, "vec_id", "embeddings")
 
+  /** Directed (src, dst) edge table bucket-sorted on `src` — the layout
+    * the ITERATIVE graph kernels ([[graft.llm.GraphOps]]) want: pagerank /
+    * LPA / BFS re-join the SAME edge table against an evolving node frame
+    * once per round, so an un-bucketed layout re-shuffles the (dominant)
+    * edge side every round while this one never exchanges it — the
+    * per-round plan keeps only the inherent dst-keyed transpose shuffle
+    * (plan-asserted in GraphLakeSpec). Keys are stored as BIGINT so the
+    * kernels' long-cast is a no-op and the scan's bucket partitioning
+    * survives into their join plans. */
+  def writeEdges(edges: DataFrame): Unit =
+    writeBucketed(edges.select(
+      col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
+      "src", "edges")
+
   def documents: DataFrame = spark.table(s"$db.documents")
   def embeddings: DataFrame = spark.table(s"$db.embeddings")
+  def edges: DataFrame = spark.table(s"$db.edges")
 
   /** Materialize the near-dup cluster map (doc_id, survivor_id) bucketed on
     * doc_id, so later joins against `documents` co-locate. The pair

@@ -274,6 +274,38 @@ class GraphOpsSpec extends SparkSpec {
     assert(core(4) == core(30))
   }
 
+  test("kCoreSym equals kCore exactly — converged, mid-peel, and on the near-dup graph") {
+    def both(pairs: org.apache.spark.sql.DataFrame, k: Int, rounds: Int) =
+      try {
+        val sym = pairs.selectExpr("a AS src", "b AS dst")
+          .unionByName(pairs.selectExpr("b AS src", "a AS dst"))
+        (GraphOps.kCore(pairs, k, rounds)
+           .as[(Long, Long, Boolean)].collect().sorted.toSeq,
+         GraphOps.kCoreSym(sym, k, rounds)
+           .as[(Long, Long, Boolean)].collect().sorted.toSeq)
+      } finally Caches.releaseAll(spark)
+    val clique = for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b)
+    val pairs = (clique ++ Seq((4L, 5L), (5L, 6L), (6L, 7L))).toDF("a", "b")
+    // mid-peel (rounds = 2: node 4 still counts the doomed 4-5 edge),
+    // first-witness (4), and over-budget (30) must all agree INCLUDING
+    // the converged flag — the sym peel is a layout change, not a
+    // semantics change
+    for (r <- Seq(2, 4, 30)) {
+      val (a, b) = both(pairs, k = 2, rounds = r)
+      assert(a == b && a.nonEmpty, s"rounds=$r: kCore=$a kCoreSym=$b")
+    }
+    // empty cores stay empty
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val (pa, pb) = both(path, k = 2, rounds = 4)
+    assert(pa.isEmpty && pb.isEmpty)
+    // the real near-dup graph (the lg5/lg7 inputs)
+    val jac = Dedup.jaccardPairs(
+      Dedup.shingleTable(graft.Td.table(spark, Sf0001, "documents"),
+        "doc_id", "text", 3), 0.8)
+    val (ga, gb) = both(jac.selectExpr("d1 AS a", "d2 AS b"), k = 2, rounds = 4)
+    assert(ga == gb && ga.nonEmpty)
+  }
+
   test("kCore: a tree has no 2-core; k above the density empties a clique") {
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
     assert(GraphOps.kCore(path, k = 2, rounds = 4).isEmpty)
