@@ -132,8 +132,42 @@ object ProbeTree {
 }
 
 /** Dev diagnostic: prefix-doubling path ONLY, stage-decomposed, with the
-  * early-stop toggle — `runMain graft.ProbeSaDoubling <dir> [true|false]`. */
+  * early-stop toggle — `runMain graft.ProbeSaDoubling <dir> [true|false]`.
+  * A stage listener accumulates spill/shuffle/GC totals so a slow run can
+  * be attributed (spill boundary vs GC pressure vs box contamination)
+  * instead of guessed at. */
 object ProbeSaDoubling {
+
+  /** Whole-run executor-metric totals via a stage listener: shuffle bytes
+    * both directions, memory/disk spill, GC wall. Registered before the
+    * work, summed across all stages. */
+  final class SpillTotals extends org.apache.spark.scheduler.SparkListener {
+    var shuffleWrite = 0L
+    var shuffleRead = 0L
+    var memSpill = 0L
+    var diskSpill = 0L
+    var gcMs = 0L
+    var runMs = 0L
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+        shuffleRead += m.shuffleReadMetrics.totalBytesRead
+        memSpill += m.memoryBytesSpilled
+        diskSpill += m.diskBytesSpilled
+        gcMs += m.jvmGCTime
+        runMs += m.executorRunTime
+      }
+    }
+    def report: String = {
+      def gb(b: Long) = f"${b / 1e9}%.2f GB"
+      f"shuffleWrite=${gb(shuffleWrite)} shuffleRead=${gb(shuffleRead)} " +
+        f"memSpill=${gb(memSpill)} diskSpill=${gb(diskSpill)} " +
+        f"gc=${gcMs / 1000.0}%.1f s executorRun=${runMs / 1000.0}%.1f s"
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val earlyStop = args.length < 2 || args(1).toBoolean
@@ -142,6 +176,8 @@ object ProbeSaDoubling {
       SparkSession.builder().master(s"local[$cpus]"),
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val totals = new SpillTotals
+    spark.sparkContext.addSparkListener(totals)
     import graft.llm.{Caches, SuffixArray}
     def timed[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -160,6 +196,10 @@ object ProbeSaDoubling {
       SuffixArray.neighborLcp(sa, lv).localCheckpoint())
     val out = SuffixArray.spanRollup(SuffixArray.replenTable(pairs), 10)
     println(s"[probe-sad] out rows: ${timed("rollup")(out.count())}")
+    // let the (async) listener bus drain before reading the totals — the
+    // bus is private API, so a short settle sleep stands in
+    Thread.sleep(2000)
+    println(s"[probe-sad] totals: ${totals.report}")
     Caches.releaseAll(spark)
     spark.stop()
   }
