@@ -610,6 +610,101 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("survivor_id"))
   }
 
+  /** Connected components via ALTERNATING STAR CONTRACTION (the
+    * large-star/small-star formulation of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — same output contract
+    * as [[dedupClusters]]: (doc_id, survivor_id = component-min id),
+    * spec-pinned identical and sharing ld6's recursive-closure oracle.
+    *
+    * Why a second formulation: [[dedupClusters]] maintains a NODE-LABEL
+    * table and joins the full edge list against it every round — two
+    * corpus-keyed exchanges per round whose width is the edge list. Star
+    * contraction instead REWRITES THE EDGE LIST: each round hangs every
+    * node off the minimum of its neighborhood (large-star moves the
+    * larger neighbors, small-star the smaller), so edges migrate toward
+    * component minima and the edge table typically SHRINKS round over
+    * round (dup edges collapse in the distinct). On hub-heavy graphs the
+    * per-round shuffle is bounded by the CURRENT edge count, not the
+    * original — the property that made this the standard trillion-edge
+    * CC shape — while pointer doubling keeps re-shuffling the original
+    * edge list until convergence. Both are O(log diameter) rounds; the
+    * crossover is real data's shrink rate, so both stay registered (the
+    * lg5/lg7 deployment-knob discipline).
+    *
+    * Round shape: large-star = one symmetric explode + one node-keyed min
+    * + one join back; small-star = one min + one join on the already
+    * lo-oriented table; each step distinct-dedupes (the shrink) and
+    * localCheckpoints (the dedupClusters lineage discipline). Convergence
+    * = the small-star output equals its input edge set (count + anti-join
+    * witness — exact, not a checksum); a budget exhaustion warns loudly
+    * like [[dedupClusters]]. */
+  def starClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    Seq("d1", "d2").foreach { c =>
+      require(pairs.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"starClusters: $c must be numeric doc ids, got " +
+          s"${pairs.schema(c).dataType.simpleString} (cast would silently null them)")
+    }
+    // canonical lo < hi orientation; self-pairs carry no connectivity
+    var e = Caches.trackCheckpoint(pairs.select(
+        least(col("d1").cast("long"), col("d2").cast("long")).as("lo"),
+        greatest(col("d1").cast("long"), col("d2").cast("long")).as("hi"))
+      .where(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint())
+    var cnt = e.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // LARGE-STAR: for every node u, hang each LARGER neighbor v off
+      // m = min(N(u) ∪ {u}) — emitted lo-oriented since m < v always
+      val sym = e.select(col("lo").as("u"), col("hi").as("v"))
+        .unionAll(e.select(col("hi").as("u"), col("lo").as("v")))
+      val mLarge = sym.groupBy("u").agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("u"), col("__mn")).as("m"))
+      val large = Caches.trackCheckpoint(sym.join(mLarge, "u")
+        .where(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .where(col("lo") =!= col("hi"))
+        .distinct()
+        .localCheckpoint())
+      // SMALL-STAR: on the lo-oriented table, for every hi-node u hang
+      // each smaller neighbor AND u itself off m = min of its lo's
+      val mSmall = large.groupBy("hi").agg(min(col("lo")).as("m"))
+      val next = Caches.trackCheckpoint(
+        large.join(mSmall, "hi")
+          .select(col("m").as("lo"), col("lo").as("hi"))
+          .unionAll(mSmall.select(col("m").as("lo"), col("hi")))
+          .where(col("lo") =!= col("hi"))
+          .distinct()
+          .localCheckpoint())
+      val nextCnt = next.count()
+      // exact fixpoint witness against the ROUND INPUT (same cardinality
+      // AND no new edge — a checksum could collide, an anti-join cannot):
+      // the whole round is a pure function of e, so next == e means every
+      // later round reproduces it. Comparing against the intermediate
+      // large-star table instead would stop early: small-star can map a
+      // large-star output onto itself while the NEXT large-star still has
+      // progress to make (a chain's tail hanging off a non-root).
+      converged = nextCnt == cnt &&
+        next.join(e, Seq("lo", "hi"), "left_anti").isEmpty
+      // only NOW is the round input droppable — the witness read it
+      Caches.unpersistCheckpoint(e)
+      Caches.unpersistCheckpoint(large)
+      e = next
+      cnt = nextCnt
+      iter += 1
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"starClusters did not converge within $maxIters iterations; " +
+          "labels may be partially contracted — raise maxIters")
+    // converged edge set IS the star forest: (hi → lo=root) per non-root,
+    // plus each root labeling itself
+    e.select(col("hi").as("doc_id"), col("lo").as("survivor_id"))
+      .unionByName(e.select(col("lo").as("doc_id"), col("lo").as("survivor_id")))
+      .distinct()
+  }
+
   // ── SimHash ──────────────────────────────────────────────────────────────
 
   /** Cross-engine 60-bit token hash: first 15 hex chars of md5, base-16

@@ -991,6 +991,27 @@ object LlmQueries {
         Dedup.shingleTable(Td.table(s, dir, "documents"), "doc_id", "text", 3), 0.8))
     },
 
+    // ── ld6's connected components via ALTERNATING STAR CONTRACTION
+    //    (r9; Kiveris et al. SoCC'14): instead of joining a node-label
+    //    table against the full edge list every round (pointer doubling),
+    //    each round REWRITES the edge list toward component minima —
+    //    per-round shuffle bounded by the CURRENT (typically shrinking)
+    //    edge count, the trillion-edge CC shape. Identical output — and
+    //    oracle — to ld6: a different contraction order cannot change
+    //    which component a node is in or its minimum. ──
+    q("ld20_star_clusters",
+      s"""WITH RECURSIVE ${jacCtes(0.8)},
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM jac
+         |  UNION SELECT d2, d1 FROM jac),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+         |SELECT id AS doc_id, min(r) AS survivor_id FROM reach GROUP BY 1""".stripMargin) { (s, dir) =>
+      Dedup.starClusters(Dedup.jaccardPairs(
+        Dedup.shingleTable(Td.table(s, dir, "documents"), "doc_id", "text", 3), 0.8))
+    },
+
     // ── SimHash near-dup pairs, hamming <= 3 (byte-band blocking is
     //    pigeonhole-complete, so this is exact, not approximate) ──
     q("ld4_simhash_neardup",

@@ -280,6 +280,45 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("numeric"))
   }
 
+  test("starClusters equals dedupClusters on fixtures, long chains, and the near-dup graph") {
+    def both(pairs: org.apache.spark.sql.DataFrame) =
+      try (Dedup.dedupClusters(pairs).as[(Long, Long)].collect().toMap,
+           Dedup.starClusters(pairs).as[(Long, Long)].collect().toMap)
+      finally Caches.releaseAll(spark)
+    // transitive components + disjoint pair; reversed-order edges exercise
+    // the canonical lo/hi orientation
+    val (a1, b1) = both(Seq((1L, 2L), (3L, 2L), (3L, 9L), (7L, 5L)).toDF("d1", "d2"))
+    assert(a1 == b1 &&
+      b1 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 7L -> 5L))
+    // a 100-node path: diameter 99 forces the O(log diameter) round
+    // behavior both formulations claim — and must fit the default budget
+    val (a2, b2) = both((1L until 100L).map(i => (i, i + 1)).toDF("d1", "d2"))
+    assert(a2 == b2 && b2.size == 100 && b2.values.forall(_ == 1L))
+    // min id living mid-chain, not at an endpoint (contraction toward the
+    // minimum, not toward a topological extreme)
+    val (a3, b3) = both(Seq((50L, 10L), (10L, 3L), (3L, 40L), (40L, 20L)).toDF("d1", "d2"))
+    assert(a3 == b3 && b3.values.toSet == Set(3L))
+    // the real near-dup graph (the ld6/ld20 inputs)
+    val jac = Dedup.jaccardPairs(
+      Dedup.shingleTable(graft.Td.table(spark, Sf0001, "documents"),
+        "doc_id", "text", 3), 0.8)
+    val (a4, b4) = both(jac)
+    assert(a4 == b4 && a4.nonEmpty)
+  }
+
+  test("starClusters: empty input is empty; non-numeric ids rejected; self-pairs carry nothing") {
+    assert(Dedup.starClusters(Seq.empty[(Long, Long)].toDF("d1", "d2")).count() == 0)
+    val e = intercept[IllegalArgumentException](
+      Dedup.starClusters(Seq(("a", "b")).toDF("d1", "d2")))
+    assert(e.getMessage.contains("numeric"))
+    // a self-pair plus one real pair: the self-loop must not mint a
+    // spurious singleton component row
+    val got = Dedup.starClusters(Seq((4L, 4L), (1L, 2L)).toDF("d1", "d2"))
+      .as[(Long, Long)].collect().toMap
+    Caches.releaseAll(spark)
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("winnowingFingerprints: every full window contributes a selection (coverage guarantee)") {
     import spark.implicits._
     val text = "q w e r t y u i o p a s d f g h j k l"
