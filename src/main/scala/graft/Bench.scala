@@ -14,8 +14,11 @@ import org.apache.spark.sql.SparkSession
   * 10-20x steady-state for three queries purely from box load). All raw runs
   * are emitted in "runs", and the 1-minute load average is sampled at start
   * AND end; a start load above SPARK_GRAFT_LOAD_MAX (default 4.0 — far above
-  * this box's idle ~0) sets "contaminated": true so the consumer knows the
-  * snapshot began on a busy machine even before reading the numbers. */
+  * this box's idle ~0) that does NOT settle within
+  * SPARK_GRAFT_LOAD_SETTLE_SEC sets "contaminated": true so the consumer
+  * knows foreign work was still running when timing began (residual load
+  * from a just-finished run decays through the threshold during the settle
+  * window and is not flagged). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -40,7 +43,25 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
 
-    val loadStart = loadAvg1
+    // Settle-then-sample: the 1-minute load average decays with tau≈60s, so
+    // a bench launched right after a previous sweep sees its PREDECESSOR's
+    // decaying executors and would indict itself (r9's back-to-back x100
+    // sweep self-flagged contaminated while beating the "clean" run from
+    // hours earlier). If the first sample is elevated, idle-poll for up to
+    // SPARK_GRAFT_LOAD_SETTLE_SEC (default 75s — more than one decay
+    // constant): residual load from finished work drops through the
+    // threshold; sustained foreign work does not. The verdict uses the
+    // minimum observed sample, so "contaminated" now means foreign work was
+    // still running when the timed section began.
+    val settleMax =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_SETTLE_SEC", "75").toInt.max(0)
+    var loadStart = loadAvg1
+    var settledSec = 0
+    while (loadStart > loadMax && settledSec < settleMax) {
+      Thread.sleep(5000)
+      settledSec += 5
+      loadStart = math.min(loadStart, loadAvg1)
+    }
 
     // Untimed warmup: pay JVM/codegen/parquet-reader startup once here so
     // the alphabetically-first timed query doesn't absorb it. entry() is the
@@ -131,7 +152,7 @@ object Bench {
     // whose (queries + errors) key count is below it was produced by an
     // older build and must not be committed as the round's artifact
     // (BenchSurfaceSpec pins committed artifacts to the registered set).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","load_avg":$loadStart,"load_avg_end":$loadEnd,"contaminated":$contaminated,"runs_per_query":$runsPerQuery,"n_registered":${SparkEntry.queries.size},"queries":$qs,"runs":$allRuns,"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","load_avg":$loadStart,"load_avg_end":$loadEnd,"settle_sec":$settledSec,"contaminated":$contaminated,"runs_per_query":$runsPerQuery,"n_registered":${SparkEntry.queries.size},"queries":$qs,"runs":$allRuns,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,6 +37,51 @@ object Probe {
   }
 }
 
+/** Dev diagnostic: stage decomposition of ld16_canonical_dedup at a given
+  * data dir — attribution for its ×100 linearity ratio (r9 watch item).
+  * Stages: raw parquet scan; scan + the normalize/hash chain (two regex
+  * passes + md5 — the scan-stage CPU suspect); the full aggregate without
+  * the distinct (count only); the full query (adds count_distinct's
+  * two-phase expansion). Each timed over a noop write so nothing collects. */
+object ProbeLd16 {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"),
+      shufflePartitions = cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[probe-ld16] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    val docs = Td.table(spark, dir, "documents")
+    val hashed = docs.select(col("doc_id"),
+      md5(substring(trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", " "), " +", " ")), 1, 80)).as("prefix_hash"),
+      md5(col("text")).as("raw_hash"))
+    for (round <- 1 to 3) {
+      timed(s"r$round scan")(noop(docs.select(col("doc_id"), col("text"))))
+      timed(s"r$round scan+normalize+md5")(noop(hashed))
+      timed(s"r$round agg WITHOUT distinct")(noop(hashed
+        .groupBy("prefix_hash")
+        .agg(min(col("doc_id")).cast("long").as("survivor_id"),
+          count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > 1)))
+      timed(s"r$round FULL ld16 (adds count_distinct)")(noop(hashed
+        .groupBy("prefix_hash")
+        .agg(min(col("doc_id")).cast("long").as("survivor_id"),
+          count(lit(1)).as("n_docs"),
+          count_distinct(col("raw_hash")).as("n_full_variants"))
+        .filter(col("n_docs") > 1)))
+    }
+    spark.stop()
+  }
+}
+
 /** Dev diagnostic: derived-bits LSH candidate cardinality over the ld7
   * planted corpus at a given data dir — verifies the candidates-linear
   * claim behind deriveLshBits with MEASURED counts, not expectations. */
@@ -160,12 +205,33 @@ object ProbeSaDoubling {
         runMs += m.executorRunTime
       }
     }
+    def snapshot: (Long, Long, Long, Long, Long, Long) =
+      (shuffleWrite, shuffleRead, memSpill, diskSpill, gcMs, runMs)
     def report: String = {
       def gb(b: Long) = f"${b / 1e9}%.2f GB"
       f"shuffleWrite=${gb(shuffleWrite)} shuffleRead=${gb(shuffleRead)} " +
         f"memSpill=${gb(memSpill)} diskSpill=${gb(diskSpill)} " +
         f"gc=${gcMs / 1000.0}%.1f s executorRun=${runMs / 1000.0}%.1f s"
     }
+  }
+
+  /** The listener bus is async and its drain API is private — poll the
+    * accumulated totals until two consecutive reads agree (bus idle), up
+    * to `maxWaitMs`. A fixed sleep can undercount under heavy GC or a
+    * slow bus; stability is the observable that actually matters. */
+  def awaitListenerQuiesce(totals: SpillTotals, maxWaitMs: Long = 15000): Unit = {
+    val deadline = System.nanoTime() + maxWaitMs * 1000000L
+    var prev = totals.snapshot
+    var stable = false
+    while (!stable && System.nanoTime() < deadline) {
+      Thread.sleep(500)
+      val cur = totals.snapshot
+      stable = cur == prev
+      prev = cur
+    }
+    if (!stable)
+      println("[probe-sad] WARNING: listener bus still draining at timeout — " +
+        "totals below may UNDERCOUNT")
   }
 
   def main(args: Array[String]): Unit = {
@@ -196,9 +262,7 @@ object ProbeSaDoubling {
       SuffixArray.neighborLcp(sa, lv).localCheckpoint())
     val out = SuffixArray.spanRollup(SuffixArray.replenTable(pairs), 10)
     println(s"[probe-sad] out rows: ${timed("rollup")(out.count())}")
-    // let the (async) listener bus drain before reading the totals — the
-    // bus is private API, so a short settle sleep stands in
-    Thread.sleep(2000)
+    awaitListenerQuiesce(totals)
     println(s"[probe-sad] totals: ${totals.report}")
     Caches.releaseAll(spark)
     spark.stop()

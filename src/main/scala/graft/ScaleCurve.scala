@@ -60,6 +60,50 @@ object ScaleGen {
     }
   }
 
+  /** One embeddings replica: ids shifted; in `jitter` mode replica r > 0's
+    * vectors pass through a deterministic signed coordinate PERMUTATION —
+    * dimension i of the output takes source dimension π_r(i) (π_r = the
+    * md5-sort of the index range, seeded by the replica) times a ±1 sign
+    * drawn per (replica, dimension). Signed permutations are ORTHOGONAL,
+    * so in-replica geometry is preserved exactly up to FP summation order
+    * (the products are the same multiset; ScaleGenSpec pins cosines equal
+    * to 1e-6), while cross-replica cosines lose their coordinate
+    * alignment: a clone pair's dot becomes a random signed off-diagonal
+    * pairing Σ ± a_{π1(i)}·a_{π2(i)}, which concentrates near 0 — the
+    * permutation is what kills the all-positive diagonal Σ ± a_i² that
+    * pure sign flips leave behind on coordinate-concentrated vectors.
+    * ScaleGenSpec pins every cross-replica clone cosine < 0.45 on the
+    * fixture. Verbatim mode (the default) keeps the r7 behavior: vectors
+    * copied as-is, which forces any CORRECT near-dup operator to emit
+    * Θ(replicas²) clone pairs — right for oracle-shape checks, wrong for
+    * wall-time slope measurement (the ld5 ×100 instrument artifact the r9
+    * sweep documented). */
+  def embeddingsReplica(base: DataFrame, r: Int, shift: Long,
+      jitter: Boolean): DataFrame = {
+    val id = (col("vec_id") + lit(r * shift)).as("vec_id")
+    if (!jitter || r == 0)
+      base.select(id, col("embedding"), col("label"))
+    else {
+      val dims = sequence(lit(0), size(col("embedding")) - 1)
+      // π_r: indices sorted by their (replica, dim) md5 — a deterministic
+      // uniform permutation, constant per replica (and per row — Catalyst
+      // folds it once the embedding width is fixed)
+      val perm = transform(
+        array_sort(transform(dims, i => struct(
+          graft.llm.Dedup.md5Hash60(
+            concat(lit(s"sgp:$r:"), i.cast("string"))).as("k"),
+          i.as("i")))),
+        s => s.getField("i"))
+      val sign = (i: org.apache.spark.sql.Column) =>
+        when(graft.llm.Dedup.md5Hash60(
+          concat(lit(s"sgs:$r:"), i.cast("string"))) % 2 === 0, lit(1.0f))
+          .otherwise(lit(-1.0f))
+      val jittered = zip_with(perm, dims,
+        (p, i) => element_at(col("embedding"), p + 1) * sign(i))
+      base.select(id, jittered.as("embedding"), col("label"))
+    }
+  }
+
   /** Orders + lineitem replicas on ONE shared o_orderkey shift, with the
     * lineitem→orders FK remapped onto it: replica r's lineitem rows point
     * at replica r's orders, never across, so the fact join's output grows
@@ -89,6 +133,13 @@ object ScaleGen {
     val src = args(0)
     val out = args(1)
     val replicas = args(2).toInt
+    // arg 4: embeddings replica mode — `verbatim` (default; exact clones,
+    // oracle-shape) or `jitter` (sign-flip isomorphism, wall-time slope)
+    val embedJitter = args.length > 3 && {
+      require(args(3) == "verbatim" || args(3) == "jitter",
+        s"scalegen: unknown embed mode '${args(3)}' (verbatim|jitter)")
+      args(3) == "jitter"
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"),
@@ -113,9 +164,7 @@ object ScaleGen {
     require(sepDocs == 0L,
       s"scalegen: $sepDocs base documents contain U+0001 — replica token rename would not be bijective")
     replicate("documents", "doc_id")(documentsReplica)
-    replicate("embeddings", "vec_id") { (df, r, shift) =>
-      df.select((col("vec_id") + lit(r * shift)).as("vec_id"), col("embedding"), col("label"))
-    }
+    replicate("embeddings", "vec_id")(embeddingsReplica(_, _, _, embedJitter))
     replicate("events", "event_id") { (df, r, shift) =>
       // user_id shift rides on the event-id space: that keeps replicas'
       // user populations disjoint ONLY if every user_id is below the

@@ -700,9 +700,19 @@ object Dedup {
           "labels may be partially contracted — raise maxIters")
     // converged edge set IS the star forest: (hi → lo=root) per non-root,
     // plus each root labeling itself
-    e.select(col("hi").as("doc_id"), col("lo").as("survivor_id"))
+    val labels = e.select(col("hi").as("doc_id"), col("lo").as("survivor_id"))
       .unionByName(e.select(col("lo").as("doc_id"), col("lo").as("survivor_id")))
       .distinct()
+    if (converged) labels
+    else
+      // Budget exhaustion leaves a partially-contracted edge set in which a
+      // node can still hang off several intermediate minima — emitting that
+      // verbatim would be a MULTI-label table (downstream joins on doc_id
+      // fan out). Collapse to the minimum candidate so the degraded output
+      // keeps dedupClusters' one-row-per-doc contract (labels are then
+      // still only partially contracted — the warn above stands — but the
+      // shape invariant holds). Converged path skips the extra exchange.
+      labels.groupBy("doc_id").agg(min("survivor_id").as("survivor_id"))
   }
 
   // ── SimHash ──────────────────────────────────────────────────────────────

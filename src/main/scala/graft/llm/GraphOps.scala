@@ -214,15 +214,7 @@ object GraphOps {
     var converged = false
     var i = 0
     while (i < iters && !converged) {
-      val votes = e.join(lbl, e("dst") === lbl("id"))
-        .select(e("src").as("node"), col("lbl"))
-        .unionByName(lbl.select(col("id").as("node"), col("lbl")))
-      val next = votes.groupBy("node", "lbl").agg(count(lit(1)).as("c"))
-        .withColumn("__rn", row_number().over(Window.partitionBy("node")
-          .orderBy(col("c").desc, col("lbl"))))
-        .filter(col("__rn") === 1)
-        .select(col("node").as("id"), col("lbl"))
-        .localCheckpoint()
+      val next = labelPropRound(e, lbl).localCheckpoint()
       Caches.trackCheckpoint(next)
       if (i + 1 == iters || (i + 1) % 4 == 0)
         converged = next.as("n").join(lbl.as("p"), "id")
@@ -233,6 +225,29 @@ object GraphOps {
     }
     lbl.select(col("id"), col("lbl").as("community"))
       .withColumn("converged", lit(converged))
+  }
+
+  /** One label-propagation round, exposed for the bucketed-layout spec.
+    *
+    * The neighbor-label fetch joins on SRC and reads the vote target off
+    * DST — on a SYMMETRIZED edge list (labelPropagation's documented
+    * contract) the (node, label) vote multiset is identical to the
+    * dst-join/src-read spelling, but THIS orientation is the one a
+    * src-bucketed edge table ([[graft.sources.LlmLake.writeEdges]])
+    * rewards: the label frame exits each round id-keyed, so the fetch
+    * join is exchange-free on both sides and the round's only shuffles
+    * are the inherent (node, label) vote transpose plus the node-keyed
+    * argmax re-key (plan-asserted in GraphLakeSpec on rounds 1 AND 2). */
+  private[graft] def labelPropRound(e: DataFrame, lbl: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val votes = e.join(lbl, e("src") === lbl("id"))
+      .select(e("dst").as("node"), col("lbl"))
+      .unionByName(lbl.select(col("id").as("node"), col("lbl")))
+    votes.groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+      .withColumn("__rn", row_number().over(Window.partitionBy("node")
+        .orderBy(col("c").desc, col("lbl"))))
+      .filter(col("__rn") === 1)
+      .select(col("node").as("id"), col("lbl"))
   }
 
   /** k-core peeling (fixed k, `rounds` synchronous peel rounds) over an
@@ -385,11 +400,7 @@ object GraphOps {
     var converged = false
     var i = 0
     while (i < rounds && !converged) {
-      val prop = e.join(dist, e("src") === dist("id"))
-        .select(e("dst").as("id"), (col("dist") + 1L).as("dist"))
-      val next = dist.unionByName(prop)
-        .groupBy("id").agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+      val next = bfsRound(e, dist).localCheckpoint()
       Caches.trackCheckpoint(next)
       val s = sig(next)
       if (s == prevSig) converged = true
@@ -402,5 +413,18 @@ object GraphOps {
       i += 1
     }
     dist.withColumn("converged", lit(converged))
+  }
+
+  /** One BFS round, exposed for the bucketed-layout spec: frontier
+    * propagate (src-keyed join — exchange-free against a src-bucketed
+    * edge table once `dist` is id-keyed, which every round's min-fold
+    * output is) + the inherent id-keyed min-fold transpose. Round 1 pays
+    * one extra exchange to key the caller's arbitrary sources frame;
+    * rounds 2+ plan a single shuffle (plan-asserted in GraphLakeSpec). */
+  private[graft] def bfsRound(e: DataFrame, dist: DataFrame): DataFrame = {
+    val prop = e.join(dist, e("src") === dist("id"))
+      .select(e("dst").as("id"), (col("dist") + 1L).as("dist"))
+    dist.unionByName(prop)
+      .groupBy("id").agg(min(col("dist")).as("dist"))
   }
 }

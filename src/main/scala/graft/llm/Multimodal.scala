@@ -312,7 +312,16 @@ object Multimodal {
     * [[jpegAHashBand]] (in-kernel round trip) so the two paths cannot
     * drift. */
   private def aHashOfRaster(
-      raster: java.awt.image.Raster, w: Int, h: Int, grid: Int): Long = {
+      raster: java.awt.image.Raster, w: Int, h: Int, grid: Int): Long =
+    aHashOfSampler((x, y) => raster.getSample(x, y, 0), w, h, grid)
+
+  /** THE hash kernel: nearest-neighbor-sample a `grid`×`grid` lattice from
+    * any gray-pixel source and threshold against the cross-multiplied
+    * mean. Every aHash in this file — decoded rasters and codec-free card
+    * pixels alike — funnels through this one body, so the sampling and
+    * threshold arithmetic cannot drift between paths. */
+  private def aHashOfSampler(
+      sample: (Int, Int) => Int, w: Int, h: Int, grid: Int): Long = {
     val cells = grid * grid
     val g = new Array[Int](cells)
     var tot = 0L
@@ -320,7 +329,7 @@ object Multimodal {
     while (i < cells) {
       val sx = ((i % grid).toLong * w / grid).toInt
       val sy = ((i / grid).toLong * h / grid).toInt
-      g(i) = raster.getSample(sx, sy, 0)
+      g(i) = sample(sx, sy)
       tot += g(i)
       i += 1
     }
@@ -337,27 +346,11 @@ object Multimodal {
     * function — no codec in the path. This is the reference value the
     * lossless decode paths must reproduce bit-for-bit and the lossy JPEG
     * path must land within a hamming band of; the lm6/lm7 oracles spell
-    * the same arithmetic in SQL. */
+    * the same arithmetic in SQL. Same kernel as [[aHashOfRaster]], sampling
+    * [[cardGray]] directly instead of a decoded raster. */
   def cardAHash(id: Long, grid: Int = 8): Long = {
     val (w, h) = cardDims(id)
-    val cells = grid * grid
-    val g = new Array[Int](cells)
-    var tot = 0L
-    var i = 0
-    while (i < cells) {
-      val sx = ((i % grid).toLong * w / grid).toInt
-      val sy = ((i / grid).toLong * h / grid).toInt
-      g(i) = cardGray(id, sx, sy)
-      tot += g(i)
-      i += 1
-    }
-    var hash = 0L
-    i = 0
-    while (i < cells && i < 63) {
-      if (g(i).toLong * cells > tot) hash |= (1L << i)
-      i += 1
-    }
-    hash
+    aHashOfSampler((x, y) => cardGray(id, x, y), w, h, grid)
   }
 
   /** TRUE average-hash over decoded pixels: decode the PNG, nearest-

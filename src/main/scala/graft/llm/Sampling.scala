@@ -296,6 +296,132 @@ object Sampling {
   }
 
 
+  /** Scale-correct SEGMENTED running-min scan over a globally-ordered
+    * frame: rows are totally ordered by `order` (callers pass a TOTAL
+    * order); per row, in order,
+    *
+    *   out(r) = null                     if r has no predecessor
+    *          = value(r)                 if reset(prev(r))
+    *          = null                     if out(prev(r)) is null
+    *          = min(out(prev(r)), value(r)) otherwise
+    *
+    * i.e. the running min of `value` since (exclusive) the most recent
+    * reset row, null before any reset row has been passed. This is the
+    * suffix-array cross-corpus LCP recurrence: with value = adjacent-pair
+    * LCP and reset = "row belongs to the other corpus", out(r) is exactly
+    * LCP(r, nearest preceding other-corpus suffix) by the SA range-min
+    * property. A PARTITION-BY-less window would serialize the whole
+    * corpus through one task; this is the [[globalDenseRank]] two-pass
+    * instead — one range-partitioned sort, a per-partition summary
+    * collect (each partition's effect on the carry is closed-form:
+    * either it contains a reset row and its final state is concrete, or
+    * it passes min(carry, its values) through), a driver fold over the
+    * tiny summaries, and a carry-broadcast second pass over the SAME
+    * sorted shuffle files.
+    *
+    * `value` must be non-null on every row that has a predecessor (the
+    * first-ordered row's value is never read). Returns the input columns
+    * plus `out` (nullable long). */
+  def globalSegmentedMinScan(df: DataFrame, order: Seq[Column],
+      resetCol: Column, valueCol: Column, out: String): DataFrame = {
+    val spark = df.sparkSession
+    val keyed = df.select(struct(order: _*).as("__o"),
+      resetCol.cast("boolean").as("__reset"),
+      valueCol.cast("long").as("__v"),
+      struct(df.columns.toIndexedSeq.map(col): _*).as("__r"))
+    // both passes ride the same sorted shuffle files (the globalDenseRank
+    // pattern) — no persist needed, the sort itself runs once
+    val sorted = keyed.orderBy(col("__o")).rdd
+    // Pass 1: per-partition carry effect. State = (prevReset, prevOut),
+    // where prevOut is the out() of the partition's last row: concrete as
+    // soon as the scan crosses a reset row, else min(carry, minAllV).
+    final case class Summary(nonEmpty: Boolean, lastReset: Boolean,
+        concrete: Boolean, lastOut: Option[Long], minAllV: Option[Long])
+    val summaries = sorted.mapPartitionsWithIndex { (i, it) =>
+      var nonEmpty = false
+      var lastReset = false
+      var concrete = false            // out of last row independent of carry?
+      var running: Option[Long] = None // concrete running out (valid once concrete)
+      var minAll: Option[Long] = None  // min of all __v in partition
+      var prevResetLocal: Option[Boolean] = None // reset of previous row, None at partition head
+      it.foreach { r =>
+        val reset = r.getBoolean(1)
+        val v = if (r.isNullAt(2)) None else Some(r.getLong(2))
+        minAll = (minAll, v) match {
+          case (Some(a), Some(b)) => Some(math.min(a, b))
+          case (a, b) => a.orElse(b)
+        }
+        prevResetLocal match {
+          case Some(true) => concrete = true; running = v
+          case Some(false) if concrete =>
+            running = running.flatMap(m => v.map(math.min(m, _)))
+          case Some(false) => // still carry-dependent
+          case None => // partition head: depends on carry
+        }
+        prevResetLocal = Some(reset)
+        lastReset = reset
+        nonEmpty = true
+      }
+      Iterator.single((i, Summary(nonEmpty, lastReset, concrete,
+        if (concrete) running else None, minAll)))
+    }.collect().sortBy(_._1).map(_._2)
+    // Driver fold: carry-in per partition = (prevExists, prevReset, prevOut)
+    val nParts = summaries.length
+    val carryExists = new Array[Boolean](nParts)
+    val carryReset = new Array[Boolean](nParts)
+    val carryOut = new Array[java.lang.Long](nParts)
+    var exists = false
+    var reset = false
+    var outPrev: Option[Long] = None
+    summaries.zipWithIndex.foreach { case (s, i) =>
+      carryExists(i) = exists
+      carryReset(i) = reset
+      carryOut(i) = outPrev.map(java.lang.Long.valueOf).orNull
+      if (s.nonEmpty) {
+        outPrev =
+          if (s.concrete) s.lastOut
+          else {
+            // no reset row inside the partition affects its last row, so
+            // out(last) = min over(carry-derived out(first row), rest) =
+            // min(out-chain entering, all values) under the recurrence
+            val entering =
+              if (!exists) None
+              else if (reset) s.minAllV // first value starts the chain; rest fold in
+              else outPrev.flatMap(o => s.minAllV.map(math.min(o, _)))
+            entering
+          }
+        reset = s.lastReset
+        exists = true
+      }
+    }
+    val bCarry = spark.sparkContext.broadcast((carryExists, carryReset, carryOut))
+    val innerFields = df.schema.fields
+    val schema = org.apache.spark.sql.types.StructType(
+      innerFields :+ org.apache.spark.sql.types.StructField(
+        out, org.apache.spark.sql.types.LongType, nullable = true))
+    val rows = sorted.mapPartitionsWithIndex { (i, it) =>
+      val (ce, cr, co) = bCarry.value
+      var prevExists = ce(i)
+      var prevReset = cr(i)
+      var prevOut: Option[Long] = Option(co(i)).map(_.longValue)
+      it.map { r =>
+        val reset = r.getBoolean(1)
+        val v = if (r.isNullAt(2)) None else Some(r.getLong(2))
+        val o: Option[Long] =
+          if (!prevExists) None
+          else if (prevReset) v
+          else prevOut.flatMap(m => v.map(math.min(m, _)))
+        prevExists = true
+        prevReset = reset
+        prevOut = o
+        val inner = r.getStruct(3)
+        org.apache.spark.sql.Row.fromSeq(
+          inner.toSeq :+ o.map(java.lang.Long.valueOf).orNull)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** WEIGHTED sampling without replacement (top-k, P(pick) ∝ weight) with
     * EXACT integer keys — no transcendentals anywhere, so the draw is
     * bit-reproducible on any engine. The classic Efraimidis–Spirakis key

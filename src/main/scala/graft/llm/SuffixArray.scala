@@ -77,21 +77,29 @@ object SuffixArray {
       .select(col("doc_id"), col("p").cast("long").as("p"), col("nt"), col("tok"))
 
 
-  /** (doc_id, __t, nt) tokenized docs with the 2^levels cap raise. */
+  /** (doc_id, [carry...], __t, nt) tokenized docs with the 2^levels cap
+    * raise; `carry` columns pass through untouched ([[crossDupSpans]]
+    * threads its corpus-side flag this way). */
   private def tokensGuarded(
-      docs: DataFrame, idCol: String, textCol: String, levels: Int): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String, levels: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     val cap = 1L << levels
+    val carryCols = carry.map(col)
+    val ntExpr = when(col("__nt") <= cap, col("__nt").cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"SuffixArray: document longer than 2^$levels = $cap tokens (doc "),
+        col("doc_id"), lit(", "), col("__nt"), lit(" tokens); raise `levels`"))))
+      .as("nt")
+    val sel1 = Seq(col(idCol).cast("long").as("doc_id")) ++ carryCols ++
+      Seq(TextOps.tokens(col(textCol)).as("__t"))
+    val sel2 = Seq(col("doc_id")) ++ carryCols ++
+      Seq(col("__t"), size(col("__t")).as("__nt"))
+    val sel3 = Seq(col("doc_id")) ++ carryCols ++ Seq(col("__t"), ntExpr)
     docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        TextOps.tokens(col(textCol)).as("__t"))
-      .select(col("doc_id"), col("__t"), size(col("__t")).as("__nt"))
+      .select(sel1: _*)
+      .select(sel2: _*)
       .where(col("__nt") > 0)
-      .select(col("doc_id"), col("__t"),
-        when(col("__nt") <= cap, col("__nt").cast("long"))
-          .otherwise(raise_error(concat(
-            lit(s"SuffixArray: document longer than 2^$levels = $cap tokens (doc "),
-            col("doc_id"), lit(", "), col("__nt"), lit(" tokens); raise `levels`")))
-        ).as("nt"))
+      .select(sel3: _*)
   }
 
   // ── direct suffix sort (registered operating point) ─────────────────────
@@ -164,10 +172,21 @@ object SuffixArray {
     * dropped from the result (its classes duplicate the previous
     * level's). */
   def levelTables(pos: DataFrame, levels: Int, earlyStop: Boolean = true): IndexedSeq[DataFrame] = {
+    // SERIALIZED level-table storage: the default (deserialized)
+    // localCheckpoint holds every level as live InternalRow objects —
+    // 8 × 27 M rows at the derived ×100 — and the r9 probe attributed the
+    // run's whole GC bill (6.8 %, 240 s of ~370) to exactly that
+    // allocation churn (zero spill, heap size irrelevant 56→80 g).
+    // MEMORY_AND_DISK_SER keeps each level as compact serialized blocks
+    // (4 long columns pack tightly); each level is read only twice (next
+    // round + the LCP lift), so the deser CPU is bounded while the object
+    // count — the thing GC actually charges for — collapses.
+    val lvStorage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val lv = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val (r0, c0) = Sampling.globalDenseRank(pos, Seq(col("tok")), "r")
     lv += Caches.trackCheckpoint(
-      r0.select(col("doc_id"), col("p"), col("nt"), col("r")).localCheckpoint())
+      r0.select(col("doc_id"), col("p"), col("nt"), col("r"))
+        .localCheckpoint(true, lvStorage))
     var prevClasses = c0
     var k = 1
     var converged = false
@@ -181,7 +200,7 @@ object SuffixArray {
       val (rk, ck) = Sampling.globalDenseRank(paired, Seq(col("r"), col("r2")), "rk")
       val next = Caches.trackCheckpoint(rk
         .select(col("doc_id"), col("p"), col("nt"), col("rk").as("r"))
-        .localCheckpoint())
+        .localCheckpoint(true, lvStorage))
       if (earlyStop && ck == prevClasses) converged = true
       else { lv += next; prevClasses = ck }
       k += 1
@@ -292,6 +311,80 @@ object SuffixArray {
     // populated the cache and recomputes anyway
     val pairs = Caches.trackCheckpoint(neighborLcp(sa, lv).localCheckpoint())
     spanRollup(replenTable(pairs), minRun)
+  }
+
+  // ── cross-corpus exact-substring contamination ──────────────────────────
+
+  /** EXACT-SUBSTRING eval decontamination (the Lee et al., ACL 2022
+    * ExactSubstr contamination case): for every EVAL document, the merged
+    * spans of tokens that appear VERBATIM, as runs of >= `minRun` tokens,
+    * anywhere in the TRAIN corpus. The hash detectors cover shingle
+    * overlap (lt10) and embedding near-dups (ld19); this closes the exact
+    * case they approximate — a train doc containing a verbatim >= minRun
+    * eval span is found with the maximal run length, no fixed k.
+    *
+    * One suffix array over the UNION of both corpora (side riding each
+    * suffix row), then per eval position the exact longest cross-side run:
+    * for any two suffixes, LCP = min of adjacent LCPs between them in SA
+    * order (the SA range-min property), so an eval suffix's best train
+    * partner is its NEAREST train suffix in SA order on either side, and
+    * both "LCP to nearest preceding/following train suffix" columns are
+    * one segmented running-min scan each over the rank-sorted frame
+    * ([[Sampling.globalSegmentedMinScan]] — range-partitioned two-pass,
+    * never a PARTITION-BY-less window). Same-side (eval↔eval) repeats are
+    * invisible by construction: only train rows reset the scans.
+    *
+    * `sideCol`: 0 = train, 1 = eval. Output grain = [[spanRollup]] over
+    * eval docs only — (doc_id, n_spans, dup_tokens, max_replen), where
+    * dup_tokens is the contaminated-token scrub size and max_replen the
+    * longest contaminated span in the doc. */
+  def crossDupSpans(
+      docs: DataFrame, idCol: String, textCol: String, sideCol: String,
+      minRun: Int, levels: Int = 7): DataFrame = {
+    require(levels >= 1 && levels <= 20, s"levels out of range: $levels")
+    require(minRun >= 1, s"minRun must be positive: $minRun")
+    // suffix rows over BOTH corpora, side riding along (ld18's slice shape)
+    val sufs = Caches.persist(
+      tokensGuarded(docs, idCol, textCol, levels, carry = Seq(sideCol))
+        .select(col("doc_id"), col(sideCol).cast("int").as("__side"),
+          col("__t"), col("nt"),
+          posexplode(col("__t")).as(Seq("p", "tok")))
+        .select(col("doc_id"), col("__side"),
+          col("p").cast("long").as("p"),
+          slice(col("__t"), col("p") + 1, col("nt")).as("suf")))
+    val sa = Caches.persist(Sampling.globalOrderedRank(
+        sufs, Seq(col("suf"), col("doc_id"), col("p")))
+      .select(col("doc_id"), col("__side"), col("p"), col("suf"),
+        col("gpos").as("rn")))
+    // adjacent-pair LCP keyed by the UPPER rank: lcp(rn) = LCP(rn-1, rn)
+    val zw = zip_with(col("sufa"), col("sufb"), (x, y) => coalesce(x === y, lit(false)))
+    val lcpFold = aggregate(zw,
+      struct(lit(0L).as("len"), lit(false).as("done")),
+      (acc, eq) => struct(
+        when(acc("done") || !eq, acc("len")).otherwise(acc("len") + 1).as("len"),
+        (acc("done") || !eq).as("done")))
+    val adj = Caches.persist(
+      sa.select(col("suf").as("sufb"), col("rn"))
+        .join(sa.select(col("suf").as("sufa"), (col("rn") + 1).as("rn")), "rn")
+        .select(col("rn"), lcpFold.getField("len").as("lcp")))
+    // per-row links: lcp_prev(r) = lcp(r), lcp_next(r) = lcp(r+1); the suf
+    // payload is dropped here — the scans shuffle skinny rows only
+    val rows = sa.select(col("doc_id"), col("__side"), col("p"), col("rn"))
+      .join(adj.select(col("rn"), col("lcp").as("lcp_prev")), Seq("rn"), "left")
+      .join(adj.select((col("rn") - 1).as("rn"), col("lcp").as("lcp_next")),
+        Seq("rn"), "left")
+    val isTrain = col("__side") === 0
+    val fwd = Sampling.globalSegmentedMinScan(rows,
+      order = Seq(col("rn")), resetCol = isTrain,
+      valueCol = col("lcp_prev"), out = "cross_prev")
+    val both = Sampling.globalSegmentedMinScan(fwd,
+      order = Seq(-col("rn")), resetCol = isTrain,
+      valueCol = col("lcp_next"), out = "cross_next")
+    val rep = both.where(col("__side") === 1)
+      .select(col("doc_id"), col("p"),
+        greatest(coalesce(col("cross_prev"), lit(0L)),
+          coalesce(col("cross_next"), lit(0L))).as("replen"))
+    spanRollup(rep, minRun)
   }
 
   // ── shared downstream ───────────────────────────────────────────────────

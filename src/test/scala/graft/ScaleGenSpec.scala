@@ -68,6 +68,55 @@ class ScaleGenSpec extends SparkSpec {
     assert(nt0 == nt1)
   }
 
+  test("embedding jitter mode: in-replica cosines preserved; cross-replica clones decorrelate to the natural noise floor") {
+    val vecs = Td.table(spark, Sf0001, "embeddings")
+    val shift = 1000000L
+    def cosines(df: org.apache.spark.sql.DataFrame, unshift: Long) = df
+      .select((col("vec_id") - unshift).as("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    val b = cosines(ScaleGen.embeddingsReplica(vecs, 0, shift, jitter = true), 0L)
+    val j1 = cosines(ScaleGen.embeddingsReplica(vecs, 1, shift, jitter = true), shift)
+    val j2 = cosines(ScaleGen.embeddingsReplica(vecs, 2, shift, jitter = true), 2 * shift)
+    def cos(a: Array[Float], c: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nc = 0.0
+      var i = 0
+      while (i < a.length) { dp += a(i) * c(i); na += a(i) * a(i); nc += c(i) * c(i); i += 1 }
+      dp / (math.sqrt(na) * math.sqrt(nc))
+    }
+    val ids = b.keySet.toSeq.sorted
+    // (a) the signed permutation is an isomorphism: every in-replica
+    // pairwise cosine (a sample of pairs — all-pairs would be quadratic)
+    // matches the base up to FP summation order (same product multiset,
+    // permuted addition order)
+    val sample = ids.take(30)
+    for (x <- sample; y <- sample if x < y) {
+      assert(math.abs(cos(j1(x), j1(y)) - cos(b(x), b(y))) < 1e-6,
+        s"in-replica drift $x,$y")
+      assert(math.abs(cos(j2(x), j2(y)) - cos(b(x), b(y))) < 1e-6,
+        s"in-replica drift r2 $x,$y")
+    }
+    // (b) cross-replica CLONE pairs lose the verbatim mode's cos-1.0
+    // CERTAINTY: every clone falls far below the 0.9 semantic-dedup band,
+    // and crossings of the ld5 0.45 threshold drop to the natural random-
+    // overlap rate of isotropic 64-d data (~1e-4 — the sf0.1 BASE corpus
+    // itself has 144 natural >=0.45 pairs in 2000 vectors, so residual
+    // crossings are the honest workload, not an artifact; what jitter
+    // removes is the forced Θ(replicas²) cos-1.0 output)
+    val cloneCos = ids.flatMap(x =>
+      Seq(math.abs(cos(b(x), j1(x))), math.abs(cos(j1(x), j2(x))),
+        math.abs(cos(b(x), j2(x)))))
+    assert(cloneCos.max < 0.9, s"clone reached the semantic band: ${cloneCos.max}")
+    val over45 = cloneCos.count(_ >= 0.45)
+    assert(over45 <= math.max(1, cloneCos.size / 500),
+      s"$over45/${cloneCos.size} clone pairs >= 0.45 — jitter decorrelation broken")
+    // median clone cosine sits near zero (decorrelated, not just shifted)
+    val med = cloneCos.sorted.apply(cloneCos.size / 2)
+    assert(med < 0.2, s"median clone cosine $med — decorrelation broken")
+    // (c) verbatim mode unchanged: r>0 copies vectors exactly
+    val v1 = cosines(ScaleGen.embeddingsReplica(vecs, 1, shift, jitter = false), shift)
+    for (x <- sample) assert(v1(x).sameElements(b(x)))
+  }
+
   test("fact replicas: lineitem→orders FK stays orphan-free and the join grows exactly linearly") {
     val orders = Td.table(spark, Sf0001, "orders")
     val li = Td.table(spark, Sf0001, "lineitem")

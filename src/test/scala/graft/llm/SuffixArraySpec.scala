@@ -158,6 +158,114 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
+  // ── cross-corpus exact-substring contamination (ld21) ──────────────────
+
+  // side 0 = train, 1 = eval. Planted: eval 3 lifts an 8-run from train 1;
+  // eval 6 is an exact copy of train 2; evals 4/5 are identical TWINS of
+  // each other but share nothing with any train doc — the eval↔eval case
+  // the cross detector must be blind to (plain dupSpans would flag them).
+  private val crossCorpus = Seq(
+    (1L, 0, "a1 a2 a3 a4 a5 a6 a7 a8 q1 q2"),
+    (2L, 0, "m1 m2 m3 m4 m5 m6"),
+    (3L, 1, "z1 a1 a2 a3 a4 a5 a6 a7 a8 z2"),
+    (4L, 1, "w1 w2 w3 w4 w5 w6 w7 w8"),
+    (5L, 1, "w1 w2 w3 w4 w5 w6 w7 w8"),
+    (6L, 1, "m1 m2 m3 m4 m5 m6")
+  )
+
+  /** Brute-force CROSS replen: for every eval position, the max common
+    * prefix with any TRAIN suffix. */
+  private def bruteCrossReplen(
+      docs: Seq[(Long, Int, String)]): Map[(Long, Int), Int] = {
+    val toks = docs.map { case (d, _, t) =>
+      d -> t.split("\\s+").filter(_.nonEmpty) }.toMap
+    def sufsOf(side: Int) = docs.filter(_._2 == side)
+      .flatMap { case (d, _, _) => toks(d).indices.map(p => (d, p)) }
+    def lcp(a: (Long, Int), b: (Long, Int)): Int = {
+      val (ta, tb) = (toks(a._1), toks(b._1))
+      var n = 0
+      while (a._2 + n < ta.length && b._2 + n < tb.length &&
+        ta(a._2 + n) == tb(b._2 + n)) n += 1
+      n
+    }
+    val train = sufsOf(0)
+    sufsOf(1).map(s => s -> train.map(lcp(s, _)).foldLeft(0)(math.max)).toMap
+  }
+
+  test("crossDupSpans == brute force on the planted fixture; blind to eval↔eval twins") {
+    val df = crossCorpus.toDF("doc_id", "side", "text")
+    val rep = bruteCrossReplen(crossCorpus)
+    for (minRun <- Seq(2, 4, 8)) {
+      val expected = rep.toSeq.filter(_._2 >= minRun)
+        .groupBy(_._1._1)
+        .map { case (d, marks) =>
+          val iv = marks.map { case ((_, p), r) => (p, p + r) }.sortBy(_._1)
+          var spans = List.empty[(Int, Int)]
+          for ((s, e) <- iv) spans = spans match {
+            case (hs, he) :: t if s <= he => (hs, math.max(he, e)) :: t
+            case _ => (s, e) :: spans
+          }
+          d -> ((spans.size.toLong, spans.map(x => x._2 - x._1).sum.toLong,
+            marks.map(_._2).max.toLong))
+        }
+      val got = SuffixArray.crossDupSpans(df, "doc_id", "text", "side",
+          minRun = minRun, levels = 5)
+        .select("doc_id", "n_spans", "dup_tokens", "max_replen")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == expected, s"minRun=$minRun")
+      // the twins must never appear, the lifted run and the exact copy must
+      if (minRun <= 6) assert(got.contains(6L) && !got.contains(4L) && !got.contains(5L))
+    }
+    val at4 = SuffixArray.crossDupSpans(df, "doc_id", "text", "side",
+        minRun = 4, levels = 5)
+      .select("doc_id", "n_spans", "dup_tokens", "max_replen")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(at4(3L) == ((1L, 8L, 8L))) // the lifted 8-run, exactly
+    assert(at4(6L) == ((1L, 6L, 6L))) // whole-doc copy of train 2
+  }
+
+  test("crossDupSpans edge splits: no train side / no eval side / empty") {
+    val allEval = Seq((1L, 1, "p1 p2 p3 p4"), (2L, 1, "p1 p2 p3 p4"))
+      .toDF("doc_id", "side", "text")
+    assert(SuffixArray.crossDupSpans(allEval, "doc_id", "text", "side",
+      minRun = 1, levels = 4).isEmpty)
+    val allTrain = Seq((1L, 0, "p1 p2 p3 p4"), (2L, 0, "p1 p2 p3 p4"))
+      .toDF("doc_id", "side", "text")
+    assert(SuffixArray.crossDupSpans(allTrain, "doc_id", "text", "side",
+      minRun = 1, levels = 4).isEmpty)
+  }
+
+  test("globalSegmentedMinScan matches a sequential reference across partition carries") {
+    // deterministic pseudo-random rows over MANY partitions: the scan's
+    // correctness burden is the carry composition at partition boundaries
+    // (no-reset partitions must pass min(carry, values) through)
+    val n = 5000
+    val rows = (1 to n).map { i =>
+      val reset = (i * 2654435761L % 97) < 5 // ~5% reset rows, long gaps
+      val v = (i * 40503L % 1000)
+      (i.toLong, reset, v)
+    }
+    val df = spark.createDataFrame(rows).toDF("ord", "reset", "v")
+      .repartition(32)
+    val got = Sampling.globalSegmentedMinScan(df, Seq(col("ord")),
+        col("reset"), col("v"), "out")
+      .select("ord", "out").as[(Long, Option[Long])].collect().toMap
+    var prev: Option[(Boolean, Option[Long])] = None // (reset, out) of prev row
+    val exp = rows.map { case (ord, reset, v) =>
+      val o: Option[Long] = prev match {
+        case None => None
+        case Some((true, _)) => Some(v)
+        case Some((false, None)) => None
+        case Some((false, Some(m))) => Some(math.min(m, v))
+      }
+      prev = Some((reset, o))
+      ord -> o
+    }.toMap
+    assert(got == exp)
+  }
+
   test("dupSpansAuto is path-invariant: forced-direct == forced-doubling on real docs") {
     val docs = graft.Td.table(spark, Sf0001, "documents").limit(120)
     def run(switchAt: Long) = {

@@ -169,6 +169,84 @@ class GraphLakeSpec extends SparkSpec {
     }
   }
 
+  test("labelPropRound over the bucketed lake: TWO inherent shuffles (vote transpose + argmax re-key), edge join exchange-free — rounds 1 AND 2") {
+    withStaticPlans {
+      try {
+        val e = Caches.persist(lake.edges.select(
+          col("src").cast("long").as("src"), col("dst").cast("long").as("dst")))
+        e.count()
+        // round 1: the seed label frame comes from the persisted distinct
+        // node set, exactly as labelPropagation builds it — id-keyed
+        val nodes = Caches.persist(e.select(col("src").as("id"))
+          .union(e.select(col("dst").as("id"))).distinct())
+        nodes.count()
+        val l0 = nodes.select(col("id"), col("id").as("lbl"))
+        val round1 = GraphOps.labelPropRound(e, l0)
+        val ex1 = exchanges(round1)
+        assert(ex1.size == 2,
+          s"round 1 expected the 2 inherent shuffles, got ${ex1.size}:\n${round1.queryExecution.executedPlan}")
+        // the vote transpose must be a map-side-combined aggregate shuffle
+        assert(ex1.exists(x => feedsFromAgg(x.child)),
+          s"no vote-transpose aggregate shuffle found:\n${round1.queryExecution.executedPlan}")
+
+        // handoff: round 2's label frame is round 1's localCheckpoint
+        val l1 = round1.localCheckpoint()
+        val round2 = GraphOps.labelPropRound(e, l1)
+        val ex2 = exchanges(round2)
+        assert(ex2.size == 2,
+          s"round 2 lost the bucketed shape, got ${ex2.size}:\n${round2.queryExecution.executedPlan}")
+        l1.unpersist()
+
+        // plain-parquet baseline: the corpus-dominant edge side re-keys too
+        val ep = Caches.persist(spark.read.parquet(plainEdgesPath).select(
+          col("src").cast("long").as("src"), col("dst").cast("long").as("dst")))
+        ep.count()
+        val plainRound = GraphOps.labelPropRound(ep, l0)
+        val exPlain = exchanges(plainRound).size
+        assert(exPlain > 2,
+          s"plain layout unexpectedly planned $exPlain exchange(s) — baseline broken:\n${plainRound.queryExecution.executedPlan}")
+      } finally Caches.releaseAll(spark)
+    }
+  }
+
+  test("bfsRound over the bucketed lake: round 2+ plans ONE shuffle (the min fold); round 1 pays one extra keying the seed frame") {
+    withStaticPlans {
+      try {
+        val e = Caches.persist(lake.edges.select(
+          col("src").cast("long").as("src"), col("dst").cast("long").as("dst")))
+        e.count()
+        val seeds = e.select(col("src").as("id")).distinct()
+          .filter(col("id") % 10 === 0)
+          .select(col("id").cast("long").as("id"), lit(0L).as("dist"))
+        val round1 = GraphOps.bfsRound(e, seeds)
+        val ex1 = exchanges(round1)
+        assert(ex1.size <= 2,
+          s"round 1 expected <= 2 shuffles (seed re-key + min fold), got ${ex1.size}:\n${round1.queryExecution.executedPlan}")
+
+        // steady state: dist exits each round id-keyed via the min fold
+        val d1 = round1.localCheckpoint()
+        val round2 = GraphOps.bfsRound(e, d1)
+        val ex2 = exchanges(round2)
+        assert(ex2.size == 1,
+          s"round 2 expected ONE shuffle (the min fold), got ${ex2.size}:\n${round2.queryExecution.executedPlan}")
+        assert(feedsFromAgg(ex2.head.child) ||
+          // the fold's partial aggregate may sit under the union legs
+          ex2.head.child.collectFirst { case a: HashAggregateExec => a }.isDefined,
+          s"round 2's shuffle is not the min-fold aggregate:\n${ex2.head}")
+
+        // plain-parquet baseline: the edge side re-keys as well
+        val ep = Caches.persist(spark.read.parquet(plainEdgesPath).select(
+          col("src").cast("long").as("src"), col("dst").cast("long").as("dst")))
+        ep.count()
+        val plainRound = GraphOps.bfsRound(ep, d1)
+        val exPlain = exchanges(plainRound).size
+        assert(exPlain > 1,
+          s"plain layout unexpectedly planned $exPlain exchange(s) — baseline broken:\n${plainRound.queryExecution.executedPlan}")
+        d1.unpersist()
+      } finally Caches.releaseAll(spark)
+    }
+  }
+
   test("spark.sql TEXT over the catalog's bucketed tables also plans the exchange-free join") {
     withStaticPlans {
       // the SQL surface sees the same bucketing metadata the DataFrame
