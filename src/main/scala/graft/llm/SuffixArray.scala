@@ -236,6 +236,10 @@ object SuffixArray {
     * carried `r` column ([[saOrder]]), so the seed costs ZERO extra
     * joins over the pair table. */
   def neighborLcp(sa: DataFrame, lv: IndexedSeq[DataFrame]): DataFrame = {
+    // `rn` rides along untouched: the pair row for SA ranks (rn-1, rn) is
+    // keyed by the UPPER rank, which the cross-corpus scan
+    // ([[crossDupSpansDoubling]]) reads as its adjacency key; dupSpans'
+    // replenTable simply ignores it.
     var st = sa.select(
         col("doc_id").as("da"), col("p").as("pa"), col("nt").as("la"),
         col("r").as("__ta"), col("rn"))
@@ -243,7 +247,8 @@ object SuffixArray {
         col("nt").as("lb"), col("r").as("__tb"), (col("rn") - 1).as("rn")), "rn")
       .withColumn("lcp", when(col("__ta") === col("__tb"),
         least(col("la") - col("pa"), col("lb") - col("pb"))).otherwise(lit(0L)))
-      .select(col("da"), col("pa"), col("la"), (col("pa") + col("lcp")).as("oa"),
+      .select(col("rn"), col("da"), col("pa"), col("la"),
+        (col("pa") + col("lcp")).as("oa"),
         col("db"), col("pb"), col("lb"), (col("pb") + col("lcp")).as("ob"),
         col("lcp"))
     for (k <- (lv.size - 2) to 0 by -1) {
@@ -255,13 +260,13 @@ object SuffixArray {
           col("r").as("__ra")), Seq("da", "oa"), "left")
         .join(rk.select(col("doc_id").as("db"), col("p").as("ob"),
           col("r").as("__rb")), Seq("db", "ob"), "left")
-        .select(col("da"), col("pa"), col("la"),
+        .select(col("rn"), col("da"), col("pa"), col("la"),
           when(adv, col("oa") + w).otherwise(col("oa")).as("oa"),
           col("db"), col("pb"), col("lb"),
           when(adv, col("ob") + w).otherwise(col("ob")).as("ob"),
           when(adv, col("lcp") + w).otherwise(col("lcp")).as("lcp"))
     }
-    st.select(col("da"), col("pa"), col("db"), col("pb"),
+    st.select(col("rn"), col("da"), col("pa"), col("db"), col("pb"),
       least(col("lcp"), col("la") - col("pa"), col("lb") - col("pb")).as("lcp"))
   }
 
@@ -373,6 +378,14 @@ object SuffixArray {
       .join(adj.select(col("rn"), col("lcp").as("lcp_prev")), Seq("rn"), "left")
       .join(adj.select((col("rn") - 1).as("rn"), col("lcp").as("lcp_next")),
         Seq("rn"), "left")
+    crossScanRollup(rows, minRun)
+  }
+
+  /** Shared tail of the cross-corpus paths: the two nearest-train-suffix
+    * scans + eval-side span rollup over (rn, doc_id, __side, p, lcp_prev,
+    * lcp_next) rows — lcp_prev(r) = LCP(r-1, r), lcp_next(r) = LCP(r, r+1),
+    * null at the array ends. */
+  private def crossScanRollup(rows: DataFrame, minRun: Int): DataFrame = {
     val isTrain = col("__side") === 0
     val fwd = Sampling.globalSegmentedMinScan(rows,
       order = Seq(col("rn")), resetCol = isTrain,
@@ -385,6 +398,54 @@ object SuffixArray {
         greatest(coalesce(col("cross_prev"), lit(0L)),
           coalesce(col("cross_next"), lit(0L))).as("replen"))
     spanRollup(rep, minRun)
+  }
+
+  /** [[crossDupSpans]] via prefix doubling — identical output (spec-pinned),
+    * skinny-row shuffles; the operating point once N·maxlen outgrows the
+    * shuffle tier, exactly the [[dupSpansDoubling]] trade. The SA itself is
+    * side-blind (sides don't change suffix order), so the level tables and
+    * binary lift are ld18's verbatim; the side flag joins back onto the
+    * ranked rows from a one-row-per-doc map, and [[neighborLcp]]'s carried
+    * `rn` keys the adjacency without any extra join against the pair
+    * table. */
+  def crossDupSpansDoubling(
+      docs: DataFrame, idCol: String, textCol: String, sideCol: String,
+      minRun: Int, levels: Int = 7, earlyStop: Boolean = true): DataFrame = {
+    require(levels >= 1 && levels <= 20, s"levels out of range: $levels")
+    require(minRun >= 1, s"minRun must be positive: $minRun")
+    val pos = Caches.persist(posTable(docs, idCol, textCol, levels))
+    val lv = levelTables(pos, levels, earlyStop)
+    val sa = Caches.trackCheckpoint(saOrder(lv.last).localCheckpoint())
+    val pairs = Caches.trackCheckpoint(neighborLcp(sa, lv).localCheckpoint())
+    // neighborLcp keys its pair by the LOWER rank: row rn = LCP(rn, rn+1);
+    // normalize to the upper-keyed adjacency the shared scan expects
+    val adj = pairs.select((col("rn") + 1).as("rn"), col("lcp"))
+    val sides = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(sideCol).cast("int").as("__side"))
+    val rows = sa.select(col("doc_id"), col("p"), col("rn"))
+      .join(sides, Seq("doc_id"))
+      .join(adj.select(col("rn"), col("lcp").as("lcp_prev")), Seq("rn"), "left")
+      .join(adj.select((col("rn") - 1).as("rn"), col("lcp").as("lcp_next")),
+        Seq("rn"), "left")
+    crossScanRollup(rows, minRun)
+  }
+
+  /** [[crossDupSpans]] with the operating point derived from the corpus —
+    * the [[dupSpansAuto]] switch applied to the cross-corpus detector:
+    * direct suffix sort while total positions fit the shuffle tier,
+    * prefix doubling above it. Paths are spec-pinned output-equal. */
+  def crossDupSpansAuto(
+      docs: DataFrame, idCol: String, textCol: String, sideCol: String,
+      minRun: Int, levels: Int = 7, switchTokens: Long = 8000000L): DataFrame = {
+    val probe = tokensGuarded(docs, idCol, textCol, levels)
+      .agg(sum(col("nt")), max(col("nt"))).head()
+    val n = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    val maxNt = if (probe.isNullAt(1)) 1L else probe.getLong(1)
+    val eff =
+      if (maxNt > (1L << levels)) levels
+      else math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(maxNt - 1, 1L))).min(levels)
+    if (n <= switchTokens) crossDupSpans(docs, idCol, textCol, sideCol, minRun, eff)
+    else crossDupSpansDoubling(docs, idCol, textCol, sideCol, minRun, eff)
   }
 
   // ── shared downstream ───────────────────────────────────────────────────

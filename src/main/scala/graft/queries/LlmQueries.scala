@@ -3681,7 +3681,7 @@ object LlmQueries {
         .withColumn("side",
           when(pmod(Dedup.md5Hash60(col("doc_id").cast("string")), lit(100L)) < 80,
             lit(0)).otherwise(lit(1)))
-      SuffixArray.crossDupSpans(docs, "doc_id", "text", "side", minRun = 10)
+      SuffixArray.crossDupSpansAuto(docs, "doc_id", "text", "side", minRun = 10)
     },
 
     // ── dedup threshold tuning curve AS DATA: Jaccard pair counts per

@@ -226,6 +226,36 @@ class SuffixArraySpec extends SparkSpec {
     assert(at4(6L) == ((1L, 6L, 6L))) // whole-doc copy of train 2
   }
 
+  test("cross-corpus doubling path == direct path on fixture and real docs") {
+    val df = crossCorpus.toDF("doc_id", "side", "text")
+    for (minRun <- Seq(2, 4, 8)) {
+      val direct = SuffixArray.crossDupSpans(df, "doc_id", "text", "side",
+          minRun, levels = 5)
+        .select("doc_id", "n_spans", "dup_tokens", "max_replen")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val doubled = SuffixArray.crossDupSpansDoubling(df, "doc_id", "text", "side",
+          minRun, levels = 5)
+        .select("doc_id", "n_spans", "dup_tokens", "max_replen")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(doubled == direct, s"minRun=$minRun")
+      Caches.releaseAll(spark)
+    }
+    // real docs through the Auto switch, both forced operating points
+    val docs = graft.Td.table(spark, Sf0001, "documents").limit(150)
+      .withColumn("side",
+        when(pmod(Dedup.md5Hash60(col("doc_id").cast("string")), lit(100L)) < 80,
+          lit(0)).otherwise(lit(1)))
+    def run(switchAt: Long) = {
+      val r = SuffixArray.crossDupSpansAuto(docs, "doc_id", "text", "side",
+          minRun = 10, levels = 7, switchTokens = switchAt)
+        .select("doc_id", "n_spans", "dup_tokens", "max_replen")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      Caches.releaseAll(spark)
+      r
+    }
+    assert(run(Long.MaxValue) == run(0L))
+  }
+
   test("crossDupSpans edge splits: no train side / no eval side / empty") {
     val allEval = Seq((1L, 1, "p1 p2 p3 p4"), (2L, 1, "p1 p2 p3 p4"))
       .toDF("doc_id", "side", "text")
