@@ -55,12 +55,20 @@ object Bench {
     // still running when the timed section began.
     val settleMax =
       sys.env.getOrElse("SPARK_GRAFT_LOAD_SETTLE_SEC", "75").toInt.max(0)
-    var loadStart = loadAvg1
+    // A /proc/loadavg read failure returns the -1.0 sentinel; folding that
+    // into the min would both exit the settle loop early and stamp
+    // load_avg: -1.0 with contaminated: false — indistinguishable from a
+    // clean box. Failed reads contribute no sample; if EVERY read failed,
+    // loadStart stays at the sentinel and `contaminated` is forced true
+    // below so the artifact indicts itself rather than passing as clean.
+    val loadFirst = loadAvg1
+    var loadStart = loadFirst
     var settledSec = 0
-    while (loadStart > loadMax && settledSec < settleMax) {
+    while ((loadStart > loadMax || loadStart < 0) && settledSec < settleMax) {
       Thread.sleep(5000)
       settledSec += 5
-      loadStart = math.min(loadStart, loadAvg1)
+      val s = loadAvg1
+      if (s >= 0) loadStart = if (loadStart < 0) s else math.min(loadStart, s)
     }
 
     // Untimed warmup: pay JVM/codegen/parquet-reader startup once here so
@@ -146,13 +154,18 @@ object Bench {
     val total = mins.map(_._2).sum
     val loadEnd = loadAvg1
     // Only the START load can indict the snapshot — by the end the bench's
-    // own executors have legitimately saturated the box.
-    val contaminated = loadStart > loadMax
+    // own executors have legitimately saturated the box. A loadStart still
+    // at the -1.0 read-failure sentinel means the box state is UNKNOWN,
+    // which must read as contaminated, never as clean.
+    val contaminated = loadStart > loadMax || loadStart < 0
     // n_registered makes the artifact self-describing: a bench snapshot
     // whose (queries + errors) key count is below it was produced by an
     // older build and must not be committed as the round's artifact
     // (BenchSurfaceSpec pins committed artifacts to the registered set).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","load_avg":$loadStart,"load_avg_end":$loadEnd,"settle_sec":$settledSec,"contaminated":$contaminated,"runs_per_query":$runsPerQuery,"n_registered":${SparkEntry.queries.size},"queries":$qs,"runs":$allRuns,"errors":$es,"sf":"$sfDir"}""")
+    // load_avg is the settled (minimum valid) sample the contamination
+    // verdict keyed on; load_avg_first is the raw first read, kept so the
+    // settle behavior stays auditable from the artifact alone.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","load_avg":$loadStart,"load_avg_first":$loadFirst,"load_avg_end":$loadEnd,"settle_sec":$settledSec,"contaminated":$contaminated,"runs_per_query":$runsPerQuery,"n_registered":${SparkEntry.queries.size},"queries":$qs,"runs":$allRuns,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -236,10 +236,11 @@ object SuffixArray {
     * carried `r` column ([[saOrder]]), so the seed costs ZERO extra
     * joins over the pair table. */
   def neighborLcp(sa: DataFrame, lv: IndexedSeq[DataFrame]): DataFrame = {
-    // `rn` rides along untouched: the pair row for SA ranks (rn-1, rn) is
-    // keyed by the UPPER rank, which the cross-corpus scan
-    // ([[crossDupSpansDoubling]]) reads as its adjacency key; dupSpans'
-    // replenTable simply ignores it.
+    // `rn` rides along untouched: the pair row for SA ranks (rn, rn+1) is
+    // keyed by the LOWER rank rn (side b joins in under rank-1), which is
+    // why the cross-corpus scan ([[crossDupSpansDoubling]]) re-keys its
+    // adjacency lookups with rn + 1; dupSpans' replenTable simply ignores
+    // it.
     var st = sa.select(
         col("doc_id").as("da"), col("p").as("pa"), col("nt").as("la"),
         col("r").as("__ta"), col("rn"))

@@ -97,20 +97,38 @@ object LlmLake {
     * the process (the [[scratch]] sweeper reclaims dead-process
     * directories). */
   private val memo =
-    scala.collection.mutable.Map.empty[(SparkSession, String), LlmLake]
+    scala.collection.mutable.Map.empty[(SparkSession, String), LazyLake]
+  /** One-shot cell: the global `memo` lock only inserts the cell; the
+    * build (full Spark jobs) runs under the CELL's lock, so two callers
+    * with DIFFERENT keys build concurrently and only same-key callers
+    * block on each other. */
+  private final class LazyLake(mk: () => LlmLake) {
+    private var built: LlmLake = _
+    def get: LlmLake = synchronized {
+      if (built == null) built = mk()
+      built
+    }
+  }
   def memoized(spark: SparkSession, key: String, buckets: Int)
-      (build: LlmLake => Unit): LlmLake = memo.synchronized {
-    memo.getOrElseUpdate((spark, key), {
-      // db name = sanitized key + hash: readable in EXPLAIN output, and the
-      // hash keeps two keys that sanitize identically from colliding
-      val safe = key.map(c => if (c.isLetterOrDigit) c else '_').take(48)
-      val tok = scala.util.hashing.MurmurHash3.stringHash(key) & 0x7fffffff
-      val lake = scratch(spark, s"graft_${safe}_$tok", s"graft_${safe}_$tok", buckets)
-      lake.drop()
-      lake.bootstrap()
-      build(lake)
-      lake
-    })
+      (build: LlmLake => Unit): LlmLake = {
+    val cell = memo.synchronized {
+      // Evict cells whose session has stopped: their catalog db is gone
+      // with the session, and keeping them would retain SparkSession
+      // references for the life of the JVM.
+      memo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+      memo.getOrElseUpdate((spark, key), new LazyLake(() => {
+        // db name = sanitized key + hash: readable in EXPLAIN output, and
+        // the hash keeps two keys that sanitize identically from colliding
+        val safe = key.map(c => if (c.isLetterOrDigit) c else '_').take(48)
+        val tok = scala.util.hashing.MurmurHash3.stringHash(key) & 0x7fffffff
+        val lake = scratch(spark, s"graft_${safe}_$tok", s"graft_${safe}_$tok", buckets)
+        lake.drop()
+        lake.bootstrap()
+        build(lake)
+        lake
+      }))
+    }
+    cell.get
   }
 }
 

@@ -34,7 +34,12 @@ import graft.llm.Similarity
   * candidate join carries vector payloads, which is exactly the trap
   * [[Similarity.groupLocalConfirm]] exists to avoid in BATCH land, but a
   * micro-batch probe side bounds it here (probing is the streaming
-  * regime; bulk re-scoring belongs to the batch operator). */
+  * regime; bulk re-scoring belongs to the batch operator).
+  *
+  * Not to be confused with [[ContaminationStream]], the OTHER
+  * contamination twin: that one gates on ld21's exact-substring detector
+  * (verbatim token spans via a suffix array); this one gates on ld19's
+  * embedding-similarity detector (semantic near-match via an IVF probe). */
 object ContamStream {
 
   /** Landing schema: parquet drops of (vec_id, embedding) — parquet, not

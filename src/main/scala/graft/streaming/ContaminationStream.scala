@@ -38,9 +38,21 @@ import graft.llm.{Caches, SuffixArray}
   * to `evalDir` once per (re)start, so upstream eval derivation is never
   * re-paid per trigger.
   *
-  * Doc-id spaces of the two sides must be disjoint (the detector keys
-  * sides by doc id); the gate checks the drop against the frozen eval ids
-  * per trigger and raises loudly instead of producing fan-out verdicts.
+  * Doc-id spaces must be globally unique: the detector keys sides by doc
+  * id, and the batch twin of "one run over (eval ∪ all drops)" would merge
+  * two same-id documents' suffix rows under one id. The gate enforces both
+  * halves per trigger and raises loudly instead of producing ambiguous
+  * verdicts: (a) the drop is semi-joined against the frozen eval ids, and
+  * (b) against an id LEDGER (`outDir` + "_ids", one partition per
+  * batch_id) recording every previously admitted drop's ids — outDir
+  * itself only holds CONTAMINATED docs, so it cannot catch a collision
+  * with a previously-clean id. A replayed trigger excludes its own
+  * batch_id partition from the ledger check and dynamically overwrites it,
+  * so replay stays idempotent.
+  *
+  * See [[ContamStream]] for the OTHER contamination twin: that one gates
+  * on ld19's embedding-similarity detector (semantic near-match); this one
+  * gates on ld21's exact-substring detector (verbatim token spans).
   */
 object ContaminationStream {
 
@@ -77,6 +89,21 @@ object ContaminationStream {
         require(idClash == 0L,
           s"ContaminationStream: $idClash drop doc id(s) collide with the " +
             "frozen eval id space — remap the candidate ids before landing")
+        val ledgerDir = outDir.stripSuffix("/") + "_ids"
+        val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
+        val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(ledgerPath)) {
+          // cross-DROP collisions: ids from earlier triggers, excluding our
+          // own partition so a replayed trigger doesn't indict itself
+          val crossClash = drop.select("doc_id")
+            .join(spark.read.parquet(ledgerDir)
+                .filter(col("batch_id") =!= batchId).select("doc_id"),
+              Seq("doc_id"), "left_semi").count()
+          require(crossClash == 0L,
+            s"ContaminationStream: $crossClash drop doc id(s) collide with " +
+              "ids from an earlier drop — the sink's batch-equivalence " +
+              "contract requires globally unique candidate ids")
+        }
         val union = drop.withColumn("__cside", lit(1))
           .unionByName(eval.withColumn("__cside", lit(0)))
         try {
@@ -86,6 +113,13 @@ object ContaminationStream {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(outDir)
+          // admit this drop's ids to the ledger LAST: a crash anywhere
+          // above replays the trigger, which overwrites both partitions
+          drop.select("doc_id").withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(ledgerDir)
         } finally Caches.releaseAll(spark) // the detector persists intermediates
       }
       .option("checkpointLocation", checkpointDir)

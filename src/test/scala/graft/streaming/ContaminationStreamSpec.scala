@@ -95,6 +95,35 @@ class ContaminationStreamSpec extends SparkSpec {
     assert(afterTwo.count() > 0)
   }
 
+  test("a drop reusing an id from an EARLIER drop raises loudly (cross-drop ledger)") {
+    val dir = Fixtures.tempDir("contam_xdrop")
+    val landing = dir.resolve("landing")
+    java.nio.file.Files.createDirectories(landing)
+    val seen = scala.collection.mutable.Set.empty[String]
+    def start() = ContaminationStream.start(spark, landing.toString, evalSide,
+      dir.resolve("eval").toString, dir.resolve("out").toString,
+      dir.resolve("ckpt").toString, minRun = 10)
+
+    drop(landing, "d1.parquet", dropDocs(0, 300), seen, 1000000L)
+    start().awaitTermination()
+    // the ledger holds ALL of d1's ids, not just the contaminated ones
+    val ledger = spark.read.parquet(dir.resolve("out").toString + "_ids")
+    assert(ledger.count() == dropDocs(0, 300).count())
+
+    // d2 reuses an id d1 already admitted (with different text) — the batch
+    // twin would merge the two docs' suffix rows under one id, so the gate
+    // must refuse the drop even though the eval-side check passes
+    val reused = dropDocs(0, 300).orderBy("doc_id").limit(1)
+      .select(col("doc_id"), lit("completely different text now").as("text"))
+    drop(landing, "d2.parquet", dropDocs(300, 400).unionByName(reused),
+      seen, 2000000L)
+    val e = intercept[Exception] { start().awaitTermination() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("earlier drop")), msgs(e).mkString(" | "))
+  }
+
   test("a drop colliding with the frozen eval id space raises loudly") {
     val dir = Fixtures.tempDir("contam_clash")
     val landing = dir.resolve("landing")
