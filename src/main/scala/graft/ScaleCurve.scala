@@ -10,13 +10,20 @@ import org.apache.spark.sql.functions._
   * driver's own SFs by Verify/check_correctness.
   *
   * Replication preserves each workload's per-replica structure exactly:
-  *  - `documents`: replica r > 0 suffixes every whitespace token with
-  *    `<U+0001>r` — a bijective token-space isomorphism, so in-replica shingle
-  *    Jaccard (the near-dup/graph workloads' input structure) is IDENTICAL
-  *    to the original while cross-replica shingle overlap is zero. Pair
-  *    counts, component sizes and graph shape therefore scale exactly
-  *    linearly with replicas, which is the regime a 10x corpus actually
-  *    exhibits (new data is mostly new).
+  *  - `documents`: EVERY replica (r = 0 included) suffixes every
+  *    whitespace token with `<U+0001>` + a FIXED-WIDTH 2-char base-36
+  *    replica tag — a bijective token-space isomorphism, so in-replica
+  *    shingle Jaccard (the near-dup/graph workloads' input structure) is
+  *    IDENTICAL to the original while cross-replica shingle overlap is
+  *    zero. Pair counts, component sizes and graph shape therefore scale
+  *    exactly linearly with replicas, which is the regime a 10x corpus
+  *    actually exhibits (new data is mostly new). The tag is fixed-width
+  *    so CHARACTER volume also scales exactly linearly: the r9/r10
+  *    sweeps' variable-width decimal tag inflated characters 1.52x at
+  *    x100 (replica digits grow with r), skewing every per-character
+  *    linearity ratio (ld16's false 1.40 superlinearity). Tagging
+  *    replica 0 too is what makes chars/doc CONSTANT across replicas
+  *    (spec-pinned) rather than merely asymptotically so.
   *  - `embeddings`/`events`/`part`: id keys shifted by r * (max+1);
   *    payloads unchanged (events keep their time span — series count
   *    grows, per-series length doesn't; part's md5-scattered DBSCAN
@@ -40,24 +47,36 @@ object ScaleGen {
     * `_1` would collide with replica 1's rename of its prefix. */
   val ReplicaSep = "\u0001"
 
-  /** One documents replica: ids shifted by `r * shift`; for r > 0 every
-    * whitespace token gets a `<ReplicaSep>r` suffix — a bijective token
-    * rename, so in-replica shingle/Jaccard structure is EXACTLY the
-    * original's while cross-replica shingle overlap is zero (pinned by
-    * ScaleGenSpec). */
+  /** Widest replica count the 2-char base-36 tag can name. */
+  val MaxReplicas: Int = 36 * 36
+
+  /** The fixed-width tag appended (after [[ReplicaSep]]) to every token of
+    * replica `r` — 2-char base-36, so "00" for replica 0 through "zz" for
+    * replica 1295. Fixed width is the whole point: chars/token is the same
+    * in every replica, so character volume scales exactly linearly in the
+    * replica count instead of drifting with the digit count of r. */
+  def replicaTag(r: Int): String = {
+    require(r >= 0 && r < MaxReplicas,
+      s"scalegen: replica $r outside the 2-char base-36 tag range [0, $MaxReplicas)")
+    val t = java.lang.Integer.toString(r, 36)
+    if (t.length == 1) "0" + t else t
+  }
+
+  /** One documents replica: ids shifted by `r * shift`; EVERY replica's
+    * whitespace tokens (r = 0 included) get a `<ReplicaSep><tag(r)>`
+    * suffix — a bijective token rename, so in-replica shingle/Jaccard
+    * structure is EXACTLY the original's while cross-replica shingle
+    * overlap is zero, and the fixed-width tag keeps chars/doc CONSTANT
+    * across replicas (both pinned by ScaleGenSpec). Whitespace runs are
+    * normalized to single spaces and n_chars recomputed as length(text) —
+    * identically in every replica, so per-character denominators stay
+    * replica-invariant. */
   def documentsReplica(base: DataFrame, r: Int, shift: Long): DataFrame = {
-    if (r == 0) {
-      // true identity (modulo nothing): carry every column as-is, so even
-      // a corpus whose declared n_chars deliberately differs from
-      // length(text) survives replica 0 unchanged
-      base.select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
-    } else {
-      val text = array_join(
-        transform(filter(split(col("text"), "\\s+"), x => x =!= ""),
-          x => concat(x, lit(ReplicaSep + r))), " ")
-      base.select((col("doc_id") + lit(r * shift)).as("doc_id"), text.as("text"),
-        col("lang"), col("source"), length(text).cast("long").as("n_chars"))
-    }
+    val text = array_join(
+      transform(filter(split(col("text"), "\\s+"), x => x =!= ""),
+        x => concat(x, lit(ReplicaSep + replicaTag(r)))), " ")
+    base.select((col("doc_id") + lit(r * shift)).as("doc_id"), text.as("text"),
+      col("lang"), col("source"), length(text).cast("long").as("n_chars"))
   }
 
   /** One embeddings replica: ids shifted; in `jitter` mode replica r > 0's

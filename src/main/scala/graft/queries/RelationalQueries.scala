@@ -2808,9 +2808,14 @@ object RelationalQueries {
     //    (order count), monetary (exact cents); each dimension scored
     //    1–5 by exact rank-quintile cross-multiplication (rn·5 ≤ i·n —
     //    the lt18 integer-boundary idiom, no percent_rank floats), then
-    //    the classic segment label. Three windows share nothing — but
-    //    each partitions the CUSTOMER-grain table (one row per customer),
-    //    not orders. One orders scan. ──
+    //    the classic segment label. The three ranks are over the
+    //    CUSTOMER-grain table — still corpus-proportional at billions of
+    //    customers, so each runs through Sampling.globalOrderedRank (the
+    //    range-partitioned sort + zipWithIndex two-pass proven in ld21)
+    //    instead of a PARTITION-BY-less window that would serialize the
+    //    whole frame through one task; slim (ck, key) projections rank,
+    //    then hash-join back on ck. n arrives as a broadcast scalar.
+    //    One orders scan. ──
     q("e7_rfm_segmentation",
       """WITH c AS (SELECT o_custkey AS ck,
         |    CAST(date_diff('day', max(o_orderdate), TIMESTAMP '2001-08-02 00:00:00') AS BIGINT) AS rec,
@@ -2836,7 +2841,6 @@ object RelationalQueries {
         |    WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
         |    ELSE 'regular' END AS segment
         |FROM s""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val horizon = lit(java.sql.Timestamp.valueOf("2001-08-02 00:00:00"))
       val c = Td.table(s, dir, "orders")
         .groupBy(col("o_custkey").as("ck"))
@@ -2844,11 +2848,14 @@ object RelationalQueries {
           count(lit(1)).as("freq"),
           sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
             .cast("long").as("mon"))
-      val r = c.select(col("ck"), col("rec"), col("freq"), col("mon"),
-        row_number().over(Window.orderBy(col("rec").desc, col("ck"))).as("rr"),
-        row_number().over(Window.orderBy(col("freq"), col("ck"))).as("rf"),
-        row_number().over(Window.orderBy(col("mon"), col("ck"))).as("rm"),
-        count(lit(1)).over(Window.partitionBy()).as("n"))
+      def rank(key: String, order: Seq[org.apache.spark.sql.Column], out: String) =
+        graft.llm.Sampling.globalOrderedRank(c.select(col("ck"), col(key)), order)
+          .select(col("ck"), col("gpos").as(out))
+      val r = c
+        .join(rank("rec", Seq(col("rec").desc, col("ck")), "rr"), "ck")
+        .join(rank("freq", Seq(col("freq"), col("ck")), "rf"), "ck")
+        .join(rank("mon", Seq(col("mon"), col("ck")), "rm"), "ck")
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("n"))))
       def score(rn: String) =
         least(expr(s"($rn * 5 - 1) DIV n + 1"), lit(5)).cast("int")
       val sc = r.select(col("ck"), col("rec"), col("freq"), col("mon"),

@@ -21,11 +21,29 @@ class ScaleGenSpec extends SparkSpec {
     Dedup.jaccardPairs(Dedup.shingleTable(docs, "doc_id", "text", 3), MinJ)
       .select("d1", "d2").as[(Long, Long)].collect().toSet
 
-  test("replica r=0 is the identity on every column") {
+  test("replica r=0 keeps ids/lang/source and token counts; fixed-width tag keeps chars/doc CONSTANT across replicas") {
     val b = base().orderBy("doc_id").collect()
     val r0 = ScaleGen.documentsReplica(base(), 0, 1000000L).orderBy("doc_id").collect()
     assert(b.length == r0.length)
-    b.zip(r0).foreach { case (x, y) => assert(x == y) }
+    b.zip(r0).foreach { case (x, y) =>
+      assert(x.getLong(0) == y.getLong(0))             // doc_id
+      assert(x.getString(2) == y.getString(2))          // lang
+      assert(x.getString(3) == y.getString(3))          // source
+    }
+    // chars/doc is IDENTICAL in every replica — the per-character
+    // linearity premise (the r10 verdict's 1.52x character-inflation fix):
+    // total character volume at xN is exactly N * per-replica volume
+    def chars(r: Int) = ScaleGen.documentsReplica(base(), r, 1000000L)
+      .select((col("doc_id") % 1000000L).as("doc_id"), length(col("text")).as("c"))
+      .as[(Long, Int)].collect().toMap
+    val c0 = chars(0)
+    assert(chars(1) == c0)
+    assert(chars(35) == c0)   // widest 1-digit base-36 tag, still width 2
+    assert(chars(100) == c0)  // 2-digit tag, same width
+    // and n_chars agrees with the tagged text in every replica
+    val audit = ScaleGen.documentsReplica(base(), 7, 1000000L)
+      .filter(col("n_chars") =!= length(col("text"))).count()
+    assert(audit == 0L)
   }
 
   test("a replica's near-dup pair set is the id-shifted original's; union has no cross pairs") {

@@ -217,7 +217,15 @@ class PlanShapeSpec extends SparkSpec {
     // and no scan of text happens outside the candidate confirm
     Shape("lt51_trgm_search", scans = None, shuffles = None,
       mustContain = Seq("BroadcastHashJoin"),
-      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // e7: the three customer-grain ranks run through
+    // Sampling.globalOrderedRank (range-partitioned sort + zipWithIndex,
+    // the ld21 two-pass) — the plan must carry NO Window node at all; a
+    // PARTITION-BY-less Window here would serialize the whole customer
+    // frame through one task at billion-customer scale. The count scalar
+    // rides a broadcast, never a CartesianProduct.
+    Shape("e7_rfm_segmentation", scans = None, shuffles = None,
+      mustNotContain = Seq("Window", "CartesianProduct")))
 
   /** Flatten INCLUDING materialized AQE query stages (QueryStageExec is a
     * leaf whose real subtree hangs off `.plan`). */
