@@ -342,3 +342,159 @@ object ProbeSa {
     spark.stop()
   }
 }
+
+/** Operational-regime micro-bench for the streaming exact-substring gate
+  * ([[graft.streaming.ContaminationStream]]) — the r10 verdict's task 8:
+  * the spec pins correctness, this measures the CLAIMED cheap regime (a
+  * small frozen eval corpus against growing train drops). E ≈ 1 MB of
+  * eval text is frozen once; drops of B ∈ {1, 10, 100} MB (built as
+  * ScaleGen replica isomorphisms of the source corpus, plus a few planted
+  * verbatim eval copies so the detector has real work) each arrive as ONE
+  * trigger, and the per-trigger wall is the awaitTermination wall of a
+  * single-drop AvailableNow run. Expect ~B·log B growth (the union suffix
+  * sort dominates; E rides along), and the `crossDupSpansAuto` switch to
+  * flip direct-sort → prefix-doubling mid-stream on the first drop whose
+  * (E + B) token count crosses `switchTokens` (8 M tokens ≈ 50 MB of text
+  * at this corpus's ~6.5 chars/token).
+  * `runMain graft.ProbeContamStream <sfDir> [mbList]` */
+object ProbeContamStream {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val mbs = (if (args.length > 1) args(1) else "1,10,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"),
+      shufflePartitions = cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    import graft.streaming.ContaminationStream
+
+    val base = Td.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val shiftRow = base.agg(max(col("doc_id")), sum(length(col("text")))).head()
+    val shift = shiftRow.getLong(0) + 1L
+    val baseChars = shiftRow.getLong(1)
+    // eval side: one full tagged replica at the TOP of the tag range, so
+    // drop replicas (low tags) never collide in id OR token space
+    val evalDocs = ScaleGen.documentsReplica(base, ScaleGen.MaxReplicas - 1, shift)
+      .select("doc_id", "text")
+    val evalTexts = evalDocs.orderBy("doc_id").limit(5)
+      .select("text").collect().map(_.getString(0))
+    println(f"[probe-cs] base corpus: $baseChars%,d chars; eval ≈ ${baseChars / 1e6}%.2f MB")
+
+    val root = java.nio.file.Files.createTempDirectory("probe_cs")
+    mbs.foreach { mb =>
+      val reps = math.max(1, math.ceil(mb * 1e6 / baseChars).toInt)
+      val drop = (0 until reps).map(r => ScaleGen.documentsReplica(base, r, shift))
+        .reduce(_ unionByName _)
+        .select("doc_id", "text")
+        // planted verbatim eval copies: ids far above every replica stripe
+        .unionByName(spark.createDataFrame(
+          evalTexts.zipWithIndex.map { case (t, i) =>
+            (ScaleGen.MaxReplicas.toLong * shift + mb * 100L + i, t) }.toSeq)
+          .toDF("doc_id", "text"))
+      val d = root.resolve(s"mb$mb")
+      val landing = d.resolve("landing")
+      java.nio.file.Files.createDirectories(landing)
+      drop.coalesce(1).write.mode("overwrite").parquet(d.resolve("tmp").toString)
+      val part = new java.io.File(d.resolve("tmp").toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, landing.resolve("drop.parquet"))
+      val stats = spark.read.parquet(landing.toString)
+        .agg(count(lit(1)), sum(length(col("text"))),
+          sum(size(graft.llm.TextOps.tokens(col("text"))).cast("long"))).head()
+      val t0 = System.nanoTime()
+      ContaminationStream.start(spark, landing.toString, evalDocs,
+        d.resolve("eval").toString, d.resolve("out").toString,
+        d.resolve("ckpt").toString, minRun = 10).awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val verdicts = spark.read.parquet(d.resolve("out").toString).count()
+      println(f"[probe-cs] B=${mb}%3d MB: drop ${stats.getLong(0)}%,d docs / " +
+        f"${stats.getLong(1)}%,d chars / ${stats.getLong(2)}%,d tokens; " +
+        f"trigger wall $wall%.2f s; $verdicts verdict rows")
+      graft.llm.Caches.releaseAll(spark)
+    }
+    spark.stop()
+  }
+}
+
+/** Stage decomposition of the ld21 cross-corpus detector's DOUBLING path
+  * at scale (r10 verdict task 5): mirrors `crossDupSpansDoubling` stage by
+  * stage on the ld21 split of a given dir's documents, timing each stage
+  * and snapshotting the spill/GC listener between stages so the ×100 wall
+  * is attributable (level tables vs binary lift vs the two segmented
+  * scans' range sorts vs island rollup) instead of guessed at.
+  * `runMain graft.ProbeCrossSa <dir>` */
+object ProbeCrossSa {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"),
+      shufflePartitions = cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    import graft.llm.{Caches, Dedup, Sampling, SuffixArray}
+    val totals = new ProbeSaDoubling.SpillTotals
+    spark.sparkContext.addSparkListener(totals)
+    var prev = totals.snapshot
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      val wall = (System.nanoTime() - t0) / 1e9
+      ProbeSaDoubling.awaitListenerQuiesce(totals)
+      val cur = totals.snapshot
+      def gb(b: Long) = f"${b / 1e9}%.2f"
+      println(f"[probe-xsa] $label%-22s ${wall}%7.2f s  " +
+        f"shufW=${gb(cur._1 - prev._1)} GB shufR=${gb(cur._2 - prev._2)} GB " +
+        f"spillM=${gb(cur._3 - prev._3)} GB spillD=${gb(cur._4 - prev._4)} GB " +
+        f"gc=${(cur._5 - prev._5) / 1000.0}%.1f s")
+      prev = cur
+      r
+    }
+    // the ld21 registration's exact split: md5(doc_id) mod 100 < 80 → train
+    val docs = Td.table(spark, dir, "documents")
+      .withColumn("side",
+        when(pmod(Dedup.md5Hash60(col("doc_id").cast("string")), lit(100L)) < 80,
+          lit(0)).otherwise(lit(1)))
+    val levels = 7
+    val pos = Caches.persist(SuffixArray.posTable(docs, "doc_id", "text", levels))
+    println(s"[probe-xsa] positions: ${timed("posTable")(pos.count())}")
+    val lv = timed("levelTables")(SuffixArray.levelTables(pos, levels))
+    println(s"[probe-xsa] levels kept: ${lv.size}")
+    // one-shot probe JVM: checkpointed frames die with the process, so no
+    // trackCheckpoint registration (private to llm) is needed here
+    val sa = timed("saOrder (ckpt)")(
+      SuffixArray.saOrder(lv.last).localCheckpoint())
+    val pairs = timed("neighborLcp (ckpt)")(
+      SuffixArray.neighborLcp(sa, lv).localCheckpoint())
+    val adj = pairs.select((col("rn") + 1).as("rn"), col("lcp"))
+    val sides = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("side").cast("int").as("__side"))
+    val rows = sa.select(col("doc_id"), col("p"), col("rn"))
+      .join(sides, Seq("doc_id"))
+      .join(adj.select(col("rn"), col("lcp").as("lcp_prev")), Seq("rn"), "left")
+      .join(adj.select((col("rn") - 1).as("rn"), col("lcp").as("lcp_next")),
+        Seq("rn"), "left")
+    // crossScanRollup unrolled so each scan times separately; checkpoint
+    // between so the second scan doesn't recompute the first
+    val isTrain = col("__side") === 0
+    val fwd = timed("scan fwd (+rn)")(
+      Sampling.globalSegmentedMinScan(rows,
+        order = Seq(col("rn")), resetCol = isTrain,
+        valueCol = col("lcp_prev"), out = "cross_prev").localCheckpoint())
+    val both = timed("scan bwd (-rn)")(
+      Sampling.globalSegmentedMinScan(fwd,
+        order = Seq(-col("rn")), resetCol = isTrain,
+        valueCol = col("lcp_next"), out = "cross_next").localCheckpoint())
+    val rep = both.where(col("__side") === 1)
+      .select(col("doc_id"), col("p"),
+        greatest(coalesce(col("cross_prev"), lit(0L)),
+          coalesce(col("cross_next"), lit(0L))).as("replen"))
+    val out = timed("spanRollup")(SuffixArray.spanRollup(rep, 10).count())
+    println(s"[probe-xsa] contaminated spans: $out")
+    Caches.releaseAll(spark)
+    spark.stop()
+  }
+}

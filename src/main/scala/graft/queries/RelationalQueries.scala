@@ -19,6 +19,11 @@ import graft.ops.{AsOfJoin, Det, EventOps, Integrity, IntervalJoin, Retract, Tim
   */
 object RelationalQueries {
 
+  /** e7's adaptive-guard bound, memoized per (session, dir) — see the e7
+    * registration. TrieMap: bench/verify construct queries concurrently. */
+  private val e7CustUpper =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), Long]
+
   private def q(name: String, oracle: String)(
       f: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, f, Some(oracle))
@@ -2809,13 +2814,22 @@ object RelationalQueries {
     //    1–5 by exact rank-quintile cross-multiplication (rn·5 ≤ i·n —
     //    the lt18 integer-boundary idiom, no percent_rank floats), then
     //    the classic segment label. The three ranks are over the
-    //    CUSTOMER-grain table — still corpus-proportional at billions of
-    //    customers, so each runs through Sampling.globalOrderedRank (the
+    //    CUSTOMER-grain table — corpus-proportional at billions of
+    //    customers — so the rank path is ADAPTIVE on a MEASURED bound
+    //    (the broadcast-threshold discipline): the customer DIMENSION's
+    //    row count upper-bounds the frame (o_custkey FKs into it) and
+    //    costs one parquet-statistics count, no aggregation. At or
+    //    below graft.e7.rankWindowMax (default 10M) the frame is
+    //    provably small and three PARTITION-BY-less windows are the
+    //    cheap plan (a single-task sort of ≤10M slim rows); above it
+    //    each rank runs through Sampling.globalOrderedRank (the
     //    range-partitioned sort + zipWithIndex two-pass proven in ld21)
-    //    instead of a PARTITION-BY-less window that would serialize the
-    //    whole frame through one task; slim (ck, key) projections rank,
-    //    then hash-join back on ck. n arrives as a broadcast scalar.
-    //    One orders scan. ──
+    //    on slim (ck, key) projections of the then-persisted frame,
+    //    hash-joined back on ck — never an unbounded global window.
+    //    Identical output either way (row_number over a total order ==
+    //    the two-pass rank; PlanShapeSpec pins the scale path's plan
+    //    window-free with the threshold forced to 0, and the small
+    //    path's window choice at spec scale). ──
     q("e7_rfm_segmentation",
       """WITH c AS (SELECT o_custkey AS ck,
         |    CAST(date_diff('day', max(o_orderdate), TIMESTAMP '2001-08-02 00:00:00') AS BIGINT) AS rec,
@@ -2841,21 +2855,36 @@ object RelationalQueries {
         |    WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
         |    ELSE 'regular' END AS segment
         |FROM s""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
       val horizon = lit(java.sql.Timestamp.valueOf("2001-08-02 00:00:00"))
-      val c = Td.table(s, dir, "orders")
+      val cRaw = Td.table(s, dir, "orders")
         .groupBy(col("o_custkey").as("ck"))
         .agg(datediff(horizon, max(col("o_orderdate"))).cast("long").as("rec"),
           count(lit(1)).as("freq"),
           sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
             .cast("long").as("mon"))
-      def rank(key: String, order: Seq[org.apache.spark.sql.Column], out: String) =
-        graft.llm.Sampling.globalOrderedRank(c.select(col("ck"), col(key)), order)
-          .select(col("ck"), col("gpos").as(out))
-      val r = c
-        .join(rank("rec", Seq(col("rec").desc, col("ck")), "rr"), "ck")
-        .join(rank("freq", Seq(col("freq"), col("ck")), "rf"), "ck")
-        .join(rank("mon", Seq(col("mon"), col("ck")), "rm"), "ck")
-        .crossJoin(broadcast(c.agg(count(lit(1)).as("n"))))
+      val windowMax = s.conf.get("graft.e7.rankWindowMax", "10000000").toLong
+      // memoized per (session, dir): the guard count is a parquet-metadata
+      // job, but re-paying even that on every re-construction (bench
+      // min-of-k) would tax the small path it exists to protect
+      val custUpper = e7CustUpper.getOrElseUpdate((s, dir),
+        Td.table(s, dir, "customer").count())
+      val r = if (custUpper <= windowMax) {
+        cRaw.select(col("ck"), col("rec"), col("freq"), col("mon"),
+          row_number().over(Window.orderBy(col("rec").desc, col("ck"))).as("rr"),
+          row_number().over(Window.orderBy(col("freq"), col("ck"))).as("rf"),
+          row_number().over(Window.orderBy(col("mon"), col("ck"))).as("rm"),
+          count(lit(1)).over(Window.partitionBy()).as("n"))
+      } else {
+        val c = graft.llm.Caches.persist(cRaw)
+        def rank(key: String, order: Seq[org.apache.spark.sql.Column], out: String) =
+          graft.llm.Sampling.globalOrderedRank(c.select(col("ck"), col(key)), order)
+            .select(col("ck"), col("gpos").as(out))
+        c.join(rank("rec", Seq(col("rec").desc, col("ck")), "rr"), "ck")
+          .join(rank("freq", Seq(col("freq"), col("ck")), "rf"), "ck")
+          .join(rank("mon", Seq(col("mon"), col("ck")), "rm"), "ck")
+          .crossJoin(broadcast(c.agg(count(lit(1)).as("n"))))
+      }
       def score(rn: String) =
         least(expr(s"($rn * 5 - 1) DIV n + 1"), lit(5)).cast("int")
       val sc = r.select(col("ck"), col("rec"), col("freq"), col("mon"),

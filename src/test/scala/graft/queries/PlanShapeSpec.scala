@@ -17,7 +17,8 @@ class PlanShapeSpec extends SparkSpec {
   private final case class Shape(
       name: String, scans: Option[Int], shuffles: Option[Int],
       mustContain: Seq[String] = Nil, mustNotContain: Seq[String] = Nil,
-      planTextMustContain: Seq[String] = Nil)
+      planTextMustContain: Seq[String] = Nil,
+      confs: Seq[(String, String)] = Nil)
 
   // expectations at sf0.001; AQE runs, so counts come from the
   // materialized adaptive plan
@@ -218,14 +219,22 @@ class PlanShapeSpec extends SparkSpec {
     Shape("lt51_trgm_search", scans = None, shuffles = None,
       mustContain = Seq("BroadcastHashJoin"),
       mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
-    // e7: the three customer-grain ranks run through
+    // e7 SCALE path (threshold forced to 0 so the adaptive guard picks the
+    // two-pass branch): the three customer-grain ranks run through
     // Sampling.globalOrderedRank (range-partitioned sort + zipWithIndex,
     // the ld21 two-pass) — the plan must carry NO Window node at all; a
     // PARTITION-BY-less Window here would serialize the whole customer
-    // frame through one task at billion-customer scale. The count scalar
-    // rides a broadcast, never a CartesianProduct.
+    // frame through one task at billion-customer scale. Below the
+    // threshold the guard deliberately picks the window plan (measured
+    // count = a proof of boundedness), which the next Shape pins.
     Shape("e7_rfm_segmentation", scans = None, shuffles = None,
-      mustNotContain = Seq("Window", "CartesianProduct")))
+      mustNotContain = Seq("Window", "CartesianProduct"),
+      confs = Seq("graft.e7.rankWindowMax" -> "0")),
+    // e7 SMALL path: at spec scale the measured customer count is under
+    // the default threshold, so the cheap single-task window plan is the
+    // correct choice — pin that the guard actually takes it
+    Shape("e7_rfm_segmentation", scans = None, shuffles = None,
+      mustContain = Seq("Window")))
 
   /** Flatten INCLUDING materialized AQE query stages (QueryStageExec is a
     * leaf whose real subtree hangs off `.plan`). */
@@ -239,7 +248,11 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   shapes.foreach { sh =>
-    test(s"${sh.name} keeps its documented plan shape") {
+    val suffix = if (sh.confs.isEmpty) ""
+      else sh.confs.map { case (k, v) => s"$k=$v" }.mkString(" [", ", ", "]")
+    test(s"${sh.name} keeps its documented plan shape$suffix") {
+      val saved = sh.confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      sh.confs.foreach { case (k, v) => spark.conf.set(k, v) }
       val df = Registry.queries(sh.name)(spark, Sf0001)
       df.collect() // materialize so AQE finalizes its stages
       try {
@@ -263,7 +276,13 @@ class PlanShapeSpec extends SparkSpec {
         lazy val planText = nodes.map(_.toString).mkString("\n")
         sh.planTextMustContain.foreach(frag => assert(planText.contains(frag),
           s"${sh.name}: rendered plan lacks $frag:\n${df.queryExecution.executedPlan}"))
-      } finally graft.llm.Caches.releaseAll(spark)
+      } finally {
+        saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+        graft.llm.Caches.releaseAll(spark)
+      }
     }
   }
 }

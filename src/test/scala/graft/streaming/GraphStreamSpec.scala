@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Td
+import graft.llm.{Caches, Dedup, GraphOps}
+import graft.sources.Fixtures
+
+/** The streaming graph tier's contract: after every trigger the sink's
+  * newest batch_id partition holds EXACTLY one batch run of the lg8/lg9
+  * kernels over the distinct symmetrized union of all edge drops so far —
+  * across a restart, with duplicate pairs re-arriving (the anti-join must
+  * keep the lake edge-distinct or LPA's votes double), and through the
+  * fresh-catalog rebuild path (a new JVM finds the journal on disk but no
+  * table). */
+class GraphStreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Near-dup pairs from the real sf0.001 corpus — the lg8/lg9 input
+    * shape. Split deterministically into two drops by pair hash. */
+  private lazy val allPairs: Seq[(Long, Long)] = {
+    val jac = Dedup.jaccardPairs(
+      Dedup.shingleTable(Td.table(spark, Sf0001, "documents"),
+        "doc_id", "text", 3), 0.8)
+    val out = jac.select(col("d1"), col("d2")).as[(Long, Long)].collect().toSeq
+    Caches.releaseAll(spark)
+    out
+  }
+  private def half(n: Int) = allPairs.filter(p => math.abs((p._1 * 31 + p._2).hashCode) % 2 == n)
+
+  private def drop(landing: java.nio.file.Path, name: String,
+      pairs: Seq[(Long, Long)], seen: scala.collection.mutable.Set[String],
+      ts: Long): Unit = {
+    val tmp = Fixtures.tempDir("gsdrop")
+    pairs.toDF("d1", "d2").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, landing.resolve(name))
+    stampDrop(landing.toString, seen, ts)
+  }
+
+  private def sortedRows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+
+  /** The batch twin: same kernels over the distinct symmetrized union. */
+  private def twin(pairs: Seq[(Long, Long)]): (Seq[Seq[Any]], Seq[Seq[Any]]) = {
+    val edges = pairs.toDF("d1", "d2")
+      .select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(pairs.toDF("d1", "d2")
+        .select(col("d2").as("src"), col("d1").as("dst")))
+      .dropDuplicates("src", "dst")
+    val comm = sortedRows(GraphOps.labelPropagation(edges, iters = 4)
+      .select(col("id").as("doc_id"), col("community"), col("converged")))
+    Caches.releaseAll(spark)
+    val sources = edges.select(col("src").as("id")).distinct()
+      .filter(col("id") % 10 === 0)
+    val hops = sortedRows(GraphOps.bfsHops(edges, sources, rounds = 4)
+      .select(col("id").as("doc_id"), col("dist").as("hops"), col("converged")))
+    Caches.releaseAll(spark)
+    (comm, hops)
+  }
+
+  private def sinkAt(outDir: String, name: String, batchId: Long): DataFrame =
+    spark.read.parquet(s"$outDir/$name")
+      .filter(col("batch_id") === batchId).drop("batch_id")
+
+  test("per-trigger labels == batch kernels over accumulated distinct edges; restart folds in new drops; duplicate re-arrivals don't double votes") {
+    val dir = Fixtures.tempDir("graph_stream")
+    val landing = dir.resolve("landing")
+    java.nio.file.Files.createDirectories(landing)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val outDir = dir.resolve("out").toString
+    def start() = GraphStream.start(spark, landing.toString, outDir,
+      dir.resolve("ckpt").toString, buckets = 4, compactEvery = 3)
+
+    val d1 = half(0)
+    val d2 = half(1)
+    assert(d1.nonEmpty && d2.nonEmpty, s"fixture split degenerate: ${d1.size}/${d2.size}")
+
+    drop(landing, "d1.parquet", d1, seen, 1000000L)
+    start().awaitTermination()
+    val (c1, h1) = twin(d1)
+    assert(sortedRows(sinkAt(outDir, "communities", 0L)) == c1)
+    assert(sortedRows(sinkAt(outDir, "hops", 0L)) == h1)
+
+    // restart: drop 2 re-sends some of drop 1's pairs (plus the flipped
+    // orientation of one) — the anti-join must fold them away, so the
+    // verdicts equal the batch twin over the DISTINCT union
+    val dupes = d1.take(3) ++ d1.take(1).map(p => (p._2, p._1))
+    drop(landing, "d2.parquet", d2 ++ dupes, seen, 2000000L)
+    start().awaitTermination()
+    val (c2, h2) = twin(d1 ++ d2)
+    assert(sortedRows(sinkAt(outDir, "communities", 1L)) == c2)
+    assert(sortedRows(sinkAt(outDir, "hops", 1L)) == h2)
+
+    // the lake table is edge-distinct (the LPA vote-count precondition)
+    val lakeDb = "graft_gstream_" + (scala.util.hashing.MurmurHash3.stringHash(
+      outDir.stripSuffix("/") + "_lake") & 0x7fffffff)
+    val acc = spark.table(s"$lakeDb.edges_acc")
+    assert(acc.count() == acc.dropDuplicates("src", "dst").count())
+
+    // fresh-catalog path (new JVM): drop the table, leave the journal —
+    // the next trigger must rebuild from the journal before labeling
+    spark.sql(s"DROP TABLE $lakeDb.edges_acc")
+    drop(landing, "d3.parquet", d1.take(2), seen, 3000000L) // only dupes — graph unchanged
+    start().awaitTermination()
+    assert(sortedRows(sinkAt(outDir, "communities", 2L)) == c2)
+    assert(sortedRows(sinkAt(outDir, "hops", 2L)) == h2)
+  }
+}
