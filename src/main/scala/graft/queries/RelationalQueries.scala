@@ -2867,6 +2867,10 @@ object RelationalQueries {
       // memoized per (session, dir): the guard count is a parquet-metadata
       // job, but re-paying even that on every re-construction (bench
       // min-of-k) would tax the small path it exists to protect
+      // evict entries whose session has stopped (the LlmLake.memoized
+      // hygiene): the map would otherwise retain SparkSession references
+      // for the life of the JVM
+      e7CustUpper.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
       val custUpper = e7CustUpper.getOrElseUpdate((s, dir),
         Td.table(s, dir, "customer").count())
       val r = if (custUpper <= windowMax) {

@@ -71,6 +71,12 @@ object ContaminationStream {
     // written snapshot after a crash
     evalDocs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .write.mode("overwrite").parquet(evalDir)
+    // refuse a fresh/foreign checkpoint over an existing ledger: restarted
+    // batch ids would check the first drop against a ledger MINUS the old
+    // batch-0 ids and then clobber that partition — exactly the cross-drop
+    // collision class the ledger exists to catch would go undetected
+    StreamGuards.requireStoreOwnership(spark, checkpointDir,
+      outDir.stripSuffix("/") + "_ids", "ContaminationStream id ledger")
     val drops = spark.readStream
       .schema(docSchema)
       .option("maxFilesPerTrigger", 1)

@@ -61,6 +61,12 @@ object DriftStream {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(countsDir)
+    // refuse a fresh/foreign checkpoint over an existing summary log:
+    // restarted batch ids would overwrite old partials and the rollup
+    // would silently forget those drops (the batch_id=-1 baseline seed is
+    // exempt — it is re-derived idempotently below, owned by no batch)
+    StreamGuards.requireStoreOwnership(spark, checkpointDir, countsDir,
+      "DriftStream summary log")
     // one baseline scan per (re)start, idempotent into its own partition;
     // restarts could skip it, but re-deriving from the frozen snapshot is
     // simpler than trusting a maybe-half-written partition after a crash

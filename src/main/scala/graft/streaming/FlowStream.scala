@@ -99,6 +99,11 @@ object FlowStream {
       checkpointDir: String,
       bucketMinutes: Int = 10): StreamingQuery = {
     import spark.implicits._
+    // refuse a fresh/foreign checkpoint over an existing delta journal:
+    // restarted batch ids would overwrite old batch partitions, and the
+    // journal is the rebuild source for missing compaction buckets
+    StreamGuards.requireStoreOwnership(spark, checkpointDir, deltasDir,
+      "FlowStream delta journal")
     val stream = spark.readStream
       .schema(Schemas.stationStatus)
       .option("maxFilesPerTrigger", 1)

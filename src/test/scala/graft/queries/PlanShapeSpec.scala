@@ -252,10 +252,13 @@ class PlanShapeSpec extends SparkSpec {
       else sh.confs.map { case (k, v) => s"$k=$v" }.mkString(" [", ", ", "]")
     test(s"${sh.name} keeps its documented plan shape$suffix") {
       val saved = sh.confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-      sh.confs.foreach { case (k, v) => spark.conf.set(k, v) }
-      val df = Registry.queries(sh.name)(spark, Sf0001)
-      df.collect() // materialize so AQE finalizes its stages
+      // conf-set, construction and collect all sit INSIDE the try: a
+      // throwing query would otherwise skip the finally and leak e.g.
+      // graft.e7.rankWindowMax=0 into every later test on this session
       try {
+        sh.confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        val df = Registry.queries(sh.name)(spark, Sf0001)
+        df.collect() // materialize so AQE finalizes its stages
         val nodes = flatten(df.queryExecution.executedPlan)
         val names = nodes.map(_.nodeName)
         val scanCount = nodes.count {

@@ -177,4 +177,22 @@ class RelationalOpsSpec extends SparkSpec {
       .agg(count(lit(1)).as("n_supp"))
     assert(hc.join(ns, col("nk_c") === col("nk_s")).count() == rows.length - 1)
   }
+
+  test("e7 scale branch (two-pass global ranks) is row-identical to the small-path windows") {
+    // the adaptive guard's two branches are spec-scale cheap to compare
+    // exactly; PlanShapeSpec pins the PLANS, this pins the VALUES — the
+    // scale branch must never be an inferred-equivalent, only a tested one
+    def run() = Registry.queries("e7_rfm_segmentation")(spark, Sf0001)
+      .collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+    val smallPath = run() // spec-scale customer count is under the default threshold
+    try {
+      spark.conf.set("graft.e7.rankWindowMax", "0")
+      val scalePath = run()
+      assert(scalePath == smallPath,
+        s"e7 branches disagree: ${scalePath.size} vs ${smallPath.size} rows")
+    } finally {
+      spark.conf.unset("graft.e7.rankWindowMax")
+      graft.llm.Caches.releaseAll(spark) // the scale branch persists its base agg
+    }
+  }
 }

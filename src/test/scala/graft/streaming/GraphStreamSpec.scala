@@ -110,4 +110,120 @@ class GraphStreamSpec extends SparkSpec {
     assert(sortedRows(sinkAt(outDir, "communities", 2L)) == c2)
     assert(sortedRows(sinkAt(outDir, "hops", 2L)) == h2)
   }
+
+  test("restart storm: kills between journal append and table fold, and at the compaction boundary, replay to batch-identical labels") {
+    val dir = Fixtures.tempDir("graph_storm")
+    val landing = dir.resolve("landing")
+    java.nio.file.Files.createDirectories(landing)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val outDir = dir.resolve("out").toString
+    // compactEvery = 2 puts batch 1 EXACTLY on the compaction cadence
+    // (journalBatches()=2 after its append), so the afterJournal kill
+    // lands on the rebuild-from-journal boundary the design claims to
+    // survive
+    def start() = GraphStream.start(spark, landing.toString, outDir,
+      dir.resolve("ckpt").toString, buckets = 4, compactEvery = 2)
+    val d1 = half(0)
+    val d2 = half(1)
+
+    drop(landing, "d1.parquet", d1, seen, 1000000L)
+    start().awaitTermination()
+
+    // kill batch 1 AFTER its journal append, BEFORE the table fold — the
+    // journal partition exists, the table and sinks don't reflect it
+    drop(landing, "d2.parquet", d2, seen, 2000000L)
+    spark.conf.set(GraphStream.FailAfterJournalConf, "1")
+    try intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      start().awaitTermination()
+    } finally spark.conf.unset(GraphStream.FailAfterJournalConf)
+    val journal = spark.read.parquet(outDir.stripSuffix("/") + "_journal")
+    assert(journal.filter(col("batch_id") === 1L).count() == d2.size.toLong,
+      "the kill must land AFTER the journal append")
+    assert(!new java.io.File(s"$outDir/communities/batch_id=1").exists(),
+      "the kill must land BEFORE the sink write")
+
+    // replay: the checkpoint owns batch 1 (offsets logged before the
+    // batch ran), so the ownership guard passes and the replayed trigger
+    // overwrites its own journal partition and folds — labels equal one
+    // batch run over everything
+    start().awaitTermination()
+    val (c2full, h2full) = twin(d1 ++ d2)
+    assert(sortedRows(sinkAt(outDir, "communities", 1L)) == c2full)
+    assert(sortedRows(sinkAt(outDir, "hops", 1L)) == h2full)
+
+    // kill batch 2 AFTER the fold, BEFORE the sinks: the table already
+    // holds the new edges; the replay's anti-join must collapse to a
+    // no-op append and still label identically
+    drop(landing, "d3.parquet", d1.take(3) ++ d2.take(2), seen, 3000000L) // dupes only
+    spark.conf.set(GraphStream.FailAfterFoldConf, "2")
+    try intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      start().awaitTermination()
+    } finally spark.conf.unset(GraphStream.FailAfterFoldConf)
+    start().awaitTermination()
+    assert(sortedRows(sinkAt(outDir, "communities", 2L)) == c2full)
+    assert(sortedRows(sinkAt(outDir, "hops", 2L)) == h2full)
+    // the lake stayed edge-distinct through the storm (LPA vote contract)
+    val lakeDb = "graft_gstream_" + (scala.util.hashing.MurmurHash3.stringHash(
+      outDir.stripSuffix("/") + "_lake") & 0x7fffffff)
+    val acc = spark.table(s"$lakeDb.edges_acc")
+    assert(acc.count() == acc.dropDuplicates("src", "dst").count())
+  }
+
+  test("a fresh checkpoint over an existing journal is refused at start, not silently overwritten") {
+    val dir = Fixtures.tempDir("graph_guard")
+    val landing = dir.resolve("landing")
+    java.nio.file.Files.createDirectories(landing)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val outDir = dir.resolve("out").toString
+    drop(landing, "d1.parquet", half(0), seen, 1000000L)
+    GraphStream.start(spark, landing.toString, outDir,
+      dir.resolve("ckpt").toString, buckets = 4).awaitTermination()
+    // ops move: checkpoint deleted, outDir kept — batch ids would restart
+    // at 0 and clobber the old batch_id=0 journal partition
+    val ex = intercept[IllegalArgumentException] {
+      GraphStream.start(spark, landing.toString, outDir,
+        dir.resolve("ckpt_fresh").toString, buckets = 4)
+    }
+    assert(ex.getMessage.contains("DIFFERENT checkpoint"))
+  }
+
+  test("incremental mode: per-trigger labels equal the full re-label while only touched components re-run") {
+    val dir = Fixtures.tempDir("graph_incr")
+    val landing = dir.resolve("landing")
+    java.nio.file.Files.createDirectories(landing)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val outDir = dir.resolve("out").toString
+    def start() = GraphStream.start(spark, landing.toString, outDir,
+      dir.resolve("ckpt").toString, buckets = 4, incremental = true)
+    val d1 = half(0)
+    val d2 = half(1)
+
+    // batch 0 has no prior partition → full re-label fallback
+    drop(landing, "d1.parquet", d1, seen, 1000000L)
+    start().awaitTermination()
+    val (c1, h1) = twin(d1)
+    assert(sortedRows(sinkAt(outDir, "communities", 0L)) == c1)
+    assert(sortedRows(sinkAt(outDir, "hops", 0L)) == h1)
+
+    // batch 1 splices the touched components over batch 0's verdicts —
+    // labels must equal one full batch run over the union, including the
+    // components d2 merges together. Flags are compared only under the
+    // fixture-converges pin below: a sub-run may legitimately converge
+    // where a hypothetical non-converging full run would not.
+    drop(landing, "d2.parquet", d2 ++ d1.take(2), seen, 2000000L)
+    start().awaitTermination()
+    val (c2, h2) = twin(d1 ++ d2)
+    assert(c2.forall(_.last == true) && h2.forall(_.last == true),
+      "fixture drifted: the batch twin no longer converges, flag-inclusive " +
+        "equality below is no longer the right assertion")
+    assert(sortedRows(sinkAt(outDir, "communities", 1L)) == c2)
+    assert(sortedRows(sinkAt(outDir, "hops", 1L)) == h2)
+
+    // a pure-duplicate drop touches components whose labels are already
+    // current — the splice must reproduce them unchanged
+    drop(landing, "d3.parquet", d2.take(3), seen, 3000000L)
+    start().awaitTermination()
+    assert(sortedRows(sinkAt(outDir, "communities", 2L)) == c2)
+    assert(sortedRows(sinkAt(outDir, "hops", 2L)) == h2)
+  }
 }

@@ -3,6 +3,7 @@
 
 Usage: tools/isolate_top.py SWEEP.json [--top 10] [--runs 2]
                             [--mem 56g] [--cpus 32] [--out OUT.json]
+                            [--prev PREV_SWEEP.json]
 
 Why: the x10/x100 sweeps time every registered query SINGLE-RUN inside one
 shared JVM. Minutes-scale rows in that regime carry several-x context noise
@@ -19,7 +20,20 @@ with both columns:
   "queries"       : the sweep numbers, untouched (whole-surface context)
   "isolated"      : {query: min isolated sec} for the re-measured tier
   "isolated_runs" : all raw isolated runs (auditable)
+  "isolate_failed": {query: diagnosis} for rows whose fresh JVM did not
+                    deliver the requested clean runs (crash, OOM,
+                    truncated output) — a truncated rerun must never
+                    stamp a verdict-facing number
   "isolate_top"/"isolate_runs_per_query"/"isolate_note": provenance
+
+With --prev (the PRIOR round's same-scale artifact), the isolation set is
+widened beyond the top-N wall rows: any query whose sweep number crosses
+the comparator's regression band against the prior round's VERDICT-FACING
+number (prior isolated column if present, else prior sweep number) is
+auto-included. Rationale: a noisy 15x sweep blip on a mid-cost row (r11's
+a14: 3.9 s isolated vs 58.4 in-sweep) only got settled because it happened
+to crack the top 10 — the auto-include makes every would-be flag decidable
+the round it appears instead of one round later.
 
 The VERDICT-FACING per-query number for any re-measured row is
 "isolated"; the sweep number remains only as the fleet-context datum.
@@ -35,9 +49,21 @@ import sys
 
 LINE = re.compile(r"^\[runone\] (\S+) run (\d+): ([0-9.]+) s\s*$")
 
+# The compare_bench.py regression band, reused verbatim so "would this
+# sweep row flag against last round" and "did it flag" share one formula.
+FACTOR = 1.5
+FLOOR_SEC = 0.2
+
 
 def rerun(query, sf_dir, runs, mem, cpus):
-    """One fresh-JVM RunOne invocation; returns the list of run times."""
+    """One fresh-JVM RunOne invocation.
+
+    Returns (times, failure): times is the full clean run list on success
+    (rc == 0 AND all `runs` lines parsed) and None otherwise; failure is a
+    short diagnosis string, or None on success. Partial times are NEVER
+    returned as a result — a child that OOM'd after run 1 of 2 must not
+    stamp min(partial) as the verdict-facing number.
+    """
     cmd = ["sbt", "-batch", f"runMain graft.RunOne {query} {sf_dir} run {runs}"]
     env = dict(SPARK_DRIVER_MEM=mem, SPARK_GRAFT_CPUS=str(cpus))
     import os
@@ -54,10 +80,26 @@ def rerun(query, sf_dir, runs, mem, cpus):
         tail = "\n".join(proc.stdout.splitlines()[-15:])
         print(f"[isolate] {query} FAILED (rc={proc.returncode}, "
               f"{len(times)}/{runs} runs parsed):\n{tail}", file=sys.stderr)
-        return times or None
+        return None, f"rc={proc.returncode} parsed={len(times)}/{runs}"
     print(f"[isolate] {query}: min {min(times):.2f}s of {times}",
           file=sys.stderr)
-    return times
+    return times, None
+
+
+def band_crossers(queries, prev_art):
+    """Sweep rows that would flag against the prior round's verdict-facing
+    numbers under the compare_bench band (drift-uncorrected — this is an
+    INCLUSION heuristic for re-measurement, not a verdict)."""
+    prev_q = prev_art.get("queries", {})
+    prev_iso = prev_art.get("isolated", {})
+    hits = []
+    for q, cur in queries.items():
+        prior = prev_iso.get(q, prev_q.get(q))
+        if prior is None or prior <= 0:
+            continue
+        if cur > FACTOR * prior + FLOOR_SEC:
+            hits.append(q)
+    return hits
 
 
 def main():
@@ -72,6 +114,9 @@ def main():
     ap.add_argument("--mem", default="56g", help="child driver heap")
     ap.add_argument("--cpus", type=int, default=32, help="child local[N]")
     ap.add_argument("--out", help="output path (default: rewrite in place)")
+    ap.add_argument("--prev", help="prior round's same-scale artifact: any "
+                    "sweep row crossing the regression band against its "
+                    "verdict-facing number is auto-included")
     args = ap.parse_args()
 
     with open(args.sweep) as f:
@@ -82,27 +127,45 @@ def main():
         sys.exit("artifact lacks queries/sf — not a graft.Bench artifact")
 
     top = sorted(queries, key=lambda q: -queries[q])[:args.top]
-    isolated, isolated_runs = {}, {}
-    for q in top:
-        times = rerun(q, sf_dir, args.runs, args.mem, args.cpus)
+    auto = []
+    if args.prev:
+        with open(args.prev) as f:
+            prev_art = json.load(f)
+        auto = [q for q in band_crossers(queries, prev_art) if q not in top]
+        if auto:
+            print(f"[isolate] auto-including {len(auto)} band-crossing rows "
+                  f"vs {args.prev}: {sorted(auto)}", file=sys.stderr)
+    targets = top + sorted(auto)
+    isolated, isolated_runs, failed = {}, {}, {}
+    for q in targets:
+        times, failure = rerun(q, sf_dir, args.runs, args.mem, args.cpus)
         if times:
             isolated[q] = min(times)
             isolated_runs[q] = times
+        else:
+            failed[q] = failure
 
     art["isolated"] = isolated
     art["isolated_runs"] = isolated_runs
+    if failed:
+        art["isolate_failed"] = failed
     art["isolate_top"] = args.top
+    art["isolate_auto_included"] = sorted(auto)
     art["isolate_runs_per_query"] = args.runs
     art["isolate_note"] = (
         "verdict-facing per-query number for re-measured rows is 'isolated' "
         "(fresh JVM, min-of-runs); 'queries' keeps the in-sweep single-run "
-        "numbers, which carry shared-JVM context noise")
+        "numbers, which carry shared-JVM context noise; rows in "
+        "'isolate_failed' have NO isolated number (truncated/crashed rerun) "
+        "and must be re-measured, never read off the sweep; with --prev, "
+        "rows crossing the compare_bench band against the prior round's "
+        "verdict-facing number are auto-included beyond the top-N")
     out = args.out or args.sweep
     with open(out, "w") as f:
         json.dump(art, f)
         f.write("\n")
-    print(f"[isolate] wrote {out}: {len(isolated)}/{len(top)} rows "
-          f"re-measured", file=sys.stderr)
+    print(f"[isolate] wrote {out}: {len(isolated)}/{len(targets)} rows "
+          f"re-measured, {len(failed)} failed", file=sys.stderr)
 
 
 if __name__ == "__main__":
