@@ -199,6 +199,21 @@ object Multimodal {
 
   // ── real image codecs (javax.imageio) ───────────────────────────────────
 
+  /** Executor-side ImageIO configuration: disable the DEFAULT disk cache.
+    * `ImageIO.read(InputStream)` / `ImageIO.write(…, OutputStream)` wrap
+    * every call in a FileCache stream — one temp-file create/write/read/
+    * delete under `java.io.tmpdir` PER IMAGE. At engine scale that is
+    * millions of temp-file cycles per scan, all 32 threads fighting one
+    * directory's metadata lock, and the cost grows with on-disk tmp state
+    * — the attributed cause of lm3's ×100 super-linearity and lm7's
+    * round-over-round drift (PLANS.md r12 attribution table). Every
+    * payload in this file is an in-memory byte array by construction, so
+    * the memory-cached streams are strictly better. Idempotent static
+    * set, called once per partition kernel (concurrent same-value writes
+    * are benign). */
+  private def imageIoNoDiskCache(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+
   /** The deterministic test-card pixel function: 8-bit gray at (x, y) of
     * item `id`. Shared by the render kernel, the specs, and (spelled in
     * SQL) the lm3/lm6 oracles — the fixture-image contract. */
@@ -223,6 +238,7 @@ object Multimodal {
     import spark.implicits._
     items.select(col(idCol).cast("long")).as[Long]
       .mapPartitions { iter =>
+        imageIoNoDiskCache() // or every encode pays a tmp-file round trip
         iter.map { id =>
           val (w, h) = cardDims(id)
           val img = new java.awt.image.BufferedImage(
@@ -274,6 +290,7 @@ object Multimodal {
     rendered.select(col("item_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
+        imageIoNoDiskCache() // or every decode pays a tmp-file round trip
         iter.map { case (id, payload) =>
           val img = decodePng(id, payload)
           val raster = img.getRaster
@@ -366,6 +383,7 @@ object Multimodal {
     rendered.select(col("item_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
+        imageIoNoDiskCache() // or every decode pays a tmp-file round trip
         iter.map { case (id, payload) =>
           val img = decodePng(id, payload)
           AHashRow(id,
@@ -406,6 +424,7 @@ object Multimodal {
         // REAL codec machinery, once per partition: the writer is reused
         // across rows (the mapInPandas batch-amortization shape); readers
         // come from ImageIO's cached registry.
+        imageIoNoDiskCache() // or every decode pays a tmp-file round trip
         val writer = javax.imageio.ImageIO
           .getImageWritersByFormatName("jpg").next()
         val params = writer.getDefaultWriteParam
