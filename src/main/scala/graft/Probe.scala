@@ -461,18 +461,38 @@ object ProbeCrossSa {
     val levels = 7
     val pos = Caches.persist(SuffixArray.posTable(docs, "doc_id", "text", levels))
     println(s"[probe-xsa] positions: ${timed("posTable")(pos.count())}")
-    val lv = timed("levelTables")(SuffixArray.levelTables(pos, levels))
-    println(s"[probe-xsa] levels kept: ${lv.size}")
+    // r12: default times the PACKED spine (single-long keys, window-lead
+    // partners, InternalRow rank); `generic` as args(1) times the legacy
+    // spine so before/after runs share one box-hour (ambient-fair A/B)
+    val generic = args.length > 1 && args(1) == "generic"
+    println(s"[probe-xsa] spine: ${if (generic) "generic" else "packed"}")
+    val stride = SuffixArray.strideOf(levels)
     // one-shot probe JVM: checkpointed frames die with the process, so no
     // trackCheckpoint registration (private to llm) is needed here
-    val sa = timed("saOrder (ckpt)")(
-      SuffixArray.saOrder(lv.last).localCheckpoint())
-    val pairs = timed("neighborLcp (ckpt)")(
-      SuffixArray.neighborLcp(sa, lv).localCheckpoint())
+    val (sa, pairs) =
+      if (generic) {
+        val lv = timed("levelTables")(SuffixArray.levelTables(pos, levels))
+        println(s"[probe-xsa] levels kept: ${lv.size}")
+        val sa0 = timed("saOrder (ckpt)")(
+          SuffixArray.saOrder(lv.last).localCheckpoint())
+        val pr = timed("neighborLcp (ckpt)")(
+          SuffixArray.neighborLcp(sa0, lv).localCheckpoint())
+        (sa0.select(col("doc_id"), col("p"), col("rn")), pr)
+      } else {
+        val lv = timed("levelTables")(
+          SuffixArray.levelTablesPacked(pos, levels, earlyStop = true, stride))
+        println(s"[probe-xsa] levels kept: ${lv.size}")
+        val sa0 = timed("saOrder (ckpt)")(
+          SuffixArray.saOrderPacked(lv.last).localCheckpoint())
+        val pr = timed("neighborLcp (ckpt)")(
+          SuffixArray.neighborLcpPacked(sa0, lv, stride).localCheckpoint())
+        (sa0.select(expr(s"dp DIV ${stride}L").as("doc_id"),
+          pmod(col("dp"), lit(stride)).as("p"), col("rn")), pr)
+      }
     val adj = pairs.select((col("rn") + 1).as("rn"), col("lcp"))
     val sides = docs.select(col("doc_id").cast("long").as("doc_id"),
       col("side").cast("int").as("__side"))
-    val rows = sa.select(col("doc_id"), col("p"), col("rn"))
+    val rows = sa
       .join(sides, Seq("doc_id"))
       .join(adj.select(col("rn"), col("lcp").as("lcp_prev")), Seq("rn"), "left")
       .join(adj.select((col("rn") - 1).as("rn"), col("lcp").as("lcp_next")),
@@ -495,6 +515,72 @@ object ProbeCrossSa {
     val out = timed("spanRollup")(SuffixArray.spanRollup(rep, 10).count())
     println(s"[probe-xsa] contaminated spans: $out")
     Caches.releaseAll(spark)
+    spark.stop()
+  }
+}
+
+/** Per-trigger cost curve for the streaming graph tier (r11 verdict task
+  * 5's measurement half): CONSTANT-SIZE edge drops over a GROWING lake,
+  * full re-label vs incremental. Each drop is the near-dup pair set of
+  * one ScaleGen documents replica — a token-space isomorphism of the
+  * base, so every trigger lands the same pair structure in fresh id
+  * space: drop size is constant by construction while the accumulated
+  * graph grows linearly, which is exactly the regime where the full
+  * re-label's O(accumulated) per-trigger cost separates from the
+  * incremental mode's O(affected). Prints one line per trigger per mode.
+  * `runMain graft.ProbeGraphStream [sfDir] [triggers] [full|incr|both]` */
+object ProbeGraphStream {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val triggers = if (args.length > 1) args(1).toInt else 10
+    val modeArg = if (args.length > 2) args(2) else "both"
+    val modes = modeArg match {
+      case "both" => Seq("full", "incr")
+      case m => Seq(m)
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(
+      org.apache.spark.sql.SparkSession.builder().master(s"local[$cpus]"),
+      shufflePartitions = cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    import graft.llm.{Caches, Dedup}
+    import graft.streaming.GraphStream
+
+    val base = Td.table(spark, dir, "documents")
+    val shift = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    def dropPairs(r: Int) = Dedup.jaccardPairs(
+      Dedup.shingleTable(ScaleGen.documentsReplica(base, r, shift),
+        "doc_id", "text", 3), 0.8)
+      .select(col("d1"), col("d2"))
+    val root = java.nio.file.Files.createTempDirectory("probe_gs")
+    modes.foreach { m =>
+      val d = root.resolve(m)
+      val landing = d.resolve("landing")
+      java.nio.file.Files.createDirectories(landing)
+      (0 until triggers).foreach { t =>
+        val tmp = d.resolve(s"tmp$t")
+        dropPairs(t).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val target = landing.resolve(s"drop$t.parquet")
+        java.nio.file.Files.copy(part.toPath, target)
+        require(target.toFile.setLastModified(1000000L * (t + 1)),
+          s"setLastModified failed for $target")
+        Caches.releaseAll(spark)
+        val t0 = System.nanoTime()
+        GraphStream.start(spark, landing.toString, d.resolve("out").toString,
+          d.resolve("ckpt").toString, buckets = 8,
+          incremental = m == "incr").awaitTermination()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val lakeDb = "graft_gstream_" + (scala.util.hashing.MurmurHash3
+          .stringHash(d.resolve("out").toString.stripSuffix("/") + "_lake") & 0x7fffffff)
+        val edges = spark.table(s"$lakeDb.edges_acc").count()
+        println(f"[probe-gs] mode=$m%-4s trigger=$t%2d lake=$edges%,9d edges  " +
+          f"wall=$wall%7.2f s")
+        Caches.releaseAll(spark)
+      }
+    }
     spark.stop()
   }
 }

@@ -38,6 +38,17 @@ object Caches {
     df
   }
 
+  /** [[persist]] at MEMORY_AND_DISK_SER — for corpus-sized frames whose
+    * deserialized object count (not byte size) is the cost: e.g. the
+    * suffix-array position table's 27M token-string rows at the ×100
+    * scale, which otherwise sit in the old gen as ~100M live objects
+    * dragging every GC for the pipeline's whole life. */
+  private[graft] def persistSer(df: DataFrame): DataFrame = {
+    tracked.add(df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    df
+  }
+
   /** Register a `localCheckpoint()`ed RESULT frame whose pinned RDD should
     * be dropped by the harness-level [[releaseAll]]. NOT drained by
     * [[release]]: a truncated checkpoint cannot recompute after

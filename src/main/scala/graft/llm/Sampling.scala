@@ -4,6 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Row shape of [[Sampling.globalDenseRankPacked]]'s emit pass — a
+  * top-level case class so the product encoder reads primitive fields
+  * with no boxing (one small object per row, vs the generic Row path's
+  * ~ten: outer row + key/payload structs + boxed longs). */
+final case class PackedRankRow(p1: Long, p2: Long, r: Long)
+
 /** Deterministic sampling operators for training-data mixing. Both use the
   * cross-engine md5 hash ([[Dedup.md5Hash60]]) as the randomness source, so
   * the same rows are kept on any engine, any cluster size, any run — the
@@ -295,6 +301,77 @@ object Sampling {
     (spark.createDataFrame(rows, schema).withColumnRenamed("__dr_tmp", out), classes)
   }
 
+  /** [[globalDenseRank]] specialized to the suffix-array hot shape — one
+    * LONG sort key, two LONG payload columns — running on InternalRows end
+    * to end. Same two-pass algorithm (range-partitioned sort, boundary
+    * stats, offset-broadcast rank emit), but pass 1 reads the sorted
+    * UnsafeRows directly (ZERO allocations per row) and pass 2 emits one
+    * primitive-field case class per row, where the generic Row path
+    * allocates ~10 objects per row per pass (outer row + key/payload
+    * structs + boxed longs). The r11 ld18/ld21 probe attributed 68% of
+    * the level-table stage's wall to exactly that GC bill.
+    *
+    * Contract: `key` must be NULL-FREE (like the generic's keys) and
+    * already encode the caller's order as a single long. Returns
+    * ((p1Name, p2Name, out) columns, class count); ranks are dense,
+    * 1-based. */
+  def globalDenseRankPacked(df: DataFrame, key: Column,
+      p1: Column, p2: Column, p1Name: String, p2Name: String, out: String)
+      : (DataFrame, Long) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df.select(key.cast("long").as("__k"),
+      p1.cast("long").as("__p1"), p2.cast("long").as("__p2"))
+      .orderBy(col("__k"))
+    // one RDD instance backs both passes, so the range exchange is built
+    // once and both jobs ride its shuffle files (the generic's .rdd trick,
+    // minus the InternalRow→Row conversion)
+    val rdd = sorted.queryExecution.toRdd
+    val stats = rdd.mapPartitionsWithIndex { (i, it) =>
+      var first = 0L
+      var last = 0L
+      var cnt = 0L
+      var any = false
+      it.foreach { r =>
+        val k = r.getLong(0)
+        if (!any) { first = k; any = true; cnt = 1 }
+        else if (k != last) cnt += 1
+        last = k
+      }
+      Iterator.single((i, any, first, last, cnt))
+    }.collect().sortBy(_._1)
+    val offsets = new Array[Long](stats.length)
+    val continues = new Array[Boolean](stats.length)
+    var running = 0L
+    var prevLast = 0L
+    var prevAny = false
+    stats.foreach { case (i, any, first, last, cnt) =>
+      if (!any) { offsets(i) = running; continues(i) = false }
+      else {
+        val cont = prevAny && first == prevLast
+        continues(i) = cont
+        offsets(i) = running
+        running += cnt - (if (cont) 1L else 0L)
+        prevLast = last
+        prevAny = true
+      }
+    }
+    val classes = running
+    val bOff = spark.sparkContext.broadcast((offsets, continues))
+    val ranked = spark.createDataset(rdd.mapPartitionsWithIndex { (i, it) =>
+      val (offs, conts) = bOff.value
+      var rank = offs(i)
+      var prev = 0L
+      var firstRow = true
+      it.map { r =>
+        val k = r.getLong(0)
+        if (firstRow) { if (!conts(i)) rank += 1; firstRow = false; prev = k }
+        else if (k != prev) { rank += 1; prev = k }
+        PackedRankRow(r.getLong(1), r.getLong(2), rank)
+      }
+    }).toDF(p1Name, p2Name, out)
+    (ranked, classes)
+  }
 
   /** Scale-correct SEGMENTED running-min scan over a globally-ordered
     * frame: rows are totally ordered by `order` (callers pass a TOTAL

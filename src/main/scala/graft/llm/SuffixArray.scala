@@ -4,6 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Row shape of [[SuffixArray.saOrderPacked]]'s emit pass — top-level so
+  * the product encoder reads primitive fields without boxing. */
+final case class PackedSaRow(dp: Long, rem: Long, r: Long, rn: Long)
+
 /** EXACT duplicate-substring detection over the token stream via a
   * distributed suffix array — the "deduplicating training data makes
   * language models better" ExactSubstr pass (Lee et al., ACL 2022), which
@@ -307,16 +311,195 @@ object SuffixArray {
       minRun: Int, levels: Int = 7, earlyStop: Boolean = true): DataFrame = {
     require(levels >= 1 && levels <= 20, s"levels out of range: $levels")
     require(minRun >= 1, s"minRun must be positive: $minRun")
-    val pos = Caches.persist(posTable(docs, idCol, textCol, levels))
-    val lv = levelTables(pos, levels, earlyStop)
-    val sa = Caches.trackCheckpoint(saOrder(lv.last).localCheckpoint())
-    // EAGERLY checkpointed: replenTable's two union legs would otherwise
-    // evaluate the ENTIRE binary lift (2 joins per level) twice — and a
-    // lazy persist does not help here, because a union's legs run in the
-    // SAME stage, so the second leg starts before the first has
-    // populated the cache and recomputes anyway
-    val pairs = Caches.trackCheckpoint(neighborLcp(sa, lv).localCheckpoint())
+    val pos = Caches.persistSer(posTable(docs, idCol, textCol, levels))
+    val (_, pairs) = doublingSaPairs(pos, levels, earlyStop)
     spanRollup(replenTable(pairs), minRun)
+  }
+
+  // ── packed fast path (r12): single-long keys, window-lead partners ──────
+
+  /** Stride of the packed (doc, position) key space `dp = doc_id · stride
+    * + p`: positions live in [0, 2^levels), and the LCP lift's cursors may
+    * advance past a doc's end but never past 1.5 · 2^levels (seed ≤ nt,
+    * each advance ≤ 2^(levels-1) and only from an in-doc position), so
+    * DOUBLING the cap guarantees a cursor can never alias into the next
+    * document's range. */
+  private[graft] def strideOf(levels: Int): Long = 2L << levels
+
+  /** The doubling pipeline's shared spine — (sa rows (doc_id, p, rn),
+    * SA-adjacent pairs (rn, da, pa, db, pb, lcp)) — dispatched between the
+    * PACKED fast path and the generic one. Packed: the (doc, position)
+    * key is one long (`dp`), level tables carry 3 longs instead of 4, the
+    * per-round partner rank comes from a bounded doc-partitioned
+    * `lead(r, 2^(k-1))` window (positions are dense 0..nt-1) instead of a
+    * corpus-sized self-join, per-round ranking runs through the
+    * InternalRow-native [[Sampling.globalDenseRankPacked]] with the
+    * (r, r2) pair packed into one long, and the lift joins on single-long
+    * keys. Requires non-negative doc ids that fit the packed space
+    * (doc_id ≤ (Long.Max − stride) / stride) — a one-row bounds probe
+    * over the persisted position table routes to the generic path
+    * otherwise, so behavior is never restricted, only accelerated.
+    * Both paths are output-identical (spec-pinned). */
+  private[graft] def doublingSaPairs(pos: DataFrame, levels: Int,
+      earlyStop: Boolean, forceGeneric: Boolean = false)
+      : (DataFrame, DataFrame) = {
+    val stride = strideOf(levels)
+    val b = pos.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val packable = !forceGeneric && !b.isNullAt(0) && b.getLong(0) >= 0L &&
+      b.getLong(1) <= (Long.MaxValue - stride) / stride
+    if (packable) {
+      val lv = levelTablesPacked(pos, levels, earlyStop, stride)
+      // every level is eagerly materialized, so the position table's
+      // last consumer (the level-0 rank) is done: release its ~corpus of
+      // token-string rows NOW instead of letting it drag every GC until
+      // the query-end releaseAll
+      pos.unpersist(blocking = false)
+      val sa = Caches.trackCheckpoint(saOrderPacked(lv.last).localCheckpoint())
+      // EAGERLY checkpointed (both paths): replenTable's two union legs
+      // would otherwise evaluate the ENTIRE binary lift twice — a lazy
+      // persist does not help, the union's legs run in the SAME stage
+      val pairs = Caches.trackCheckpoint(
+        neighborLcpPacked(sa, lv, stride).localCheckpoint())
+      val saDoc = sa.select(expr(s"dp DIV ${stride}L").as("doc_id"),
+        pmod(col("dp"), lit(stride)).as("p"), col("rn"))
+      (saDoc, pairs)
+    } else {
+      val lv = levelTables(pos, levels, earlyStop)
+      pos.unpersist(blocking = false) // same residency hygiene as above
+      val sa = Caches.trackCheckpoint(saOrder(lv.last).localCheckpoint())
+      val pairs = Caches.trackCheckpoint(neighborLcp(sa, lv).localCheckpoint())
+      (sa.select(col("doc_id"), col("p"), col("rn")), pairs)
+    }
+  }
+
+  /** Packed level tables — (dp, rem = nt − p, r) per level, 3 longs where
+    * the generic carries 4. Level 0 ranks token STRINGS, so it runs
+    * through the generic two-pass and packs on the way out; rounds 1+
+    * stay in long-space end to end: the partner rank r2 (= rank at p +
+    * 2^(k−1), sentinel 0 past the doc end) is a doc-partitioned
+    * `lead` window — one bounded exchange on the doc key, replacing the
+    * generic's corpus-sized (doc_id, p − s) self-join — and the (r, r2)
+    * sort key packs into one long (lexicographic (r, r2) ⟺ numeric
+    * r·(C+1)+r2 for ranks ≤ C), falling back to the struct-keyed generic
+    * rank above ~3.03e9 classes where the product would overflow.
+    * Early-stop and SER-checkpoint discipline identical to
+    * [[levelTables]]. */
+  private[graft] def levelTablesPacked(pos: DataFrame, levels: Int,
+      earlyStop: Boolean, stride: Long): IndexedSeq[DataFrame] = {
+    val lvStorage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val lv = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // Checkpoint every level HASH-PARTITIONED AND SORTED on dp:
+    // localCheckpoint preserves outputPartitioning/outputOrdering on the
+    // LogicalRDD, so the LCP lift's two per-level joins (keyed on the
+    // packed cursor) plan the level side with NO exchange and NO local
+    // sort — one build-time exchange of 3 skinny longs replaces two
+    // join-side exchanges per level (plan-asserted in SuffixArraySpec).
+    def ckptByDp(df: DataFrame): DataFrame = Caches.trackCheckpoint(
+      df.repartition(col("dp")).sortWithinPartitions("dp")
+        .localCheckpoint(true, lvStorage))
+    val (r0, c0) = Sampling.globalDenseRank(pos, Seq(col("tok")), "r")
+    lv += ckptByDp(
+      r0.select((col("doc_id") * stride + col("p")).as("dp"),
+        (col("nt") - col("p")).as("rem"), col("r")))
+    var prevClasses = c0
+    var k = 1
+    var converged = false
+    while (k <= levels && !converged) {
+      val s = (1L << (k - 1)).toInt
+      val wDoc = Window.partitionBy(expr(s"dp DIV ${stride}L")).orderBy(col("dp"))
+      val paired = lv(k - 1).withColumn("r2",
+        coalesce(lead(col("r"), s).over(wDoc), lit(0L)))
+      val (rk, ck) =
+        if (prevClasses <= 3037000498L)
+          Sampling.globalDenseRankPacked(paired,
+            col("r") * lit(prevClasses + 1L) + col("r2"),
+            col("dp"), col("rem"), "dp", "rem", "r")
+        else {
+          val (g, c) = Sampling.globalDenseRank(
+            paired.select(col("dp"), col("rem"), col("r"), col("r2")),
+            Seq(col("r"), col("r2")), "rk")
+          (g.select(col("dp"), col("rem"), col("rk").as("r")), c)
+        }
+      val next = ckptByDp(rk)
+      if (earlyStop && ck == prevClasses) converged = true
+      else { lv += next; prevClasses = ck }
+      k += 1
+    }
+    lv.toIndexedSeq
+  }
+
+  /** [[saOrder]] over a packed last level: (dp, rem, r, rn). The
+    * (r, doc_id, p) tie order is exactly (r, dp) — dp preserves
+    * (doc_id, p) order for non-negative ids. InternalRow-native like
+    * [[Sampling.globalDenseRankPacked]] (the generic globalOrderedRank's
+    * Row path allocates ~10 objects per row — at 27M rows that was the
+    * r12 probe's 312 s GC spike). */
+  private[graft] def saOrderPacked(lastLevel: DataFrame): DataFrame = {
+    val spark = lastLevel.sparkSession
+    import spark.implicits._
+    val sorted = lastLevel.select(col("r"), col("dp"), col("rem"))
+      .orderBy(col("r"), col("dp"))
+    // one RDD backs both passes so the range exchange is shared
+    val rdd = sorted.queryExecution.toRdd
+    val counts = rdd.mapPartitionsWithIndex { (i, it) =>
+      var n = 0L
+      it.foreach(_ => n += 1)
+      Iterator.single((i, n))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val bOff = spark.sparkContext.broadcast(offsets)
+    spark.createDataset(rdd.mapPartitionsWithIndex { (i, it) =>
+      var pos = bOff.value(i)
+      it.map { r =>
+        pos += 1
+        PackedSaRow(r.getLong(1), r.getLong(2), r.getLong(0), pos)
+      }
+    }).toDF("dp", "rem", "r", "rn")
+  }
+
+  /** [[neighborLcp]] over packed tables: the state row is 6 longs
+    * (rn, oa, rema, ob, remb, lcp) where the generic carries 10 — the
+    * original positions are recovered as `o − lcp` (cursor and lcp
+    * advance in lockstep, so the difference is invariant), and each
+    * lift round joins on the single-long packed cursor instead of a
+    * (doc, position) pair. Semantics identical: a cursor past its doc's
+    * end finds no level row (positions stop at nt−1 and the stride
+    * head-room keeps it out of the next doc's range), so the pair never
+    * advances again. Output unpacks to the generic's
+    * (rn, da, pa, db, pb, lcp) contract. */
+  private[graft] def neighborLcpPacked(
+      sa: DataFrame, lv: IndexedSeq[DataFrame], stride: Long): DataFrame = {
+    var st = sa.select(col("dp").as("dpa"), col("rem").as("rema"),
+        col("r").as("__ta"), col("rn"))
+      .join(sa.select(col("dp").as("dpb"), col("rem").as("remb"),
+        col("r").as("__tb"), (col("rn") - 1).as("rn")), "rn")
+      .withColumn("lcp", when(col("__ta") === col("__tb"),
+        least(col("rema"), col("remb"))).otherwise(lit(0L)))
+      .select(col("rn"),
+        (col("dpa") + col("lcp")).as("oa"), col("rema"),
+        (col("dpb") + col("lcp")).as("ob"), col("remb"), col("lcp"))
+    for (k <- (lv.size - 2) to 0 by -1) {
+      val w = 1L << k
+      val rk = lv(k).select(col("dp"), col("r"))
+      val adv = col("__ra").isNotNull && (col("__ra") === col("__rb"))
+      st = st
+        .join(rk.select(col("dp").as("oa"), col("r").as("__ra")),
+          Seq("oa"), "left")
+        .join(rk.select(col("dp").as("ob"), col("r").as("__rb")),
+          Seq("ob"), "left")
+        .select(col("rn"),
+          when(adv, col("oa") + w).otherwise(col("oa")).as("oa"), col("rema"),
+          when(adv, col("ob") + w).otherwise(col("ob")).as("ob"), col("remb"),
+          when(adv, col("lcp") + w).otherwise(col("lcp")).as("lcp"))
+    }
+    val paP = col("oa") - col("lcp")
+    val pbP = col("ob") - col("lcp")
+    st.select(col("rn"),
+      expr(s"(oa - lcp) DIV ${stride}L").as("da"),
+      pmod(paP, lit(stride)).as("pa"),
+      expr(s"(ob - lcp) DIV ${stride}L").as("db"),
+      pmod(pbP, lit(stride)).as("pb"),
+      least(col("lcp"), col("rema"), col("remb")).as("lcp"))
   }
 
   // ── cross-corpus exact-substring contamination ──────────────────────────
@@ -414,16 +597,14 @@ object SuffixArray {
       minRun: Int, levels: Int = 7, earlyStop: Boolean = true): DataFrame = {
     require(levels >= 1 && levels <= 20, s"levels out of range: $levels")
     require(minRun >= 1, s"minRun must be positive: $minRun")
-    val pos = Caches.persist(posTable(docs, idCol, textCol, levels))
-    val lv = levelTables(pos, levels, earlyStop)
-    val sa = Caches.trackCheckpoint(saOrder(lv.last).localCheckpoint())
-    val pairs = Caches.trackCheckpoint(neighborLcp(sa, lv).localCheckpoint())
-    // neighborLcp keys its pair by the LOWER rank: row rn = LCP(rn, rn+1);
+    val pos = Caches.persistSer(posTable(docs, idCol, textCol, levels))
+    val (sa, pairs) = doublingSaPairs(pos, levels, earlyStop)
+    // the pair row is keyed by the LOWER rank: row rn = LCP(rn, rn+1);
     // normalize to the upper-keyed adjacency the shared scan expects
     val adj = pairs.select((col("rn") + 1).as("rn"), col("lcp"))
     val sides = docs.select(col(idCol).cast("long").as("doc_id"),
       col(sideCol).cast("int").as("__side"))
-    val rows = sa.select(col("doc_id"), col("p"), col("rn"))
+    val rows = sa
       .join(sides, Seq("doc_id"))
       .join(adj.select(col("rn"), col("lcp").as("lcp_prev")), Seq("rn"), "left")
       .join(adj.select((col("rn") - 1).as("rn"), col("lcp").as("lcp_next")),

@@ -310,4 +310,70 @@ class SuffixArraySpec extends SparkSpec {
     val doubling = run(0L)          // any corpus exceeds 0 → dupSpansDoubling
     assert(direct == doubling && direct.nonEmpty)
   }
+
+  test("packed doubling spine == generic spine on real docs (pairs and sa rows)") {
+    val docs = graft.Td.table(spark, Sf0001, "documents").limit(120)
+    val pos = Caches.persist(SuffixArray.posTable(docs, "doc_id", "text", 7))
+    def spine(forceGeneric: Boolean) = {
+      val (sa, pairs) = SuffixArray.doublingSaPairs(pos, 7,
+        earlyStop = true, forceGeneric = forceGeneric)
+      val saRows = sa.select("doc_id", "p", "rn")
+        .as[(Long, Long, Long)].collect().toSet
+      val pairRows = pairs.select("rn", "da", "pa", "db", "pb", "lcp")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      (saRows, pairRows)
+    }
+    try {
+      val (saP, pairsP) = spine(forceGeneric = false)
+      val (saG, pairsG) = spine(forceGeneric = true)
+      assert(saP == saG && saP.nonEmpty)
+      assert(pairsP == pairsG && pairsP.nonEmpty)
+    } finally Caches.releaseAll(spark)
+  }
+
+  test("packed lift joins plan the level side exchange-free (dp-hash checkpoint layout)") {
+    // levels are checkpointed hash-partitioned + sorted on dp, so each of
+    // the lift's 2 joins per round must reuse that layout: total exchanges
+    // in the pairs plan = the st side's 2 per round + the seed self-join's,
+    // NEVER 2 more per round for the level side
+    val docs = graft.Td.table(spark, Sf0001, "documents").limit(60)
+    val levels = 7
+    val pos = Caches.persist(SuffixArray.posTable(docs, "doc_id", "text", levels))
+    try {
+      val stride = SuffixArray.strideOf(levels)
+      val lv = SuffixArray.levelTablesPacked(pos, levels, earlyStop = true, stride)
+      val sa = SuffixArray.saOrderPacked(lv.last).localCheckpoint()
+      val pairs = SuffixArray.neighborLcpPacked(sa, lv, stride)
+      pairs.collect() // materialize so AQE finalizes
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(s.plan)
+          case other => other.children
+        }
+        p +: kids.flatMap(flatten)
+      }
+      val rounds = lv.size - 1
+      val exchanges = flatten(pairs.queryExecution.executedPlan).count(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+      // st: 2 exchanges per round; seed: ≤ 2; level side: MUST be 0
+      assert(exchanges <= 2 * rounds + 2,
+        s"lift plans $exchanges exchanges for $rounds rounds — the level side " +
+          s"is re-exchanging:\n${pairs.queryExecution.executedPlan}")
+    } finally Caches.releaseAll(spark)
+  }
+
+  test("negative doc ids route to the generic spine and still match the direct sort") {
+    // packed keys require non-negative ids; the bounds probe must fall
+    // back, not corrupt or crash
+    val neg = corpus.withColumn("doc_id", col("doc_id") - 3L) // ids -2..2
+    def spans(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_spans", "dup_tokens", "max_replen")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val direct = spans(SuffixArray.dupSpans(neg, "doc_id", "text", 2, levels = 5))
+    val doubled = spans(SuffixArray.dupSpansDoubling(neg, "doc_id", "text", 2, levels = 5))
+    assert(doubled == direct && direct.nonEmpty)
+  }
 }
