@@ -528,7 +528,7 @@ object ProbeCrossSa {
   * graph grows linearly, which is exactly the regime where the full
   * re-label's O(accumulated) per-trigger cost separates from the
   * incremental mode's O(affected). Prints one line per trigger per mode.
-  * `runMain graft.ProbeGraphStream [sfDir] [triggers] [full|incr|both]` */
+  * `runMain graft.ProbeGraphStream [sfDir] [triggers] [full|incr|both] [jaccard|chain]` */
 object ProbeGraphStream {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
@@ -547,12 +547,33 @@ object ProbeGraphStream {
     import graft.llm.{Caches, Dedup}
     import graft.streaming.GraphStream
 
+    // drop shapes: `jaccard` (default) = the real near-dup pair set of one
+    // ScaleGen replica — shape-realistic but SPARSE at test SFs, so per-
+    // trigger wall stays fixed-overhead-bound; `chain` = one path-graph
+    // edge per consecutive doc id in the replica's shifted id space —
+    // dense enough that the kernels' O(graph) term dominates and the
+    // full-vs-incremental separation is measurable
+    val chain = args.length > 3 && args(3) == "chain"
+    // kernel weight: more LPA/BFS rounds per trigger isolates the term the
+    // incremental mode bounds (kernels re-run O(iters) joins over the FULL
+    // lake in full mode, over the touched subgraph in incremental; the
+    // splice + snapshot sink keep an O(lake) single-pass floor either way)
+    val iters = if (args.length > 4) args(4).toInt else 4
     val base = Td.table(spark, dir, "documents")
     val shift = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
-    def dropPairs(r: Int) = Dedup.jaccardPairs(
-      Dedup.shingleTable(ScaleGen.documentsReplica(base, r, shift),
-        "doc_id", "text", 3), 0.8)
-      .select(col("d1"), col("d2"))
+    def dropPairs(r: Int) =
+      if (chain) {
+        // global window is fine HERE: probe-only, tens of k rows
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+        base.select(col("doc_id"))
+          .withColumn("nxt", lead(col("doc_id"), 1).over(w))
+          .where(col("nxt").isNotNull)
+          .select((col("doc_id") + lit(r * shift)).as("d1"),
+            (col("nxt") + lit(r * shift)).as("d2"))
+      } else Dedup.jaccardPairs(
+        Dedup.shingleTable(ScaleGen.documentsReplica(base, r, shift),
+          "doc_id", "text", 3), 0.8)
+        .select(col("d1"), col("d2"))
     val root = java.nio.file.Files.createTempDirectory("probe_gs")
     modes.foreach { m =>
       val d = root.resolve(m)
@@ -570,8 +591,8 @@ object ProbeGraphStream {
         Caches.releaseAll(spark)
         val t0 = System.nanoTime()
         GraphStream.start(spark, landing.toString, d.resolve("out").toString,
-          d.resolve("ckpt").toString, buckets = 8,
-          incremental = m == "incr").awaitTermination()
+          d.resolve("ckpt").toString, buckets = 8, lpaIters = iters,
+          bfsRounds = iters, incremental = m == "incr").awaitTermination()
         val wall = (System.nanoTime() - t0) / 1e9
         val lakeDb = "graft_gstream_" + (scala.util.hashing.MurmurHash3
           .stringHash(d.resolve("out").toString.stripSuffix("/") + "_lake") & 0x7fffffff)
