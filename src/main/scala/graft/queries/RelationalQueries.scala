@@ -19,10 +19,14 @@ import graft.ops.{AsOfJoin, Det, EventOps, Integrity, IntervalJoin, Retract, Tim
   */
 object RelationalQueries {
 
-  /** e7's adaptive-guard bound, memoized per (session, dir) — see the e7
-    * registration. TrieMap: bench/verify construct queries concurrently. */
+  /** e7's adaptive-guard bound, memoized per (session, dir, mtime of the
+    * customer parquet dir) — see the e7 registration. The mtime component
+    * invalidates the memo when the fixture is regenerated in place within
+    * a live session (an in-place overwrite touches the directory); without
+    * it a stale count could route e7 onto the wrong rank path. TrieMap:
+    * bench/verify construct queries concurrently. */
   private val e7CustUpper =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), Long]
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String, Long), Long]
 
   private def q(name: String, oracle: String)(
       f: (SparkSession, String) => DataFrame): QueryDef =
@@ -2870,8 +2874,12 @@ object RelationalQueries {
       // evict entries whose session has stopped (the LlmLake.memoized
       // hygiene): the map would otherwise retain SparkSession references
       // for the life of the JVM
-      e7CustUpper.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-      val custUpper = e7CustUpper.getOrElseUpdate((s, dir),
+      e7CustUpper.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
+      // mtime in the key: a driver-side stat (no Spark job) that makes an
+      // in-session fixture regeneration (overwrite touches the directory)
+      // start a fresh memo entry instead of serving the stale count
+      val custMtime = new java.io.File(s"$dir/customer.parquet").lastModified()
+      val custUpper = e7CustUpper.getOrElseUpdate((s, dir, custMtime),
         Td.table(s, dir, "customer").count())
       val r = if (custUpper <= windowMax) {
         cRaw.select(col("ck"), col("rec"), col("freq"), col("mon"),

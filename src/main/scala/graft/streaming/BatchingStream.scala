@@ -75,6 +75,10 @@ object BatchingStream {
       checkpointDir: String,
       tokenBudget: Long, shards: Int): StreamingQuery = {
     import spark.implicits._
+    // a fresh checkpoint over an existing sink would restart batch ids
+    // (and every shard's position cursor) at 0 and clobber batch_id=0
+    StreamGuards.requireStoreOwnership(spark, checkpointDir, outDir,
+      "BatchingStream batched sink")
     val stream = spark.readStream
       .schema(CurationStream.docSchema)
       .option("maxFilesPerTrigger", 1)

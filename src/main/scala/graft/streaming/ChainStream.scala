@@ -83,6 +83,12 @@ object ChainStream {
       spark: SparkSession, landingDir: String, workDir: String): Boolean = {
     import spark.implicits._
     val curatedDir = s"$workDir/curated"
+    // the curated tier is the chain's durable restart point: refuse a
+    // fresh curate-checkpoint over an existing tier (batch ids would
+    // restart at 0 and clobber batch_id=0, then stage 2 would re-read
+    // the rewritten files as new — double-packing the old world)
+    StreamGuards.requireStoreOwnership(spark, s"$workDir/ckpt_curate",
+      curatedDir, "ChainStream curated tier")
     val landed = spark.readStream
       .schema(CurationStream.docSchema)
       .option("maxFilesPerTrigger", 1)
@@ -129,6 +135,8 @@ object ChainStream {
       spark: SparkSession, landingDir: String, workDir: String,
       ctxTokens: Long, shards: Int): Unit = {
     if (!runCurateStage(spark, landingDir, workDir)) return
+    StreamGuards.requireStoreOwnership(spark, s"$workDir/ckpt_pack",
+      s"$workDir/packed", "ChainStream packed tier")
     val q2 = PackingStream.packWeighted(
         curatedWeights(spark, workDir), ctxTokens, shards).writeStream
       .outputMode(OutputMode.Update())
@@ -154,6 +162,8 @@ object ChainStream {
       spark: SparkSession, landingDir: String, workDir: String,
       tokenBudget: Long, shards: Int): Unit = {
     if (!runCurateStage(spark, landingDir, workDir)) return
+    StreamGuards.requireStoreOwnership(spark, s"$workDir/ckpt_batch",
+      s"$workDir/batched", "ChainStream batched tier")
     val q2 = BatchingStream.batch(
         curatedWeights(spark, workDir), tokenBudget, shards).writeStream
       .outputMode(OutputMode.Update())

@@ -56,6 +56,10 @@ object ContamStream {
       spark: SparkSession, landingDir: String, train: org.apache.spark.sql.DataFrame,
       outDir: String, checkpointDir: String, minCos: Double,
       kCells: Int = 0, nprobe: Int = 2, dims: Int = 64): StreamingQuery = {
+    // a fresh checkpoint over an existing verdict sink would restart
+    // batch ids at 0 and silently clobber the old batch_id=0 partition
+    StreamGuards.requireStoreOwnership(spark, checkpointDir, outDir,
+      "ContamStream verdict sink")
     val idx = Similarity.buildContamIndex(train, "vec_id", "embedding",
       kCells, nprobe, dims)
     val evals = spark.readStream

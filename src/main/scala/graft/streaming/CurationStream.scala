@@ -78,6 +78,10 @@ object CurationStream {
       checkpointDir: String,
       minTok: Int = 10, maxTok: Int = 5000, minQuality: Double = 0.5): StreamingQuery = {
     import spark.implicits._
+    // a fresh checkpoint over an existing curated sink would restart
+    // batch ids (and the dedup state) at 0 and clobber batch_id=0
+    StreamGuards.requireStoreOwnership(spark, checkpointDir, outDir,
+      "CurationStream curated sink")
     val stream = spark.readStream
       .schema(docSchema)
       .option("maxFilesPerTrigger", 1)

@@ -31,7 +31,12 @@ final case class EpochBatchedDoc(
   *
   * State is ONE Long per (epoch, band, shard) — bounded by
   * ~epochs × 64 × shards by construction, still the cheapest possible
-  * state shape. */
+  * state shape.
+  *
+  * Checkpoint-ownership exemption: this object is transform-only — it
+  * owns no durable sink, so the foreign-checkpoint clobber hazard
+  * ([[StreamGuards]]) is the CALLER's to guard at whatever sink it
+  * attaches ([[BatchingStream.start]] is the guarded reference sink). */
 object EpochBatchingStream {
 
   /** Assign per-epoch (band, shard, batch_idx, slot) to each arriving

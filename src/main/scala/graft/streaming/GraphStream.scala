@@ -77,49 +77,102 @@ object GraphStream {
     (communities, hops)
   }
 
-  /** The newest COMPLETE prior sink partition strictly below `batchId`
-    * (both sinks must carry it — a crash between the two sink writes
-    * leaves a half-written batch that must never be merge material), as
-    * (communities, hops) with batch_id dropped. None when there is no
-    * prior trigger to merge with. */
-  private def priorPartitions(spark: SparkSession, outDir: String,
-      batchId: Long, fs: org.apache.hadoop.fs.FileSystem)
-      : Option[(DataFrame, DataFrame)] = {
-    def batches(name: String): Set[Long] = {
-      val p = new org.apache.hadoop.fs.Path(s"$outDir/$name")
-      if (!fs.exists(p)) Set.empty
-      else fs.listStatus(p).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
-        .flatMap(s => scala.util.Try(
-          s.getPath.getName.stripPrefix("batch_id=").toLong).toOption)
-        .filter(_ < batchId).toSet
+  /** `batch_id=` partition ids under `dir` that are `<= upTo`. */
+  private def batchesIn(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      upTo: Long): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("batch_id=").toLong).toOption)
+      .filter(_ <= upTo).toSet
+  }
+
+  /** The CURRENT graph verdicts materialized from the sink as
+    * (communities, hops): the newest COMPLETE snapshot partition `<= upTo`
+    * (both snapshot stores must carry it — a crash between the two sink
+    * writes leaves a half-written batch that must never be merge
+    * material), overlaid by every delta partition after it (later batch
+    * wins per doc — the delta-sink read contract; in snapshot mode there
+    * are no delta stores and this degrades to "read the newest snapshot").
+    * None when nothing has been sunk yet.
+    *
+    * Every partition is read via its EXPLICIT `batch_id=N` subpath, so a
+    * plan built here never lists the sink ROOT among its input paths —
+    * the in-trigger fold feeds a write job that dynamic-overwrites these
+    * same roots, and a self-read-overwrite through the root is exactly
+    * the pattern Spark rejects on the insertInto path (and that a
+    * mid-commit crash could corrupt).
+    *
+    * Consumers: fold only up to the last CHECKPOINT-COMMITTED batch (the
+    * in-stream caller always passes `upTo = batchId - 1`). The newest
+    * in-flight batch may have one delta store written and the other not
+    * yet — transiently inconsistent until the trigger commits or
+    * replays. */
+  def currentVerdicts(spark: SparkSession, outDir: String,
+      upTo: Long = Long.MaxValue): Option[(DataFrame, DataFrame)] = {
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snaps = batchesIn(fs, s"$outDir/communities", upTo) intersect
+      batchesIn(fs, s"$outDir/hops", upTo)
+    val snap = if (snaps.isEmpty) None else Some(snaps.max)
+    val deltaBatches =
+      (batchesIn(fs, s"$outDir/communities_delta", upTo) union
+        batchesIn(fs, s"$outDir/hops_delta", upTo))
+        .filter(b => snap.forall(_ < b)).toSeq.sorted
+    def fold(name: String, deltaName: String, payload: Seq[String])
+        : Option[DataFrame] = {
+      val parts: Seq[(Long, String)] =
+        snap.map(s => (s, s"$outDir/$name/batch_id=$s")).toSeq ++
+          deltaBatches.flatMap { b =>
+            val p = s"$outDir/$deltaName/batch_id=$b"
+            if (fs.exists(new org.apache.hadoop.fs.Path(p))) Some((b, p)) else None
+          }
+      if (parts.isEmpty) None
+      else {
+        val unioned = parts.map { case (b, p) =>
+          spark.read.parquet(p).withColumn("_b", lit(b)) }
+          .reduce(_ unionByName _)
+        Some(unioned.groupBy("doc_id")
+          .agg(max(struct((col("_b") +: payload.map(col)): _*)).as("m"))
+          .select(col("doc_id") +: payload.map(c => col(s"m.$c").as(c)): _*))
+      }
     }
-    val common = batches("communities") intersect batches("hops")
-    if (common.isEmpty) None
-    else {
-      val prev = common.max
-      def read(name: String) = spark.read.parquet(s"$outDir/$name")
-        .filter(col("batch_id") === prev).drop("batch_id")
-      Some((read("communities"), read("hops")))
-    }
+    for {
+      comm <- fold("communities", "communities_delta", Seq("community", "converged"))
+      hops <- fold("hops", "hops_delta", Seq("hops", "converged"))
+    } yield (comm, hops)
+  }
+
+  /** Rows of `next` whose payload differs from `prior`'s row for the same
+    * doc (or that have no prior row) — the delta-sink emission. */
+  private def changedRows(next: DataFrame, prior: DataFrame,
+      payload: Seq[String]): DataFrame = {
+    val pr = prior.select(
+      col("doc_id") +: payload.map(c => col(c).as(s"_p_$c")): _*)
+    next.join(pr, Seq("doc_id"), "left")
+      .filter(col(s"_p_${payload.head}").isNull ||
+        payload.map(c => col(c) =!= col(s"_p_$c")).reduce(_ || _))
+      .select(col("doc_id") +: payload.map(col): _*)
   }
 
   /** Incremental re-label: discover the components the drop touched (BFS
     * closure from its endpoints over the post-fold graph — early-stops at
-    * fixpoint, so the budget is a guard rail), run the kernels on that
-    * subgraph only, and splice the results over the previous trigger's
-    * verdicts for everything untouched. Returns None when the closure
-    * blew its round budget — the affected set is then unknown and the
-    * caller must fall back to a full re-label rather than merge a
-    * possibly-incomplete subgraph. Label identity with the full re-label
-    * holds because both kernels decompose per connected component and the
-    * affected set is component-closed (the closure runs on the symmetric
-    * edge table, so reachable-from-endpoints = the union of the touched
-    * components; src ∈ affected ⟺ dst ∈ affected for every edge). */
-  private def incrementalLabels(
+    * fixpoint, so the budget is a guard rail) and run the kernels on that
+    * subgraph only. Returns (affected docs, sub communities, sub hops),
+    * or None when the closure blew its round budget — the affected set is
+    * then unknown and the caller must fall back to a full re-label rather
+    * than merge a possibly-incomplete subgraph. Label identity with the
+    * full re-label holds because both kernels decompose per connected
+    * component and the affected set is component-closed (the closure runs
+    * on the symmetric edge table, so reachable-from-endpoints = the union
+    * of the touched components; src ∈ affected ⟺ dst ∈ affected for
+    * every edge). */
+  private def incrementalSub(
       spark: SparkSession, edges: DataFrame, drop: DataFrame,
-      prior: (DataFrame, DataFrame), lpaIters: Int, bfsRounds: Int,
-      srcMod: Int, closureRounds: Int): Option[(DataFrame, DataFrame)] = {
+      lpaIters: Int, bfsRounds: Int, srcMod: Int, closureRounds: Int)
+      : Option[(DataFrame, DataFrame, DataFrame)] = {
     val seeds = symmetrize(drop.select("d1", "d2"))
       .select(col("src").as("id")).distinct()
     val reach = GraphOps.bfsHops(edges, seeds, rounds = closureRounds)
@@ -135,12 +188,17 @@ object GraphStream {
       val subSources = affected.filter(col("id") % srcMod === 0)
       val subHops = GraphOps.bfsHops(subEdges, subSources, rounds = bfsRounds)
         .select(col("id").as("doc_id"), col("dist").as("hops"), col("converged"))
-      val byDoc = affected.withColumnRenamed("id", "doc_id")
-      val (prevComm, prevHops) = prior
-      Some((
-        prevComm.join(byDoc, Seq("doc_id"), "left_anti").unionByName(subComm),
-        prevHops.join(byDoc, Seq("doc_id"), "left_anti").unionByName(subHops)))
+      Some((affected, subComm, subHops))
     }
+  }
+
+  /** Splice sub-run results over the prior verdicts for everything
+    * untouched — the incremental mode's full-frame materialization. */
+  private def splice(prior: (DataFrame, DataFrame), affected: DataFrame,
+      subComm: DataFrame, subHops: DataFrame): (DataFrame, DataFrame) = {
+    val byDoc = affected.withColumnRenamed("id", "doc_id")
+    (prior._1.join(byDoc, Seq("doc_id"), "left_anti").unionByName(subComm),
+      prior._2.join(byDoc, Seq("doc_id"), "left_anti").unionByName(subHops))
   }
 
   /** Rows of the kernel-facing edge table: symmetrized, distinct. */
@@ -177,16 +235,36 @@ object GraphStream {
     * @param closureRounds BFS-closure round budget for the affected-set
     *   discovery (each round is one frontier join against the bucketed
     *   edge table; the kernel early-stops at fixpoint, so this is a guard
-    *   rail, not a paid cost). */
+    *   rail, not a paid cost).
+    * @param sink `"snapshot"` (default): every trigger writes the FULL
+    *   current verdicts under its batch_id partition — O(lake) sink I/O
+    *   per trigger, but any single partition is the complete answer.
+    *   `"delta"`: every trigger writes only the CHANGED labels to
+    *   `communities_delta`/`hops_delta` partitions — O(changed) sink I/O
+    *   — plus, every `snapshotEvery` triggers, a compacting full snapshot
+    *   into the snapshot stores. Read the delta sink through
+    *   [[currentVerdicts]] (newest snapshot overlaid by later deltas,
+    *   last writer per doc wins); docs never leave the graph, so there
+    *   are no tombstones to fold. The two modes are
+    *   verdict-equal after folding (spec-pinned).
+    * @param snapshotEvery delta-mode compaction cadence: a trigger whose
+    *   batch id is a multiple of this writes a full snapshot partition
+    *   (batch 0 included, so the fold always has a base and a consumer
+    *   reads at most `snapshotEvery - 1` delta partitions on top of one
+    *   snapshot). Ignored in snapshot mode. */
   def start(
       spark: SparkSession, landingDir: String, outDir: String,
       checkpointDir: String, buckets: Int = 8, lpaIters: Int = 4,
       bfsRounds: Int = 4, srcMod: Int = 10, compactEvery: Int = 4,
-      incremental: Boolean = false, closureRounds: Int = 32)
+      incremental: Boolean = false, closureRounds: Int = 32,
+      sink: String = "snapshot", snapshotEvery: Int = 8)
       : StreamingQuery = {
     require(buckets >= 1 && compactEvery >= 1 && srcMod >= 1,
       s"start: buckets=$buckets compactEvery=$compactEvery srcMod=$srcMod must be positive")
     require(closureRounds >= 1, s"start: closureRounds=$closureRounds must be positive")
+    require(sink == "snapshot" || sink == "delta",
+      s"start: unknown sink mode '$sink' (snapshot|delta)")
+    require(snapshotEvery >= 1, s"start: snapshotEvery=$snapshotEvery must be positive")
     val journalDir = outDir.stripSuffix("/") + "_journal"
     val lakeRoot = outDir.stripSuffix("/") + "_lake"
     // db name keyed by the lake location (the LlmLake.memoized discipline):
@@ -260,23 +338,61 @@ object GraphStream {
           failpoint(spark, FailAfterFoldConf, batchId)
           // 3. re-label through the BATCH kernels — the full accumulated
           //    graph, or (incremental mode) only the components the drop
-          //    touched, merged with the previous trigger's verdicts
+          //    touched — and sink per the mode: full snapshots, or only
+          //    the changed labels (+ compacting snapshots on cadence)
           val edges = spark.table(table)
-          val prior = priorPartitions(spark, outDir, batchId, fs)
-          val (communities, hops) =
+          // fold only checkpoint-committed batches (< batchId): the
+          // newest batch may be THIS one mid-replay, half-written
+          val prior = currentVerdicts(spark, outDir, upTo = batchId - 1)
+          val sub =
             if (incremental && prior.isDefined)
-              incrementalLabels(spark, edges, batch.toDF(), prior.get,
-                lpaIters, bfsRounds, srcMod, closureRounds)
-                .getOrElse(fullLabels(edges, lpaIters, bfsRounds, srcMod))
-            else fullLabels(edges, lpaIters, bfsRounds, srcMod)
-          def sink(df: DataFrame, name: String): Unit =
+              incrementalSub(spark, edges, batch.toDF(), lpaIters,
+                bfsRounds, srcMod, closureRounds)
+            else None
+          def sinkPart(df: DataFrame, name: String): Unit =
             df.withColumn("batch_id", lit(batchId))
               .write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("batch_id")
               .parquet(s"$outDir/$name")
-          sink(communities, "communities")
-          sink(hops, "hops")
+          if (sink == "snapshot") {
+            val (communities, hops) = sub match {
+              case Some((affected, subComm, subHops)) =>
+                splice(prior.get, affected, subComm, subHops)
+              case None => fullLabels(edges, lpaIters, bfsRounds, srcMod)
+            }
+            sinkPart(communities, "communities")
+            sinkPart(hops, "hops")
+          } else {
+            // delta mode: the new labels cover the affected subgraph
+            // (incremental) or everything (full fallback); either way the
+            // emitted delta is the payload-diff against the prior fold —
+            // unaffected docs are label-identical by the component
+            // decomposition, so diffing the sub-run IS the full diff
+            val (newComm, newHops) = sub match {
+              case Some((_, subComm, subHops)) => (subComm, subHops)
+              case None => fullLabels(edges, lpaIters, bfsRounds, srcMod)
+            }
+            val (dComm, dHops) = prior match {
+              case Some((pc, ph)) =>
+                (changedRows(newComm, pc, Seq("community", "converged")),
+                  changedRows(newHops, ph, Seq("hops", "converged")))
+              case None => (newComm, newHops)
+            }
+            if (batchId % snapshotEvery == 0) {
+              // compaction: materialize the full current verdicts so the
+              // fold never reads more than snapshotEvery - 1 deltas
+              val (sc, sh) = sub match {
+                case Some((affected, subComm, subHops)) =>
+                  splice(prior.get, affected, subComm, subHops)
+                case None => (newComm, newHops)
+              }
+              sinkPart(sc, "communities")
+              sinkPart(sh, "hops")
+            }
+            sinkPart(dComm, "communities_delta")
+            sinkPart(dHops, "hops_delta")
+          }
         } finally Caches.releaseAll(spark) // the kernels persist their loop frames
       }
       .option("checkpointLocation", checkpointDir)

@@ -142,6 +142,10 @@ object NearDupStream {
       spark: SparkSession, landingDir: String, outDir: String,
       checkpointDir: String, shingleN: Int = 3, numHashes: Int = 32,
       rowsPerBand: Int = 4, minEstJ: Double = 0.5): StreamingQuery = {
+    // a fresh checkpoint over an existing verdict sink would restart
+    // batch ids (and the band-bucket state) at 0 and clobber batch_id=0
+    StreamGuards.requireStoreOwnership(spark, checkpointDir, outDir,
+      "NearDupStream verdict sink")
     val stream = spark.readStream
       .schema(CurationStream.docSchema)
       .option("maxFilesPerTrigger", 1)

@@ -95,6 +95,10 @@ object PackingStream {
       checkpointDir: String,
       ctxTokens: Long = 512L, shards: Int = 8): StreamingQuery = {
     import spark.implicits._
+    // a fresh checkpoint over an existing packed sink would restart
+    // batch ids (and every shard's token cursor) at 0 and clobber batch_id=0
+    StreamGuards.requireStoreOwnership(spark, checkpointDir, outDir,
+      "PackingStream packed sink")
     val stream = spark.readStream
       .schema(CurationStream.docSchema)
       .option("maxFilesPerTrigger", 1)

@@ -100,6 +100,11 @@ object RetractStream {
       outDir: String,
       checkpointDir: String): StreamingQuery = {
     import spark.implicits._
+    // append sink: no clobber, but a fresh checkpoint restarts batch ids
+    // AND the histogram state at zero — new snapshots would collide with
+    // the old lineage's ids under the max-batch_id-per-key read contract
+    StreamGuards.requireAppendSinkOwnership(spark, checkpointDir, outDir,
+      "RetractStream snapshot sink")
     val stream = spark.readStream
       .schema("key STRING, v LONG, dcnt LONG")
       .option("maxFilesPerTrigger", 1)

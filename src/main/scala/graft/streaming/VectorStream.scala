@@ -112,6 +112,11 @@ object VectorStream {
       outDir: String,
       checkpointDir: String): StreamingQuery = {
     import spark.implicits._
+    // append sink: a fresh checkpoint restarts batch ids AND the
+    // occupancy counters at zero — old and new count lineages would mix
+    // under the max-batch_id-per-cell read contract
+    StreamGuards.requireAppendSinkOwnership(spark, s"$checkpointDir/cells",
+      s"$outDir/cells", "VectorStream occupancy sink")
     val cents = frozenCentroids(train, "label", "embedding")
     val stream = spark.readStream
       .schema("vec_id LONG, embedding ARRAY<DOUBLE>")
@@ -141,6 +146,11 @@ object VectorStream {
       train: DataFrame,
       outDir: String,
       checkpointDir: String): StreamingQuery = {
+    // exactly-once file sink: its _spark_metadata commit log is
+    // per-checkpoint state — a fresh checkpoint would find its batch ids
+    // already committed and SILENTLY SKIP writing them (data loss)
+    StreamGuards.requireFileSinkOwnership(spark, s"$checkpointDir/assign",
+      s"$outDir/assign", "VectorStream assignment sink")
     val cents = frozenCentroids(train, "label", "embedding")
     val stream = spark.readStream
       .schema("vec_id LONG, embedding ARRAY<DOUBLE>")

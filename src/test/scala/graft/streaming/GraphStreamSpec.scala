@@ -226,4 +226,119 @@ class GraphStreamSpec extends SparkSpec {
     assert(sortedRows(sinkAt(outDir, "communities", 2L)) == c2)
     assert(sortedRows(sinkAt(outDir, "hops", 2L)) == h2)
   }
+
+  /** Rows of `cur` that are NOT in `prev` verbatim — the expected delta
+    * emission (docs never leave the graph, so a changed doc appears in
+    * `cur` with a new payload and an unchanged doc's row is identical). */
+  private def expectedDelta(prev: Seq[Seq[Any]], cur: Seq[Seq[Any]]): Seq[Seq[Any]] = {
+    val seen = prev.toSet
+    cur.filterNot(seen)
+  }
+
+  private def foldRows(outDir: String, upTo: Long): (Seq[Seq[Any]], Seq[Seq[Any]]) = {
+    val (c, h) = GraphStream.currentVerdicts(spark, outDir, upTo).get
+    (sortedRows(c), sortedRows(h))
+  }
+
+  test("delta sink: per-trigger partitions hold only changed labels; the fold equals snapshot mode, the batch twin, and survives a replay storm") {
+    val dir = Fixtures.tempDir("graph_delta")
+    val landing = dir.resolve("landing")
+    java.nio.file.Files.createDirectories(landing)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val outDir = dir.resolve("out").toString
+    // snapshotEvery high: only batch 0 compacts, so later folds genuinely
+    // exercise the snapshot+deltas overlay path
+    def start() = GraphStream.start(spark, landing.toString, outDir,
+      dir.resolve("ckpt").toString, buckets = 4, incremental = true,
+      sink = "delta", snapshotEvery = 100)
+    def deltaRows(name: String, b: Long): Seq[Seq[Any]] = {
+      val part = new java.io.File(s"$outDir/$name/batch_id=$b")
+      if (!part.exists()) Seq.empty
+      else sortedRows(spark.read.parquet(part.toString))
+    }
+    val d1 = half(0)
+    val d2 = half(1)
+
+    // batch 0: no prior → the delta IS the full label set (and the
+    // cadence writes the base snapshot)
+    drop(landing, "d1.parquet", d1, seen, 1000000L)
+    start().awaitTermination()
+    val (c1, h1) = twin(d1)
+    assert(c1.forall(_.last == true) && h1.forall(_.last == true),
+      "fixture drifted: the batch twin no longer converges, flag-inclusive " +
+        "equality below is no longer the right assertion")
+    assert(foldRows(outDir, 0L) == ((c1, h1)))
+    assert(deltaRows("communities_delta", 0L) == c1)
+
+    // batch 1 merges components: the delta must be EXACTLY the rows whose
+    // payload changed (or are new) vs the batch-0 world — computed here
+    // from the two batch twins, independently of the implementation
+    drop(landing, "d2.parquet", d2 ++ d1.take(2), seen, 2000000L)
+    start().awaitTermination()
+    val (c2, h2) = twin(d1 ++ d2)
+    assert(foldRows(outDir, 1L) == ((c2, h2)))
+    assert(deltaRows("communities_delta", 1L) == expectedDelta(c1, c2))
+    assert(deltaRows("hops_delta", 1L) == expectedDelta(h1, h2))
+
+    // a pure-duplicate drop changes nothing → the delta partitions are
+    // empty (the O(changed) sink contract, pinned at its floor)
+    drop(landing, "d3.parquet", d2.take(3), seen, 3000000L)
+    start().awaitTermination()
+    assert(deltaRows("communities_delta", 2L).isEmpty)
+    assert(deltaRows("hops_delta", 2L).isEmpty)
+    assert(foldRows(outDir, 2L) == ((c2, h2)))
+
+    // replay storm at the fold/sink seam: the replayed delta replaces
+    // itself (dynamic overwrite) and the fold still equals the twin
+    drop(landing, "d4.parquet", d1.take(3), seen, 4000000L)
+    spark.conf.set(GraphStream.FailAfterFoldConf, "3")
+    try intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      start().awaitTermination()
+    } finally spark.conf.unset(GraphStream.FailAfterFoldConf)
+    start().awaitTermination()
+    assert(foldRows(outDir, 3L) == ((c2, h2)))
+    assert(deltaRows("communities_delta", 3L).isEmpty)
+
+    // the delta-mode fold equals a snapshot-mode run over the same drops
+    // (the two sink contracts agree after folding)
+    val sdir = Fixtures.tempDir("graph_delta_snap")
+    val slanding = sdir.resolve("landing")
+    java.nio.file.Files.createDirectories(slanding)
+    val sseen = scala.collection.mutable.Set.empty[String]
+    val soutDir = sdir.resolve("out").toString
+    drop(slanding, "d1.parquet", d1, sseen, 1000000L)
+    drop(slanding, "d2.parquet", d2 ++ d1.take(2), sseen, 2000000L)
+    GraphStream.start(spark, slanding.toString, soutDir,
+      sdir.resolve("ckpt").toString, buckets = 4).awaitTermination()
+    assert(foldRows(outDir, 3L) ==
+      ((sortedRows(sinkAt(soutDir, "communities", 1L)),
+        sortedRows(sinkAt(soutDir, "hops", 1L)))))
+  }
+
+  test("delta sink: snapshot compaction lands on cadence and bounds the fold depth") {
+    val dir = Fixtures.tempDir("graph_delta_compact")
+    val landing = dir.resolve("landing")
+    java.nio.file.Files.createDirectories(landing)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val outDir = dir.resolve("out").toString
+    def start() = GraphStream.start(spark, landing.toString, outDir,
+      dir.resolve("ckpt").toString, buckets = 4, incremental = true,
+      sink = "delta", snapshotEvery = 2)
+    val d1 = half(0)
+    val d2 = half(1)
+    drop(landing, "d1.parquet", d1, seen, 1000000L)
+    start().awaitTermination()
+    drop(landing, "d2.parquet", d2, seen, 2000000L)
+    start().awaitTermination()
+    drop(landing, "d3.parquet", d1.take(2) ++ d2.take(2), seen, 3000000L)
+    start().awaitTermination()
+    // batch 2 is on the cadence: its snapshot partition alone is the full
+    // current answer, equal to the batch twin and to the fold
+    val (c3, h3) = twin(d1 ++ d2)
+    assert(sortedRows(sinkAt(outDir, "communities", 2L)) == c3)
+    assert(sortedRows(sinkAt(outDir, "hops", 2L)) == h3)
+    assert(foldRows(outDir, 2L) == ((c3, h3)))
+    // batch 1 (off-cadence) wrote no snapshot partition
+    assert(!new java.io.File(s"$outDir/communities/batch_id=1").exists())
+  }
 }
