@@ -497,23 +497,113 @@ object ProbeCrossSa {
       .join(adj.select(col("rn"), col("lcp").as("lcp_prev")), Seq("rn"), "left")
       .join(adj.select((col("rn") - 1).as("rn"), col("lcp").as("lcp_next")),
         Seq("rn"), "left")
-    // crossScanRollup unrolled so each scan times separately; checkpoint
-    // between so the second scan doesn't recompute the first
-    val isTrain = col("__side") === 0
-    val fwd = timed("scan fwd (+rn)")(
-      Sampling.globalSegmentedMinScan(rows,
-        order = Seq(col("rn")), resetCol = isTrain,
-        valueCol = col("lcp_prev"), out = "cross_prev").localCheckpoint())
-    val both = timed("scan bwd (-rn)")(
-      Sampling.globalSegmentedMinScan(fwd,
-        order = Seq(-col("rn")), resetCol = isTrain,
-        valueCol = col("lcp_next"), out = "cross_next").localCheckpoint())
-    val rep = both.where(col("__side") === 1)
-      .select(col("doc_id"), col("p"),
-        greatest(coalesce(col("cross_prev"), lit(0L)),
-          coalesce(col("cross_next"), lit(0L))).as("replen"))
+    // scan tail: `genericscan` as args(2) times the legacy two-sort
+    // generic-Row pair; default times the packed single-sort both-ways
+    // scan (r13) — same-box A/B for the before/after table
+    val genericScan = args.length > 2 && args(2) == "genericscan"
+    println(s"[probe-xsa] scan: ${if (genericScan) "generic (2 sorts)" else "packed (1 sort)"}")
+    val rowsCk = rows.localCheckpoint()
+    val rep =
+      if (genericScan) {
+        val isTrain = col("__side") === 0
+        val fwd = timed("scan fwd (+rn)")(
+          Sampling.globalSegmentedMinScan(rowsCk,
+            order = Seq(col("rn")), resetCol = isTrain,
+            valueCol = col("lcp_prev"), out = "cross_prev").localCheckpoint())
+        val both = timed("scan bwd (-rn)")(
+          Sampling.globalSegmentedMinScan(fwd,
+            order = Seq(-col("rn")), resetCol = isTrain,
+            valueCol = col("lcp_next"), out = "cross_next").localCheckpoint())
+        both.where(col("__side") === 1)
+          .select(col("doc_id"), col("p"),
+            greatest(coalesce(col("cross_prev"), lit(0L)),
+              coalesce(col("cross_next"), lit(0L))).as("replen"))
+      } else {
+        val scanned = timed("scan packed (both)")(
+          SuffixArray.crossNeighborScanPacked(rowsCk).localCheckpoint())
+        scanned.where(col("side") === 1)
+          .select(col("doc_id"), col("p"),
+            greatest(col("cross_prev"), col("cross_next")).as("replen"))
+      }
     val out = timed("spanRollup")(SuffixArray.spanRollup(rep, 10).count())
     println(s"[probe-xsa] contaminated spans: $out")
+    Caches.releaseAll(spark)
+    spark.stop()
+  }
+}
+
+/** Stage decomposition of lg4_bfs_hops (r12 verdict task 7): the ×100
+  * isolated 54.6 s had no attribution — is it the upstream near-dup PAIR
+  * DERIVATION (shingle explode + shingle-keyed self-join, paid per run by
+  * every `plain` graph query), the edge symmetrize/persist, or the four
+  * BFS rounds (each one src-keyed propagate join + one id-keyed min
+  * fold)? Times each stage with the ProbeCrossSa spill/GC listener and
+  * each BFS round separately (rounds run through the REAL
+  * [[graft.llm.GraphOps.bfsRound]] + per-round signature, the kernel's
+  * own fixpoint accounting). `runMain graft.ProbeLg4 <dir> [rounds]` */
+object ProbeLg4 {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val rounds = if (args.length > 1) args(1).toInt else 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"),
+      shufflePartitions = cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.llm.{Caches, Dedup, GraphOps}
+    val totals = new ProbeSaDoubling.SpillTotals
+    spark.sparkContext.addSparkListener(totals)
+    var prev = totals.snapshot
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      val wall = (System.nanoTime() - t0) / 1e9
+      ProbeSaDoubling.awaitListenerQuiesce(totals)
+      val cur = totals.snapshot
+      def gb(b: Long) = f"${b / 1e9}%.2f"
+      println(f"[probe-lg4] $label%-22s ${wall}%7.2f s  " +
+        f"shufW=${gb(cur._1 - prev._1)} GB shufR=${gb(cur._2 - prev._2)} GB " +
+        f"spillM=${gb(cur._3 - prev._3)} GB spillD=${gb(cur._4 - prev._4)} GB " +
+        f"gc=${(cur._5 - prev._5) / 1000.0}%.1f s")
+      prev = cur
+      r
+    }
+    val docs = Td.table(spark, dir, "documents")
+    // stage 1: the near-dup pair derivation lg3/lg4/lg5 all pay per run
+    // (vs the lake tier lg8/lg9, which amortizes it into the edge table)
+    val jac = timed("jaccardPairs") {
+      val j = Caches.persist(Dedup.jaccardPairs(
+        Dedup.shingleTable(docs, "doc_id", "text", 3), 0.8))
+      j.count(); j
+    }
+    // stage 2: symmetrize + the kernel's own edge persist
+    val edges = timed("edges sym+persist") {
+      val e = Caches.persist(
+        jac.select(col("d1").cast("long").as("src"), col("d2").cast("long").as("dst"))
+          .unionByName(jac.select(col("d2").cast("long").as("src"),
+            col("d1").cast("long").as("dst"))))
+      println(s"[probe-lg4] edges: ${e.count()}")
+      e
+    }
+    val sources = timed("sources distinct") {
+      val s = edges.select(col("src").as("id")).distinct()
+        .filter(col("id") % 10 === 0)
+        .select(col("id").cast("long").as("id"), lit(0L).as("dist"))
+        .localCheckpoint()
+      println(s"[probe-lg4] sources: ${s.count()}")
+      s
+    }
+    // stages 3..: each BFS round through the real kernel round + its
+    // fixpoint signature (the aggregate the kernel itself pays per round)
+    var dist = sources
+    (1 to rounds).foreach { r =>
+      dist = timed(s"bfs round $r") {
+        val next = GraphOps.bfsRound(edges, dist).localCheckpoint()
+        val sg = next.agg(count(lit(1)), coalesce(sum(col("dist")), lit(0L))).head()
+        println(s"[probe-lg4] round $r frontier sig: (${sg.getLong(0)}, ${sg.getLong(1)})")
+        next
+      }
+    }
     Caches.releaseAll(spark)
     spark.stop()
   }
@@ -536,6 +626,7 @@ object ProbeGraphStream {
     val modeArg = if (args.length > 2) args(2) else "both"
     val modes = modeArg match {
       case "both" => Seq("full", "incr")
+      case "all" => Seq("full", "incr", "delta")
       case m => Seq(m)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -590,15 +681,30 @@ object ProbeGraphStream {
           s"setLastModified failed for $target")
         Caches.releaseAll(spark)
         val t0 = System.nanoTime()
+        // `delta` = incremental kernels + changed-labels-only sink (the
+        // O(changed) per-trigger I/O contract); snapshotEvery high so the
+        // curve shows the delta floor, not the compaction cadence
         GraphStream.start(spark, landing.toString, d.resolve("out").toString,
           d.resolve("ckpt").toString, buckets = 8, lpaIters = iters,
-          bfsRounds = iters, incremental = m == "incr").awaitTermination()
+          bfsRounds = iters, incremental = m != "full",
+          sink = if (m == "delta") "delta" else "snapshot",
+          snapshotEvery = 1000000).awaitTermination()
         val wall = (System.nanoTime() - t0) / 1e9
         val lakeDb = "graft_gstream_" + (scala.util.hashing.MurmurHash3
           .stringHash(d.resolve("out").toString.stripSuffix("/") + "_lake") & 0x7fffffff)
         val edges = spark.table(s"$lakeDb.edges_acc").count()
-        println(f"[probe-gs] mode=$m%-4s trigger=$t%2d lake=$edges%,9d edges  " +
-          f"wall=$wall%7.2f s")
+        // this trigger's SINK I/O: bytes written under its batch_id
+        // partitions across all four stores — the term the delta contract
+        // bounds (snapshot mode: O(lake) every trigger; delta: O(changed))
+        def partBytes(name: String): Long = {
+          val p = new java.io.File(s"${d.resolve("out")}/$name/batch_id=$t")
+          if (!p.exists()) 0L
+          else p.listFiles().filter(_.isFile).map(_.length()).sum
+        }
+        val sinkBytes = Seq("communities", "hops",
+          "communities_delta", "hops_delta").map(partBytes).sum
+        println(f"[probe-gs] mode=$m%-5s trigger=$t%2d lake=$edges%,9d edges  " +
+          f"wall=$wall%7.2f s  sink=${sinkBytes / 1024.0}%9.1f KiB")
         Caches.releaseAll(spark)
       }
     }

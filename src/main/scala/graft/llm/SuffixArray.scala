@@ -8,6 +8,12 @@ import org.apache.spark.sql.functions._
   * the product encoder reads primitive fields without boxing. */
 final case class PackedSaRow(dp: Long, rem: Long, r: Long, rn: Long)
 
+/** Row shape of [[SuffixArray.crossNeighborScanPacked]]'s emit pass —
+  * primitive fields only; −1 in `cross_prev`/`cross_next` encodes the
+  * generic scan's null ("no train suffix on that side"). */
+final case class CrossScanRow(
+    doc_id: Long, side: Long, p: Long, cross_prev: Long, cross_next: Long)
+
 /** EXACT duplicate-substring detection over the token stream via a
   * distributed suffix array — the "deduplicating training data makes
   * language models better" ExactSubstr pass (Lee et al., ACL 2022), which
@@ -568,8 +574,27 @@ object SuffixArray {
   /** Shared tail of the cross-corpus paths: the two nearest-train-suffix
     * scans + eval-side span rollup over (rn, doc_id, __side, p, lcp_prev,
     * lcp_next) rows — lcp_prev(r) = LCP(r-1, r), lcp_next(r) = LCP(r, r+1),
-    * null at the array ends. */
+    * null at the array ends. Runs [[crossNeighborScanPacked]] — ONE
+    * range-partitioned sort serving both scan directions on InternalRows —
+    * rather than two [[Sampling.globalSegmentedMinScan]] calls (two
+    * corpus-sized sort exchanges + ~10 object allocations per row per
+    * pass; the r12 ld21 probe put the pair at ~60 s + GC at ×100). The
+    * generic spelling survives as [[crossScanRollupGeneric]], spec-pinned
+    * output-equal. */
   private def crossScanRollup(rows: DataFrame, minRun: Int): DataFrame = {
+    val rep = crossNeighborScanPacked(rows)
+      .where(col("side") === 1)
+      // −1 sentinels (no train suffix on either side) fall below any
+      // valid minRun >= 1, exactly like the generic's coalesce-to-0 rows
+      .select(col("doc_id"), col("p"),
+        greatest(col("cross_prev"), col("cross_next")).as("replen"))
+    spanRollup(rep, minRun)
+  }
+
+  /** The generic-Row spelling of the scan tail — kept as the
+    * output-equality oracle for [[crossNeighborScanPacked]] (the
+    * packed == generic discipline of the level-table spine). */
+  private[graft] def crossScanRollupGeneric(rows: DataFrame, minRun: Int): DataFrame = {
     val isTrain = col("__side") === 0
     val fwd = Sampling.globalSegmentedMinScan(rows,
       order = Seq(col("rn")), resetCol = isTrain,
@@ -582,6 +607,185 @@ object SuffixArray {
         greatest(coalesce(col("cross_prev"), lit(0L)),
           coalesce(col("cross_next"), lit(0L))).as("replen"))
     spanRollup(rep, minRun)
+  }
+
+  /** BOTH nearest-train-suffix scans in one range-partitioned sort on
+    * InternalRows — the packed fast path of the cross-corpus scan tail.
+    *
+    * Input: (rn, __side, doc_id, p, lcp_prev, lcp_next) rows (lcp columns
+    * null at the array ends). Output: one row per input row —
+    * (doc_id, side, p, cross_prev, cross_next) with −1 encoding null.
+    *
+    * Why −1 is exactly null: the scan's recurrence only combines values
+    * with `min`, LCPs are >= 0, and null is ABSORBING under the generic's
+    * Option algebra (None in, None out) — so mapping null to −1 makes
+    * plain `math.min` compute the identical lattice, and no Option/boxing
+    * survives into the hot loop.
+    *
+    * Structure (the [[Sampling.globalDenseRankPacked]] pattern, doubled):
+    * one sort by rn whose shuffle files back both jobs; pass 1 streams
+    * each partition's UnsafeRows — forward state for the cross_prev scan,
+    * a two-primitive-array buffer replayed backward for the cross_next
+    * scan — into per-partition, per-direction carry summaries (a partition
+    * either contains a reset row, making its exit state concrete, or
+    * passes min(carry, its values) through); the driver folds the
+    * summaries forward for one direction and backward for the other; pass
+    * 2 buffers each partition into primitive arrays, runs both scans
+    * locally, and emits one primitive-field case class per row. The
+    * per-partition buffers are bounded by the range partitioning
+    * (~rows/partitions, the same residency the sort itself needs). */
+  private[graft] def crossNeighborScanPacked(rows: DataFrame): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val sorted = rows.select(col("rn").cast("long").as("__rn"),
+      (col("__side") === 0).as("__reset"),
+      coalesce(col("lcp_prev").cast("long"), lit(-1L)).as("__vp"),
+      coalesce(col("lcp_next").cast("long"), lit(-1L)).as("__vn"),
+      col("doc_id").cast("long").as("__d"),
+      col("__side").cast("long").as("__s"),
+      col("p").cast("long").as("__p"))
+      .orderBy(col("__rn"))
+    // one RDD backs both passes: the range exchange is built once and
+    // both jobs ride its shuffle files
+    val rdd = sorted.queryExecution.toRdd
+    // absorbing min: −1 (null) in, −1 out
+    def amin(a: Long, b: Long): Long = if (a < 0L || b < 0L) -1L else math.min(a, b)
+    // per-partition, per-direction summary:
+    // (nonEmpty, lastReset, concrete, lastOut, minAll)
+    //  - lastReset: reset flag of the partition's last row IN SCAN ORDER
+    //  - concrete:  the last row's out is carry-independent (the scan
+    //               crossed a reset row before reaching it)
+    //  - lastOut:   that out, valid iff concrete (−1 = null)
+    //  - minAll:    min over the partition's values (no interior nulls by
+    //               the scan contract — only the globally-first row in
+    //               scan order carries −1, and its partition never reads
+    //               the carry), Long.MaxValue when the partition is empty
+    val stats = rdd.mapPartitionsWithIndex { (i, it) =>
+      var any = false
+      // forward (cross_prev) streaming state
+      var fPrevReset = false
+      var fConcrete = false
+      var fRunning = -1L
+      var fMinAll = Long.MaxValue
+      var fLastReset = false
+      // backward (cross_next) replay buffers
+      val resets = new scala.collection.mutable.ArrayBuilder.ofBoolean
+      val vns = new scala.collection.mutable.ArrayBuilder.ofLong
+      it.foreach { r =>
+        val reset = r.getBoolean(1)
+        val vp = r.getLong(2)
+        val vn = r.getLong(3)
+        fMinAll = math.min(fMinAll, vp)
+        if (any) {
+          if (fPrevReset) { fConcrete = true; fRunning = vp }
+          else if (fConcrete) fRunning = amin(fRunning, vp)
+        }
+        fPrevReset = reset
+        fLastReset = reset
+        resets += reset
+        vns += vn
+        any = true
+      }
+      // backward scan of the same partition: last row first
+      val ra = resets.result()
+      val va = vns.result()
+      var bPrevReset = false
+      var bConcrete = false
+      var bRunning = -1L
+      var bMinAll = Long.MaxValue
+      var bFirst = true
+      var j = ra.length - 1
+      while (j >= 0) {
+        val v = va(j)
+        bMinAll = math.min(bMinAll, v)
+        if (!bFirst) {
+          if (bPrevReset) { bConcrete = true; bRunning = v }
+          else if (bConcrete) bRunning = amin(bRunning, v)
+        }
+        bPrevReset = ra(j)
+        bFirst = false
+        j -= 1
+      }
+      val bLastReset = if (ra.nonEmpty) ra(0) else false
+      Iterator.single((i, any,
+        (fLastReset, fConcrete, fRunning, fMinAll),
+        (bLastReset, bConcrete, bRunning, bMinAll)))
+    }.collect().sortBy(_._1)
+    val nParts = stats.length
+    // driver fold of one direction's summaries over the partition order
+    // given by `order`; returns carry-in arrays indexed by partition id
+    def foldCarries(order: Seq[Int], backward: Boolean)
+        : (Array[Boolean], Array[Boolean], Array[Long]) = {
+      val ce = new Array[Boolean](nParts)
+      val cr = new Array[Boolean](nParts)
+      val co = new Array[Long](nParts)
+      var exists = false
+      var reset = false
+      var outPrev = -1L
+      order.foreach { i =>
+        ce(i) = exists; cr(i) = reset; co(i) = outPrev
+        val (_, any, f, b) = stats(i)
+        if (any) {
+          val (lastReset, concrete, lastOut, minAll) = if (backward) b else f
+          outPrev =
+            if (concrete) lastOut
+            else if (!exists) -1L
+            else if (reset) (if (minAll == Long.MaxValue) -1L else minAll)
+            else amin(outPrev, if (minAll == Long.MaxValue) -1L else minAll)
+          reset = lastReset
+          exists = true
+        }
+      }
+      (ce, cr, co)
+    }
+    val (fce, fcr, fco) = foldCarries(0 until nParts, backward = false)
+    val (bce, bcr, bco) = foldCarries((nParts - 1) to 0 by -1, backward = true)
+    val bCarry = spark.sparkContext.broadcast((fce, fcr, fco, bce, bcr, bco))
+    val scanned = spark.createDataset(rdd.mapPartitionsWithIndex { (i, it) =>
+      val (fe, fr, fo, be, br, bo) = bCarry.value
+      // buffer the partition into primitive arrays (bounded by the range
+      // partitioning — the residency the sort itself already needed)
+      val ds = new scala.collection.mutable.ArrayBuilder.ofLong
+      val ss = new scala.collection.mutable.ArrayBuilder.ofLong
+      val ps = new scala.collection.mutable.ArrayBuilder.ofLong
+      val rs = new scala.collection.mutable.ArrayBuilder.ofBoolean
+      val vps = new scala.collection.mutable.ArrayBuilder.ofLong
+      val vns = new scala.collection.mutable.ArrayBuilder.ofLong
+      it.foreach { r =>
+        rs += r.getBoolean(1)
+        vps += r.getLong(2)
+        vns += r.getLong(3)
+        ds += r.getLong(4)
+        ss += r.getLong(5)
+        ps += r.getLong(6)
+      }
+      val ra = rs.result(); val vpa = vps.result(); val vna = vns.result()
+      val da = ds.result(); val sa = ss.result(); val pa = ps.result()
+      val n = ra.length
+      val prevOut = new Array[Long](n)
+      val nextOut = new Array[Long](n)
+      // forward scan (cross_prev) from this partition's forward carry
+      var exists = fe(i); var reset = fr(i); var out = fo(i)
+      var k = 0
+      while (k < n) {
+        val o = if (!exists) -1L else if (reset) vpa(k) else amin(out, vpa(k))
+        prevOut(k) = o
+        exists = true; reset = ra(k); out = o
+        k += 1
+      }
+      // backward scan (cross_next) from this partition's backward carry
+      exists = be(i); reset = br(i); out = bo(i)
+      k = n - 1
+      while (k >= 0) {
+        val o = if (!exists) -1L else if (reset) vna(k) else amin(out, vna(k))
+        nextOut(k) = o
+        exists = true; reset = ra(k); out = o
+        k -= 1
+      }
+      Iterator.tabulate(n)(j =>
+        CrossScanRow(da(j), sa(j), pa(j), prevOut(j), nextOut(j)))
+    })
+    scanned.toDF()
   }
 
   /** [[crossDupSpans]] via prefix doubling — identical output (spec-pinned),

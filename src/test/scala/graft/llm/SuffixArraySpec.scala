@@ -296,6 +296,49 @@ class SuffixArraySpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("crossNeighborScanPacked == the generic two-scan pair, sentinel for null, across carry-heavy partitions") {
+    // adversarial synthetic SA-adjacency frames: pseudo-random resets
+    // (including long no-reset stretches, so partitions must pass carries
+    // through), nulls at both array ends, and three degenerate shapes
+    def frame(n: Int, resetOf: Int => Boolean) = {
+      val rows = (1 to n).map { rn =>
+        // (doc_id, p) stays unique (p = rn) so the comparison join is 1:1
+        (rn.toLong, if (resetOf(rn)) 0 else 1, (rn % 37).toLong, rn.toLong,
+          if (rn == 1) None else Some((rn * 40503L % 23)),
+          if (rn == n) None else Some((rn * 2654435761L % 23)))
+      }
+      spark.createDataFrame(rows)
+        .toDF("rn", "__side", "doc_id", "p", "lcp_prev", "lcp_next")
+        .repartition(32) // the sort re-ranges; this just de-orders input
+    }
+    def generic(rows: org.apache.spark.sql.DataFrame) = {
+      val isTrain = col("__side") === 0
+      val fwd = Sampling.globalSegmentedMinScan(rows,
+        Seq(col("rn")), isTrain, col("lcp_prev"), "cross_prev")
+      Sampling.globalSegmentedMinScan(fwd,
+          Seq(-col("rn")), isTrain, col("lcp_next"), "cross_next")
+        .select(col("doc_id"), col("p"), col("rn"),
+          coalesce(col("cross_prev"), lit(-1L)).as("cross_prev"),
+          coalesce(col("cross_next"), lit(-1L)).as("cross_next"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    }
+    def packed(rows: org.apache.spark.sql.DataFrame) =
+      SuffixArray.crossNeighborScanPacked(rows)
+        .join(rows.select(col("rn"), col("doc_id"), col("p")), Seq("doc_id", "p"))
+        .select(col("doc_id"), col("p"), col("rn"),
+          col("cross_prev"), col("cross_next"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    for ((name, f) <- Seq[(String, Int => Boolean)](
+        ("mixed", rn => (rn * 2654435761L % 97) < 5),
+        ("all-train", _ => true),
+        ("all-eval", _ => false))) {
+      val rows = frame(500, f)
+      assert(packed(rows) == generic(rows), s"shape=$name")
+    }
+    val one = frame(1, _ => false)
+    assert(packed(one) == generic(one), "shape=single-row")
+  }
+
   test("dupSpansAuto is path-invariant: forced-direct == forced-doubling on real docs") {
     val docs = graft.Td.table(spark, Sf0001, "documents").limit(120)
     def run(switchAt: Long) = {
