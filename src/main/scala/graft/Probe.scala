@@ -711,3 +711,133 @@ object ProbeGraphStream {
     spark.stop()
   }
 }
+
+/** Dev diagnostic (r13 optimization): A/B the jaccardPairs self-join input
+  * shapes — (a) current operator, (b) persisted capped-hashed table, (c)
+  * merge-hinted self-join (no persist, one reusable exchange) — over the
+  * full lg2-style consumer (triangleCount re-reads pairs 3x via
+  * orientByDegree) and over a plain pair count. Each arm runs `reps` times;
+  * min is reported. */
+object ProbeJac {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"),
+      shufflePartitions = cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.llm.{Caches, Dedup, GraphOps, TextOps}
+    import org.apache.spark.sql.DataFrame
+
+    def noop(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()
+    def timedMin(label: String)(f: => Unit): Unit = {
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; val dt = (System.nanoTime() - t0) / 1e9
+        Caches.releaseAll(spark); dt
+      }
+      println(f"[probe-jac] $label%-28s min=${ts.min}%7.3f runs=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+    val docs = Td.table(spark, dir, "documents")
+    def shingled = Dedup.shingleTable(docs, "doc_id", "text", 3)
+    // inline copy of cappedHashed (dev probe)
+    def hashedCapped: DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      shingled.select(col("doc_id"), xxhash64(col("shingle")).as("sh"), col("n_sh"))
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy("sh")))
+        .filter(col("__df") <= Dedup.DefaultMaxShingleDf).drop("__df")
+    }
+    def rollup(matches: DataFrame): DataFrame = matches
+      .groupBy("d1", "d2", "n1", "n2").agg(count(lit(1)).as("n_inter"))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n1") + col("n2") - col("n_inter")).cast("double"))
+      .select("d1", "d2", "n_inter", "jaccard").filter(col("jaccard") >= 0.8)
+    def selfJoin(h: DataFrame, hint: Option[String]): DataFrame = {
+      val a = h.select(col("doc_id").as("d1"), col("sh"), col("n_sh").as("n1"))
+      val b0 = h.select(col("doc_id").as("d2"), col("sh").as("sh2"), col("n_sh").as("n2"))
+      val b = hint.map(b0.hint(_)).getOrElse(b0)
+      val a2 = hint.map(a.hint(_)).getOrElse(a)
+      a2.join(b, col("sh") === col("sh2") && col("d1") < col("d2"))
+    }
+    // arm A: registered operator as-is (pair count)
+    timedMin("A pairs current")(noop(Dedup.jaccardPairs(shingled, 0.8)))
+    // arm B: persist the capped-hashed table, then self-join
+    timedMin("B pairs persist") {
+      val h = Caches.persist(hashedCapped)
+      noop(rollup(selfJoin(h, None)))
+    }
+    // arm C: merge-hinted self-join, no persist
+    timedMin("C pairs merge-hint")(noop(rollup(selfJoin(hashedCapped, Some("merge")))))
+    // arm C2: shuffle_hash-hinted
+    timedMin("C2 pairs shuffle_hash")(noop(rollup(selfJoin(hashedCapped, Some("shuffle_hash")))))
+    // full lg2 consumer on each arm
+    timedMin("A lg2 current")(noop(GraphOps.triangleCount(
+      Dedup.jaccardPairs(shingled, 0.8).select(col("d1").as("a"), col("d2").as("b")))))
+    timedMin("B lg2 persist") {
+      val h = Caches.persist(hashedCapped)
+      noop(GraphOps.triangleCount(rollup(selfJoin(h, None))
+        .select(col("d1").as("a"), col("d2").as("b"))))
+    }
+    timedMin("C lg2 merge-hint")(noop(GraphOps.triangleCount(
+      rollup(selfJoin(hashedCapped, Some("merge")))
+        .select(col("d1").as("a"), col("d2").as("b")))))
+    spark.stop()
+  }
+}
+
+/** Dev diagnostic (r13): alternating same-JVM A/B of the neighbor-LCP fold
+  * spellings over the real sf-dir suffix table — aggregate() running fold
+  * vs zip_with + array_position first-mismatch. Alternation cancels ambient
+  * load drift; both arms share the persisted SA input. */
+object ProbeLcp {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 1) args(1).toInt else 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"),
+      shufflePartitions = cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.llm.{Caches, Sampling, TextOps}
+    import org.apache.spark.sql.DataFrame
+    val docs = Td.table(spark, dir, "documents")
+    val sufs = Caches.persist(docs
+      .select(col("doc_id").cast("long").as("doc_id"), TextOps.tokens(col("text")).as("__t"))
+      .select(col("doc_id"), col("__t"), size(col("__t")).as("nt"))
+      .where(col("nt") > 0)
+      .select(col("doc_id"), col("__t"), col("nt"), posexplode(col("__t")).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p").cast("long").as("p"),
+        slice(col("__t"), col("p") + 1, col("nt")).as("suf")))
+    val sa = Caches.persist(Sampling.globalOrderedRank(
+        sufs, Seq(col("suf"), col("doc_id"), col("p")))
+      .select(col("doc_id"), col("p"), col("suf"), col("gpos").as("rn")))
+    println(s"[probe-lcp] sa rows: ${sa.count()}")
+    def joined: DataFrame = sa.select(col("suf").as("sufa"), col("rn"))
+      .join(sa.select(col("suf").as("sufb"), (col("rn") - 1).as("rn")), "rn")
+    val zwOld = zip_with(col("sufa"), col("sufb"), (x, y) => coalesce(x === y, lit(false)))
+    val foldOld = aggregate(zwOld,
+      struct(lit(0L).as("len"), lit(false).as("done")),
+      (acc, eq) => struct(
+        when(acc("done") || !eq, acc("len")).otherwise(acc("len") + 1).as("len"),
+        (acc("done") || !eq).as("done"))).getField("len")
+    val posNew = array_position(
+      zip_with(col("sufa"), col("sufb"), (x, y) => !coalesce(x === y, lit(false))), lit(true))
+    val foldNew = when(posNew === 0L, size(col("sufa")).cast("long")).otherwise(posNew - 1L)
+    def run(c: org.apache.spark.sql.Column): Double = {
+      val t0 = System.nanoTime()
+      joined.select(sum(c.cast("long"))).write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val as = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val bs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (1 to reps).foreach { _ => as += run(foldOld); bs += run(foldNew) }
+    println(f"[probe-lcp] OLD aggregate-fold: min=${as.min}%6.3f runs=${as.map(t => f"$t%.2f").mkString(",")}")
+    println(f"[probe-lcp] NEW array_position: min=${bs.min}%6.3f runs=${bs.map(t => f"$t%.2f").mkString(",")}")
+    // sanity: identical lcp sums
+    val sOld = joined.select(sum(foldOld.cast("long"))).head().getLong(0)
+    val sNew = joined.select(sum(foldNew.cast("long"))).head().getLong(0)
+    println(s"[probe-lcp] lcp-sum old=$sOld new=$sNew equal=${sOld == sNew}")
+    Caches.releaseAll(spark)
+    spark.stop()
+  }
+}

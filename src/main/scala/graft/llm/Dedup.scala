@@ -171,7 +171,17 @@ object Dedup {
   private def pairMatches(hashed: DataFrame): DataFrame = {
     val a = hashed.select(col("doc_id").as("d1"), col("sh"), col("n_sh").as("n1"))
     val b = hashed.select(col("doc_id").as("d2"), col("sh").as("sh2"), col("n_sh").as("n2"))
-    a.join(b, col("sh") === col("sh2") && col("d1") < col("d2"))
+    // MERGE hint: without it the planner broadcasts one side of the
+    // self-join (both sides estimate under the threshold at test SFs),
+    // and the broadcast build RE-RUNS the entire upstream scan+tokenize+
+    // shingle+window pipeline — the "one exchange reused by both sides"
+    // contract in [[jaccardPairs]]'s scaladoc silently becomes two full
+    // pipeline evaluations. Sort-merge keeps both sides on the single
+    // sh-keyed exchange (ReuseExchange dedupes the identical map sides)
+    // and spills gracefully at 100 TB where a broadcast could never fire
+    // anyway. Measured r13 sf0.1: pair build 1.89 → 1.19 s, lg2 consumer
+    // 3.44 → 2.92 s, identical output (join strategy is semantics-free).
+    a.hint("merge").join(b, col("sh") === col("sh2") && col("d1") < col("d2"))
   }
 
   private def jaccardPairsUncapped(hashed: DataFrame, minJ: Double): DataFrame =
@@ -397,7 +407,12 @@ object Dedup {
         posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") &&
+    // MERGE hint, same reasoning as [[pairMatches]]: un-hinted, the planner
+    // broadcasts one side of this self-join and the broadcast build re-runs
+    // the whole signature aggregation (numHashes xxhash64-min functions per
+    // row) a second time; sort-merge keeps both sides on ONE reusable
+    // (band, band_hash) exchange. Candidate semantics are join-strategy-free.
+    a.hint("merge").join(b, col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -752,7 +767,11 @@ object Dedup {
         .as(Seq("band", "band_bits")))
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") &&
+    // MERGE hint, same reasoning as [[pairMatches]]: un-hinted, the
+    // broadcast build of one self-join side re-runs the whole simhash
+    // pipeline (token explode + 32 bit-sum aggregate) a second time;
+    // sort-merge shares ONE (band, band_bits) exchange between the sides.
+    a.hint("merge").join(b, col("a.band") === col("b.band") &&
         col("a.band_bits") === col("b.band_bits") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
@@ -795,7 +814,10 @@ object Dedup {
     val sig = base.select(col("id"), s, explode(dels).as("sig")).distinct()
     val a = sig.select(col("id").as("id1"), col("s").as("s1"), col("sig"))
     val b = sig.select(col("id").as("id2"), col("s").as("s2"), col("sig").as("sig2"))
-    a.join(b, col("sig") === col("sig2") && col("id1") < col("id2"))
+    // MERGE hint, same reasoning as [[pairMatches]]: the un-hinted
+    // broadcast build re-runs the explode+distinct signature pipeline for
+    // the second side; sort-merge reuses the distinct's own exchange.
+    a.hint("merge").join(b, col("sig") === col("sig2") && col("id1") < col("id2"))
       .select("id1", "id2", "s1", "s2")
       .distinct()
       .withColumn("d", levenshtein(col("s1"), col("s2")))

@@ -1847,9 +1847,12 @@ object Similarity {
         explode(col("t")).as("w"))
       .groupBy("doc_id", "len", "w").agg(count(lit(1)).as("tf")))
     // N and avgdl come from the toks scan, not the postings (a zero-token
-    // document has no posting rows but still counts toward both)
-    val stats = toks.agg(count(lit(1)).cast("long").as("n"),
-      sum(size(col("t"))).cast("long").as("sumlen"))
+    // document has no posting rows but still counts toward both).
+    // Persisted: the one-row frame has two consumers (wq's idf floor and
+    // the avgdl projection), and each would otherwise re-run the full
+    // tokenize(+ngram) corpus scan that feeds the aggregate.
+    val stats = Caches.persist(toks.agg(count(lit(1)).cast("long").as("n"),
+      sum(size(col("t"))).cast("long").as("sumlen")))
     val qids = broadcast(queries.select(col(idCol).cast("long").as("query_id")))
     val qp = tf.join(qids, col("doc_id") === col("query_id"))
       .select(col("query_id"), col("w")).distinct()

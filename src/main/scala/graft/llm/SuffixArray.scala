@@ -137,15 +137,8 @@ object SuffixArray {
     val sa = Caches.persist(Sampling.globalOrderedRank(
         sufs, Seq(col("suf"), col("doc_id"), col("p")))
       .select(col("doc_id"), col("p"), col("suf"), col("gpos").as("rn")))
-    // Adjacent pairs via equi-join on rn; LCP = leading-equal fold over
-    // the two carried slices (zip_with pads the shorter side with nulls,
-    // which coalesce to a mismatch — so no explicit length clamp needed).
-    val zw = zip_with(col("sufa"), col("sufb"), (x, y) => coalesce(x === y, lit(false)))
-    val lcpFold = aggregate(zw,
-      struct(lit(0L).as("len"), lit(false).as("done")),
-      (acc, eq) => struct(
-        when(acc("done") || !eq, acc("len")).otherwise(acc("len") + 1).as("len"),
-        (acc("done") || !eq).as("done")))
+    // Adjacent pairs via equi-join on rn; LCP = position of the first
+    // mismatch ([[lcpOf]]).
     // Persisted: replenTable's two union legs would otherwise evaluate
     // the join + fold twice.
     val pairs = Caches.persist(sa.select(col("doc_id").as("da"), col("p").as("pa"),
@@ -153,8 +146,24 @@ object SuffixArray {
       .join(sa.select(col("doc_id").as("db"), col("p").as("pb"),
         col("suf").as("sufb"), (col("rn") - 1).as("rn")), "rn")
       .select(col("da"), col("pa"), col("db"), col("pb"),
-        lcpFold.getField("len").as("lcp")))
+        lcpOf(col("sufa"), col("sufb")).as("lcp")))
     spanRollup(replenTable(pairs), minRun)
+  }
+
+  /** Exact LCP of two token arrays: one zip_with marking mismatches plus a
+    * codegen'd array_position finding the first one. zip_with pads the
+    * shorter side with nulls, which read as mismatches (so no explicit
+    * length clamp is needed); position 0 = no mismatch anywhere = the
+    * arrays are identical AND equal-length, so the LCP is the full size.
+    * Replaces the aggregate() running fold, whose interpreted lambda
+    * allocated a 2-field struct per ELEMENT per pair — the fold was the
+    * hot share of the pairs+lcp stage (r13 probe: 4.16 s of ld18's sf0.1
+    * wall); this spelling keeps one cheap interpreted lambda (equality →
+    * boolean) and moves the scan-for-first into codegen. */
+  private[graft] def lcpOf(a: Column, b: Column): Column = {
+    val mismatchAt = array_position(
+      zip_with(a, b, (x, y) => !coalesce(x === y, lit(false))), lit(true))
+    when(mismatchAt === 0L, size(a).cast("long")).otherwise(mismatchAt - 1L)
   }
 
   // ── prefix doubling (scale path; spec-pinned equal to dupSpans) ─────────
@@ -551,17 +560,12 @@ object SuffixArray {
         sufs, Seq(col("suf"), col("doc_id"), col("p")))
       .select(col("doc_id"), col("__side"), col("p"), col("suf"),
         col("gpos").as("rn")))
-    // adjacent-pair LCP keyed by the UPPER rank: lcp(rn) = LCP(rn-1, rn)
-    val zw = zip_with(col("sufa"), col("sufb"), (x, y) => coalesce(x === y, lit(false)))
-    val lcpFold = aggregate(zw,
-      struct(lit(0L).as("len"), lit(false).as("done")),
-      (acc, eq) => struct(
-        when(acc("done") || !eq, acc("len")).otherwise(acc("len") + 1).as("len"),
-        (acc("done") || !eq).as("done")))
+    // adjacent-pair LCP keyed by the UPPER rank: lcp(rn) = LCP(rn-1, rn);
+    // first-mismatch spelling, see [[lcpOf]]
     val adj = Caches.persist(
       sa.select(col("suf").as("sufb"), col("rn"))
         .join(sa.select(col("suf").as("sufa"), (col("rn") + 1).as("rn")), "rn")
-        .select(col("rn"), lcpFold.getField("len").as("lcp")))
+        .select(col("rn"), lcpOf(col("sufa"), col("sufb")).as("lcp")))
     // per-row links: lcp_prev(r) = lcp(r), lcp_next(r) = lcp(r+1); the suf
     // payload is dropped here — the scans shuffle skinny rows only
     val rows = sa.select(col("doc_id"), col("__side"), col("p"), col("rn"))

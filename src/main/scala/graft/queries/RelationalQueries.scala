@@ -1256,16 +1256,25 @@ object RelationalQueries {
       // Dedup first, then sketch the distinct stream: HLL registers are
       // insensitive to duplicates, so the estimate is bit-identical, and
       // phase 2 holds exactly one sketch per group.
-      // rsd 0.005 against the 2% pin = a 4-sigma margin: the oracle's
-      // hard TRUE must hold for any corpus the driver throws at it, not
-      // just ~2-sigma-often (the sketch is deterministic per dataset, but
-      // the bound should survive testdata regeneration)
+      // lgConfigK 16 against the 2% pin = a ~5-sigma margin (rse ≈
+      // 1.04/√2^16 ≈ 0.4%): the oracle's hard TRUE must hold for any
+      // corpus the driver throws at it, not just ~2-sigma-often (the
+      // sketch is deterministic per dataset — register updates and merges
+      // are max(), order-independent — but the bound should survive
+      // testdata regeneration).
+      // DataSketches HLL (hll_sketch_agg), NOT approx_count_distinct(rsd):
+      // Spark's HLL++ at a comparable rsd materializes its ~43k-word
+      // register buffer as ~43k aggregate ATTRIBUTES — a 430 KB physical
+      // plan whose analysis/codegen cost dominated the query (measured
+      // r13: 3.8 s at sf0.1, ~2.5 s of it plan-side). The sketch buffer
+      // here is ONE binary attribute; the emitted verdict column is
+      // unchanged (both sketches sit far inside the 2% envelope).
       Td.table(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_orderkey")
         .agg(count(lit(1)).as("cnt"))
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_orderkey"), 0.005).as("approx"),
+          hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"), lit(16))).as("approx"),
           count(lit(1)).as("exact"),
           sum(col("cnt")).as("n_rows"))
         .select(col("l_returnflag"), col("n_rows"),
@@ -2979,12 +2988,17 @@ object RelationalQueries {
         |FROM pr JOIN nb na ON na.b = pr.b1 JOIN nb nx ON nx.b = pr.b2
         |CROSS JOIN nc
         |ORDER BY support DESC, b1, b2 LIMIT 20""".stripMargin) { (s, dir) =>
-      val cb = Td.table(s, dir, "lineitem")
+      // persisted: cb has FOUR consumers (nb, nc, and both self-join
+      // sides) — unpersisted, each re-runs the 3-table join + distinct
+      // (and the planner broadcast-builds one self-join side from a full
+      // re-evaluation). The frame is two slim columns, far smaller than
+      // its lineitem-sized input; released by the bench harness.
+      val cb = graft.llm.Caches.persist(Td.table(s, dir, "lineitem")
         .join(Td.table(s, dir, "orders"),
           col("o_orderkey") === col("l_orderkey"))
         .join(broadcast(Td.table(s, dir, "part")),
           col("p_partkey") === col("l_partkey"))
-        .select(col("o_custkey").as("c"), col("p_brand").as("b")).distinct()
+        .select(col("o_custkey").as("c"), col("p_brand").as("b")).distinct())
       val nb = cb.groupBy("b").agg(count(lit(1)).as("n"))
       val nc = cb.agg(count_distinct(col("c")).as("ntot"))
       val pr = cb.as("a")
