@@ -27,6 +27,12 @@ object PlanDump {
       shufflePartitions = cpus.toInt
     ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional session confs for A/B runs: GRAFT_CONF="k=v;k=v"
+    sys.env.get("GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     Files.createDirectories(Paths.get(outDir))
     // same warmup as Bench so min-of-k numbers are comparable
     try SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()

@@ -14,6 +14,14 @@ object Verify {
       shufflePartitions = cpus.toInt
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional session confs for dev stress runs (e.g. forcing the scan
+    // fanout on every table so the oracle exercises that path at small
+    // SFs): GRAFT_CONF="k=v;k=v". Unset (the driver's mode) = defaults.
+    sys.env.get("GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     new java.io.File(outDir).mkdirs()
     // Dev subset: SPARK_GRAFT_ONLY=q1,q2 restricts both the parquet dump
     // and the oracle manifest, so tools/check_correctness.py validates just

@@ -111,7 +111,7 @@ object Bpe {
     // filtered before posexplode so positions stay dense.
     var syms = words
       .select(col("w"), col("freq"),
-        posexplode(filter(split(col("w"), ""), c => c =!= ""))
+        posexplode(array_remove(split(col("w"), ""), ""))
           .as(Seq("pos", "sym")))
       .localCheckpoint() // eager: iterations must not re-derive from docs
     Caches.trackCheckpoint(syms)

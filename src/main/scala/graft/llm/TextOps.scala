@@ -16,17 +16,27 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokenizer (drops empty tokens from leading/trailing space). */
+  /** Whitespace tokenizer (drops empty tokens from leading/trailing space).
+    *
+    * Spelled `array_remove(.., "")` rather than `filter(.., _ =!= "")`:
+    * identical output (splitting on `\s+` yields "" only at the array ends,
+    * and both spellings drop every "" wherever it sits; split never emits
+    * null elements, the one case where the two differ), but ArrayRemove is
+    * a codegen expression while the lambda filter is a CodegenFallback
+    * higher-order function — per-row interpreted eval in what is otherwise
+    * the scan stage's hottest expression (56 call sites across the
+    * text/dedup/graph tiers). */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= "")
+    array_remove(split(text, "\\s+"), "")
 
   /** BPE-ish subword count: word tokens plus punctuation marks counted as
     * separate tokens (a cheap proxy for byte-pair token counts; real BPE
     * needs a vocab file, which is model-specific, not engine work).
     * Implemented as space-out-punctuation then split — lookahead-free so the
-    * DuckDB oracle (RE2) runs the identical algorithm. */
+    * DuckDB oracle (RE2) runs the identical algorithm. Same
+    * array_remove-for-filter codegen spelling as [[tokens]]. */
   def bpeishTokens(text: Column): Column =
-    filter(split(regexp_replace(text, "([.,!?;:])", " $1 "), "\\s+"), t => t =!= "")
+    array_remove(split(regexp_replace(text, "([.,!?;:])", " $1 "), "\\s+"), "")
 
   /** Sliding n-token windows joined by single spaces, in O(n·len) column
     * work: iteratively zip the token array with its k-shifted self (the

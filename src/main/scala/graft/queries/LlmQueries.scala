@@ -1637,14 +1637,14 @@ object LlmQueries {
          |      ORDER BY rrf_ppm DESC, neighbor_id) AS INT) AS rank
          |  FROM fused) WHERE rank <= 10""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val vecs = Td.table(s, dir, "embeddings")
+      val vecs = Td.tableFanned(s, dir, "embeddings")
       // one constant 50-id batch drives BOTH legs
       val qids = vecs.filter(col("vec_id") % 40 === 0)
         .orderBy("vec_id").limit(50).select("vec_id")
       val dense = Similarity.bruteForceTopK(
           vecs.join(qids, "vec_id"), vecs, "vec_id", "embedding", 10)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
-      val sh = Dedup.shingleTable(Td.table(s, dir, "documents"),
+      val sh = Dedup.shingleTable(Td.tableFanned(s, dir, "documents"),
           "doc_id", "text", 3)
         .select(col("doc_id"), col("shingle")).distinct()
       val lex = sh.join(broadcast(qids.withColumnRenamed("vec_id", "doc_id")),
@@ -1722,7 +1722,7 @@ object LlmQueries {
          |    CAST(row_number() OVER (PARTITION BY query_id
          |      ORDER BY score_scaled DESC, neighbor_id) AS INT) AS rank
          |  FROM sc) WHERE rank <= 10""".stripMargin) { (s, dir) =>
-      val docs = Td.table(s, dir, "documents")
+      val docs = Td.tableFanned(s, dir, "documents")
       Similarity.bm25MoreLikeThis(
         docs.filter(col("doc_id") % 40 === 0).orderBy("doc_id").limit(50),
         docs, "doc_id", "text", k = 10, ngram = 2)
@@ -2165,7 +2165,7 @@ object LlmQueries {
         |  CAST(sum(rs) AS BIGINT) AS score_scaled
         |FROM b JOIN ratio ON b.b = ratio.b
         |GROUP BY 1""".stripMargin) { (s, dir) =>
-      val docs = Td.table(s, dir, "documents")
+      val docs = Td.tableFanned(s, dir, "documents")
       val buckets = 64
       val target = Importance.bucketCounts(
         docs.filter(col("lang") === "en"), "text", buckets)
@@ -2194,7 +2194,7 @@ object LlmQueries {
         |  CAST(sum(m * s) AS BIGINT) AS sum_surprisal,
         |  CAST(floor(sum(m * s) * 1000000.0 / sum(m)) AS BIGINT) AS surprisal_q
         |FROM sc GROUP BY 1""".stripMargin) { (s, dir) =>
-      Surprisal.bigramSurprisal(Td.table(s, dir, "documents"), "doc_id", "text")
+      Surprisal.bigramSurprisal(Td.tableFanned(s, dir, "documents"), "doc_id", "text")
     },
 
     // ── CROSS-corpus surprisal — the actual CCNet filter: the bigram LM
@@ -2414,7 +2414,7 @@ object LlmQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
         |    ORDER BY score DESC, token) AS rn FROM sc)
         |WHERE rn <= 3""".stripMargin) { (s, dir) =>
-      Keywords.tfidfKeywords(Td.table(s, dir, "documents"), "doc_id", "text", 3)
+      Keywords.tfidfKeywords(Td.tableFanned(s, dir, "documents"), "doc_id", "text", 3)
     },
 
     // ── Exact global shuffle rank: deterministic permutation 0..n-1 in
@@ -2429,7 +2429,7 @@ object LlmQueries {
         |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
         |      AS BIGINT), doc_id) - 1 AS perm_idx
         |FROM documents""".stripMargin) { (s, dir) =>
-      Sampling.globalShuffleRank(Td.table(s, dir, "documents"), "doc_id")
+      Sampling.globalShuffleRank(Td.tableFanned(s, dir, "documents"), "doc_id")
     },
 
     // ── Per-stratum percentile curation: keep each language's top
@@ -2624,7 +2624,7 @@ object LlmQueries {
       // column form built the n-gram array 3-4x per row; this builds it
       // once and the counting is codegen'd aggregation.
       val toks = TextOps.tokens(col("text"))
-      Td.table(s, dir, "documents")
+      Td.tableFanned(s, dir, "documents")
         .select(col("doc_id"), explode(TextOps.ngramsAll(toks, 2)).as("g"))
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("int").as("n_bigrams"),
@@ -2638,7 +2638,7 @@ object LlmQueries {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin) { (s, dir) =>
-      Td.table(s, dir, "documents")
+      Td.tableFanned(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
     },
 
@@ -2788,7 +2788,7 @@ object LlmQueries {
         |  CAST(px[1] AS INT) AS p00, CAST(px[256] AS INT) AS p_last
         |FROM r""".stripMargin) { (s, dir) =>
       Multimodal.decodeResize(
-        Multimodal.renderPng(Td.table(s, dir, "documents"), "doc_id"),
+        Multimodal.renderPng(Td.tableFanned(s, dir, "documents"), "doc_id"),
         targetW = 16, targetH = 16)
     },
 
@@ -3101,7 +3101,7 @@ object LlmQueries {
         |  FROM k)
         |SELECT id, weight, key, rank FROM r WHERE rank <= 100""".stripMargin) {
       (s, dir) =>
-      Sampling.weightedSample(Td.table(s, dir, "documents"),
+      Sampling.weightedSample(Td.tableFanned(s, dir, "documents"),
         "doc_id", "n_chars", k = 100, seed = "r5")
     },
 
@@ -3128,7 +3128,7 @@ object LlmQueries {
         |  JOIN uni u1 ON pr.t1 = u1.tok
         |  JOIN uni u2 ON pr.t2 = u2.tok CROSS JOIN nd)
         |ORDER BY pmi_q DESC, n_pair DESC, t1, t2 LIMIT 25""".stripMargin) { (s, dir) =>
-      Keywords.pmiPairs(Td.table(s, dir, "documents"), "doc_id", "text",
+      Keywords.pmiPairs(Td.tableFanned(s, dir, "documents"), "doc_id", "text",
         minPair = 5, k = 25)
     },
 
@@ -3152,7 +3152,7 @@ object LlmQueries {
         |SELECT DISTINCT doc_id, substr(sel, 1, 15) AS fp,
         |  CAST(9999999 - CAST(substr(sel, 17, 7) AS BIGINT) AS INT) AS pos
         |FROM wn WHERE pos <= greatest(ng - 4, 0)""".stripMargin) { (s, dir) =>
-      Dedup.winnowingFingerprints(Td.table(s, dir, "documents"),
+      Dedup.winnowingFingerprints(Td.tableFanned(s, dir, "documents"),
         "doc_id", "text", k = 3, w = 4)
     },
 
@@ -3204,7 +3204,7 @@ object LlmQueries {
          |  $scorecardKeepExpr AS keep
          |FROM sig s JOIN gop a ON s.doc_id = a.doc_id""".stripMargin) { (s, dir) =>
       // shared with the streaming curation chain — see Curation.scorecard
-      Curation.scorecard(Td.table(s, dir, "documents"))
+      Curation.scorecard(Td.tableFanned(s, dir, "documents"))
     },
 
     // ── vocabulary coverage / OOV rate: train a top-K frequency vocab
@@ -3229,7 +3229,7 @@ object LlmQueries {
          |  CAST(oov_tokens AS INT) AS oov_tokens,
          |  CAST(oov_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
          |FROM oo JOIN documents d ON oo.doc_id = d.doc_id""".stripMargin) { (s, dir) =>
-      val docs = Td.table(s, dir, "documents")
+      val docs = Td.tableFanned(s, dir, "documents")
       val t = TextOps.tokens(col("text"))
       val vocab = docs.select(explode(t).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
@@ -3263,7 +3263,7 @@ object LlmQueries {
          |  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
          |    AS dup_frac
          |FROM pos JOIN dfq USING (s) GROUP BY doc_id""".stripMargin) { (s, dir) =>
-      Dedup.dupNgramFraction(Td.table(s, dir, "documents"), "text", n = 3)
+      Dedup.dupNgramFraction(Td.tableFanned(s, dir, "documents"), "text", n = 3)
     },
 
     // ── temperature-weighted mixture resampling (the multilingual /
@@ -3461,7 +3461,7 @@ object LlmQueries {
         |    AS BIGINT) AS novelty_ppm
         |FROM te LEFT JOIN tr ON tr.s = te.s
         |GROUP BY 1""".stripMargin) { (s, dir) =>
-      val docs = Td.table(s, dir, "documents")
+      val docs = Td.tableFanned(s, dir, "documents")
       val lab = docs.select(col("doc_id"),
         (pmod(graft.llm.Dedup.md5Hash60(col("text")), lit(100L)) < 80).as("is_train"))
       // persisted: tr and te both consume the labeled shingle stream —
@@ -3571,7 +3571,7 @@ object LlmQueries {
     }) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       Multimodal.decodeAHash(
-          Multimodal.renderPng(Td.table(s, dir, "documents"), "doc_id"), grid = 8)
+          Multimodal.renderPng(Td.tableFanned(s, dir, "documents"), "doc_id"), grid = 8)
         .withColumn("n_same",
           count(lit(1)).over(Window.partitionBy("phash")).cast("long"))
     },
@@ -3608,7 +3608,7 @@ object LlmQueries {
         |h AS (SELECT item_id, $bits AS phash_exact FROM t)
         |SELECT item_id, phash_exact, TRUE AS within_band FROM h""".stripMargin
     }) { (s, dir) =>
-      Multimodal.jpegAHashBand(Td.table(s, dir, "documents"), "doc_id",
+      Multimodal.jpegAHashBand(Td.tableFanned(s, dir, "documents"), "doc_id",
           grid = 8, quality = 0.95f)
         .select(col("item_id"), col("phash_exact"),
           (col("hamming") <= 12).as("within_band"))
@@ -3660,7 +3660,7 @@ object LlmQueries {
     //    outgrows the shuffle tier) equal on the fixture. See
     //    graft.llm.SuffixArray for the operating-point accounting. ──
     q("ld18_suffix_dups", suffixOracle(10)) { (s, dir) =>
-      SuffixArray.dupSpansAuto(Td.table(s, dir, "documents"), "doc_id", "text",
+      SuffixArray.dupSpansAuto(Td.tableFanned(s, dir, "documents"), "doc_id", "text",
         minRun = 10, levels = 7)
     },
 
@@ -3677,7 +3677,7 @@ object LlmQueries {
     //    Eval↔eval repeats are invisible by construction. The oracle
     //    replays suffix order, both scans, and the island merge. ──
     q("ld21_exact_contamination", crossSuffixOracle(10)) { (s, dir) =>
-      val docs = Td.table(s, dir, "documents")
+      val docs = Td.tableFanned(s, dir, "documents")
         .withColumn("side",
           when(pmod(Dedup.md5Hash60(col("doc_id").cast("string")), lit(100L)) < 80,
             lit(0)).otherwise(lit(1)))
@@ -3717,7 +3717,7 @@ object LlmQueries {
         |  count(*) AS n_pairs
         |FROM jac JOIN ds a ON a.doc_id = jac.d1 JOIN ds b ON b.doc_id = jac.d2
         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-      val docs = Td.table(s, dir, "documents")
+      val docs = Td.tableFanned(s, dir, "documents")
       val ds = docs.select(col("doc_id"), col("source"))
       val jac = Dedup.jaccardPairs(
         Dedup.shingleTable(docs, "doc_id", "text", 3), 0.8)
@@ -4070,7 +4070,7 @@ object LlmQueries {
     * quality >= 0.5 (the lt6 threshold). */
   private def nbLabeled(s: SparkSession, dir: String): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    Td.table(s, dir, "documents").withColumn("y",
+    Td.tableFanned(s, dir, "documents").withColumn("y",
       when(TextOps.qualityScore(toks, col("text")) >= 0.5, 1).otherwise(0))
   }
 }

@@ -2795,7 +2795,7 @@ object RelationalQueries {
       val wt = when(col("u") < 24109, 0L).when(col("u") < 48218, 1L)
         .when(col("u") < 60273, 2L).when(col("u") < 64291, 3L)
         .when(col("u") < 65296, 4L).when(col("u") < 65497, 5L).otherwise(6L)
-      val reps = Td.table(s, dir, "orders")
+      val reps = Td.tableFanned(s, dir, "orders")
         .select(col("o_orderkey"),
           floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
           explode(sequence(lit(0), lit(6))).as("g"))
@@ -3449,7 +3449,7 @@ object RelationalQueries {
         |  CAST(n_valid AS BIGINT) AS n_valid, n_extreme,
         |  CAST((n_extreme + 1) * 1000000 // (n_valid + 1) AS BIGINT) AS p_ppm
         |FROM f""".stripMargin) { (s, dir) =>
-      val base = Td.table(s, dir, "orders")
+      val base = Td.tableFanned(s, dir, "orders")
         .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
         .select(col("o_orderkey"),
           floor(col("o_totalprice") + 0.5).cast("long").as("d"),
@@ -3617,7 +3617,7 @@ object RelationalQueries {
         |  CAST(nd_tp AS BIGINT), min_tp, max_tp FROM m
         |UNION ALL SELECT 'o_orderpriority', CAST(null_op AS BIGINT),
         |  CAST(nd_op AS BIGINT), min_op, max_op FROM m""".stripMargin) { (s, dir) =>
-      val m = Td.table(s, dir, "orders").agg(
+      val m = Td.tableFanned(s, dir, "orders").agg(
         sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("null_st"),
         count_distinct(col("o_orderstatus")).as("nd_st"),
         min(col("o_orderstatus")).cast("string").as("min_st"),

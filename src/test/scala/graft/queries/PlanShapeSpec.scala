@@ -255,7 +255,13 @@ class PlanShapeSpec extends SparkSpec {
       // conf-set, construction and collect all sit INSIDE the try: a
       // throwing query would otherwise skip the finally and leak e.g.
       // graft.e7.rankWindowMax=0 into every later test on this session
+      // the adaptive scan fanout (Td.fanout) is a SMALL-INPUT layout
+      // adaptation — at real scale row groups ≫ cores and it never fires —
+      // so the scale shapes pinned here are asserted with it off (its own
+      // firing rule is pinned in TdFanoutSpec)
+      val saved0 = spark.conf.getOption("graft.scan.fanout")
       try {
+        spark.conf.set("graft.scan.fanout", "false")
         sh.confs.foreach { case (k, v) => spark.conf.set(k, v) }
         val df = Registry.queries(sh.name)(spark, Sf0001)
         df.collect() // materialize so AQE finalizes its stages
@@ -280,6 +286,10 @@ class PlanShapeSpec extends SparkSpec {
         sh.planTextMustContain.foreach(frag => assert(planText.contains(frag),
           s"${sh.name}: rendered plan lacks $frag:\n${df.queryExecution.executedPlan}"))
       } finally {
+        saved0 match {
+          case Some(v) => spark.conf.set("graft.scan.fanout", v)
+          case None => spark.conf.unset("graft.scan.fanout")
+        }
         saved.foreach {
           case (k, Some(v)) => spark.conf.set(k, v)
           case (k, None) => spark.conf.unset(k)
