@@ -841,3 +841,114 @@ object ProbeLcp {
     spark.stop()
   }
 }
+
+/** Dev diagnostic (r13): alternating same-JVM A/B of the sliding-window
+  * (shingle) build spellings over the real sf-dir documents — the shingle
+  * build sits under the whole jaccard/graph family. Arms must produce the
+  * IDENTICAL window array (asserted by a checksum at the end):
+  *   A: zip_with chain + interpreted null filter (registered spelling);
+  *   B: zip_with chain + codegen slice truncation (nulls are exactly the
+  *      trailing n-1 positions, so slice removes them without a lambda);
+  *   C: one transform over positions with slice+concat_ws per window.
+  */
+object ProbeShingle {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 1) args(1).toInt else 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"),
+      shufflePartitions = cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.llm.TextOps
+    val n = 3
+    val docs = Td.tableFanned(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+    val toks = col("__toks")
+    def zipChain: org.apache.spark.sql.Column = (1 until n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), greatest(size(toks) - k, lit(1))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    val armA = when(size(toks) <= n - 1, array(concat_ws(" ", toks)))
+      .otherwise(filter(zipChain, w => w.isNotNull))
+    val armB = when(size(toks) <= n - 1, array(concat_ws(" ", toks)))
+      .otherwise(slice(zipChain, lit(1), size(toks) - (n - 1)))
+    val armC = when(size(toks) <= n - 1, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    def run(c: org.apache.spark.sql.Column): Double = {
+      val t0 = System.nanoTime()
+      docs.select(col("doc_id"), explode(array_distinct(c)).as("sh"))
+        .select(expr("bit_xor(xxhash64(sh))"), count(lit(1)))
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ts = Map("A filter" -> armA, "B slice " -> armB, "C transf" -> armC)
+      .view.mapValues(_ => scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
+    val arms = Seq("A filter" -> armA, "B slice " -> armB, "C transf" -> armC)
+    (1 to reps).foreach { _ =>
+      arms.foreach { case (k, c) => ts(k) += run(c) }
+    }
+    arms.foreach { case (k, _) =>
+      println(f"[probe-shingle] $k min=${ts(k).min}%6.3f runs=${ts(k).map(t => f"$t%.2f").mkString(",")}")
+    }
+    // identical-output checksum per arm
+    arms.foreach { case (k, c) =>
+      val r = docs.select(explode(array_distinct(c)).as("sh"))
+        .agg(expr("bit_xor(xxhash64(sh))"), count(lit(1))).head()
+      println(s"[probe-shingle] $k checksum=${r.getLong(0)} rows=${r.getLong(1)}")
+    }
+    spark.stop()
+  }
+}
+
+/** Dev diagnostic (r13): union-legged vs explode symmetrization of the
+  * near-dup pair table (the lg1/lg3/lg4/lg7/symEdgeLake edge build). The
+  * union's two legs each embed the whole pair pipeline; ReuseExchange MAY
+  * dedupe the shared subtree — this measures whether it actually does, and
+  * what the explode spelling saves. Same-JVM alternating min-of-k. */
+object ProbeSym {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 1) args(1).toInt else 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"),
+      shufflePartitions = cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.llm.{Caches, Dedup}
+    def jac = Dedup.jaccardPairs(
+      Dedup.shingleTable(Td.table(spark, dir, "documents"), "doc_id", "text", 3), 0.8)
+    def unionEdges = {
+      val j = jac
+      j.select(col("d1").as("src"), col("d2").as("dst"))
+        .unionByName(j.select(col("d2").as("src"), col("d1").as("dst")))
+    }
+    def explodeEdges = jac.select(explode(array(
+        struct(col("d1").as("src"), col("d2").as("dst")),
+        struct(col("d2").as("src"), col("d1").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    def run(mk: => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val e = Caches.persist(mk)
+      val n = e.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      Caches.releaseAll(spark)
+      (dt, n)
+    }
+    val us = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var (nu, nx) = (0L, 0L)
+    (1 to reps).foreach { _ =>
+      val (tu, cu) = run(unionEdges); us += tu; nu = cu
+      val (tx, cx) = run(explodeEdges); xs += tx; nx = cx
+    }
+    println(f"[probe-sym] union   min=${us.min}%6.3f runs=${us.map(t => f"$t%.2f").mkString(",")} rows=$nu")
+    println(f"[probe-sym] explode min=${xs.min}%6.3f runs=${xs.map(t => f"$t%.2f").mkString(",")} rows=$nx")
+    // does ReuseExchange fire on the union spelling?
+    val plan = unionEdges.queryExecution.executedPlan.toString
+    println(s"[probe-sym] union plan ReusedExchange=${plan.contains("ReusedExchange")} " +
+      s"SortMergeJoins=${"SortMergeJoin".r.findAllIn(plan).length}")
+    spark.stop()
+  }
+}

@@ -911,9 +911,21 @@ object LlmQueries {
     LlmLake.memoized(s, s"edges_sym08:$dir", buckets = 8) { lk =>
       val jac = Dedup.jaccardPairs(
         Dedup.shingleTable(Td.table(s, dir, "documents"), "doc_id", "text", 3), 0.8)
-      lk.writeEdges(jac.select(col("d1").as("src"), col("d2").as("dst"))
-        .unionByName(jac.select(col("d2").as("src"), col("d1").as("dst"))))
+      lk.writeEdges(symEdges(jac))
     }
+
+  /** Symmetrize a canonical (d1 < d2) pair table into (src, dst) BOTH ways
+    * via explode — ONE pass over the pair stream. The union-legged spelling
+    * (`jac.select(d1, d2) unionByName jac.select(d2, d1)`) plans each leg
+    * as its own copy of the whole pair pipeline and ReuseExchange does NOT
+    * dedupe them (measured r13, ProbeSym: 2 SortMergeJoins in the union
+    * plan, none reused) — the dedupClusters symmetrize lesson applied to
+    * the graph-kernel edge builds. Row multiset is identical. */
+  private def symEdges(pairs: DataFrame): DataFrame =
+    pairs.select(explode(array(
+        struct(col("d1").as("src"), col("d2").as("dst")),
+        struct(col("d2").as("src"), col("d1").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
 
   /** DuckDB twins of `size(TextOps.tokens(text))` / `TextOps.qualityScore`
     * over documents-shaped rows (same expressions lt6's oracle inlines). */
@@ -1225,9 +1237,7 @@ object LlmQueries {
       lg1Oracle(iters = 5, scale = 1000000000000L, minJ = 0.8)) { (s, dir) =>
       val jac = Dedup.jaccardPairs(
         Dedup.shingleTable(Td.table(s, dir, "documents"), "doc_id", "text", 3), 0.8)
-      val edges = jac.select(col("d1").as("src"), col("d2").as("dst"))
-        .unionByName(jac.select(col("d2").as("src"), col("d1").as("dst")))
-      GraphOps.pagerank(edges, iters = 5)
+      GraphOps.pagerank(symEdges(jac), iters = 5)
         .select(col("id").as("doc_id"), col("pr"), col("converged"))
     },
 
@@ -1241,9 +1251,7 @@ object LlmQueries {
     q("lg3_communities", lg3Oracle(iters = 4, minJ = 0.8)) { (s, dir) =>
       val jac = Dedup.jaccardPairs(
         Dedup.shingleTable(Td.table(s, dir, "documents"), "doc_id", "text", 3), 0.8)
-      val edges = jac.select(col("d1").as("src"), col("d2").as("dst"))
-        .unionByName(jac.select(col("d2").as("src"), col("d1").as("dst")))
-      GraphOps.labelPropagation(edges, iters = 4)
+      GraphOps.labelPropagation(symEdges(jac), iters = 4)
         .select(col("id").as("doc_id"), col("community"), col("converged"))
     },
 
@@ -1256,8 +1264,10 @@ object LlmQueries {
     q("lg4_bfs_hops", lg4Oracle(rounds = 4, minJ = 0.8, srcMod = 10)) { (s, dir) =>
       val jac = Dedup.jaccardPairs(
         Dedup.shingleTable(Td.table(s, dir, "documents"), "doc_id", "text", 3), 0.8)
-      val edges = jac.select(col("d1").as("src"), col("d2").as("dst"))
-        .unionByName(jac.select(col("d2").as("src"), col("d1").as("dst")))
+      // persisted HERE (not just inside bfsHops): `sources` is a second
+      // consumer of the edge expression, and unpersisted it would re-run
+      // the whole pair pipeline for the seed distinct alone
+      val edges = graft.llm.Caches.persist(symEdges(jac))
       val sources = edges.select(col("src").as("id")).distinct()
         .filter(col("id") % 10 === 0)
       GraphOps.bfsHops(edges, sources, rounds = 4)
@@ -1330,9 +1340,7 @@ object LlmQueries {
     q("lg7_kcore_sym", lg5Oracle(k = 2, rounds = 4, minJ = 0.8)) { (s, dir) =>
       val jac = Dedup.jaccardPairs(
         Dedup.shingleTable(Td.table(s, dir, "documents"), "doc_id", "text", 3), 0.8)
-      val sym = jac.select(col("d1").as("src"), col("d2").as("dst"))
-        .unionByName(jac.select(col("d2").as("src"), col("d1").as("dst")))
-      GraphOps.kCoreSym(sym, k = 2, rounds = 4)
+      GraphOps.kCoreSym(symEdges(jac), k = 2, rounds = 4)
         .select(col("id").as("doc_id"), col("core_deg"), col("converged"))
     },
 
